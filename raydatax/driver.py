@@ -1,0 +1,266 @@
+"""Job orchestration: plan → pipeline → two-phase commit → report.
+
+Lifecycle mapping to the reference (SURVEY.md §3):
+
+| DataX phase (JobContainer.java:96-182)     | here                         |
+|--------------------------------------------|------------------------------|
+| init/prepare                               | load lake config + manifests |
+| split (reader.split × writer.split)        | WAL segment plan > watermark |
+| schedule/run (TaskGroups of channels)      | one Ray Data pipeline        |
+| post — writer first (JobContainer:559-562) | per-partition file rename + manifest flip, then job watermark |
+| checkLimit (ErrorRecordChecker)            | dead-letter threshold        |
+| hooks / logStatistics                      | _metrics/epoch-N.json        |
+
+The pipeline is Ray-Data-first and streams end-to-end::
+
+    read_parquet(segments, filter=seq>hw)          # prune at the read
+      .map_batches(normalize)                      # Arrow schema unification + dirty split
+      .map_batches(assign_partitions)              # salted hash on conv_id
+      .groupby("__part").map_groups(MergeWorker)   # the ONLY shuffle
+      -> tiny lineage rows                         # data goes straight to staged parquet
+
+Merged data is written by the merge workers themselves (deterministic staged
+files) — it is never collected on the driver and never re-shuffled; the
+driver only sees O(P) lineage rows.  No ``ray.init`` here except in the CLI
+``main`` (guarded), per the driver contract.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray.data
+
+from . import manifest as mf
+from .merge import MergeWorker, make_normalizer
+from .metrics import build_report, format_summary
+from .partition import assign_partitions, detect_hot_keys
+from .schema import lake_schema_for
+from .source import plan_read
+
+
+def job_state_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_manifests", "_job.json")
+
+
+def load_job_watermark(lake_dir: str) -> int:
+    st = mf._read_json(job_state_path(lake_dir))
+    return st["wal_hw"] if st else -1
+
+
+def run_job(
+    wal_dir: str,
+    lake_dir: str,
+    partitions: int = 32,
+    salt: int = 4,
+    hot_threshold: float = 0.05,
+    merge_concurrency: int | None = None,
+    error_limit_records: int | None = None,
+    quiet: bool = True,
+    _crash_after_committing: int | None = None,
+) -> dict:
+    """Tail the WAL and upsert into the lake.  Idempotent: killing this at
+    any point and re-running converges to the same committed state with
+    byte-identical partition files (FIXTURES.md F5)."""
+    t0 = time.monotonic()
+    os.makedirs(lake_dir, exist_ok=True)
+
+    manifests = mf.load_manifests(lake_dir)
+    hws = {pid: m["hw_seq"] for pid, m in manifests.items()}
+    base_files = {pid: m["file"] for pid, m in manifests.items()}
+    min_hw = load_job_watermark(lake_dir)
+
+    plan = plan_read(wal_dir, min_hw)
+    plan_info = {
+        "segments_read": len(plan.segments),
+        "segments_pruned": plan.skipped_segments,
+    }
+    if not plan.segments:
+        report = build_report(0, [], time.monotonic() - t0, plan_info, 0)
+        report["action"] = "noop"
+        return report
+
+    # --- epoch resolution: continue an interrupted epoch for the same WAL
+    # frontier (same epoch => same deterministic file names => byte-identical
+    # resume), else open a new one.
+    seg_names = [os.path.basename(p) for p in plan.segments]
+    prior = mf.find_resumable_plan(lake_dir, seg_names, plan.max_seq)
+    cfg = mf.load_lake_config(lake_dir)
+    if prior is not None and cfg is not None:
+        epoch = prior["epoch"]
+    else:
+        epoch = mf.next_epoch(lake_dir)
+        if cfg is None:
+            hot = detect_hot_keys(plan.segments, partitions, hot_threshold)
+            cfg = mf.init_lake(lake_dir, partitions, salt, hot)
+        mf.write_plan(
+            lake_dir,
+            {"epoch": epoch, "max_seq": plan.max_seq, "segments": seg_names},
+        )
+    P, S, hot_keys = cfg["partitions"], cfg["salt"], cfg["hot_keys"]
+
+    lake_schema = lake_schema_for(plan.event_schema)
+    deadletter_dir = os.path.join(lake_dir, "_deadletter", f"epoch-{epoch:06d}")
+
+    # --- the pipeline (lazy; streaming executor schedules it)
+    read_filter = pc.field("seq").is_null() | (pc.field("seq") > min_hw)
+    ds = ray.data.read_parquet(
+        plan.segments,
+        filter=read_filter,
+        schema=plan.event_schema,
+        file_extensions=["parquet"],
+    )
+    ds = ds.map_batches(
+        make_normalizer(plan.event_schema, deadletter_dir), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        lambda b: assign_partitions(b, P, S, hot_keys), batch_format="pyarrow"
+    )
+    n_parts_total = mf.total_partitions(cfg)
+    if merge_concurrency is None:
+        # leave at least half the CPUs to the read/normalize stages — an
+        # actor pool that reserves every CPU serializes the pipeline
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        merge_concurrency = max(1, min(16, n_parts_total, cpus // 2))
+    lineage_ds = ds.groupby("__part").map_groups(
+        MergeWorker,
+        fn_constructor_kwargs=dict(
+            lake_dir=lake_dir,
+            epoch=epoch,
+            lake_schema=lake_schema,
+            base_files=base_files,
+            high_watermarks=hws,
+        ),
+        batch_format="pyarrow",
+        concurrency=merge_concurrency,
+    )
+    lineage = lineage_ds.take_all()  # O(P) rows — the only driver materialization
+
+    # --- dirty-record threshold (ErrorRecordChecker parity) BEFORE commit
+    dirty_rows = 0
+    for p in glob.glob(os.path.join(deadletter_dir, "dirty-*.parquet")):
+        dirty_rows += pq.read_metadata(p).num_rows
+    if error_limit_records is not None and dirty_rows > error_limit_records:
+        raise RuntimeError(
+            f"dirty-record limit exceeded: {dirty_rows} > {error_limit_records}; "
+            f"job aborted before commit (dead letters under {deadletter_dir})"
+        )
+
+    # --- phase 2: per-partition atomic commit (writer post before job post)
+    committed = 0
+    for row in lineage:
+        if row["action"] != "write":
+            continue
+        if _crash_after_committing is not None and committed >= _crash_after_committing:
+            # test hook (FIXTURES.md F5): simulate a kill mid-commit — some
+            # partitions committed, staging left behind, no job watermark
+            raise KeyboardInterrupt("simulated crash mid-commit")
+        committed += 1
+        counts = {
+            "replayed": row["replayed"],
+            "ins": row["ins"],
+            "upd": row["upd"],
+            "del": row["del_"],
+            "lww_dropped": row["lww_dropped"],
+            "deleted_keys": row["deleted_keys"],
+        }
+        mf.commit_partition(
+            lake_dir, row["partition"], epoch, row["file"], row["hw_seq"],
+            row["rows_out"], counts,
+        )
+    # job-level watermark: ALL events <= plan.max_seq are now applied+committed
+    mf._atomic_write_json(
+        job_state_path(lake_dir), {"epoch": epoch, "wal_hw": plan.max_seq}
+    )
+    mf.gc_staging(lake_dir, epoch)
+
+    report = build_report(epoch, lineage, time.monotonic() - t0, plan_info, dirty_rows)
+    report["action"] = "applied"
+    mf._atomic_write_json(
+        os.path.join(lake_dir, "_metrics", f"epoch-{epoch:06d}.json"), report
+    )
+    if not quiet:
+        print(format_summary(report))
+    return report
+
+
+# ------------------------------------------------------------- lake readers
+
+
+def read_lake(lake_dir: str) -> "ray.data.Dataset":
+    """Current committed table state as a streaming Dataset (partition-major,
+    key-sorted within partitions — the stable output order)."""
+    files = mf.committed_files(lake_dir)
+    if not files:
+        raise FileNotFoundError(f"no committed partitions under {lake_dir}")
+    return ray.data.read_parquet(files)
+
+
+def lake_table(lake_dir: str):
+    """Small-scale helper (tests): whole table as one pyarrow.Table in
+    deterministic partition-major order."""
+    import pyarrow as pa
+
+    files = mf.committed_files(lake_dir)
+    tables = [pq.read_table(f) for f in files]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return None
+    schema = tables[-1].schema
+    return pa.concat_tables(
+        [t.cast(schema) for t in tables], promote_options="permissive"
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="raydatax CDC ingest driver")
+    ap.add_argument("--wal", required=True)
+    ap.add_argument("--lake", required=True)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--salt", type=int, default=4)
+    ap.add_argument("--concurrency", type=int, default=None)
+    ap.add_argument("--error-limit", type=int, default=None)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owned = False
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+        owned = True
+    try:
+        report = run_job(
+            args.wal,
+            args.lake,
+            partitions=args.partitions,
+            salt=args.salt,
+            merge_concurrency=args.concurrency,
+            error_limit_records=args.error_limit,
+            quiet=False,
+        )
+        print(json.dumps({k: v for k, v in report.items() if k != "per_partition"}))
+        return 0
+    finally:
+        if owned:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,195 @@
+"""Commit manifests: the exactly-once / checkpoint-resume state store.
+
+Design (SURVEY.md §3.2, §4):
+
+```
+<lake>/
+  _lake.json                      # immutable lake config: P, S, hot registry
+  data/part-<pid>/epoch-<e>.parquet   # committed partition snapshots
+  _manifests/part-<pid>.json      # latest pointer per partition (atomic)
+  _staging/epoch-<e>/part-<pid>.parquet + plan.json   # phase-1 output
+  _deadletter/epoch-<e>/*.parquet # dirty records (DataX dirty-data parity)
+  _metrics/epoch-<e>.json         # per-partition lineage + job report
+```
+
+Two-phase commit mirrors the reference's hdfswriter (write to UUID tmp dir,
+rename on Job.post — ``/root/reference/hdfswriter/.../HdfsWriter.java:190-322``,
+``HdfsHelper.java:207-243``) except that our staged names are deterministic
+(partition id + epoch, never UUIDs) so a killed+resumed job reproduces
+byte-identical files.  The per-partition manifest is the engine's
+ShardCheckpoint (``/root/reference/otsstreamreader/.../model/
+ShardCheckpoint.java:8-118``): it records the committed file and the
+high-watermark ``seq``; resume replays only events with ``seq > hw``.
+Manifests are timestamp-free so repeated runs converge to identical bytes;
+wall-clock metrics live only under ``_metrics/``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    """Write-temp + rename: the atomic publish primitive (ES alias-flip /
+    hdfs rename analogue)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _read_json(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+# ---------------------------------------------------------------- lake config
+
+
+def lake_config_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_lake.json")
+
+
+def load_lake_config(lake_dir: str) -> dict | None:
+    return _read_json(lake_config_path(lake_dir))
+
+
+def init_lake(lake_dir: str, partitions: int, salt: int, hot_keys: list[str]) -> dict:
+    """Create (or load) the immutable lake config.  Partition mapping must be
+    stable across the lake's lifetime (rebase merge depends on it), so
+    P / S / the hot-key registry are fixed at creation."""
+    cfg = load_lake_config(lake_dir)
+    if cfg is not None:
+        return cfg
+    cfg = {
+        "partitions": int(partitions),
+        "salt": int(salt),
+        "hot_keys": list(hot_keys),
+        "format": "raydatax-lake-v1",
+    }
+    _atomic_write_json(lake_config_path(lake_dir), cfg)
+    return cfg
+
+
+def total_partitions(cfg: dict) -> int:
+    return cfg["partitions"] + len(cfg["hot_keys"]) * cfg["salt"]
+
+
+# ----------------------------------------------------------------- manifests
+
+
+def manifest_path(lake_dir: str, pid: int) -> str:
+    return os.path.join(lake_dir, "_manifests", f"part-{pid:05d}.json")
+
+
+def load_manifests(lake_dir: str) -> dict[int, dict]:
+    out: dict[int, dict] = {}
+    for p in glob.glob(os.path.join(lake_dir, "_manifests", "part-*.json")):
+        m = _read_json(p)
+        if m is not None:
+            out[int(m["partition"])] = m
+    return out
+
+
+def commit_partition(
+    lake_dir: str,
+    pid: int,
+    epoch: int,
+    staged_file: str,
+    hw_seq: int,
+    rows: int,
+    counts: dict,
+) -> dict:
+    """Phase 2 for one partition: rename staged file into data/, then
+    atomically flip the manifest pointer.  Idempotent: a re-run after a crash
+    between rename and manifest write simply re-renames a file that is
+    already there (os.replace) and rewrites the same manifest."""
+    final_dir = os.path.join(lake_dir, "data", f"part-{pid:05d}")
+    os.makedirs(final_dir, exist_ok=True)
+    final_file = os.path.join(final_dir, f"epoch-{epoch:06d}.parquet")
+    if os.path.exists(staged_file):
+        os.replace(staged_file, final_file)
+    elif not os.path.exists(final_file):
+        raise FileNotFoundError(f"neither staged nor final file for part {pid}: {staged_file}")
+    man = {
+        "partition": pid,
+        "epoch": epoch,
+        "file": os.path.relpath(final_file, lake_dir),
+        "hw_seq": int(hw_seq),
+        "rows": int(rows),
+        "bytes": os.path.getsize(final_file),
+        "counts": counts,
+    }
+    _atomic_write_json(manifest_path(lake_dir, pid), man)
+    return man
+
+
+def committed_files(lake_dir: str) -> list[str]:
+    """Current table state = latest committed file of every partition, in
+    partition order (the stable output ordering's outer key)."""
+    mans = load_manifests(lake_dir)
+    return [
+        os.path.join(lake_dir, mans[pid]["file"]) for pid in sorted(mans)
+    ]
+
+
+# ------------------------------------------------------------------ staging
+
+
+def staging_dir(lake_dir: str, epoch: int) -> str:
+    return os.path.join(lake_dir, "_staging", f"epoch-{epoch:06d}")
+
+
+def plan_path(lake_dir: str, epoch: int) -> str:
+    return os.path.join(staging_dir(lake_dir, epoch), "plan.json")
+
+
+def find_resumable_plan(lake_dir: str, segments: list[str], max_seq: int) -> dict | None:
+    """If a prior (killed) run staged a plan for the same WAL frontier,
+    continue its epoch — this is what makes resume byte-identical to an
+    uninterrupted run (same epoch number → same file names)."""
+    for p in sorted(glob.glob(os.path.join(lake_dir, "_staging", "epoch-*", "plan.json"))):
+        plan = _read_json(p)
+        if (
+            plan is not None
+            and plan.get("max_seq") == max_seq
+            and plan.get("segments") == segments
+        ):
+            return plan
+    return None
+
+
+def next_epoch(lake_dir: str) -> int:
+    epochs = [m["epoch"] for m in load_manifests(lake_dir).values()]
+    for p in glob.glob(os.path.join(lake_dir, "_staging", "epoch-*")):
+        m = re.search(r"epoch-(\d+)$", p)
+        if m:
+            epochs.append(int(m.group(1)))
+    return (max(epochs) + 1) if epochs else 1
+
+
+def write_plan(lake_dir: str, plan: dict) -> None:
+    _atomic_write_json(plan_path(lake_dir, plan["epoch"]), plan)
+
+
+def gc_staging(lake_dir: str, committed_epoch: int) -> list[str]:
+    """Orphan-staging GC (hdfswriter deletes its tmp dir on post): remove
+    staging dirs for epochs <= the fully committed one."""
+    removed = []
+    for p in glob.glob(os.path.join(lake_dir, "_staging", "epoch-*")):
+        m = re.search(r"epoch-(\d+)$", p)
+        if m and int(m.group(1)) <= committed_epoch:
+            for f in glob.glob(os.path.join(p, "*")):
+                os.remove(f)
+            os.rmdir(p)
+            removed.append(p)
+    return removed

@@ -1,0 +1,220 @@
+"""Normalize/validate stage + per-partition LWW merge workers.
+
+The merge is a **rebase**: for each partition, (committed base rows ∪ new
+events with ``seq > high_watermark``) → last-writer-wins by ``seq`` per
+``(conv_id, turn_idx)`` → live rows (winning op != D), sorted by key →
+staged Parquet.  Rebase makes replays idempotent (the exactly-once story)
+and keeps delete semantics correct across restarts without a separate
+tombstone store (SURVEY.md §7.4): base rows carry their ``seq``, so a stale
+replayed event simply loses.
+
+This is the engine-side generalization of the reference's upsert writers —
+MySQL ``INSERT ... ON DUPLICATE KEY UPDATE`` (``/root/reference/
+plugin-rdbms-util/.../writer/util/WriterUtil.java:113-146``) and OTS
+PUT/UPDATE/DELETE_ROW (``/root/reference/otswriter/.../model/OTSOpType.
+java:4-6``) — except the "target system" is our own Parquet lake, so the
+merge must be associative/commutative (LWW by total-ordered seq is both).
+
+Everything on the hot path is vectorized: Arrow ``sort_by`` + numpy
+group-boundary masks; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .schema import OPS, normalize_to
+
+# Deterministic parquet knobs: byte-identical resume requires fixed
+# compression + row-group size + no wall-clock metadata.
+PARQUET_OPTS = dict(compression="zstd", compression_level=3, row_group_size=131072)
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("partition", pa.int32()),
+        ("action", pa.string()),  # write | skip
+        ("events_in", pa.int64()),      # events routed to this partition
+        ("replayed", pa.int64()),       # events with seq > high-watermark
+        ("ins", pa.int64()),
+        ("upd", pa.int64()),
+        ("del_", pa.int64()),
+        ("base_rows", pa.int64()),
+        ("lww_dropped", pa.int64()),    # stale versions superseded by LWW
+        ("deleted_keys", pa.int64()),   # keys whose winning op is D
+        ("rows_out", pa.int64()),
+        ("hw_seq", pa.int64()),
+        ("bytes_out", pa.int64()),
+        ("wall_ms", pa.int64()),
+        ("file", pa.string()),
+    ]
+)
+
+
+def make_normalizer(event_schema: pa.Schema, deadletter_dir: str | None):
+    """Stateless map_batches fn: unify each batch onto the evolved event
+    schema (adds missing columns as nulls, widens ints — the Arrow
+    schema-unification step), then split off dirty rows.
+
+    Dirty-record policy mirrors DataX: a bad record never fails the batch, it
+    is diverted to a dead-letter store with a reason column
+    (``/root/reference/core/.../exchanger/TransformerExchanger.java:53-127``;
+    dirty threshold check at job end like ``ErrorRecordChecker.java:18-82``).
+    Dead-letter file names are content hashes → replays are idempotent.
+    """
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        batch = normalize_to(batch, event_schema)
+        valid = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(batch["seq"]), pc.is_valid(batch["conv_id"])),
+            pc.and_kleene(
+                pc.is_valid(batch["turn_idx"]),
+                pc.is_in(batch["op"], value_set=pa.array(OPS)),
+            ),
+        )
+        # I/U must carry a row image (text+role); D rows may be all-null
+        has_payload = pc.or_kleene(
+            pc.equal(batch["op"], "D"),
+            pc.and_kleene(pc.is_valid(batch["text"]), pc.is_valid(batch["role"])),
+        )
+        ok = pc.fill_null(pc.and_kleene(valid, has_payload), False)
+        if pc.all(ok).as_py():
+            return batch
+        bad = batch.filter(pc.invert(ok))
+        if deadletter_dir is not None and bad.num_rows:
+            os.makedirs(deadletter_dir, exist_ok=True)
+            sink = pa.BufferOutputStream()
+            pq.write_table(bad.replace_schema_metadata(None), sink, **PARQUET_OPTS)
+            buf = sink.getvalue()
+            name = hashlib.sha1(buf.to_pybytes()).hexdigest()[:16]
+            path = os.path.join(deadletter_dir, f"dirty-{name}.parquet")
+            if not os.path.exists(path):
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(buf.to_pybytes())
+                os.replace(tmp, path)
+        return batch.filter(ok)
+
+    return normalize
+
+
+def lww_winners(combined: pa.Table) -> pa.Table:
+    """Vectorized LWW: sort by (conv_id, turn_idx, seq) and keep the last row
+    of every key group.  Output remains key-sorted (the stable output
+    order)."""
+    s = combined.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending"), ("seq", "ascending")]
+    )
+    if s.num_rows == 0:
+        return s
+    conv = s.column("conv_id").combine_chunks()
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.chunk(0)  # single chunk after combine; per-chunk dicts would break adjacency
+    codes = pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
+    turn = s.column("turn_idx").to_numpy(zero_copy_only=False)
+    neq = (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])
+    last = np.append(neq, True)
+    return s.filter(pa.array(last))
+
+
+class MergeWorker:
+    """Per-partition merge worker (actor pool via ``groupby.map_groups``).
+
+    One ``__call__`` = one partition group of new events.  The per-partition
+    LWW index is materialized from the committed base file + the group —
+    state is bounded by live keys of one partition, never by the event
+    stream (the 10^10-event framing in SURVEY.md §7.4).  Emits a single
+    lineage row; the merged data goes straight to a deterministic staged
+    Parquet file, so merged rows are never re-shuffled.
+    """
+
+    def __init__(
+        self,
+        lake_dir: str,
+        epoch: int,
+        lake_schema: pa.Schema,
+        base_files: dict[int, str],
+        high_watermarks: dict[int, int],
+    ):
+        self.lake_dir = lake_dir
+        self.epoch = epoch
+        self.lake_schema = lake_schema
+        self.base_files = base_files
+        self.hws = high_watermarks
+        self.staging = os.path.join(lake_dir, "_staging", f"epoch-{epoch:06d}")
+        # op is carried through the merge then dropped from the lake file
+        self.merge_schema = pa.schema(list(lake_schema) + [pa.field("op", pa.string())])
+
+    def _lineage(self, pid: int, action: str, t0: float, **kw) -> pa.Table:
+        row = {f.name: 0 for f in LINEAGE_SCHEMA}
+        row.update(
+            partition=pid,
+            action=action,
+            wall_ms=int((time.monotonic() - t0) * 1000),
+            file="",
+            hw_seq=self.hws.get(pid, -1),
+        )
+        row.update(kw)
+        return pa.Table.from_pylist([row], schema=LINEAGE_SCHEMA)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        pid = group.column("__part")[0].as_py()
+        events = group.drop_columns(["__part"])
+        hw = self.hws.get(pid, -1)
+        events_in = events.num_rows
+        replay = events.filter(pc.greater(events["seq"], hw))
+        if replay.num_rows == 0:
+            # partition already at (or beyond) this frontier — committed by a
+            # previous attempt of this epoch, or events were stale replays
+            return self._lineage(pid, "skip", t0, events_in=events_in)
+
+        ops = replay.column("op")
+        n_ins = pc.sum(pc.equal(ops, "I")).as_py() or 0
+        n_upd = pc.sum(pc.equal(ops, "U")).as_py() or 0
+        n_del = pc.sum(pc.equal(ops, "D")).as_py() or 0
+
+        base_file = self.base_files.get(pid)
+        if base_file is not None:
+            base = pq.read_table(os.path.join(self.lake_dir, base_file))
+            base = normalize_to(base, self.lake_schema)
+            base = base.append_column("op", pa.nulls(base.num_rows, pa.string()).fill_null("I"))
+        else:
+            base = self.merge_schema.empty_table()
+
+        replay_m = normalize_to(replay, self.merge_schema)
+        combined = pa.concat_tables([base, replay_m], promote_options="none")
+        winners = lww_winners(combined)
+        live = winners.filter(pc.not_equal(winners["op"], "D"))
+        out = normalize_to(live, self.lake_schema).replace_schema_metadata(None)
+
+        os.makedirs(self.staging, exist_ok=True)
+        path = os.path.join(self.staging, f"part-{pid:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp, **PARQUET_OPTS)
+        os.replace(tmp, path)
+
+        new_hw = max(hw, pc.max(replay["seq"]).as_py())
+        return self._lineage(
+            pid,
+            "write",
+            t0,
+            events_in=events_in,
+            replayed=replay.num_rows,
+            ins=n_ins,
+            upd=n_upd,
+            del_=n_del,
+            base_rows=base.num_rows,
+            lww_dropped=combined.num_rows - winners.num_rows,
+            deleted_keys=winners.num_rows - live.num_rows,
+            rows_out=out.num_rows,
+            hw_seq=new_hw,
+            bytes_out=os.path.getsize(path),
+            file=path,
+        )

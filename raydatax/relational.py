@@ -1,0 +1,235 @@
+"""Relational operator surface, Ray-Data-first.
+
+The reference is an ELT mover whose only "query surface" is projection /
+filter / per-record map / upsert-by-key (SURVEY.md §2.5) — everything wider
+lives here, built from first principles on Ray Data:
+
+- **partial pre-aggregation** before every groupby (combine inside
+  ``map_batches`` with pyarrow's own hash aggregation, then shuffle only the
+  tiny partials) — at 100 TB the shuffle moves per-key partials, not rows;
+- **broadcast joins** for small sides (``ray.put`` once, Arrow hash-join
+  per batch inside the tasks) — no shuffle at all;
+- **top-k** as per-block partial top-k + driver merge of ≤ k·blocks rows;
+- **generic LWW latest-by-version** (the CDC upsert as a standalone
+  operator over arbitrary key/seq columns);
+- tumbling **windows** as truncated-timestamp pre-aggregated groupbys;
+  **sessionization** as sorted per-key ``map_groups``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+# ----------------------------------------------------------- pre-aggregation
+
+_PARTIAL_FUNCS = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
+_MERGE_AGG = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
+
+
+def preagg_groupby(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    mean_of: list[tuple[str, str, str]] | None = None,
+) -> "ray.data.Dataset":
+    """Grouped aggregation with in-batch combining.
+
+    ``aggs``: (column, fn, out_name) with fn in sum|count|min|max.
+    ``mean_of``: (sum_name, count_name, out_name) computed after the merge.
+
+    Stage 1 runs pyarrow's hash aggregation inside every batch (one partial
+    row per key per batch); stage 2 shuffles only the partials — the
+    pre-aggregate-then-groupby discipline for scale.
+    """
+    partial_specs = []
+    out_names = []
+    for col, fn, out in aggs:
+        partial_specs.append((col, _PARTIAL_FUNCS[fn]))
+        out_names.append((f"{col}_{_PARTIAL_FUNCS[fn]}", fn, out))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(keys).aggregate(partial_specs)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merge_aggs = [
+        _MERGE_AGG[fn](partial_name, alias_name=out)
+        for partial_name, fn, out in out_names
+    ]
+    out = partials.groupby(keys).aggregate(*merge_aggs)
+    if mean_of:
+        def add_means(batch: pa.Table) -> pa.Table:
+            for s, c, name in mean_of:
+                batch = batch.append_column(
+                    name, pc.divide(pc.cast(batch[s], pa.float64()), pc.cast(batch[c], pa.float64()))
+                )
+            return batch
+        out = out.map_batches(add_means, batch_format="pyarrow")
+    return out
+
+
+# -------------------------------------------------------------- joins
+
+
+def broadcast_join(
+    ds: "ray.data.Dataset",
+    small: pa.Table,
+    keys: list[str] | str,
+    join_type: str = "inner",
+) -> "ray.data.Dataset":
+    """Join against a broadcast small side (dimension table).  The small
+    table is put in the object store ONCE and hash-joined (Arrow) inside
+    every task — never re-shipped per batch, never shuffled (the pattern the
+    reference can't express; its only join-like op is target-side upsert)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    ref = ray.put(small)
+
+    class JoinBatch:
+        def __init__(self):
+            self.small = ray.get(ref)  # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.join(self.small, keys=keys, join_type=join_type)
+
+    return ds.map_batches(JoinBatch, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def semi_join_filter(ds, key_values: set, column: str, anti: bool = False):
+    """Semi/anti join by broadcasting the key set and masking per batch."""
+    ref = ray.put(pa.array(sorted(key_values)))
+
+    def f(batch: pa.Table) -> pa.Table:
+        vals = ray.get(ref)
+        m = pc.is_in(batch[column], value_set=vals)
+        if anti:
+            m = pc.invert(m)
+        return batch.filter(pc.fill_null(m, anti))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- top-k
+
+
+def topk(
+    ds: "ray.data.Dataset",
+    sort_keys: list[tuple[str, str]],
+    k: int,
+) -> pa.Table:
+    """Global top-k: per-batch partial top-k (each block contributes ≤ k
+    rows), then one small driver-side merge — no global sort shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(sort_keys).slice(0, k)
+
+    refs = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    parts = [t for t in ray.get(refs) if t.num_rows]
+    if not parts:
+        return None
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    return merged.sort_by(sort_keys).slice(0, k)
+
+
+# ------------------------------------------------------- LWW latest (upsert)
+
+
+def lww_latest(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    seq_col: str,
+    op_col: str | None = None,
+    delete_value: str = "D",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Generic last-writer-wins: keep each key's max-``seq_col`` row; if
+    ``op_col`` is given, keys whose winning row carries ``delete_value`` are
+    dropped (CDC upsert/delete as a standalone relational operator — the
+    engine's merge specialised in merge.py uses the same contract).
+
+    Shuffle = ONE hash partition on the key columns; LWW inside each
+    partition is vectorized (sort + group-boundary mask)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for kcol in keys:
+            arr = batch[kcol].to_numpy(zero_copy_only=False)
+            h ^= hash_array(arr.astype(object, copy=False), categorize=False)
+        return batch.append_column("__part", pa.array((h % num_partitions).astype(np.int32)))
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        order = [(kcol, "ascending") for kcol in keys] + [(seq_col, "ascending")]
+        s = group.drop_columns(["__part"]).sort_by(order)
+        if s.num_rows == 0:
+            return s
+        cols = []
+        for kcol in keys:
+            a = s.column(kcol).combine_chunks()
+            if isinstance(a, pa.ChunkedArray):
+                a = a.chunk(0)
+            if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+                a = pc.dictionary_encode(a).indices
+            cols.append(a.to_numpy(zero_copy_only=False))
+        neq = np.zeros(s.num_rows - 1, dtype=bool)
+        for c in cols:
+            neq |= c[1:] != c[:-1]
+        winners = s.filter(pa.array(np.append(neq, True)))
+        if op_col is not None:
+            winners = winners.filter(pc.not_equal(winners[op_col], delete_value))
+        return winners
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
+
+
+# -------------------------------------------------------------- windows
+
+
+def tumbling_window(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    unit: str,
+    aggs: list[tuple[str, str, str]],
+) -> "ray.data.Dataset":
+    """Tumbling event-time window = truncate ts to the window start, then a
+    pre-aggregated groupby on (key, window)."""
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch[ts_col], unit=unit)
+        return batch.append_column("window", w)
+
+    return preagg_groupby(
+        ds.map_batches(add_window, batch_format="pyarrow"), [key, "window"], aggs
+    )
+
+
+def sessionize(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    gap_minutes: float,
+) -> "ray.data.Dataset":
+    """Session windows: per-key sorted scan; a gap > ``gap_minutes`` starts a
+    new session.  Implemented as ``groupby(key).map_groups`` over the sorted
+    group — the Ray-Data shape for ordered per-key state (no event-time
+    watermarks needed for replay-shaped input)."""
+    gap_us = int(gap_minutes * 60 * 1e6)
+
+    def per_key(group: pa.Table) -> pa.Table:
+        s = group.sort_by([(ts_col, "ascending")])
+        ts = s[ts_col].cast(pa.int64()).to_numpy()
+        breaks = int((np.diff(ts) > gap_us).sum()) + 1 if len(ts) else 0
+        return pa.table({key: [s[key][0].as_py()], "n_sessions": pa.array([breaks], pa.int64()),
+                         "n_events": pa.array([len(ts)], pa.int64())})
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

@@ -1,0 +1,126 @@
+"""End-to-end CDC replay correctness vs the sequential oracle (FIXTURES F2),
+incremental tailing, dirty records, and metrics accounting."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raydatax.driver import lake_table, run_job
+from raydatax.gen import gen_events, write_wal
+from raydatax.oracle import replay_to_table
+from raydatax.schema import EVENT_SCHEMA
+
+SORT = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+
+
+def wal_log(wal_dir):
+    return pa.concat_tables(
+        [pq.read_table(p) for p in sorted(glob.glob(os.path.join(wal_dir, "seg-*.parquet")))],
+        promote_options="permissive",
+    )
+
+
+def test_replay_matches_oracle(tmp_wal, tmp_lake):
+    events = gen_events(20_000, seed=42)
+    write_wal(events, tmp_wal, seg_rows=4000)
+    rep = run_job(tmp_wal, tmp_lake, partitions=8)
+    assert rep["action"] == "applied"
+    assert rep["events_replayed"] == events.num_rows
+
+    got = lake_table(tmp_lake).sort_by(SORT)
+    want = replay_to_table(events).sort_by(SORT)
+    assert got.num_rows == want.num_rows
+    assert got.cast(want.schema).equals(want)
+    # per-turn text equality under stable (conv_id, turn_idx) ordering
+    assert got["text"].equals(want["text"])
+
+
+def test_incremental_tail(tmp_wal, tmp_lake):
+    """Two tail cycles: new segments appended after the first apply are the
+    only thing replayed in the second."""
+    ev = gen_events(16_000, seed=7)
+    half = ev.num_rows // 2
+    write_wal(ev.slice(0, half), tmp_wal, seg_rows=2000)
+    rep1 = run_job(tmp_wal, tmp_lake, partitions=4)
+    assert rep1["events_replayed"] == half
+
+    # append the remaining log as later segments (names continue)
+    n_existing = len(glob.glob(os.path.join(tmp_wal, "seg-*.parquet")))
+    rest = ev.slice(half)
+    tmp2 = tmp_wal + "_x"
+    write_wal(rest, tmp2, seg_rows=2000)
+    for i, p in enumerate(sorted(glob.glob(os.path.join(tmp2, "seg-*.parquet")))):
+        os.rename(p, os.path.join(tmp_wal, f"seg-{n_existing + i:05d}.parquet"))
+
+    rep2 = run_job(tmp_wal, tmp_lake, partitions=4)
+    assert rep2["events_replayed"] == ev.num_rows - half
+    assert rep2["segments_pruned"] > 0, "old segments must be pruned by footer stats"
+
+    got = lake_table(tmp_lake).sort_by(SORT)
+    want = replay_to_table(ev).sort_by(SORT)
+    assert got.cast(want.schema).equals(want)
+
+
+def test_rerun_is_noop(tmp_wal, tmp_lake):
+    write_wal(gen_events(5000, seed=5), tmp_wal, seg_rows=2000)
+    run_job(tmp_wal, tmp_lake, partitions=4)
+    rep = run_job(tmp_wal, tmp_lake, partitions=4)
+    assert rep["action"] == "noop"
+    assert rep["segments_read"] == 0
+
+
+def test_dirty_records_dead_lettered(tmp_wal, tmp_lake):
+    ev = gen_events(4000, seed=6)
+    bad = pa.Table.from_pylist(
+        [
+            {"seq": 10_000_000, "op": "X", "conv_id": "c", "turn_idx": 0,
+             "role": "user", "text": "t", "tool": None, "ts": None},
+            {"seq": 10_000_001, "op": "I", "conv_id": None, "turn_idx": 0,
+             "role": "user", "text": "t", "tool": None, "ts": None},
+            {"seq": 10_000_002, "op": "I", "conv_id": "c", "turn_idx": 1,
+             "role": None, "text": None, "tool": None, "ts": None},
+        ],
+        schema=EVENT_SCHEMA,
+    )
+    write_wal(pa.concat_tables([ev, bad]), tmp_wal, seg_rows=2000)
+    rep = run_job(tmp_wal, tmp_lake, partitions=4)
+    assert rep["dirty_records"] == 3
+    assert rep["events_replayed"] == ev.num_rows
+    dl = glob.glob(os.path.join(tmp_lake, "_deadletter", "*", "dirty-*.parquet"))
+    assert dl and sum(pq.read_metadata(p).num_rows for p in dl) == 3
+    # clean rows still correct
+    want = replay_to_table(ev).sort_by(SORT)
+    assert lake_table(tmp_lake).sort_by(SORT).cast(want.schema).equals(want)
+
+
+def test_dirty_record_limit_aborts_before_commit(tmp_wal, tmp_lake):
+    ev = gen_events(2000, seed=8)
+    bad = pa.Table.from_pylist(
+        [{"seq": 10_000_000, "op": "Z", "conv_id": "c", "turn_idx": 0,
+          "role": "u", "text": "t", "tool": None, "ts": None}],
+        schema=EVENT_SCHEMA,
+    )
+    write_wal(pa.concat_tables([ev, bad]), tmp_wal, seg_rows=1000)
+    with pytest.raises(RuntimeError, match="dirty-record limit"):
+        run_job(tmp_wal, tmp_lake, partitions=4, error_limit_records=0)
+    assert not glob.glob(os.path.join(tmp_lake, "_manifests", "part-*.json")), (
+        "abort must happen before any partition commit"
+    )
+
+
+def test_metrics_and_lineage(tmp_wal, tmp_lake):
+    ev = gen_events(10_000, seed=9)
+    write_wal(ev, tmp_wal, seg_rows=2500)
+    rep = run_job(tmp_wal, tmp_lake, partitions=4)
+    assert rep["inserts"] + rep["updates"] + rep["deletes"] == rep["events_replayed"]
+    per = rep["per_partition"]
+    assert sum(r["replayed"] for r in per) == rep["events_replayed"]
+    assert all(r["hw_seq"] >= 0 for r in per if r["action"] == "write")
+    mpath = glob.glob(os.path.join(tmp_lake, "_metrics", "epoch-*.json"))
+    assert mpath
+    saved = json.load(open(mpath[0]))
+    assert saved["events_replayed"] == rep["events_replayed"]
