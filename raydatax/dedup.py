@@ -1,0 +1,413 @@
+"""Deduplication family for training-data pipelines.
+
+Four levels, all Ray-Data-first (guide: ``/opt/skills/guides/ray_guide.md``
+"Aggregation at scale"):
+
+- **exact**: 64-bit content hash per batch (vectorized) → pre-aggregated
+  groupby on the hash (min id + count) — the shuffle moves one row per
+  distinct hash per batch, never the text;
+- **MinHash + LSH**: char-shingle rolling hashes → per-permutation minima
+  (numpy ``minimum.reduceat`` over the whole batch's shingles — no per-doc
+  Python) → band buckets exploded to (band, hash, doc, signature) rows →
+  ``groupby(band, hash)`` → candidate pairs with signature-estimated
+  Jaccard → union-find clustering of the (small) surviving pair set;
+- **SimHash**: token hashes → signed bit-sums per doc (64 ``reduceat``
+  passes) → 64-bit fingerprint → banded buckets → Hamming-distance pairs;
+- **n-gram Jaccard**: exact verification of candidate pairs (shingle-set
+  intersection-over-union), run only on LSH survivors.
+
+Partitioning assumption: candidate PAIRS are sparse relative to the corpus
+(LSH bucket sizes are capped and logged).  Union-find runs on the driver
+only because the pair set is provably ≤ Σ bucket² with capped buckets; a
+full-scale variant would iterate min-label propagation via groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .relational import preagg_groupby
+
+_R = 0x100000001B3
+_MASK = (1 << 64) - 1
+
+
+def _buffers(col: pa.Array):
+    """(byte buffer, per-value offsets int64) of a string array."""
+    n = len(col)
+    off = np.frombuffer(col.buffers()[1], dtype=np.int32, count=n + 1).astype(np.int64)
+    base = off[0]
+    off = off - base
+    total = int(off[-1])
+    data = (
+        np.frombuffer(col.buffers()[2], dtype=np.uint8, offset=int(base), count=total)
+        if total
+        else np.array([], np.uint8)
+    )
+    return data, off
+
+
+def _string_col(batch: pa.Table, column: str) -> pa.Array:
+    col = batch[column].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks else pa.array([], pa.string())
+    return col
+
+
+def shingle_hashes(col: pa.Array, k: int = 5):
+    """All k-byte shingle rolling hashes for every string, in one numpy pass:
+    prefix polynomial hashes over the concatenated buffer, windows differenced
+    with modular-inverse powers.  Returns (hashes uint64, doc_offsets)."""
+    data, off = _buffers(col)
+    n = len(col)
+    lens = np.diff(off)
+    with np.errstate(over="ignore"):
+        total = len(data)
+        rinv = pow(_R, -1, 1 << 64)
+        max_len = int(lens.max()) if n else 0
+        pw_rinv = np.ones(max(max_len + 1, 1), dtype=np.uint64)
+        if max_len:
+            np.multiply.accumulate(np.full(max_len, rinv & _MASK, dtype=np.uint64), out=pw_rinv[1:])
+        pw_r = np.ones(max(max_len + 1, 1), dtype=np.uint64)
+        if max_len:
+            np.multiply.accumulate(np.full(max_len, _R, dtype=np.uint64), out=pw_r[1:])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], lens)
+        contrib = data.astype(np.uint64) * pw_rinv[pos]
+        prefix = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(contrib, out=prefix[1:])
+        # reset prefix per doc: window hash = (prefix[i+k]-prefix[i]) * r^(pos)
+        n_sh = np.maximum(lens - k + 1, 0)
+        sh_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_sh, out=sh_off[1:])
+        idx = np.arange(int(sh_off[-1]), dtype=np.int64) - np.repeat(sh_off[:-1], n_sh)
+        start = np.repeat(off[:-1], n_sh) + idx            # global byte index
+        spos = idx                                          # position within doc
+        win = (prefix[start + k] - prefix[start]) * pw_r[spos]
+        # scramble (splitmix-style) so band slicing sees uniform bits
+        win = (win ^ (win >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        win ^= win >> np.uint64(33)
+    return win, sh_off
+
+
+def minhash_signatures(
+    col: pa.Array, num_perm: int = 64, k: int = 5, seed: int = 7
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signature matrix, vectorized: one
+    ``minimum.reduceat`` over all shingles per permutation."""
+    win, sh_off = shingle_hashes(col, k)
+    n = len(sh_off) - 1
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    n_sh = np.diff(sh_off)
+    nonempty = n_sh > 0
+    starts = sh_off[:-1][nonempty]
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            t = a[p] * win + b[p]
+            if len(t):
+                sig[nonempty, p] = np.minimum.reduceat(t, starts)
+    return sig
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) uint64: polynomial combine of each band's rows."""
+    n, num_perm = sig.shape
+    rows = num_perm // bands
+    with np.errstate(over="ignore"):
+        out = np.zeros((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            h = np.uint64(14695981039346656037)
+            acc = np.full(n, h)
+            for r_i in range(rows):
+                acc = (acc ^ sig[:, b * rows + r_i]) * np.uint64(_R)
+            out[:, b] = acc
+    return out
+
+
+# --------------------------------------------------------------- exact dedup
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Representative per distinct content: (min id, copy count), grouped by
+    a 64-bit content hash so the shuffle never moves the text itself."""
+    from .text import fingerprint_rolling
+
+    def h(batch: pa.Table) -> pa.Table:
+        batch = fingerprint_rolling(batch, text_col, "__h")
+        return batch.select([id_col, "__h"])
+
+    hashed = ds.map_batches(h, batch_format="pyarrow")
+    out = preagg_groupby(
+        hashed, ["__h"], [(id_col, "min", id_col), (id_col, "count", "n_copies")]
+    )
+    return out.select_columns([id_col, "n_copies"])
+
+
+# ----------------------------------------------------------- minhash-lsh
+
+
+def _pairs_from_groups(group: pa.Table, max_bucket: int = 64) -> pa.Table:
+    """Candidate pairs within one (band, band_hash) bucket, with
+    signature-estimated Jaccard.  Oversized buckets are truncated (and
+    flagged via the `truncated` column) — no silent cap."""
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "est_jaccard": pa.array([], pa.float64()),
+         "truncated": pa.array([], pa.bool_())}
+    )
+    if group.num_rows < 2:
+        return empty
+    trunc = group.num_rows > max_bucket
+    g = group.slice(0, max_bucket)
+    ids = g["doc_id"].to_numpy(zero_copy_only=False)
+    sig = np.stack(g["sig"].to_numpy(zero_copy_only=False))
+    order = np.argsort(ids)
+    ids, sig = ids[order], sig[order]
+    iu = np.triu_indices(len(ids), 1)
+    est = (sig[iu[0]] == sig[iu[1]]).mean(axis=1)
+    return pa.table(
+        {
+            "a": pa.array(ids[iu[0]], pa.int64()),
+            "b": pa.array(ids[iu[1]], pa.int64()),
+            "est_jaccard": pa.array(est, pa.float64()),
+            "truncated": pa.array(np.full(len(iu[0]), trunc)),
+        }
+    )
+
+
+def minhash_candidate_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """doc → MinHash → LSH band explode → bucket groupby → estimated-Jaccard
+    pairs above threshold (deduplicated across bands)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = _string_col(batch, text_col)
+        sig = minhash_signatures(col, num_perm, k, seed)
+        bh = band_hashes(sig, bands)
+        n = len(col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        band_id = np.tile(np.arange(bands, dtype=np.int32), n)
+        return pa.table(
+            {
+                "band": pa.array(band_id),
+                "bh": pa.array(bh.reshape(-1).view(np.int64)),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "sig": pa.array(list(np.repeat(sig, bands, axis=0))),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = exploded.groupby(["band", "bh"]).map_groups(
+        _pairs_from_groups, batch_format="pyarrow"
+    )
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["est_jaccard"], threshold)),
+        batch_format="pyarrow",
+    )
+    # same pair can surface from several bands → keep one (max estimate)
+    return preagg_groupby(
+        pairs, ["a", "b"], [("est_jaccard", "max", "est_jaccard")]
+    )
+
+
+def cluster_pairs(pairs: list[tuple[int, int]], ids: list[int]) -> dict[int, int]:
+    """Union-find on the driver: id → cluster representative (min id).
+    Safe only because LSH pairs are sparse/capped (see module docstring)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {i: find(i) for i in ids}
+
+
+def minhash_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **kw,
+) -> pa.Table:
+    """Full near-dup pipeline → (doc_id, cluster_rep, keep) table."""
+    ids = [r[id_col] for r in ds.select_columns([id_col]).take_all()]
+    prs = minhash_candidate_pairs(ds, text_col, id_col, threshold=threshold, **kw).take_all()
+    mapping = cluster_pairs([(r["a"], r["b"]) for r in prs], ids)
+    ids_sorted = sorted(ids)
+    rep = [mapping[i] for i in ids_sorted]
+    return pa.table(
+        {
+            id_col: pa.array(ids_sorted, pa.int64()),
+            "cluster_rep": pa.array(rep, pa.int64()),
+            "keep": pa.array([i == r for i, r in zip(ids_sorted, rep)]),
+        }
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash64(col: pa.Array, k_token: int = 1, seed: int = 11) -> np.ndarray:
+    """64-bit SimHash per doc from word-token hashes: per-bit signed sums via
+    64 vectorized ``reduceat`` passes (no per-doc loops)."""
+    toks = pc.split_pattern_regex(pc.coalesce(col, pa.scalar("")), r"\s+")
+    flat = pc.list_flatten(toks)
+    flat = flat.filter(pc.not_equal(flat, ""))  # may contain empties at edges
+    # token list offsets: rebuild via list lengths minus removed empties —
+    # simpler: recompute by splitting lengths before filtering
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    # count empties per doc to adjust offsets
+    empty_mask = pc.equal(pc.list_flatten(toks), "")
+    if pc.any(empty_mask).as_py():
+        # per-doc empties: explode doc index and sum mask
+        doc_idx = np.repeat(np.arange(len(col)), lens)
+        em = empty_mask.to_numpy(zero_copy_only=False)
+        adj = np.bincount(doc_idx[em], minlength=len(col)) if em.any() else 0
+        lens = lens - adj
+    off = np.zeros(len(col) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+
+    from .dedup import shingle_hashes as _sh  # self-import safe
+
+    # hash each token string fully (k = token length): reuse rolling machinery
+    # by hashing each token as one "shingle" of its own length → use the
+    # fingerprint path instead: polynomial full-string hash per token
+    from .text import fingerprint_rolling
+
+    tok_tab = pa.table({"t": flat})
+    th = fingerprint_rolling(tok_tab, "t", "h")["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+    with np.errstate(over="ignore"):
+        th = (th + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+        th ^= th >> np.uint64(29)
+    n = len(col)
+    out = np.zeros(n, dtype=np.uint64)
+    nonempty = np.diff(off) > 0
+    starts = off[:-1][nonempty]
+    for bit in range(64):
+        signs = (((th >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1)
+        sums = np.zeros(n, dtype=np.int64)
+        if len(signs):
+            sums[nonempty] = np.add.reduceat(signs, starts)
+        out |= (sums > 0).astype(np.uint64) << np.uint64(bit)
+    return out
+
+
+def simhash_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash: bucket on each of `bands` 16-bit slices
+    (any pair within Hamming ≤ bands-1 shares ≥1 slice), verify Hamming."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = _string_col(batch, text_col)
+        sh = simhash64(col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        width = 64 // bands
+        mask = np.uint64((1 << width) - 1)
+        parts = [
+            ((sh >> np.uint64(b * width)) & mask).astype(np.int64) for b in range(bands)
+        ]
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), len(ids))),
+                "key": pa.array(np.stack(parts, axis=1).reshape(-1)),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "sh": pa.array(np.repeat(sh.view(np.int64), bands), pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if group.num_rows < 2:
+            return empty
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        sh = group["sh"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(ids)
+        ids, sh = ids[order], sh[order]
+        iu = np.triu_indices(len(ids), 1)
+        x = sh[iu[0]] ^ sh[iu[1]]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+            if not x.any():
+                break
+        keep = ham <= max_hamming
+        return pa.table({"a": pa.array(ids[iu[0]][keep], pa.int64()),
+                         "b": pa.array(ids[iu[1]][keep], pa.int64()),
+                         "hamming": pa.array(ham[keep])})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = exploded.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    return preagg_groupby(pairs, ["a", "b"], [("hamming", "min", "hamming")])
+
+
+# ------------------------------------------------------- exact n-gram jaccard
+
+
+def ngram_jaccard_verify(
+    ds: "ray.data.Dataset",
+    pairs: list[tuple[int, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> pa.Table:
+    """Exact char-k-gram Jaccard for an explicit candidate-pair list: the
+    shingle sets of ONLY the referenced docs are collected (semi-join by
+    broadcast id set), then |∩|/|∪| per pair."""
+    need = sorted({i for p in pairs for i in p})
+    ref = ray.put(pa.array(need, pa.int64()))
+
+    def collect(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch[id_col], value_set=ray.get(ref))
+        sub = batch.filter(m)
+        if sub.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.list_(pa.int64()))})
+        col = _string_col(sub, text_col)
+        win, off = shingle_hashes(col, k)
+        lists = [np.unique(win[off[i]:off[i + 1]]).view(np.int64) for i in range(len(col))]
+        return pa.table({id_col: sub[id_col], "sh": pa.array([list(x) for x in lists], pa.list_(pa.int64()))})
+
+    rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
+    sets = {r[id_col]: set(r["sh"]) for r in rows}
+    out = []
+    for a, b in pairs:
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        union = len(sa | sb)
+        out.append({"a": a, "b": b, "jaccard": (len(sa & sb) / union) if union else 0.0})
+    return pa.Table.from_pylist(out) if out else pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )

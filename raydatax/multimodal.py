@@ -1,0 +1,137 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns + typed metadata columns; every
+decode / feature-extract / resize / frame-sample step is an actor-pool
+``map_batches`` stage over ``batch_format="pyarrow"`` (binary columns do NOT
+round-trip pandas cleanly — keep Arrow end to end).
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
+decode kernel is **stubbed**: it first tries the real library import, then
+falls back to a clearly-marked deterministic fake that parses our synthetic
+header.  The Ray-side plumbing — schema, batch sizing, actor signature,
+output layout — is real and tested; swapping in a real decoder is a
+one-function change in ``_decode_real``.
+
+Batch sizing note (the DataX byteCapacity analogue,
+``/root/reference/core/.../transport/record/DefaultRecord.java:86-106``):
+binary payloads are large — callers should pass a small ``batch_size``
+(e.g. 64-256) and/or raise ``DataContext.target_max_block_size`` so blocks
+are not split absurdly small.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),          # image | audio | video
+        ("payload", pa.binary()),
+        ("format", pa.string()),        # synthetic container tag
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+_MAGIC = b"RDXM"  # synthetic media container: MAGIC | kind(1) | w | h | dur | blob
+
+
+def synth_media(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media blobs (for tests/bench only)."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"])
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        w, h = int(rng.integers(16, 256)), int(rng.integers(16, 256))
+        dur = int(rng.integers(100, 10_000)) if kind != "image" else 0
+        blob = rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8).tobytes()
+        payload = _MAGIC + kind[:1].encode() + struct.pack("<iii", w, h, dur) + blob
+        rows.append(
+            {"media_id": i, "kind": str(kind), "payload": payload, "format": "rdxm",
+             "width": w, "height": h, "duration_ms": dur}
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def _decode_real(payload: bytes, kind: str):
+    """Real decoder hook — requires libraries absent from this container."""
+    if kind == "image":
+        from PIL import Image  # noqa: F401  (not installed here)
+    raise NotImplementedError("real media codecs are not available in this environment")
+
+
+def _decode_fake(payload: bytes):
+    """Deterministic fake decode of the synthetic RDXM container."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("not an RDXM payload")
+    kind = {b"i": "image", b"a": "audio", b"v": "video"}[payload[4:5]]
+    w, h, dur = struct.unpack("<iii", payload[5:17])
+    return kind, w, h, dur, payload[17:]
+
+
+class DecodeMedia:
+    """Actor-pool decode stage: codec state initialized once per actor.
+
+    Appends (decoded_ok, dec_width, dec_height, dec_kind) columns; rows that
+    fail to decode get decoded_ok=False instead of failing the batch (the
+    dirty-record discipline)."""
+
+    def __init__(self):
+        self.have_real_codecs = False
+        try:  # real import probe, once per actor
+            from PIL import Image  # noqa: F401
+
+            self.have_real_codecs = True
+        except ImportError:
+            pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok, ws, hs, ks = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            try:
+                kind, w, h, dur, _ = _decode_fake(payload)
+                ok.append(True), ws.append(w), hs.append(h), ks.append(kind)
+            except (ValueError, KeyError, struct.error):
+                ok.append(False), ws.append(None), hs.append(None), ks.append(None)
+        return (
+            batch.append_column("decoded_ok", pa.array(ok, pa.bool_()))
+            .append_column("dec_width", pa.array(ws, pa.int32()))
+            .append_column("dec_height", pa.array(hs, pa.int32()))
+            .append_column("dec_kind", pa.array(ks, pa.string()))
+        )
+
+
+class MediaFeatures:
+    """Feature-extraction stage: deterministic 64-d hash-projection of the
+    payload (stands in for a CNN/audio embedding; same actor-pool shape)."""
+
+    DIM = 64
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+        # per-actor setup: projection seeds derived once
+        self.seeds = np.arange(dim, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload in batch["payload"].to_pylist():
+            digest = hashlib.sha256(payload).digest()
+            base = np.frombuffer((digest * ((self.dim * 4) // len(digest) + 1))[: self.dim * 4], dtype=np.uint32)
+            feats.append((base.astype(np.float32) / np.float32(2**32)).tolist())
+        return batch.append_column("features", pa.array(feats, pa.list_(pa.float32())))
+
+
+def frame_sample_plan(duration_ms: pa.Array, every_ms: int = 1000) -> pa.Array:
+    """Video frame-sampling plan: list<int32> of frame timestamps per row
+    (plumbing for a real frame extractor)."""
+    out = []
+    for d in duration_ms.to_pylist():
+        out.append(list(range(0, d or 0, every_ms)))
+    return pa.array(out, pa.list_(pa.int32()))

@@ -1,0 +1,165 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+These are first-class engine operators (not in the reference, which moves
+records without looking inside them — its closest analogue is the
+transformer chain, SURVEY.md §2.2).  All are vectorized Arrow batch
+functions; the language-ID stage is a **callable class** (actor pool):
+patterns compile once per actor in ``__init__``, per-batch work is pyarrow
+``count_substring_regex`` kernels — the stateful-stage pattern from
+``/opt/skills/guides/ray_guide.md``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def token_count(batch: pa.Table, column: str = "text", out: str = "n_tokens") -> pa.Table:
+    """Whitespace-run token count (vectorized regex count)."""
+    n = pc.count_substring_regex(batch[column], r"\S+")
+    return batch.append_column(out, pc.cast(n, pa.int64()))
+
+
+def quality_stats(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Cheap quality-scoring features: length, token count, punctuation /
+    digit / uppercase ratios, mean token length.  All pyarrow kernels."""
+    text = batch[column]
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    safe_chars = pc.max_element_wise(n_chars, 1.0)
+    n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.float64())
+    safe_tok = pc.max_element_wise(n_tok, 1.0)
+    punct = pc.cast(pc.count_substring_regex(text, r"[.,;:!?]"), pa.float64())
+    digit = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.float64())
+    upper = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.float64())
+    ws = pc.cast(pc.count_substring_regex(text, r"\s"), pa.float64())
+    if "n_chars" not in batch.column_names:
+        batch = batch.append_column("n_chars", pc.cast(n_chars, pa.int64()))
+    if "n_tokens" not in batch.column_names:
+        batch = batch.append_column("n_tokens", pc.cast(n_tok, pa.int64()))
+    batch = batch.append_column("punct_ratio", pc.divide(punct, safe_chars))
+    batch = batch.append_column("digit_ratio", pc.divide(digit, safe_chars))
+    batch = batch.append_column("upper_ratio", pc.divide(upper, safe_chars))
+    batch = batch.append_column(
+        "mean_token_len", pc.divide(pc.subtract(n_chars, ws), safe_tok)
+    )
+    return batch
+
+
+# language markers: high-frequency function words / script ranges.
+_LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|mit|für|auf)\b",
+    "fr": r"\b(le|la|les|des|est|une|dans|pour|que|avec)\b",
+    "es": r"\b(el|los|las|una|es|en|por|para|con|del)\b",
+    "zh": r"[一-鿿]",
+}
+
+
+class LangId:
+    """Heuristic language ID (n-gram/function-word voting) as an actor-pool
+    stage: marker patterns are built once per actor; per batch we count
+    marker hits per language (vectorized) and take the argmax.
+
+    Use: ``ds.map_batches(LangId(), ...)`` for tasks or
+    ``ds.map_batches(LangId, concurrency=N, batch_format="pyarrow")`` for an
+    actor pool.
+    """
+
+    def __init__(self, column: str = "text", out: str = "lang_pred", markers=None):
+        self.column = column
+        self.out = out
+        self.markers = dict(markers or _LANG_MARKERS)
+        self.langs = list(self.markers)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.column]
+        n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.float64())
+        safe = pc.max_element_wise(n_tok, 1.0)
+        scores = np.empty((len(self.langs), batch.num_rows), dtype=np.float64)
+        for i, lang in enumerate(self.langs):
+            hits = pc.cast(
+                pc.count_substring_regex(text, self.markers[lang]), pa.float64()
+            )
+            # zh counts characters, not words — normalize by chars instead
+            if lang == "zh":
+                denom = pc.max_element_wise(
+                    pc.cast(pc.utf8_length(text), pa.float64()), 1.0
+                )
+                scores[i] = pc.divide(hits, denom).to_numpy(zero_copy_only=False)
+            else:
+                scores[i] = pc.divide(hits, safe).to_numpy(zero_copy_only=False)
+        best = np.argmax(scores, axis=0)
+        conf = scores[best, np.arange(batch.num_rows)]
+        pred = pa.array(np.array(self.langs, dtype=object)[best], type=pa.string())
+        # no markers hit at all -> unknown
+        pred = pc.if_else(pa.array(conf > 0.0), pred, pa.scalar(None, pa.string()))
+        batch = batch.append_column(self.out, pred)
+        return batch.append_column(self.out + "_score", pa.array(conf))
+
+
+def fingerprint_md5(batch: pa.Table, column: str = "text", out: str = "fp_md5") -> pa.Table:
+    """Content fingerprint = md5 hex of the UTF-8 text (matches SQL
+    ``md5(text)`` for oracle checks).  Per-row C-speed hashing over the
+    Arrow buffer; acceptable off the hot path."""
+    col = batch[column]
+    vals = [
+        hashlib.md5(v.encode("utf-8")).hexdigest() if v is not None else None
+        for v in col.to_pylist()
+    ]
+    return batch.append_column(out, pa.array(vals, type=pa.string()))
+
+
+_POLY_R = 0x100000001B3  # odd -> invertible mod 2^64
+_POLY_RINV = pow(_POLY_R, -1, 1 << 64)
+
+
+def fingerprint_rolling(batch: pa.Table, column: str = "text", out: str = "fp64") -> pa.Table:
+    """64-bit polynomial (Rabin-Karp-family) document fingerprint, fully
+    vectorized: hash(doc) = (Σ byte_i · r^(len-i)) + len, computed over the
+    whole batch's concatenated UTF-8 buffer in one numpy pass using
+    precomputed powers of r and its modular inverse (uint64 wraparound
+    arithmetic IS the mod-2^64 ring)."""
+    col = batch[column].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks else pa.array([], pa.string())
+    n = len(col)
+    if n == 0:
+        return batch.append_column(out, pa.array([], pa.int64()))
+    off_buf = col.buffers()[1]
+    offsets = np.frombuffer(off_buf, dtype=np.int32, count=n + 1).astype(np.int64)
+    base = offsets[0]
+    offsets = offsets - base
+    total = int(offsets[-1])
+    data = (
+        np.frombuffer(col.buffers()[2], dtype=np.uint8, offset=int(base), count=total)
+        if total
+        else np.array([], np.uint8)
+    )
+    lens = np.diff(offsets)
+    with np.errstate(over="ignore"):
+        max_len = int(lens.max()) if n else 0
+        pw_rinv = np.empty(max(max_len, 1), dtype=np.uint64)
+        pw_rinv[0] = 1
+        np.multiply.accumulate(
+            np.full(max_len, _POLY_RINV & 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)[: max(max_len - 1, 0)],
+            out=pw_rinv[1:max_len] if max_len > 1 else pw_rinv[1:1],
+        )
+        pw_r = np.empty(max_len + 1, dtype=np.uint64)
+        pw_r[0] = 1
+        if max_len:
+            np.multiply.accumulate(
+                np.full(max_len, _POLY_R, dtype=np.uint64), out=pw_r[1:]
+            )
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+        contrib = data.astype(np.uint64) * pw_rinv[pos]
+        sums = np.add.reduceat(contrib, offsets[:-1], dtype=np.uint64) if total else np.zeros(n, np.uint64)
+        sums[lens == 0] = 0  # reduceat quirk: empty segment copies next element
+        h = sums * pw_r[lens] + lens.astype(np.uint64)
+    arr = pa.array(h.view(np.int64), type=pa.int64())
+    if col.null_count:
+        arr = pc.if_else(pc.is_valid(col), arr, pa.scalar(None, pa.int64()))
+    return batch.append_column(out, arr)

@@ -1,0 +1,150 @@
+"""ANN search + multimodal plumbing + relational operators."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from raydatax.ann import brute_force_topk, ivf_topk, kmeans_fit
+from raydatax.multimodal import DecodeMedia, MediaFeatures, frame_sample_plan, synth_media
+from raydatax.relational import (
+    broadcast_join,
+    lww_latest,
+    preagg_groupby,
+    sessionize,
+    topk,
+    tumbling_window,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb():
+    return pq.read_table(f"{SF}/embeddings.parquet")
+
+
+def test_brute_force_topk_exact(emb):
+    queries = emb.slice(0, 2)
+    out = brute_force_topk(rd.from_arrow(emb), queries, k=5).to_pandas()
+    # numpy ground truth
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"].to_pylist()])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for q in (0, 1):
+        sims = m @ m[q]
+        want = set(np.lexsort((np.arange(len(sims)), -sims))[:5])
+        got = set(out[out.query_id == q].neighbor_id)
+        assert got == want
+    assert (out[out["rank"] == 1].neighbor_id.values == [0, 1]).all(), "self-match first"
+
+
+def test_ivf_recall(emb):
+    queries = emb.slice(0, 5)
+    ds = rd.from_arrow(emb)
+    bf = brute_force_topk(ds, queries, k=10).to_pandas()
+    iv = ivf_topk(ds, queries, k=10, n_clusters=8, nprobe=3).to_pandas()
+    bset = set(zip(bf.query_id, bf.neighbor_id))
+    iset = set(zip(iv.query_id, iv.neighbor_id))
+    recall = len(bset & iset) / len(bset)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_kmeans_deterministic(emb):
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"].to_pylist()[:200]])
+    assert np.array_equal(kmeans_fit(m, 8), kmeans_fit(m, 8))
+
+
+def test_multimodal_pipeline():
+    media = synth_media(50)
+    ds = rd.from_arrow(media)
+    out = (
+        ds.map_batches(DecodeMedia, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .map_batches(MediaFeatures, batch_format="pyarrow", batch_size=16, concurrency=2)
+    ).take_all()
+    assert len(out) == 50
+    assert all(r["decoded_ok"] for r in out)
+    assert all(r["dec_width"] == r["width"] for r in out)
+    assert all(len(r["features"]) == 64 for r in out)
+    # deterministic features
+    out2 = rd.from_arrow(media).map_batches(MediaFeatures(), batch_format="pyarrow").take_all()
+    assert out[0]["features"] == out2[0]["features"]
+
+
+def test_multimodal_bad_payload_is_dirty_not_fatal():
+    media = synth_media(5)
+    bad = media.set_column(
+        media.schema.get_field_index("payload"), "payload",
+        pa.array([b"garbage"] * 5, pa.binary()),
+    )
+    out = rd.from_arrow(bad).map_batches(DecodeMedia(), batch_format="pyarrow").take_all()
+    assert all(not r["decoded_ok"] for r in out)
+
+
+def test_frame_sample_plan():
+    plan = frame_sample_plan(pa.array([2500, 0, None], pa.int32()), every_ms=1000)
+    assert plan.to_pylist() == [[0, 1000, 2000], [], []]
+
+
+# ---------------------------------------------------------------- relational
+
+
+def test_preagg_groupby_matches_pandas():
+    li = pq.read_table(f"{SF}/lineitem.parquet")
+    ds = rd.from_arrow(li)
+    out = preagg_groupby(
+        ds, ["l_returnflag"],
+        [("l_quantity", "sum", "sum_qty"), ("l_quantity", "count", "n")],
+        mean_of=[("sum_qty", "n", "avg_qty")],
+    ).to_pandas().set_index("l_returnflag").sort_index()
+    pdf = li.to_pandas().groupby("l_returnflag")["l_quantity"].agg(["sum", "count", "mean"])
+    assert np.allclose(out["sum_qty"], pdf["sum"])
+    assert (out["n"] == pdf["count"]).all()
+    assert np.allclose(out["avg_qty"], pdf["mean"])
+
+
+def test_broadcast_join_real():
+    cust = pq.read_table(f"{SF}/customer.parquet").rename_columns(
+        ["c_custkey", "c_name", "n_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+    nation = pq.read_table(f"{SF}/nation.parquet")
+    out = broadcast_join(rd.from_arrow(cust), nation, "n_nationkey").to_pandas()
+    want = cust.to_pandas().merge(nation.to_pandas(), on="n_nationkey")
+    assert len(out) == len(want)
+    assert set(out.columns) == set(want.columns)
+
+
+def test_topk():
+    orders = pq.read_table(f"{SF}/orders.parquet")
+    got = topk(rd.from_arrow(orders), [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 10)
+    want = orders.to_pandas().sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(10)
+    assert got["o_orderkey"].to_pylist() == want["o_orderkey"].tolist()
+
+
+def test_lww_latest_matches_window_semantics():
+    ev = pq.read_table(f"{SF}/events.parquet")
+    ds = rd.from_arrow(ev)
+    got = lww_latest(ds, ["user_id", "event_type"], "event_id", num_partitions=4).to_pandas()
+    pdf = ev.to_pandas().sort_values("event_id").groupby(["user_id", "event_type"]).tail(1)
+    assert len(got) == len(pdf)
+    g = got.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    w = pdf.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    assert (g.event_id.values == w.event_id.values).all()
+
+
+def test_tumbling_window_and_sessionize():
+    ev = pq.read_table(f"{SF}/events.parquet")
+    ds = rd.from_arrow(ev)
+    w = tumbling_window(ds, "user_id", "ts", "hour", [("value", "sum", "sum_value"), ("value", "count", "n")]).to_pandas()
+    pdf = ev.to_pandas()
+    pdf["window"] = pdf["ts"].dt.floor("h")
+    want = pdf.groupby(["user_id", "window"]).agg(sum_value=("value", "sum"), n=("value", "count")).reset_index()
+    m = w.sort_values(["user_id", "window"]).reset_index(drop=True)
+    ww = want.sort_values(["user_id", "window"]).reset_index(drop=True)
+    assert len(m) == len(ww) and np.allclose(m.sum_value, ww.sum_value)
+
+    s = sessionize(ds, "user_id", "ts", 30).to_pandas()
+    assert s.n_events.sum() == len(pdf)
+    one = pdf[pdf.user_id == pdf.user_id.iloc[0]].sort_values("ts")
+    gaps = (one.ts.diff().dt.total_seconds() / 60 > 30).sum() + 1
+    assert int(s[s.user_id == pdf.user_id.iloc[0]].n_sessions.iloc[0]) == gaps

@@ -1,0 +1,130 @@
+"""Text analysis + dedup family over the documents corpus."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from raydatax.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_verify,
+    simhash64,
+    simhash_pairs,
+)
+from raydatax.text import (
+    LangId,
+    fingerprint_md5,
+    fingerprint_rolling,
+    quality_stats,
+    token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def corpus_with_dups(docs):
+    dup = docs.slice(0, 10).set_column(
+        0, "doc_id", pa.array(np.arange(90_000, 90_010))
+    )
+    return pa.concat_tables([docs, dup])
+
+
+def test_token_count_and_quality(docs):
+    out = quality_stats(token_count(docs))
+    toks = out["n_tokens"].to_pylist()
+    assert all(t > 0 for t in toks)
+    py = [len(t.split()) for t in docs["text"].to_pylist()]
+    assert toks == py, "token count must equal whitespace split"
+    assert all(0 <= r <= 1 for r in out["punct_ratio"].to_pylist())
+
+
+def test_langid_on_real_language_text():
+    b = pa.table(
+        {
+            "text": [
+                "the cat sat on the mat and the dog was in the house",
+                "le chat est dans la maison avec le chien pour la nuit",
+                "el perro es grande y la casa es una de las mejores",
+                "der Hund ist nicht in der Küche und das ist ein Problem",
+                "这是一个中文句子用于测试语言识别",
+                "zzz qqq xxx",
+            ]
+        }
+    )
+    out = LangId()(b)
+    assert out["lang_pred"].to_pylist() == ["en", "fr", "es", "de", "zh", None]
+
+
+def test_fingerprints(docs):
+    a = fingerprint_rolling(docs)["fp64"].to_pylist()
+    b = fingerprint_rolling(docs)["fp64"].to_pylist()
+    assert a == b
+    assert len(set(a)) == len(a), "distinct texts -> distinct fingerprints"
+    import hashlib
+
+    md = fingerprint_md5(docs.slice(0, 3))["fp_md5"].to_pylist()
+    want = [hashlib.md5(t.encode()).hexdigest() for t in docs["text"].to_pylist()[:3]]
+    assert md == want
+
+
+def test_exact_dedup(corpus_with_dups):
+    out = exact_dedup(rd.from_arrow(corpus_with_dups)).to_pandas()
+    assert len(out) == 500  # 500 distinct texts
+    assert (out["n_copies"] > 1).sum() == 10
+    # representative is the min doc_id (the original, not the 90k clone)
+    assert out[out.n_copies > 1]["doc_id"].max() < 90_000
+
+
+def test_minhash_dedup_recovers_planted(corpus_with_dups):
+    out = minhash_dedup(rd.from_arrow(corpus_with_dups), threshold=0.8).to_pandas()
+    planted = out[out.doc_id >= 90_000]
+    assert (~planted.keep).all()
+    assert (planted.cluster_rep == planted.doc_id - 90_000).all()
+
+
+def test_minhash_signature_similarity():
+    t = pa.array(
+        ["the quick brown fox jumps over the lazy dog " * 5,
+         "the quick brown fox jumps over the lazy dog " * 5 + "extra!",
+         "completely different content with other words entirely"]
+    )
+    sig = minhash_signatures(t)
+    near = (sig[0] == sig[1]).mean()
+    far = (sig[0] == sig[2]).mean()
+    assert near > 0.7 > far
+
+
+def test_simhash_properties():
+    col = pa.array(
+        ["alpha beta gamma delta epsilon zeta eta theta " * 4,
+         "alpha beta gamma delta epsilon zeta eta theta " * 4 + "iota",
+         "one two three four five six seven eight nine ten"]
+    )
+    sh = simhash64(col)
+    ham = bin(int(sh[0]) ^ int(sh[1])).count("1")
+    ham_far = bin(int(sh[0]) ^ int(sh[2])).count("1")
+    assert ham < 8 < ham_far
+
+
+def test_simhash_pairs_finds_planted(corpus_with_dups):
+    pairs = simhash_pairs(rd.from_arrow(corpus_with_dups)).to_pandas()
+    planted = pairs[(pairs.b - pairs.a) == 90_000]
+    assert len(planted) == 10
+    assert (planted.hamming == 0).all()
+
+
+def test_ngram_jaccard(corpus_with_dups):
+    out = ngram_jaccard_verify(
+        rd.from_arrow(corpus_with_dups), [(0, 90_000), (0, 3)]
+    ).to_pylist()
+    assert out[0]["jaccard"] == 1.0
+    assert out[1]["jaccard"] < 0.9
