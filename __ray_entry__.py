@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here (or in the raydatax library) calls ``ray.init`` /
+``ray.shutdown`` — the harness owns the session.
 """
 
 from __future__ import annotations
@@ -20,25 +15,30 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: deterministic transcript
+    CDC log → raydatax replay engine (salted hash partitioning, LWW merge
+    actors, two-phase manifest sink) → final lake table as a Dataset."""
+    import ray.data as rd
+
+    from raydatax.pipelines import transcript_cdc_replay
+
+    table = transcript_cdc_replay("/root/testdata/sf0.001")
+    return rd.from_arrow(table)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented pipeline/operator (SURVEY.md §2 coverage +
+    the training-data families).  Each callable takes sf_dir."""
+    from raydatax.pipelines import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (same column names).  Pipelines
+    whose semantics are not SQL-expressible (the transcript CDC engine run,
+    heuristic lang-id, LSH/SimHash dedup, IVF ANN, multimodal stubs) are
+    omitted → the driver records the weaker rows-only check for them."""
+    from raydatax.pipelines import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,158 @@
+"""Benchmark driver.
+
+Headline: change-apply throughput of the transcript CDC replay engine on a
+deterministic seeded WAL sized to the scale factor, plus wall times of
+representative pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "events_per_s": ...}
+
+--scaling: runs the same bench twice in fresh processes at 8 and 32 CPUs on
+the same input and reports both throughputs + scaling efficiency
+(the sandbox evidence for the two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def sf_of(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_wal(sf: float, seed: int = 42) -> tuple[str, int]:
+    """Deterministic WAL under /tmp, cached across runs (generation is not
+    part of the measured pipeline)."""
+    n_events = max(20_000, int(20_000_000 * sf))
+    wal = f"/tmp/raydatax_bench/wal_n{n_events}_s{seed}"
+    marker = os.path.join(wal, "_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(wal, ignore_errors=True)
+        from raydatax.gen import gen_wal
+
+        gen_wal(wal, n_events, seed=seed, seg_rows=250_000)
+        open(marker, "w").write("ok")
+    import glob
+
+    total = n_events  # nominal; actual row count differs slightly
+    segs = glob.glob(os.path.join(wal, "seg-*.parquet"))
+    import pyarrow.parquet as pq
+
+    total = sum(pq.read_metadata(p).num_rows for p in segs)
+    return wal, total
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf = sf_of(sf_dir)
+    wal, n_events = ensure_wal(sf)
+
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    import glob
+
+    for p in glob.glob(os.path.join(wal, "seg-*.parquet")):
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    from raydatax.driver import run_job
+
+    lake = f"/tmp/raydatax_bench/lake_{num_cpus}"
+    shutil.rmtree(lake, ignore_errors=True)
+    t0 = time.monotonic()
+    report = run_job(wal, lake, partitions=max(32, num_cpus * 2),
+                     merge_concurrency=max(2, num_cpus // 2))
+    headline = time.monotonic() - t0
+    assert report["events_replayed"] == n_events, (report["events_replayed"], n_events)
+
+    # representative secondary pipelines on the sf tables
+    from raydatax import pipelines as pl
+
+    queries = {"cdc_replay": round(headline, 3)}
+    secondary = [
+        "q1_pricing_summary",
+        "cdc_lww_upsert",
+        "token_stats",
+        "dedup_minhash",
+        "ann_cosine_topk",
+        "events_hourly",
+    ]
+    for name in secondary:
+        t0 = time.monotonic()
+        res = pl.QUERIES[name](sf_dir)
+        # consume lazily-built datasets fully
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res.count()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "transcript CDC change-apply wall time (headline) + pipeline walls",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "events": n_events,
+        "events_per_s": round(n_events / headline, 1),
+        "rows_out": report["rows_total"],
+    }
+    ray.shutdown()
+    return out
+
+
+def run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> int:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo, r_hi = run_subprocess(lo), run_subprocess(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling efficiency (8 -> 32 CPUs, same input)",
+            "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+            "events_per_s_8": r_lo["events_per_s"],
+            "events_per_s_32": r_hi["events_per_s"],
+            "scaling_efficiency": round(eff, 3),
+            "sf": r_hi["sf"], "events": r_hi["events"],
+        }))
+        return 0
+    print(json.dumps(run_bench(sf_dir, ncpu)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

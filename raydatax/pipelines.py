@@ -1,0 +1,538 @@
+"""Named pipelines over the driver-provided testdata tables + their ANSI-SQL
+oracles (DuckDB).  This is the external correctness gate: every pipeline is
+implemented Ray-Data-first here and mirrored in :data:`ORACLE_SQL`; the
+harness runs both and compares row counts, schema, and value hashes.
+
+Column-name parity rule: every computed/aggregate column is named
+identically in the Ray code and the SQL.  Float discipline: ratios are
+exact-operand divisions (bit-identical in both engines); order-dependent
+float SUMs are rounded (2 decimals for money, 4 for means).
+
+None of these call ``ray.init`` — the harness owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .ann import brute_force_topk, ivf_topk
+from .dedup import minhash_dedup, simhash_pairs
+from .relational import (
+    broadcast_join,
+    lww_latest,
+    preagg_groupby,
+    semi_join_filter,
+    sessionize,
+    topk,
+    tumbling_window,
+)
+from .text import LangId, fingerprint_md5, token_count
+from .transforms import dx_filter, dx_pad, dx_substr, dx_url
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _round(batch: pa.Table, cols: dict[str, int]) -> pa.Table:
+    """Half-up rounding via explicit scale-floor: floor(x*10^nd + 0.5)/10^nd.
+    The SQL oracles use the literally identical formula, so both engines
+    perform the same IEEE ops on the same doubles — bit-identical results
+    (arrow's pc.round and DuckDB's round() disagree near midpoints)."""
+    for name, nd in cols.items():
+        i = batch.schema.get_field_index(name)
+        s = float(10 ** nd)
+        r = pc.divide(pc.floor(pc.add(pc.multiply(batch[name], s), 0.5)), s)
+        batch = batch.set_column(i, name, r)
+    return batch
+
+
+# --------------------------------------------------------------- CDC family
+
+
+def cdc_lww_upsert(sf_dir: str):
+    """The engine's upsert contract as a standalone relational op over the
+    `events` table: op derived deterministically from event_id, LWW by
+    event_id per (user_id, event_type), delete drops the key."""
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = t["event_id"].to_numpy(zero_copy_only=False) % 10
+        op = np.where(m < 6, "I", np.where(m < 9, "U", "D"))
+        return t.append_column("op", pa.array(op, pa.string()))
+
+    out = lww_latest(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        ["user_id", "event_type"], "event_id", op_col="op", num_partitions=16,
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "last_event_id": t["event_id"],
+                "value": t["value"],
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def transcript_cdc_replay(sf_dir: str):
+    """Flagship transcript CDC replay (rows-only check: WAL+lake are engine
+    artifacts, not SQL views).  Deterministic: seeded WAL under /tmp, fresh
+    lake, full replay, return the final table."""
+    import shutil
+
+    from .driver import lake_table, run_job
+    from .gen import gen_wal
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = f"/tmp/raydatax_entry_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    gen_wal(os.path.join(root, "wal"), 20_000, seed=42, seg_rows=4000)
+    run_job(os.path.join(root, "wal"), os.path.join(root, "lake"), partitions=8)
+    return lake_table(os.path.join(root, "lake"))
+
+
+# ---------------------------------------------------------------- relational
+
+
+def q1_pricing_summary(sf_dir: str):
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-01", "us"))))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    out = preagg_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "sum", "sum_base_price"),
+            ("disc_price", "sum", "sum_disc_price"),
+            ("l_quantity", "count", "count_order"),
+        ],
+        mean_of=[("sum_qty", "count_order", "avg_qty")],
+    )
+    return out.map_batches(
+        lambda t: _round(t, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4}),
+        batch_format="pyarrow",
+    )
+
+
+def top_orders(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return topk(ds, [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 10)
+
+
+def customers_per_region(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = pq.read_table(_p(sf_dir, "nation")).rename_columns(["c_nationkey", "n_name", "r_regionkey"])
+    region = pq.read_table(_p(sf_dir, "region")).rename_columns(["r_regionkey", "r_name"])
+    joined = broadcast_join(cust, nation, "c_nationkey")
+    joined = broadcast_join(joined, region, "r_regionkey")
+    out = preagg_groupby(
+        joined, ["r_name"],
+        [("c_custkey", "count", "n_customers"), ("c_acctbal", "sum", "sum_acctbal")],
+        mean_of=[("sum_acctbal", "n_customers", "avg_acctbal")],
+    )
+    return out.map_batches(
+        lambda t: _round(t, {"sum_acctbal": 2, "avg_acctbal": 4}), batch_format="pyarrow"
+    )
+
+
+def projection_filter_revenue(sf_dir: str):
+    """Reader-style projection + predicate pushdown + computed column (the
+    DataX reader `column`/`where` surface)."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_returnflag"],
+        filter=(pc.field("l_quantity") > 45) & (pc.field("l_returnflag") == "R"),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"],
+                         "l_quantity": t["l_quantity"], "revenue": rev})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def semi_join_fulfilled(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"])
+    fset = set(
+        keys.filter(pc.equal(keys["o_orderstatus"], "F"))["o_orderkey"].to_pylist()
+    )
+    li = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_returnflag", "l_quantity"])
+    filtered = semi_join_filter(li, fset, "l_orderkey")
+    out = preagg_groupby(
+        filtered, ["l_returnflag"],
+        [("l_quantity", "count", "n_items"), ("l_quantity", "sum", "sum_qty")],
+    )
+    return out.map_batches(lambda t: _round(t, {"sum_qty": 2}), batch_format="pyarrow")
+
+
+def distinct_event_types(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+# ------------------------------------------------------------- transformers
+
+
+def transform_chain(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+
+    def apply(t: pa.Table) -> pa.Table:
+        t = t.append_column("name8", t["c_name"])
+        t = dx_substr(t, "name8", 0, 8)
+        t = t.append_column("seg_pad", t["c_mktsegment"])
+        t = dx_pad(t, "seg_pad", "l", 12, "*")
+        t = dx_filter(t, "c_acctbal", ">", 5000)
+        return t.select(["c_custkey", "name8", "seg_pad", "c_acctbal"])
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def url_extract(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"])
+
+    def apply(t: pa.Table) -> pa.Table:
+        brand = pc.replace_substring(t["p_brand"], "#", "-")
+        url = pc.binary_join_element_wise(
+            "https://parts.example.com/", brand, "/",
+            pc.cast(t["p_partkey"], pa.string()),
+            "?size=", pc.cast(t["p_size"], pa.string()), "",
+        )
+        t = t.append_column("url", url)
+        t = dx_url(t, "url", parts=("host", "path"), param="size")
+        return t.select(["p_partkey", "url_host", "url_path", "url_size"])
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def filter_like(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_type", "p_brand"])
+    return ds.map_batches(
+        lambda t: dx_filter(t, "p_type", "like", ".*ECO.*"), batch_format="pyarrow"
+    )
+
+
+def cast_roundtrip(sf_dir: str):
+    """ColumnCast parity (string↔date↔long total conversion matrix,
+    /root/reference/common/.../element/ColumnCast.java:17-43)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "value"])
+
+    def apply(t: pa.Table) -> pa.Table:
+        # arrow %S always appends the fractional part for sub-second types →
+        # format then slice to seconds precision (matches DuckDB strftime)
+        full = pc.strftime(t["ts"], format="%Y-%m-%d %H:%M:%S")
+        cents = pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(100.0)), 0.5))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts_str": pc.utf8_slice_codeunits(full, 0, 19),
+                "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                "value_cents": pc.cast(cents, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ text / dedup
+
+
+def token_stats(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def apply(t: pa.Table) -> pa.Table:
+        t = token_count(t)
+        t = t.append_column("n_chars_calc", pc.cast(pc.utf8_length(t["text"]), pa.int64()))
+        return t.select(["doc_id", "n_chars_calc", "n_tokens"])
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def quality_ratios(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def apply(t: pa.Table) -> pa.Table:
+        n = pc.max_element_wise(pc.cast(pc.utf8_length(t["text"]), pa.float64()), 1.0)
+        punct = pc.cast(pc.count_substring_regex(t["text"], r"[.,;:!?]"), pa.float64())
+        digit = pc.cast(pc.count_substring_regex(t["text"], r"[0-9]"), pa.float64())
+        return pa.table({"doc_id": t["doc_id"],
+                         "punct_ratio": pc.divide(punct, n),
+                         "digit_ratio": pc.divide(digit, n)})
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def fingerprint(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: fingerprint_md5(t).select(["doc_id", "fp_md5"]), batch_format="pyarrow"
+    )
+
+
+def dedup_exact_prefix(sf_dir: str):
+    """Exact dedup keyed on a normalized prefix (lower, first 20 chars) —
+    groups exist even in a corpus without full-text duplicates."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        k = pc.utf8_slice_codeunits(pc.utf8_lower(t["text"]), 0, 20)
+        return pa.table({"doc_id": t["doc_id"], "k": k})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    out = preagg_groupby(
+        keyed, ["k"], [("doc_id", "min", "doc_id"), ("doc_id", "count", "n_copies")]
+    )
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+def lang_id(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def dedup_minhash(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_dedup(ds, threshold=0.6)
+
+
+def dedup_simhash(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+# ------------------------------------------------------------------ windows
+
+
+def events_hourly(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    out = tumbling_window(ds, "user_id", "ts", "hour",
+                          [("value", "count", "n_events"), ("value", "sum", "sum_value")])
+    return out.map_batches(lambda t: _round(t, {"sum_value": 2}), batch_format="pyarrow")
+
+
+def user_sessions(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", 30)
+
+
+# --------------------------------------------------------------------- ANN
+
+
+def _queries_table(sf_dir: str, n: int = 3) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    e = pq.read_table(_p(sf_dir, "embeddings"))
+    return e.filter(pc.less(e["vec_id"], n))
+
+
+def ann_cosine_topk(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"))
+    out = brute_force_topk(ds, _queries_table(sf_dir), k=10)
+    return out.select(["query_id", "rank", "neighbor_id"])
+
+
+def ann_ivf(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"))
+    out = ivf_topk(ds, _queries_table(sf_dir), k=10, n_clusters=16, nprobe=4)
+    return out.select(["query_id", "rank", "neighbor_id"])
+
+
+def multimodal_features(sf_dir: str):
+    from .multimodal import DecodeMedia, MediaFeatures, synth_media
+
+    media = rd.from_arrow(synth_media(240, seed=42))
+    out = (
+        media.map_batches(DecodeMedia, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+        .map_batches(MediaFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+    )
+    return out.select_columns(["media_id", "dec_kind", "decoded_ok", "dec_width", "dec_height"])
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES = {
+    "cdc_lww_upsert": cdc_lww_upsert,
+    "transcript_cdc_replay": transcript_cdc_replay,
+    "q1_pricing_summary": q1_pricing_summary,
+    "top_orders": top_orders,
+    "customers_per_region": customers_per_region,
+    "projection_filter_revenue": projection_filter_revenue,
+    "semi_join_fulfilled": semi_join_fulfilled,
+    "distinct_event_types": distinct_event_types,
+    "transform_chain": transform_chain,
+    "url_extract": url_extract,
+    "filter_like": filter_like,
+    "cast_roundtrip": cast_roundtrip,
+    "token_stats": token_stats,
+    "quality_ratios": quality_ratios,
+    "fingerprint": fingerprint,
+    "dedup_exact_prefix": dedup_exact_prefix,
+    "lang_id": lang_id,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "events_hourly": events_hourly,
+    "user_sessions": user_sessions,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf": ann_ivf,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLE_SQL = {
+    "cdc_lww_upsert": """
+        WITH tagged AS (
+          SELECT *, CASE WHEN event_id % 10 < 6 THEN 'I'
+                         WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op
+          FROM events),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY event_id DESC) AS rn
+          FROM tagged)
+        SELECT user_id, event_type, event_id AS last_event_id, value
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+               floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+               floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS sum_disc_price,
+               count(l_quantity) AS count_order,
+               floor(sum(l_quantity) / count(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "customers_per_region": """
+        SELECT r.r_name,
+               count(c.c_custkey) AS n_customers,
+               floor(sum(c.c_acctbal) * 100 + 0.5) / 100 AS sum_acctbal,
+               floor(sum(c.c_acctbal) / count(c.c_custkey) * 10000 + 0.5) / 10000 AS avg_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "projection_filter_revenue": """
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               l_extendedprice * (1 - l_discount) AS revenue
+        FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """,
+    "semi_join_fulfilled": """
+        SELECT l_returnflag, count(l_quantity) AS n_items,
+               floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        GROUP BY l_returnflag
+    """,
+    "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "transform_chain": """
+        SELECT c_custkey, substr(c_name, 1, 8) AS name8,
+               lpad(substr(c_mktsegment, 1, 12), 12, '*') AS seg_pad, c_acctbal
+        FROM customer WHERE NOT (c_acctbal > 5000)
+    """,
+    "url_extract": """
+        WITH u AS (
+          SELECT p_partkey,
+                 'https://parts.example.com/' || replace(p_brand, '#', '-') || '/'
+                   || CAST(p_partkey AS VARCHAR) || '?size=' || CAST(p_size AS VARCHAR) AS url
+          FROM part)
+        SELECT p_partkey,
+               split_part(url, '/', 3) AS url_host,
+               regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1) AS url_path,
+               regexp_extract(url, '[?&]size=([^&#]*)', 1) AS url_size
+        FROM u
+    """,
+    "filter_like": """
+        SELECT p_partkey, p_type, p_brand FROM part
+        WHERE NOT regexp_full_match(p_type, '.*ECO.*')
+    """,
+    "cast_roundtrip": """
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+               strftime(ts, '%Y-%m-%d') AS day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+        FROM events
+    """,
+    "token_stats": """
+        SELECT doc_id, length(text) AS n_chars_calc,
+               len(regexp_extract_all(text, '\\S+')) AS n_tokens
+        FROM documents
+    """,
+    "quality_ratios": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                 / greatest(length(text), 1) AS punct_ratio,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / greatest(length(text), 1) AS digit_ratio
+        FROM documents
+    """,
+    "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "dedup_exact_prefix": """
+        SELECT min(doc_id) AS doc_id, count(doc_id) AS n_copies
+        FROM documents GROUP BY substr(lower(text), 1, 20)
+    """,
+    "events_hourly": """
+        SELECT user_id, date_trunc('hour', ts) AS window,
+               count(value) AS n_events, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "user_sessions": """
+        WITH o AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events)
+        SELECT user_id,
+               CAST(sum(CASE WHEN prev IS NULL
+                        OR (epoch(ts) - epoch(prev)) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               count(ts) AS n_events
+        FROM o GROUP BY user_id
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 3),
+        s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(e.embedding, q.qe) AS sim
+              FROM embeddings e CROSS JOIN q),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rank
+              FROM s)
+        SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 10
+    """,
+    # rows-only (non-SQL-expressible) entries intentionally omitted:
+    # transcript_cdc_replay, lang_id, dedup_minhash, dedup_simhash, ann_ivf,
+    # multimodal_features
+}
