@@ -34,7 +34,7 @@ def sf_of(sf_dir: str) -> float:
 def ensure_wal(sf: float, seed: int = 42) -> tuple[str, int]:
     """Deterministic WAL under /tmp, cached across runs (generation is not
     part of the measured pipeline)."""
-    n_events = max(20_000, int(20_000_000 * sf))
+    n_events = max(20_000, int(400_000_000 * sf))
     wal = f"/tmp/raydatax_bench/wal_n{n_events}_s{seed}"
     marker = os.path.join(wal, "_complete")
     if not os.path.exists(marker):
@@ -79,12 +79,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 pass
 
     from raydatax.driver import run_job
+    from raydatax.gen import gen_wal
+
+    # untimed warm-up: pre-spawns Ray workers and pays the per-process
+    # import cost once, so the timed run measures pipeline, not cold start
+    warm_wal = "/tmp/raydatax_bench/warm_wal"
+    if not os.path.exists(os.path.join(warm_wal, "seg-00000.parquet")):
+        gen_wal(warm_wal, 20_000, seed=1, seg_rows=2500)
+    shutil.rmtree("/tmp/raydatax_bench/warm_lake", ignore_errors=True)
+    run_job(warm_wal, "/tmp/raydatax_bench/warm_lake",
+            partitions=max(32, num_cpus * 2), merge_concurrency=num_cpus)
 
     lake = f"/tmp/raydatax_bench/lake_{num_cpus}"
     shutil.rmtree(lake, ignore_errors=True)
     t0 = time.monotonic()
     report = run_job(wal, lake, partitions=max(32, num_cpus * 2),
-                     merge_concurrency=max(2, num_cpus // 2))
+                     merge_concurrency=num_cpus)
     headline = time.monotonic() - t0
     assert report["events_replayed"] == n_events, (report["events_replayed"], n_events)
 

@@ -64,6 +64,7 @@ def run_job(
     merge_concurrency: int | None = None,
     error_limit_records: int | None = None,
     quiet: bool = True,
+    engine: str = "exchange",
     _crash_after_committing: int | None = None,
 ) -> dict:
     """Tail the WAL and upsert into the lake.  Idempotent: killing this at
@@ -109,20 +110,6 @@ def run_job(
     lake_schema = lake_schema_for(plan.event_schema)
     deadletter_dir = os.path.join(lake_dir, "_deadletter", f"epoch-{epoch:06d}")
 
-    # --- the pipeline (lazy; streaming executor schedules it)
-    read_filter = pc.field("seq").is_null() | (pc.field("seq") > min_hw)
-    ds = ray.data.read_parquet(
-        plan.segments,
-        filter=read_filter,
-        schema=plan.event_schema,
-        file_extensions=["parquet"],
-    )
-    ds = ds.map_batches(
-        make_normalizer(plan.event_schema, deadletter_dir), batch_format="pyarrow"
-    )
-    ds = ds.map_batches(
-        lambda b: assign_partitions(b, P, S, hot_keys), batch_format="pyarrow"
-    )
     n_parts_total = mf.total_partitions(cfg)
     if merge_concurrency is None:
         # leave at least half the CPUs to the read/normalize stages — an
@@ -131,19 +118,46 @@ def run_job(
 
         cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
         merge_concurrency = max(1, min(16, n_parts_total, cpus // 2))
-    lineage_ds = ds.groupby("__part").map_groups(
-        MergeWorker,
-        fn_constructor_kwargs=dict(
-            lake_dir=lake_dir,
-            epoch=epoch,
-            lake_schema=lake_schema,
-            base_files=base_files,
-            high_watermarks=hws,
-        ),
-        batch_format="pyarrow",
-        concurrency=merge_concurrency,
-    )
-    lineage = lineage_ds.take_all()  # O(P) rows — the only driver materialization
+
+    if engine == "exchange":
+        # fast path: map-side hash exchange + merge actor pool (exchange.py —
+        # avoids Ray Data's sort-based groupby shuffle, which needs no sort)
+        from .exchange import run_exchange
+
+        lineage = run_exchange(
+            plan.segments, min_hw, plan.event_schema, P, S, hot_keys,
+            n_parts_total, deadletter_dir, lake_dir, epoch, lake_schema,
+            base_files, hws, merge_concurrency,
+        )
+    else:
+        # Dataset path: identical semantics via groupby().map_groups — kept
+        # as the pure-Ray-Data expression of the same plan (and as fallback)
+        read_filter = pc.field("seq").is_null() | (pc.field("seq") > min_hw)
+        ds = ray.data.read_parquet(
+            plan.segments,
+            filter=read_filter,
+            schema=plan.event_schema,
+            file_extensions=["parquet"],
+        )
+        ds = ds.map_batches(
+            make_normalizer(plan.event_schema, deadletter_dir), batch_format="pyarrow"
+        )
+        ds = ds.map_batches(
+            lambda b: assign_partitions(b, P, S, hot_keys), batch_format="pyarrow"
+        )
+        lineage_ds = ds.groupby("__part").map_groups(
+            MergeWorker,
+            fn_constructor_kwargs=dict(
+                lake_dir=lake_dir,
+                epoch=epoch,
+                lake_schema=lake_schema,
+                base_files=base_files,
+                high_watermarks=hws,
+            ),
+            batch_format="pyarrow",
+            concurrency=merge_concurrency,
+        )
+        lineage = lineage_ds.take_all()  # O(P) rows — the only driver materialization
 
     # --- dirty-record threshold (ErrorRecordChecker parity) BEFORE commit
     dirty_rows = 0

@@ -1,0 +1,198 @@
+"""Map-side hash exchange for the merge shuffle (the fast path).
+
+Why raw Ray here: the only wide operation in the engine is "co-locate all
+events of a (salted) key partition".  Ray Data's ``groupby`` implements that
+as a full SORT shuffle — measured on this node at 2M text-heavy events it
+spends ~58s of a 62s job in Sort (SortReduce ≈ 47k rows/s); the alpha
+``hash_shuffle`` strategy stalls outright.  A hash partition does not need
+any ordering, so this module implements the classic two-stage exchange
+directly on Ray core — the one place the Dataset API genuinely can't
+express the semantics we need efficiently (per the build guidelines):
+
+- **map stage** (stateless tasks, one per WAL segment): read → normalize
+  (Arrow schema unification + dead-letter split) → salted hash partition →
+  split the block into P sub-tables (one ``take`` + ``slice`` views) →
+  return them as P separate object refs (``num_returns=P``) so the object
+  store holds per-partition shards;
+- **merge stage** (stateful ACTOR POOL, ``MergeActor``): each actor pulls
+  (pid, shard refs) work items, zero-copy-reads the shards, and runs the
+  shared rebase-LWW kernel (:func:`raydatax.merge.merge_partition_tables`).
+
+Partitioning assumption (documented per guidelines): a partition's events
+for one epoch plus its base partition file must fit one worker's heap —
+choose ``partitions`` so (epoch volume / P) ≈ 100-500 MB.  Shard count is
+S·P objects (S = segments); both stages stream through the object store
+and spill under pressure, exactly like a Dataset shuffle, minus the sort.
+
+Fault tolerance: map and merge are pure functions of their inputs, and the
+staged-file sink is deterministic + idempotent, so Ray task retries are
+safe (the reference's failover story, ``/root/reference/core/.../taskgroup/
+TaskGroupContainer.java:162-241``, comes for free).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from .merge import make_normalizer, merge_partition_tables
+from .partition import assign_partitions
+
+
+def split_by_partition(batch: pa.Table, n_parts: int, part_col: str = "__part") -> list[pa.Table]:
+    """Split one Arrow block into per-partition sub-tables: one stable
+    argsort on the small int partition column + boundary slices (views into
+    one contiguous take — no per-partition filtering passes)."""
+    part = batch.column(part_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(part, kind="stable")
+    sorted_tab = batch.take(pa.array(order)).drop_columns([part_col])
+    sorted_part = part[order]
+    bounds = np.searchsorted(sorted_part, np.arange(n_parts + 1))
+    return [
+        sorted_tab.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(n_parts)
+    ]
+
+
+@ray.remote
+def map_segment(
+    path: str,
+    row_groups: list[int] | None,
+    min_hw: int,
+    event_schema: pa.Schema,
+    partitions: int,
+    salt: int,
+    hot_keys: list[str],
+    n_parts_total: int,
+    deadletter_dir: str | None,
+) -> list[pa.Table]:
+    """Map stage: (segment, row-group subset) → normalized, partition-split
+    shards.  Row-group granularity keeps map parallelism ≫ segment count."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    # each worker gets 1 logical CPU — don't let Arrow's internal pool
+    # oversubscribe the node (N workers × all-cores pools thrash badly)
+    pa.set_cpu_count(2)
+    f = pq.ParquetFile(path)
+    tab = f.read_row_groups(row_groups) if row_groups is not None else f.read()
+    if min_hw >= 0 and "seq" in tab.column_names:
+        keep = pc.or_kleene(pc.is_null(tab["seq"]), pc.greater(tab["seq"], min_hw))
+        tab = tab.filter(pc.fill_null(keep, True))
+    tab = make_normalizer(event_schema, deadletter_dir)(tab)
+    tab = assign_partitions(tab, partitions, salt, hot_keys)
+    return split_by_partition(tab, n_parts_total)
+
+
+def plan_map_chunks(segments: list[str], target_rows: int = 131_072) -> list[tuple[str, list[int] | None]]:
+    """Split segments into map-task chunks of ~target_rows using parquet
+    footers only (the DataX reader split analogue — one task per slice)."""
+    import pyarrow.parquet as pq
+
+    chunks: list[tuple[str, list[int] | None]] = []
+    for path in segments:
+        md = pq.read_metadata(path)
+        n_rg = md.num_row_groups
+        if n_rg <= 1:
+            chunks.append((path, None))
+            continue
+        cur: list[int] = []
+        cur_rows = 0
+        for rg in range(n_rg):
+            cur.append(rg)
+            cur_rows += md.row_group(rg).num_rows
+            if cur_rows >= target_rows:
+                chunks.append((path, cur))
+                cur, cur_rows = [], 0
+        if cur:
+            chunks.append((path, cur))
+    return chunks
+
+
+@ray.remote
+class MergeActor:
+    """Stateful merge worker: one actor handles many partitions serially,
+    holding the job-constant state (lake dir, epoch, schema, manifest maps)
+    once instead of per task."""
+
+    def __init__(
+        self,
+        lake_dir: str,
+        epoch: int,
+        lake_schema: pa.Schema,
+        base_files: dict[int, str],
+        high_watermarks: dict[int, int],
+    ):
+        pa.set_cpu_count(2)  # see map_segment: avoid N×all-cores Arrow pools
+        self.lake_dir = lake_dir
+        self.epoch = epoch
+        self.lake_schema = lake_schema
+        self.base_files = base_files
+        self.hws = high_watermarks
+
+    def merge(self, pid: int, *shards: pa.Table) -> dict:
+        return merge_partition_tables(
+            pid,
+            list(shards),
+            self.lake_dir,
+            self.epoch,
+            self.lake_schema,
+            self.base_files.get(pid),
+            self.hws.get(pid, -1),
+        )
+
+
+def run_exchange(
+    segments: list[str],
+    min_hw: int,
+    event_schema: pa.Schema,
+    partitions: int,
+    salt: int,
+    hot_keys: list[str],
+    n_parts_total: int,
+    deadletter_dir: str | None,
+    lake_dir: str,
+    epoch: int,
+    lake_schema: pa.Schema,
+    base_files: dict[int, str],
+    high_watermarks: dict[int, int],
+    merge_concurrency: int,
+) -> list[dict]:
+    """Drive the two stages; returns lineage rows (one per touched
+    partition).  Partitions that received zero events are merged too when
+    they have uncommitted watermark state to repair, otherwise skipped."""
+    chunks = plan_map_chunks(segments)
+    shard_refs: list[list[ray.ObjectRef]] = [
+        map_segment.options(num_returns=n_parts_total).remote(
+            path, rgs, min_hw, event_schema, partitions, salt, hot_keys,
+            n_parts_total, deadletter_dir,
+        )
+        for path, rgs in chunks
+    ]
+    if n_parts_total == 1:
+        shard_refs = [[r] if not isinstance(r, list) else r for r in shard_refs]
+
+    # a partition's merge needs shards from EVERY map task, so the merge
+    # phase starts at the map barrier anyway — spawn the actors NOW with
+    # num_cpus=0 so their process startup + imports overlap the map stage
+    # without reserving CPUs away from it (merges only run post-barrier,
+    # when the CPUs are free again)
+    actors = [
+        MergeActor.options(num_cpus=0).remote(
+            lake_dir, epoch, lake_schema, base_files, high_watermarks
+        )
+        for _ in range(max(1, merge_concurrency))
+    ]
+    flat = [r for refs in shard_refs for r in refs]
+    ray.wait(flat, num_returns=len(flat), fetch_local=False)
+    lineage_refs = []
+    for pid in range(n_parts_total):
+        shards = [refs[pid] for refs in shard_refs]
+        actor = actors[pid % len(actors)]
+        lineage_refs.append(actor.merge.remote(pid, *shards))
+    lineage = ray.get(lineage_refs)
+    for a in actors:
+        ray.kill(a)
+    # drop no-op lineage for partitions that had no events at all
+    return [r for r in lineage if r["events_in"] > 0 or r["action"] == "write"]

@@ -224,7 +224,7 @@ def write_wal(
             )
             seg = seg.cast(s2)
         path = os.path.join(wal_dir, f"seg-{k:05d}.parquet")
-        pq.write_table(seg, path, compression="zstd", row_group_size=seg_rows)
+        pq.write_table(seg, path, compression="zstd", row_group_size=min(seg_rows, 65536))
         paths.append(path)
     return paths
 

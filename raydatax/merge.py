@@ -123,16 +123,101 @@ def lww_winners(combined: pa.Table) -> pa.Table:
     return s.filter(pa.array(last))
 
 
-class MergeWorker:
-    """Per-partition merge worker (actor pool via ``groupby.map_groups``).
+def _empty_lineage(pid: int, action: str, t0: float, hw: int, **kw) -> dict:
+    row = {f.name: 0 for f in LINEAGE_SCHEMA}
+    row.update(
+        partition=pid,
+        action=action,
+        wall_ms=int((time.monotonic() - t0) * 1000),
+        file="",
+        hw_seq=hw,
+    )
+    row.update(kw)
+    return row
 
-    One ``__call__`` = one partition group of new events.  The per-partition
-    LWW index is materialized from the committed base file + the group —
-    state is bounded by live keys of one partition, never by the event
-    stream (the 10^10-event framing in SURVEY.md §7.4).  Emits a single
-    lineage row; the merged data goes straight to a deterministic staged
-    Parquet file, so merged rows are never re-shuffled.
-    """
+
+def merge_partition_tables(
+    pid: int,
+    event_tables: list[pa.Table],
+    lake_dir: str,
+    epoch: int,
+    lake_schema: pa.Schema,
+    base_file: str | None,
+    hw: int,
+) -> dict:
+    """The merge kernel, shared by both execution paths (Dataset map_groups
+    and the hash-exchange actor pool): rebase-LWW one partition's events onto
+    its committed base and write the staged file.  Returns one lineage row
+    (plain dict).  The per-partition LWW state is materialized from the base
+    file + this epoch's events — bounded by live keys of one partition,
+    never by the event stream (SURVEY.md §7.4 10^10-event framing)."""
+    t0 = time.monotonic()
+    merge_schema = pa.schema(list(lake_schema) + [pa.field("op", pa.string())])
+    event_tables = [t for t in event_tables if t.num_rows]
+    events = (
+        pa.concat_tables(event_tables, promote_options="none")
+        if event_tables
+        else merge_schema.empty_table()
+    )
+    events_in = events.num_rows
+    replay = events.filter(pc.greater(events["seq"], hw)) if events_in else events
+    if replay.num_rows == 0:
+        # partition already at (or beyond) this frontier — committed by a
+        # previous attempt of this epoch, or events were stale replays
+        return _empty_lineage(pid, "skip", t0, hw, events_in=events_in)
+
+    ops = replay.column("op")
+    n_ins = pc.sum(pc.equal(ops, "I")).as_py() or 0
+    n_upd = pc.sum(pc.equal(ops, "U")).as_py() or 0
+    n_del = pc.sum(pc.equal(ops, "D")).as_py() or 0
+
+    if base_file is not None:
+        base = pq.read_table(os.path.join(lake_dir, base_file))
+        base = normalize_to(base, lake_schema)
+        base = base.append_column("op", pa.nulls(base.num_rows, pa.string()).fill_null("I"))
+    else:
+        base = merge_schema.empty_table()
+
+    replay_m = normalize_to(replay, merge_schema)
+    combined = pa.concat_tables([base, replay_m], promote_options="none")
+    winners = lww_winners(combined)
+    live = winners.filter(pc.not_equal(winners["op"], "D"))
+    out = normalize_to(live, lake_schema).replace_schema_metadata(None)
+
+    staging = os.path.join(lake_dir, "_staging", f"epoch-{epoch:06d}")
+    os.makedirs(staging, exist_ok=True)
+    path = os.path.join(staging, f"part-{pid:05d}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp, **PARQUET_OPTS)
+    os.replace(tmp, path)
+
+    new_hw = max(hw, pc.max(replay["seq"]).as_py())
+    return _empty_lineage(
+        pid,
+        "write",
+        t0,
+        hw,
+        events_in=events_in,
+        replayed=replay.num_rows,
+        ins=n_ins,
+        upd=n_upd,
+        del_=n_del,
+        base_rows=base.num_rows,
+        lww_dropped=combined.num_rows - winners.num_rows,
+        deleted_keys=winners.num_rows - live.num_rows,
+        rows_out=out.num_rows,
+        hw_seq=new_hw,
+        bytes_out=os.path.getsize(path),
+        file=path,
+    )
+
+
+class MergeWorker:
+    """Per-partition merge worker for the Dataset path (actor pool via
+    ``groupby.map_groups``); one ``__call__`` = one partition group.
+    Delegates to :func:`merge_partition_tables`; the merged data goes
+    straight to a deterministic staged Parquet file and is never
+    re-shuffled — only the one-row lineage flows back."""
 
     def __init__(
         self,
@@ -147,74 +232,17 @@ class MergeWorker:
         self.lake_schema = lake_schema
         self.base_files = base_files
         self.hws = high_watermarks
-        self.staging = os.path.join(lake_dir, "_staging", f"epoch-{epoch:06d}")
-        # op is carried through the merge then dropped from the lake file
-        self.merge_schema = pa.schema(list(lake_schema) + [pa.field("op", pa.string())])
-
-    def _lineage(self, pid: int, action: str, t0: float, **kw) -> pa.Table:
-        row = {f.name: 0 for f in LINEAGE_SCHEMA}
-        row.update(
-            partition=pid,
-            action=action,
-            wall_ms=int((time.monotonic() - t0) * 1000),
-            file="",
-            hw_seq=self.hws.get(pid, -1),
-        )
-        row.update(kw)
-        return pa.Table.from_pylist([row], schema=LINEAGE_SCHEMA)
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        t0 = time.monotonic()
         pid = group.column("__part")[0].as_py()
         events = group.drop_columns(["__part"])
-        hw = self.hws.get(pid, -1)
-        events_in = events.num_rows
-        replay = events.filter(pc.greater(events["seq"], hw))
-        if replay.num_rows == 0:
-            # partition already at (or beyond) this frontier — committed by a
-            # previous attempt of this epoch, or events were stale replays
-            return self._lineage(pid, "skip", t0, events_in=events_in)
-
-        ops = replay.column("op")
-        n_ins = pc.sum(pc.equal(ops, "I")).as_py() or 0
-        n_upd = pc.sum(pc.equal(ops, "U")).as_py() or 0
-        n_del = pc.sum(pc.equal(ops, "D")).as_py() or 0
-
-        base_file = self.base_files.get(pid)
-        if base_file is not None:
-            base = pq.read_table(os.path.join(self.lake_dir, base_file))
-            base = normalize_to(base, self.lake_schema)
-            base = base.append_column("op", pa.nulls(base.num_rows, pa.string()).fill_null("I"))
-        else:
-            base = self.merge_schema.empty_table()
-
-        replay_m = normalize_to(replay, self.merge_schema)
-        combined = pa.concat_tables([base, replay_m], promote_options="none")
-        winners = lww_winners(combined)
-        live = winners.filter(pc.not_equal(winners["op"], "D"))
-        out = normalize_to(live, self.lake_schema).replace_schema_metadata(None)
-
-        os.makedirs(self.staging, exist_ok=True)
-        path = os.path.join(self.staging, f"part-{pid:05d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(out, tmp, **PARQUET_OPTS)
-        os.replace(tmp, path)
-
-        new_hw = max(hw, pc.max(replay["seq"]).as_py())
-        return self._lineage(
+        row = merge_partition_tables(
             pid,
-            "write",
-            t0,
-            events_in=events_in,
-            replayed=replay.num_rows,
-            ins=n_ins,
-            upd=n_upd,
-            del_=n_del,
-            base_rows=base.num_rows,
-            lww_dropped=combined.num_rows - winners.num_rows,
-            deleted_keys=winners.num_rows - live.num_rows,
-            rows_out=out.num_rows,
-            hw_seq=new_hw,
-            bytes_out=os.path.getsize(path),
-            file=path,
+            [events],
+            self.lake_dir,
+            self.epoch,
+            self.lake_schema,
+            self.base_files.get(pid),
+            self.hws.get(pid, -1),
         )
+        return pa.Table.from_pylist([row], schema=LINEAGE_SCHEMA)

@@ -91,7 +91,9 @@ def detect_hot_keys(
         total += len(head)
     if not total:
         return []
-    floor = max(hot_threshold, 4.0 / max(partitions, 1))
+    # hot = holds >= hot_threshold of events AND at least ~2 partitions'
+    # fair share (salting a conv below fair share would only add overhead)
+    floor = max(hot_threshold, 2.0 / max(partitions, 1))
     hot = [k for k, c in counts.items() if c / total >= floor]
     hot.sort(key=lambda k: (-counts[k], k))
     return hot[:max_hot]

@@ -1,0 +1,147 @@
+"""Source surface: file readers with DataX unstructured-storage parity + the
+synthetic stream source.
+
+Reference semantics covered (SURVEY.md §2.3):
+
+- **CSV/text parse core** (``/root/reference/plugin-unstructured-storage-util/
+  .../reader/UnstructuredStorageReaderUtil.java:103-251, 373-551``): per-file
+  split, delimiter, encoding, skipHeader, ``nullFormat``, compression, and the
+  ordered ``column`` list of ``{index|value, type, format}`` entries —
+  projection + reorder by index, constant-value injection, typed casts with
+  date formats.  Here: ``ray.data.read_csv`` (per-file splits are built in)
+  + one vectorized ``map_batches`` applying the column spec.
+- **txtfilereader / hdfsreader / ossreader / ftpreader**: one task per file —
+  Ray Data's file-based datasources already split per file/block.
+- **streamreader** synthetic source (``/root/reference/streamreader/.../
+  StreamReader.java:95-166,174-181``): N parallel slices each generating
+  ``sliceRecordCount`` deterministic records — here a ``ray.data.range``
+  over shards with the seeded generator in ``map_batches``, so generation
+  itself is distributed and deterministic per (seed, shard).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+@dataclass
+class ColumnEntry:
+    """One entry of the DataX reader `column` list: either a source column
+    by ``index`` or a constant ``value``; `type` in long|double|string|
+    boolean|date; `format` = strptime format for date parsing."""
+
+    index: int | None = None
+    value: str | None = None
+    type: str = "string"
+    format: str | None = None
+    name: str | None = None
+
+
+_ARROW_TYPES = {
+    "long": pa.int64(),
+    "double": pa.float64(),
+    "string": pa.string(),
+    "boolean": pa.bool_(),
+    "date": pa.timestamp("us"),
+    "bytes": pa.binary(),
+}
+
+
+def apply_column_spec(batch: pa.Table, spec: list[ColumnEntry]) -> pa.Table:
+    """Vectorized projection / reorder / const-injection / typed cast — the
+    engine form of UnstructuredStorageReaderUtil.transportOneRecord
+    (:373-551), minus the per-record loop."""
+    n = batch.num_rows
+    cols, names = [], []
+    for i, entry in enumerate(spec):
+        name = entry.name or f"col{i}"
+        target = _ARROW_TYPES[entry.type]
+        if entry.value is not None:  # constant column
+            if entry.type == "date" and entry.format:
+                import datetime as _dt
+
+                v = _dt.datetime.strptime(entry.value, entry.format)
+                arr = pa.array([v] * n, type=target)
+            else:
+                arr = pa.array([entry.value] * n).cast(target)
+        else:
+            src = batch.column(entry.index)
+            if entry.type == "date" and entry.format:
+                arr = pc.strptime(pc.cast(src, pa.string()), format=entry.format, unit="us")
+            elif entry.type == "boolean" and pa.types.is_string(src.type):
+                arr = pc.equal(pc.utf8_lower(src), "true")
+            else:
+                arr = pc.cast(src, target)
+        cols.append(arr)
+        names.append(name)
+    return pa.Table.from_arrays(cols, names=names)
+
+
+def read_csv_datax(
+    paths: str | list[str],
+    column_spec: list[ColumnEntry] | None = None,
+    delimiter: str = ",",
+    skip_header: bool = False,
+    null_format: str | None = None,
+    encoding: str = "utf8",
+) -> "rd.Dataset":
+    """CSV source with the reference's reader knobs.  Compression
+    (gzip/bz2/...) is handled transparently by Arrow's open_input_stream."""
+    from pyarrow import csv as pacsv
+
+    read_opts = pacsv.ReadOptions(encoding=encoding, autogenerate_column_names=not skip_header)
+    parse_opts = pacsv.ParseOptions(delimiter=delimiter, newlines_in_values=True)
+    convert_opts = pacsv.ConvertOptions(
+        null_values=[null_format] if null_format is not None else [""],
+        strings_can_be_null=null_format is not None,
+    )
+    ds = rd.read_csv(
+        paths,
+        read_options=read_opts,
+        parse_options=parse_opts,
+        convert_options=convert_opts,
+    )
+    if column_spec:
+        ds = ds.map_batches(
+            lambda t: apply_column_spec(t, column_spec), batch_format="pyarrow"
+        )
+    return ds
+
+
+def read_jsonl(paths: str | list[str]) -> "rd.Dataset":
+    """JSON-lines source (per-file splits built in)."""
+    return rd.read_json(paths)
+
+
+def synthetic_stream(
+    total_records: int,
+    seed: int = 42,
+    shards: int = 8,
+) -> "rd.Dataset":
+    """The streamreader analogue: `shards` parallel slices, each generating
+    its deterministic share of a transcript CDC log (seeded per shard,
+    disjoint seq ranges) — generation runs ON the cluster, not the driver."""
+    per_shard = max(1, total_records // shards)
+
+    def gen_shard(batch: pa.Table) -> pa.Table:
+        from .gen import gen_events
+
+        out = []
+        for shard_id in batch.column("id").to_pylist():
+            out.append(
+                gen_events(
+                    per_shard,
+                    seed=seed + shard_id,
+                    start_seq=shard_id * per_shard * 2,
+                )
+            )
+        return pa.concat_tables(out) if out else None
+
+    return rd.range(shards).map_batches(
+        gen_shard, batch_format="pyarrow", batch_size=1
+    )

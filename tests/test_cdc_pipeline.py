@@ -124,3 +124,18 @@ def test_metrics_and_lineage(tmp_wal, tmp_lake):
     assert mpath
     saved = json.load(open(mpath[0]))
     assert saved["events_replayed"] == rep["events_replayed"]
+
+
+def test_engine_paths_equivalent(tmp_path):
+    """The hash-exchange fast path and the pure-Dataset groupby path must
+    produce byte-identical lakes."""
+    wal = str(tmp_path / "wal")
+    write_wal(gen_events(8000, seed=77), wal, seg_rows=2000)
+    lake_a, lake_b = str(tmp_path / "a"), str(tmp_path / "b")
+    run_job(wal, lake_a, partitions=4, engine="exchange")
+    run_job(wal, lake_b, partitions=4, engine="dataset")
+    fa = sorted(glob.glob(os.path.join(lake_a, "data", "part-*", "*.parquet")))
+    fb = sorted(glob.glob(os.path.join(lake_b, "data", "part-*", "*.parquet")))
+    assert [os.path.relpath(p, lake_a) for p in fa] == [os.path.relpath(p, lake_b) for p in fb]
+    for a, b in zip(fa, fb):
+        assert open(a, "rb").read() == open(b, "rb").read()
