@@ -65,6 +65,8 @@ def run_job(
     error_limit_records: int | None = None,
     quiet: bool = True,
     engine: str = "exchange",
+    pre_handler=None,
+    post_hooks: list | None = None,
     _crash_after_committing: int | None = None,
 ) -> dict:
     """Tail the WAL and upsert into the lake.  Idempotent: killing this at
@@ -72,6 +74,8 @@ def run_job(
     byte-identical partition files (FIXTURES.md F5)."""
     t0 = time.monotonic()
     os.makedirs(lake_dir, exist_ok=True)
+    if pre_handler is not None:  # DataX preHandle (JobContainer.java:312-345)
+        pre_handler(dict(wal_dir=wal_dir, lake_dir=lake_dir))
 
     manifests = mf.load_manifests(lake_dir)
     hws = {pid: m["hw_seq"] for pid, m in manifests.items()}
@@ -86,6 +90,9 @@ def run_job(
     if not plan.segments:
         report = build_report(0, [], time.monotonic() - t0, plan_info, 0)
         report["action"] = "noop"
+        from .util import invoke_hooks
+
+        invoke_hooks(post_hooks, report)
         return report
 
     # --- epoch resolution: continue an interrupted epoch for the same WAL
@@ -187,9 +194,14 @@ def run_job(
             "lww_dropped": row["lww_dropped"],
             "deleted_keys": row["deleted_keys"],
         }
-        mf.commit_partition(
-            lake_dir, row["partition"], epoch, row["file"], row["hw_seq"],
-            row["rows_out"], counts,
+        from .util import retry
+
+        retry(
+            lambda r=row: mf.commit_partition(
+                lake_dir, r["partition"], epoch, r["file"], r["hw_seq"],
+                r["rows_out"], counts,
+            ),
+            times=3,
         )
     # job-level watermark: ALL events <= plan.max_seq are now applied+committed
     mf._atomic_write_json(
@@ -204,6 +216,9 @@ def run_job(
     )
     if not quiet:
         print(format_summary(report))
+    from .util import invoke_hooks
+
+    invoke_hooks(post_hooks, report)  # DataX invokeHooks (JobContainer.java:971-975)
     return report
 
 
@@ -233,6 +248,71 @@ def lake_table(lake_dir: str):
     return pa.concat_tables(
         [t.cast(schema) for t in tables], promote_options="permissive"
     )
+
+
+def lookup_conversation(lake_dir: str, conv_id: str):
+    """Point lookup with partition pruning: hash the key to its partition
+    (same salted mapping as ingest), read ONE partition file with a parquet
+    row filter — the lake-side analogue of OTS GetRow.  Returns a
+    pyarrow.Table of the conversation's turns in turn order."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .partition import hash_ints, hash_strings
+
+    cfg = mf.load_lake_config(lake_dir)
+    if cfg is None:
+        raise FileNotFoundError(f"no lake at {lake_dir}")
+    manifests = mf.load_manifests(lake_dir)
+    P, S, hot = cfg["partitions"], cfg["salt"], cfg["hot_keys"]
+    if conv_id in hot:
+        pids = [P + hot.index(conv_id) * S + s for s in range(S)]  # all salt slots
+    else:
+        h = hash_strings(np.array([conv_id], dtype=object))[0]
+        pids = [int(h % np.uint64(P))]
+    tables = []
+    for pid in pids:
+        m = manifests.get(pid)
+        if m is None:
+            continue
+        t = pq.read_table(
+            os.path.join(lake_dir, m["file"]),
+            filters=[("conv_id", "==", conv_id)],
+        )
+        tables.append(t)
+    import pyarrow as pa
+
+    if not tables:
+        return None
+    out = pa.concat_tables(tables, promote_options="permissive")
+    return out.sort_by([("turn_idx", "ascending")])
+
+
+def tail_wal(
+    wal_dir: str,
+    lake_dir: str,
+    poll_interval_s: float = 1.0,
+    idle_polls_to_stop: int = 2,
+    **job_kwargs,
+) -> list[dict]:
+    """Kafka-reader-style tail loop (``/root/reference/kafkareader/.../
+    KafkaReader.java:202-241``: poll → apply → commit offset): repeatedly
+    apply newly appended WAL segments; each applied epoch commits its
+    watermark (the offset-commit analogue).  Stops after
+    ``idle_polls_to_stop`` consecutive empty polls (the reference runs to a
+    midnight deadline; a library can't block forever)."""
+    reports = []
+    idle = 0
+    while idle < idle_polls_to_stop:
+        rep = run_job(wal_dir, lake_dir, **job_kwargs)
+        if rep["action"] == "applied":
+            reports.append(rep)
+            idle = 0
+        else:
+            idle += 1
+            if idle < idle_polls_to_stop:
+                time.sleep(poll_interval_s)
+    return reports
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
 
@@ -53,6 +54,28 @@ def split_by_partition(batch: pa.Table, n_parts: int, part_col: str = "__part") 
     return [
         sorted_tab.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(n_parts)
     ]
+
+
+_SHARD_PARQUET = dict(compression="zstd", compression_level=1)
+
+
+def _encode_shard(tab: pa.Table) -> bytes:
+    """Shuffle compression: the exchange moves zstd-parquet bytes, not raw
+    Arrow — ~4x less object-store / network traffic for transcript text at
+    the cost of cheap extra CPU.  On a multi-node cluster this is what you
+    want for the cross-node exchange; on this sandbox it moves the workload
+    from the memory-bandwidth wall back to the (plentiful) cores."""
+    if tab.num_rows == 0:
+        return b""
+    sink = pa.BufferOutputStream()
+    pq.write_table(tab.replace_schema_metadata(None), sink, **_SHARD_PARQUET)
+    return sink.getvalue().to_pybytes()
+
+
+def _decode_shard(buf: bytes, schema: pa.Schema) -> pa.Table:
+    if not buf:
+        return schema.empty_table()
+    return pq.read_table(pa.BufferReader(buf))
 
 
 @ray.remote
@@ -82,7 +105,7 @@ def map_segment(
         tab = tab.filter(pc.fill_null(keep, True))
     tab = make_normalizer(event_schema, deadletter_dir)(tab)
     tab = assign_partitions(tab, partitions, salt, hot_keys)
-    return split_by_partition(tab, n_parts_total)
+    return [_encode_shard(t) for t in split_by_partition(tab, n_parts_total)]
 
 
 def plan_map_chunks(segments: list[str], target_rows: int = 131_072) -> list[tuple[str, list[int] | None]]:
@@ -121,6 +144,7 @@ class MergeActor:
         lake_dir: str,
         epoch: int,
         lake_schema: pa.Schema,
+        event_schema: pa.Schema,
         base_files: dict[int, str],
         high_watermarks: dict[int, int],
     ):
@@ -128,13 +152,14 @@ class MergeActor:
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.lake_schema = lake_schema
+        self.event_schema = event_schema
         self.base_files = base_files
         self.hws = high_watermarks
 
-    def merge(self, pid: int, *shards: pa.Table) -> dict:
+    def merge(self, pid: int, *shards: bytes) -> dict:
         return merge_partition_tables(
             pid,
-            list(shards),
+            [_decode_shard(s, self.event_schema) for s in shards],
             self.lake_dir,
             self.epoch,
             self.lake_schema,
@@ -180,7 +205,7 @@ def run_exchange(
     # when the CPUs are free again)
     actors = [
         MergeActor.options(num_cpus=0).remote(
-            lake_dir, epoch, lake_schema, base_files, high_watermarks
+            lake_dir, epoch, lake_schema, event_schema, base_files, high_watermarks
         )
         for _ in range(max(1, merge_concurrency))
     ]

@@ -55,10 +55,12 @@ def _sentence_pool(rng: np.random.Generator, size: int = 2048) -> np.ndarray:
     return out
 
 
-def conv_universe(n_convs: int, seed: int = 42):
+def conv_universe(n_convs: int, seed: int = 42, conv_offset: int = 0):
     """(conv_id strings, turns-per-conv int array), deterministic in seed."""
     rng = np.random.default_rng(seed + 1)
-    conv_ids = np.array([f"conv-{i:08d}" for i in range(n_convs)], dtype=object)
+    conv_ids = np.array(
+        [f"conv-{conv_offset + i:08d}" for i in range(n_convs)], dtype=object
+    )
     turns = rng.integers(2, 41, size=n_convs).astype(np.int64)
     return conv_ids, turns
 
@@ -71,6 +73,7 @@ def gen_events(
     skew_hot_frac: float = 0.0,
     start_seq: int = 0,
     insert_only: bool = False,
+    conv_offset: int = 0,
 ) -> pa.Table:
     """Generate a CDC event log (EVENT_SCHEMA, log/seq order).
 
@@ -82,7 +85,7 @@ def gen_events(
     if n_convs is None:
         # avg 21 turns/conv, avg chain ~1.6 events/key
         n_convs = max(4, int(n_events / (21 * 1.6)))
-    conv_ids, turns = conv_universe(n_convs, seed)
+    conv_ids, turns = conv_universe(n_convs, seed, conv_offset)
 
     # --- key universe: (conv_idx, turn_idx) for every turn of every conv
     key_conv = np.repeat(np.arange(n_convs), turns)
@@ -235,7 +238,52 @@ def gen_wal(
     seed: int = 42,
     seg_rows: int = 10_000,
     evolution: bool = False,
+    slab_rows: int = 4_000_000,
     **kw,
 ) -> list[str]:
-    """Convenience: generate + write a WAL in one call."""
-    return write_wal(gen_events(n_events, seed=seed, **kw), wal_dir, seg_rows, evolution)
+    """Generate + write a WAL.  Logs above ``slab_rows`` are generated in
+    independent slabs (disjoint conversation namespaces + disjoint ``seq``
+    ranges — semantically one log whose keys never cross slabs), which keeps
+    any single Arrow string array under the 2 GB offset limit and lets the
+    slabs generate in PARALLEL as Ray tasks when a session is running."""
+    if n_events <= slab_rows:
+        return write_wal(gen_events(n_events, seed=seed, **kw), wal_dir, seg_rows, evolution)
+    if evolution:
+        raise ValueError("evolution WALs are only supported in single-slab mode")
+
+    n_slabs = (n_events + slab_rows - 1) // slab_rows
+    per_slab = n_events // n_slabs
+    slab_span = per_slab * 2  # seq headroom: gen may emit up to ~1.25x target
+
+    def _one(slab: int) -> list[str]:
+        t = gen_events(
+            per_slab,
+            seed=seed + slab * 1000,
+            start_seq=slab * slab_span,
+            conv_offset=slab * 10_000_000,
+            **kw,
+        )
+        return write_wal(t, os.path.join(wal_dir, f"_slab{slab:02d}"), seg_rows)
+
+    import ray as _ray
+
+    if _ray.is_initialized():
+        one = _ray.remote(_one)
+        slab_paths = _ray.get([one.remote(s) for s in range(n_slabs)])
+    else:
+        slab_paths = [_one(s) for s in range(n_slabs)]
+
+    # move slab segments into the WAL root with global numbering
+    paths = []
+    k = 0
+    for sp in slab_paths:
+        for p in sp:
+            dest = os.path.join(wal_dir, f"seg-{k:05d}.parquet")
+            os.replace(p, dest)
+            paths.append(dest)
+            k += 1
+    for slab in range(n_slabs):
+        d = os.path.join(wal_dir, f"_slab{slab:02d}")
+        if os.path.isdir(d):
+            os.rmdir(d)
+    return paths

@@ -72,6 +72,8 @@ def normalize_to(table: pa.Table, target: pa.Schema) -> pa.Table:
     """Project/cast an Arrow table onto `target`: add missing columns as
     nulls, cast safely (int widening, tz-naive timestamps), order columns.
     This is the per-batch schema-unification step."""
+    if table.schema.equals(target, check_metadata=False):
+        return table  # zero-copy fast path (hot on every batch)
     n = table.num_rows
     cols = []
     for field in target:

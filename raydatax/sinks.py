@@ -41,6 +41,60 @@ def _prepare_dir(path: str, write_mode: str) -> None:
         raise ValueError(f"unknown writeMode {write_mode!r}")
 
 
+def write_wal_sink(
+    ds,
+    wal_dir: str,
+    seg_rows: int = 250_000,
+    start_segment: int | None = None,
+) -> list[str]:
+    """Event-log sink (the kafkawriter/datahubwriter analogue,
+    ``/root/reference/kafkawriter/.../KafkaWriter.java:120-141``): append a
+    Dataset of EVENT_SCHEMA rows to a WAL directory as ordered segment
+    files, continuing the existing numbering — the produced log is a valid
+    input for another raydatax ingest job (pipeline chaining).
+
+    Segments are written through the driver (``iter_batches``) because
+    segment NUMBERING is a global order — acceptable because a WAL producer
+    is sequential by definition; the consumer side is what scales."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(wal_dir, exist_ok=True)
+    if start_segment is None:
+        existing = sorted(_glob.glob(os.path.join(wal_dir, "seg-*.parquet")))
+        start_segment = (
+            int(os.path.basename(existing[-1])[4:9]) + 1 if existing else 0
+        )
+    paths: list[str] = []
+    buf: list[pa.Table] = []
+    buffered = 0
+    k = start_segment
+
+    def flush():
+        nonlocal buf, buffered, k
+        if not buffered:
+            return
+        seg = pa.concat_tables(buf, promote_options="permissive")
+        path = os.path.join(wal_dir, f"seg-{k:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(seg, tmp, compression="zstd",
+                       row_group_size=min(seg_rows, 65536))
+        os.replace(tmp, path)
+        paths.append(path)
+        buf, buffered = [], 0
+        k += 1
+
+    for batch in ds.iter_batches(batch_size=seg_rows, batch_format="pyarrow"):
+        buf.append(batch)
+        buffered += batch.num_rows
+        if buffered >= seg_rows:
+            flush()
+    flush()
+    return paths
+
+
 def write_files(
     ds,
     path: str,

@@ -1,0 +1,74 @@
+"""Retry util, job hooks, and the WAL event-log sink."""
+
+import glob
+import os
+
+import pytest
+
+from raydatax.driver import lake_table, run_job
+from raydatax.gen import gen_events, write_wal
+from raydatax.oracle import replay_to_table
+from raydatax.sinks import write_wal_sink
+from raydatax.util import retry
+
+
+def test_retry_succeeds_after_failures():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert retry(flaky, times=3, sleep_s=0.01) == "ok"
+    assert calls["n"] == 3
+
+
+def test_retry_exhausts():
+    with pytest.raises(OSError):
+        retry(lambda: (_ for _ in ()).throw(OSError("x")), times=2, sleep_s=0.01)
+
+
+def test_job_hooks_and_pre_handler(tmp_wal, tmp_lake):
+    write_wal(gen_events(3000, seed=51), tmp_wal, seg_rows=1000)
+    seen = {}
+
+    def pre(ctx):
+        seen["pre"] = ctx["lake_dir"]
+
+    def hook(report):
+        seen["post"] = report["events_replayed"]
+
+    def bad_hook(report):
+        raise RuntimeError("hook boom")
+
+    rep = run_job(tmp_wal, tmp_lake, partitions=4,
+                  pre_handler=pre, post_hooks=[hook, bad_hook])
+    assert seen["pre"] == tmp_lake
+    assert seen["post"] == rep["events_replayed"] > 0
+    assert rep["hook_errors"] and "boom" in rep["hook_errors"][0]
+
+
+def test_wal_sink_roundtrip(tmp_path):
+    """Produce a WAL with the sink, consume it with the engine — the
+    pipeline-chaining contract."""
+    import ray.data as rd
+
+    ev = gen_events(6000, seed=52)
+    ds = rd.from_arrow(ev)
+    wal = str(tmp_path / "wal")
+    paths = write_wal_sink(ds, wal, seg_rows=1500)
+    assert len(paths) >= 4
+    # appending continues numbering
+    more = write_wal_sink(rd.from_arrow(gen_events(1000, seed=53, start_seq=10_000_000)), wal, seg_rows=1500)
+    assert os.path.basename(more[0]) == f"seg-{len(paths):05d}.parquet"
+
+    lake = str(tmp_path / "lake")
+    run_job(wal, lake, partitions=4)
+    got = lake_table(lake)
+    import pyarrow as pa
+
+    full = pa.concat_tables([ev, gen_events(1000, seed=53, start_seq=10_000_000)])
+    want = replay_to_table(full)
+    assert got.num_rows == want.num_rows
