@@ -373,6 +373,68 @@ def simhash_pairs(
     return preagg_groupby(pairs, ["a", "b"], [("hamming", "min", "hamming")])
 
 
+# ------------------------------------------------- embedding-cosine near-dup
+
+
+def embedding_neardup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    sample_rows: int = 4096,
+    seed: int = 5,
+) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold, a < b).
+
+    Scale path: IVF-style bucketing — deterministic k-means on a sample,
+    assign every vector to its nearest centroid inside ``map_batches``, then
+    all-pairs cosine ONLY within each cluster (``groupby(cluster)``
+    map_groups).  Near-dups at high thresholds co-locate in a cluster with
+    overwhelming probability; cross-cluster misses are the documented
+    approximation (same contract as IVF ANN)."""
+    from .ann import _matrix, _normalize, kmeans_fit
+
+    sample = ds.limit(sample_rows).take_all()
+    smat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    cent = kmeans_fit(smat, n_clusters, seed=seed)
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_matrix(batch[vec_col]))
+        cl = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("__cluster", pa.array(cl))
+
+    def pairs_in_cluster(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if group.num_rows < 2:
+            return empty
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(group[vec_col]))
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), 1)
+        keep = sims[iu] >= threshold
+        return pa.table({"a": pa.array(ids[iu[0]][keep], pa.int64()),
+                         "b": pa.array(ids[iu[1]][keep], pa.int64()),
+                         "cosine": pa.array(sims[iu][keep], pa.float64())})
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("__cluster")
+        .map_groups(pairs_in_cluster, batch_format="pyarrow")
+    )
+    rows = out.take_all()
+    if not rows:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    t = pa.Table.from_pylist(rows)
+    return t.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
 # ------------------------------------------------------- exact n-gram jaccard
 
 

@@ -65,6 +65,7 @@ def run_job(
     error_limit_records: int | None = None,
     quiet: bool = True,
     engine: str = "exchange",
+    sparse_updates: bool = False,
     pre_handler=None,
     post_hooks: list | None = None,
     _crash_after_committing: int | None = None,
@@ -107,12 +108,14 @@ def run_job(
         epoch = mf.next_epoch(lake_dir)
         if cfg is None:
             hot = detect_hot_keys(plan.segments, partitions, hot_threshold)
-            cfg = mf.init_lake(lake_dir, partitions, salt, hot)
+            cfg = mf.init_lake(lake_dir, partitions, salt, hot, sparse_updates)
         mf.write_plan(
             lake_dir,
             {"epoch": epoch, "max_seq": plan.max_seq, "segments": seg_names},
         )
     P, S, hot_keys = cfg["partitions"], cfg["salt"], cfg["hot_keys"]
+    # update semantics are lake-level state: fixed at creation, like P/S
+    sparse = bool(cfg.get("sparse_updates", False))
 
     lake_schema = lake_schema_for(plan.event_schema)
     deadletter_dir = os.path.join(lake_dir, "_deadletter", f"epoch-{epoch:06d}")
@@ -134,7 +137,7 @@ def run_job(
         lineage = run_exchange(
             plan.segments, min_hw, plan.event_schema, P, S, hot_keys,
             n_parts_total, deadletter_dir, lake_dir, epoch, lake_schema,
-            base_files, hws, merge_concurrency,
+            base_files, hws, merge_concurrency, sparse=sparse,
         )
     else:
         # Dataset path: identical semantics via groupby().map_groups — kept
@@ -147,7 +150,7 @@ def run_job(
             file_extensions=["parquet"],
         )
         ds = ds.map_batches(
-            make_normalizer(plan.event_schema, deadletter_dir), batch_format="pyarrow"
+            make_normalizer(plan.event_schema, deadletter_dir, sparse), batch_format="pyarrow"
         )
         ds = ds.map_batches(
             lambda b: assign_partitions(b, P, S, hot_keys), batch_format="pyarrow"
@@ -160,6 +163,7 @@ def run_job(
                 lake_schema=lake_schema,
                 base_files=base_files,
                 high_watermarks=hws,
+                sparse=sparse,
             ),
             batch_format="pyarrow",
             concurrency=merge_concurrency,

@@ -89,6 +89,7 @@ def map_segment(
     hot_keys: list[str],
     n_parts_total: int,
     deadletter_dir: str | None,
+    sparse: bool = False,
 ) -> list[pa.Table]:
     """Map stage: (segment, row-group subset) → normalized, partition-split
     shards.  Row-group granularity keeps map parallelism ≫ segment count."""
@@ -103,7 +104,7 @@ def map_segment(
     if min_hw >= 0 and "seq" in tab.column_names:
         keep = pc.or_kleene(pc.is_null(tab["seq"]), pc.greater(tab["seq"], min_hw))
         tab = tab.filter(pc.fill_null(keep, True))
-    tab = make_normalizer(event_schema, deadletter_dir)(tab)
+    tab = make_normalizer(event_schema, deadletter_dir, sparse)(tab)
     tab = assign_partitions(tab, partitions, salt, hot_keys)
     return [_encode_shard(t) for t in split_by_partition(tab, n_parts_total)]
 
@@ -147,8 +148,10 @@ class MergeActor:
         event_schema: pa.Schema,
         base_files: dict[int, str],
         high_watermarks: dict[int, int],
+        sparse: bool = False,
     ):
         pa.set_cpu_count(2)  # see map_segment: avoid N×all-cores Arrow pools
+        self.sparse = sparse
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.lake_schema = lake_schema
@@ -165,6 +168,7 @@ class MergeActor:
             self.lake_schema,
             self.base_files.get(pid),
             self.hws.get(pid, -1),
+            sparse=self.sparse,
         )
 
 
@@ -183,6 +187,7 @@ def run_exchange(
     base_files: dict[int, str],
     high_watermarks: dict[int, int],
     merge_concurrency: int,
+    sparse: bool = False,
 ) -> list[dict]:
     """Drive the two stages; returns lineage rows (one per touched
     partition).  Partitions that received zero events are merged too when
@@ -191,7 +196,7 @@ def run_exchange(
     shard_refs: list[list[ray.ObjectRef]] = [
         map_segment.options(num_returns=n_parts_total).remote(
             path, rgs, min_hw, event_schema, partitions, salt, hot_keys,
-            n_parts_total, deadletter_dir,
+            n_parts_total, deadletter_dir, sparse,
         )
         for path, rgs in chunks
     ]
@@ -205,7 +210,8 @@ def run_exchange(
     # when the CPUs are free again)
     actors = [
         MergeActor.options(num_cpus=0).remote(
-            lake_dir, epoch, lake_schema, event_schema, base_files, high_watermarks
+            lake_dir, epoch, lake_schema, event_schema, base_files,
+            high_watermarks, sparse,
         )
         for _ in range(max(1, merge_concurrency))
     ]

@@ -74,6 +74,7 @@ def gen_events(
     start_seq: int = 0,
     insert_only: bool = False,
     conv_offset: int = 0,
+    sparse_updates: bool = False,
 ) -> pa.Table:
     """Generate a CDC event log (EVENT_SCHEMA, log/seq order).
 
@@ -181,10 +182,16 @@ def gen_events(
 
     conv_str = pa.array(conv_ids, type=pa.string()).take(pa.array(conv_l))
 
-    null_payload = pa.array(is_del)
+    # D rows: payload all null.  Sparse variant (FIXTURES F2): U rows carry
+    # only "changed" fields — each payload field independently nulled ~50%.
+    is_upd = kinds_l == 1
 
-    def _masked(arr: pa.Array) -> pa.Array:
-        return pc.if_else(null_payload, pa.scalar(None, type=arr.type), arr)
+    def _masked(arr: pa.Array, field_bit: int = 0) -> pa.Array:
+        mask = is_del
+        if sparse_updates:
+            drop = is_upd & (((h_l >> (4 + field_bit)) & 1) == 1)
+            mask = mask | drop
+        return pc.if_else(pa.array(mask), pa.scalar(None, type=arr.type), arr)
 
     table = pa.Table.from_arrays(
         [
@@ -192,10 +199,10 @@ def gen_events(
             op,
             conv_str,
             pa.array(turn_l.astype(np.int32), type=pa.int32()),
-            _masked(role),
-            _masked(text_arr),
-            _masked(tool),
-            _masked(pa.array(ts, type=pa.timestamp("us"))),
+            _masked(role, 0),
+            _masked(text_arr, 1),
+            _masked(tool, 2),
+            _masked(pa.array(ts, type=pa.timestamp("us")), 3),
         ],
         schema=EVENT_SCHEMA,
     )

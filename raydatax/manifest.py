@@ -63,7 +63,8 @@ def load_lake_config(lake_dir: str) -> dict | None:
     return _read_json(lake_config_path(lake_dir))
 
 
-def init_lake(lake_dir: str, partitions: int, salt: int, hot_keys: list[str]) -> dict:
+def init_lake(lake_dir: str, partitions: int, salt: int, hot_keys: list[str],
+              sparse_updates: bool = False) -> dict:
     """Create (or load) the immutable lake config.  Partition mapping must be
     stable across the lake's lifetime (rebase merge depends on it), so
     P / S / the hot-key registry are fixed at creation."""
@@ -74,6 +75,7 @@ def init_lake(lake_dir: str, partitions: int, salt: int, hot_keys: list[str]) ->
         "partitions": int(partitions),
         "salt": int(salt),
         "hot_keys": list(hot_keys),
+        "sparse_updates": bool(sparse_updates),
         "format": "raydatax-lake-v1",
     }
     _atomic_write_json(lake_config_path(lake_dir), cfg)

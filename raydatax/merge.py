@@ -57,7 +57,8 @@ LINEAGE_SCHEMA = pa.schema(
 )
 
 
-def make_normalizer(event_schema: pa.Schema, deadletter_dir: str | None):
+def make_normalizer(event_schema: pa.Schema, deadletter_dir: str | None,
+                    sparse: bool = False):
     """Stateless map_batches fn: unify each batch onto the evolved event
     schema (adds missing columns as nulls, widens ints — the Arrow
     schema-unification step), then split off dirty rows.
@@ -78,9 +79,13 @@ def make_normalizer(event_schema: pa.Schema, deadletter_dir: str | None):
                 pc.is_in(batch["op"], value_set=pa.array(OPS)),
             ),
         )
-        # I/U must carry a row image (text+role); D rows may be all-null
+        # I must carry a row image (text+role); D rows may be all-null; in
+        # sparse mode U rows carry only changed fields (any may be null)
+        exempt = pc.equal(batch["op"], "D")
+        if sparse:
+            exempt = pc.or_kleene(exempt, pc.equal(batch["op"], "U"))
         has_payload = pc.or_kleene(
-            pc.equal(batch["op"], "D"),
+            exempt,
             pc.and_kleene(pc.is_valid(batch["text"]), pc.is_valid(batch["role"])),
         )
         ok = pc.fill_null(pc.and_kleene(valid, has_payload), False)
@@ -104,22 +109,69 @@ def make_normalizer(event_schema: pa.Schema, deadletter_dir: str | None):
     return normalize
 
 
-def lww_winners(combined: pa.Table) -> pa.Table:
+PAYLOAD_COLUMNS_EXCLUDED = ("conv_id", "turn_idx", "seq", "op")
+
+
+def lww_winners(combined: pa.Table, sparse: bool = False) -> pa.Table:
     """Vectorized LWW: sort by (conv_id, turn_idx, seq) and keep the last row
     of every key group.  Output remains key-sorted (the stable output
-    order)."""
+    order).
+
+    ``sparse=True`` implements FIXTURES F2's sparse-update variant: a ``U``
+    carries only changed fields (nulls = "unchanged"), so fields resolve
+    independently — each winner field is the latest non-null value since the
+    key's last full-image reset (``I`` replaces the whole row, explicit
+    nulls included; ``D`` clears).  Resolution is one numpy pass per column:
+    global last-valid-index accumulate, clipped at reset-segment starts."""
     s = combined.sort_by(
         [("conv_id", "ascending"), ("turn_idx", "ascending"), ("seq", "ascending")]
     )
     if s.num_rows == 0:
         return s
-    conv = s.column("conv_id").combine_chunks()
+    s = s.combine_chunks()
+    conv = s.column("conv_id")
     if isinstance(conv, pa.ChunkedArray):
         conv = conv.chunk(0)  # single chunk after combine; per-chunk dicts would break adjacency
     codes = pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
     turn = s.column("turn_idx").to_numpy(zero_copy_only=False)
     neq = (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])
     last = np.append(neq, True)
+
+    if sparse:
+        n = s.num_rows
+        idx = np.arange(n, dtype=np.int64)
+        first_of_key = np.append(True, neq)
+        op_arr = s.column("op")
+        if isinstance(op_arr, pa.ChunkedArray):
+            op_arr = op_arr.chunk(0)
+        is_update = pc.equal(op_arr, "U").to_numpy(zero_copy_only=False)
+        is_delete = pc.equal(op_arr, "D").to_numpy(zero_copy_only=False)
+        reset = (~is_update) | first_of_key
+        # start index of each reset segment, broadcast to its rows
+        seg_start = np.maximum.accumulate(np.where(reset, idx, 0))
+        payload = [c for c in s.column_names if c not in PAYLOAD_COLUMNS_EXCLUDED]
+        cols = {name: s.column(name) for name in s.column_names}
+        for name in payload:
+            col = cols[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.chunk(0) if col.num_chunks else pa.nulls(0, col.type)
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            # a (defensive) non-null payload on a D must not leak into a
+            # following U-create — treat D payloads as absent
+            valid = valid & ~is_delete
+            lastv = np.maximum.accumulate(np.where(valid, idx, -1))
+            # the global last valid index is in-segment iff >= seg_start
+            src = np.where(lastv >= seg_start, lastv, -1)
+            take_idx = pa.array(
+                np.where(src >= 0, src, 0), type=pa.int64()
+            )
+            resolved = col.take(take_idx)
+            if (src < 0).any():
+                resolved = pc.if_else(pa.array(src >= 0), resolved, pa.scalar(None, col.type))
+            cols[name] = resolved
+        s = pa.Table.from_arrays(
+            [cols[c] for c in s.column_names], schema=s.schema
+        )
     return s.filter(pa.array(last))
 
 
@@ -144,6 +196,7 @@ def merge_partition_tables(
     lake_schema: pa.Schema,
     base_file: str | None,
     hw: int,
+    sparse: bool = False,
 ) -> dict:
     """The merge kernel, shared by both execution paths (Dataset map_groups
     and the hash-exchange actor pool): rebase-LWW one partition's events onto
@@ -180,7 +233,7 @@ def merge_partition_tables(
 
     replay_m = normalize_to(replay, merge_schema)
     combined = pa.concat_tables([base, replay_m], promote_options="none")
-    winners = lww_winners(combined)
+    winners = lww_winners(combined, sparse=sparse)
     live = winners.filter(pc.not_equal(winners["op"], "D"))
     out = normalize_to(live, lake_schema).replace_schema_metadata(None)
 
@@ -226,12 +279,14 @@ class MergeWorker:
         lake_schema: pa.Schema,
         base_files: dict[int, str],
         high_watermarks: dict[int, int],
+        sparse: bool = False,
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.lake_schema = lake_schema
         self.base_files = base_files
         self.hws = high_watermarks
+        self.sparse = sparse
 
     def __call__(self, group: pa.Table) -> pa.Table:
         pid = group.column("__part")[0].as_py()
@@ -244,5 +299,6 @@ class MergeWorker:
             self.lake_schema,
             self.base_files.get(pid),
             self.hws.get(pid, -1),
+            sparse=self.sparse,
         )
         return pa.Table.from_pylist([row], schema=LINEAGE_SCHEMA)

@@ -18,12 +18,17 @@ import pyarrow as pa
 from .schema import LAKE_SCHEMA
 
 
-def replay(events: pa.Table, state: dict | None = None) -> dict:
+def replay(events: pa.Table, state: dict | None = None, sparse: bool = False) -> dict:
     """Apply events sequentially (log order = seq order).  Returns/updates
-    ``state``: {(conv_id, turn_idx): (seq, row-dict-or-None)}  (None = tombstone)."""
+    ``state``: {(conv_id, turn_idx): (seq, row-dict-or-None)}  (None = tombstone).
+
+    ``sparse=True``: a U's null payload fields mean "unchanged" and merge
+    onto the existing row (or create a partial row on an absent/deleted
+    key); I always replaces the full image (explicit nulls included)."""
     if state is None:
         state = {}
     rows = events.to_pylist()
+    key_cols = ("conv_id", "turn_idx", "seq")
     for r in rows:
         key = (r["conv_id"], r["turn_idx"])
         seq = r["seq"]
@@ -32,6 +37,16 @@ def replay(events: pa.Table, state: dict | None = None) -> dict:
             continue  # stale event loses
         if r["op"] == "D":
             state[key] = (seq, None)
+        elif sparse and r["op"] == "U":
+            base = dict(prev[1]) if (prev is not None and prev[1] is not None) else {
+                "conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
+            }
+            for k, v in r.items():
+                if k == "op":
+                    continue
+                if k in key_cols or v is not None:
+                    base[k] = v
+            state[key] = (seq, base)
         else:
             payload = {k: v for k, v in r.items() if k not in ("op",)}
             state[key] = (seq, payload)
@@ -52,5 +67,6 @@ def final_table(state: dict, schema: pa.Schema = LAKE_SCHEMA) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schema)
 
 
-def replay_to_table(events: pa.Table, schema: pa.Schema = LAKE_SCHEMA) -> pa.Table:
-    return final_table(replay(events), schema)
+def replay_to_table(events: pa.Table, schema: pa.Schema = LAKE_SCHEMA,
+                    sparse: bool = False) -> pa.Table:
+    return final_table(replay(events, sparse=sparse), schema)

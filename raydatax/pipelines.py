@@ -379,6 +379,51 @@ def multimodal_features(sf_dir: str):
     return out.select_columns(["media_id", "dec_kind", "decoded_ok", "dec_width", "dec_height"])
 
 
+def orders_by_status(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderstatus", "o_totalprice"])
+    out = preagg_groupby(
+        ds, ["o_orderstatus"],
+        [("o_totalprice", "count", "n_orders"), ("o_totalprice", "sum", "sum_total")],
+    )
+    return out.map_batches(lambda t: _round(t, {"sum_total": 2}), batch_format="pyarrow")
+
+
+def part_type_stats(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_type", "p_size"])
+    return preagg_groupby(
+        ds, ["p_type"],
+        [("p_size", "min", "min_size"), ("p_size", "max", "max_size"),
+         ("p_size", "count", "n_parts")],
+    )
+
+
+def events_daily_users(sf_dir: str):
+    """COUNT(DISTINCT) at scale: dedupe to (day, user) pairs with in-batch
+    hash aggregation first, then count pairs per day — the shuffle moves one
+    row per distinct pair per batch, never raw events."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                         "user_id": t["user_id"]})
+
+    pairs = preagg_groupby(
+        ds.map_batches(add_day, batch_format="pyarrow"),
+        ["day", "user_id"], [("user_id", "count", "c")],
+    )
+    return preagg_groupby(pairs, ["day"], [("user_id", "count", "n_users")])
+
+
+def dedup_embedding(sf_dir: str):
+    from .dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"))
+    # random testdata embeddings: cosine ~ N(0, 1/sqrt(64)); 0.35 ≈ 2.8σ so a
+    # small deterministic pair set survives (real corpora would use ~0.95)
+    pairs = embedding_neardup_pairs(ds, threshold=0.35)
+    return pairs.select(["a", "b"])
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -406,6 +451,10 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf": ann_ivf,
     "multimodal_features": multimodal_features,
+    "orders_by_status": orders_by_status,
+    "part_type_stats": part_type_stats,
+    "events_daily_users": events_daily_users,
+    "dedup_embedding": dedup_embedding,
 }
 
 ORACLE_SQL = {
@@ -532,7 +581,22 @@ ORACLE_SQL = {
               FROM s)
         SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 10
     """,
+    "orders_by_status": """
+        SELECT o_orderstatus, count(o_totalprice) AS n_orders,
+               floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_total
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "part_type_stats": """
+        SELECT p_type, min(p_size) AS min_size, max(p_size) AS max_size,
+               count(p_size) AS n_parts
+        FROM part GROUP BY p_type
+    """,
+    "events_daily_users": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
     # rows-only (non-SQL-expressible) entries intentionally omitted:
     # transcript_cdc_replay, lang_id, dedup_minhash, dedup_simhash, ann_ivf,
-    # multimodal_features
+    # multimodal_features, dedup_embedding (IVF-approximate pair set)
 }

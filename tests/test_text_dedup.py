@@ -128,3 +128,29 @@ def test_ngram_jaccard(corpus_with_dups):
     ).to_pylist()
     assert out[0]["jaccard"] == 1.0
     assert out[1]["jaccard"] < 0.9
+
+
+def test_embedding_neardup_recovers_planted():
+    import pyarrow.parquet as pq
+    from raydatax.dedup import embedding_neardup_pairs
+
+    e = pq.read_table(f"{SF}/embeddings.parquet")
+    # plant near-dups: copies of vec 0..4 with tiny noise
+    import numpy as np
+
+    base = np.stack([np.asarray(v, dtype=np.float32) for v in e["embedding"].to_pylist()[:5]])
+    noisy = base + np.random.default_rng(0).normal(0, 1e-3, base.shape).astype(np.float32)
+    clones = pa.table(
+        {
+            "vec_id": pa.array(np.arange(90_000, 90_005), pa.int64()),
+            "embedding": pa.array([list(v) for v in noisy], pa.list_(pa.float32())),
+            "label": pa.array([0] * 5, pa.int32()),
+        }
+    )
+    corpus = pa.concat_tables([e.cast(clones.schema), clones])
+    pairs = embedding_neardup_pairs(rd.from_arrow(corpus), threshold=0.99)
+    found = {(r["a"], r["b"]) for r in pairs.to_pylist()}
+    assert {(i, 90_000 + i) for i in range(5)} <= found
+    # determinism
+    pairs2 = embedding_neardup_pairs(rd.from_arrow(corpus), threshold=0.99)
+    assert pairs.equals(pairs2)
