@@ -31,21 +31,28 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def ensure_wal(sf: float, seed: int = 42) -> tuple[str, int]:
-    """Deterministic WAL under /tmp, cached across runs (generation is not
-    part of the measured pipeline)."""
-    n_events = max(20_000, int(400_000_000 * sf))
-    wal = f"/tmp/raydatax_bench/wal_n{n_events}_s{seed}"
+def ensure_wal(sf: float, seed: int = 42, frac: float = 1.0, tag: str = "") -> tuple[str, int]:
+    """Deterministic WAL under /tmp, cached across runs.  Generation runs in
+    a SEPARATE process with its own Ray session: generating inside the
+    session that is about to be timed pollutes its object store and was
+    measured slowing the subsequent run ~2.5x."""
+    n_events = max(20_000, int(400_000_000 * sf * frac))
+    wal = f"/tmp/raydatax_bench/wal{tag}_n{n_events}_s{seed}"
     marker = os.path.join(wal, "_complete")
     if not os.path.exists(marker):
         shutil.rmtree(wal, ignore_errors=True)
-        from raydatax.gen import gen_wal
-
-        gen_wal(wal, n_events, seed=seed, seg_rows=250_000)
+        extra = "" if not tag else ", conv_offset=500_000_000, start_seq=1_000_000_000_000"
+        code = (
+            "import ray; ray.init(address='local', include_dashboard=False, logging_level='ERROR');"
+            "import sys; sys.path.insert(0, %r);"
+            "from raydatax.gen import gen_wal;"
+            "gen_wal(%r, %d, seed=%d, seg_rows=250_000%s);"
+            "ray.shutdown()"
+        ) % (os.path.dirname(os.path.abspath(__file__)), wal, n_events, seed, extra)
+        subprocess.run([sys.executable, "-c", code], check=True, capture_output=True)
         open(marker, "w").write("ok")
     import glob
 
-    total = n_events  # nominal; actual row count differs slightly
     segs = glob.glob(os.path.join(wal, "seg-*.parquet"))
     import pyarrow.parquet as pq
 
@@ -98,10 +105,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     headline = time.monotonic() - t0
     assert report["events_replayed"] == n_events, (report["events_replayed"], n_events)
 
+    # steady-state incremental apply: a 2% delta tail (disjoint seq range,
+    # same lake) — exercises base-partition rebase, the real CDC regime
+    delta_wal, n_delta = ensure_wal(sf, seed=43, frac=0.02, tag="delta")
+    t0 = time.monotonic()
+    rep_inc = run_job(delta_wal, lake, partitions=max(32, num_cpus * 2),
+                      merge_concurrency=num_cpus)
+    incremental = time.monotonic() - t0
+    assert rep_inc["events_replayed"] == n_delta, (rep_inc["events_replayed"], n_delta)
+
     # representative secondary pipelines on the sf tables
     from raydatax import pipelines as pl
 
-    queries = {"cdc_replay": round(headline, 3)}
+    queries = {"cdc_replay": round(headline, 3),
+               "cdc_incremental_2pct": round(incremental, 3)}
     secondary = [
         "q1_pricing_summary",
         "cdc_lww_upsert",
