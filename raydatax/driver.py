@@ -75,156 +75,162 @@ def run_job(
     byte-identical partition files (FIXTURES.md F5)."""
     t0 = time.monotonic()
     os.makedirs(lake_dir, exist_ok=True)
-    if pre_handler is not None:  # DataX preHandle (JobContainer.java:312-345)
-        pre_handler(dict(wal_dir=wal_dir, lake_dir=lake_dir))
+    _lock = mf.acquire_job_lock(lake_dir)  # one ingest job per lake at a time
+    try:
+        if pre_handler is not None:  # DataX preHandle (JobContainer.java:312-345)
+            pre_handler(dict(wal_dir=wal_dir, lake_dir=lake_dir))
 
-    manifests = mf.load_manifests(lake_dir)
-    hws = {pid: m["hw_seq"] for pid, m in manifests.items()}
-    base_files = {pid: m["file"] for pid, m in manifests.items()}
-    min_hw = load_job_watermark(lake_dir)
+        manifests = mf.load_manifests(lake_dir)
+        hws = {pid: m["hw_seq"] for pid, m in manifests.items()}
+        base_files = {pid: m["file"] for pid, m in manifests.items()}
+        min_hw = load_job_watermark(lake_dir)
 
-    plan = plan_read(wal_dir, min_hw)
-    plan_info = {
-        "segments_read": len(plan.segments),
-        "segments_pruned": plan.skipped_segments,
-    }
-    if not plan.segments:
-        report = build_report(0, [], time.monotonic() - t0, plan_info, 0)
-        report["action"] = "noop"
+        plan = plan_read(wal_dir, min_hw)
+        plan_info = {
+            "segments_read": len(plan.segments),
+            "segments_pruned": plan.skipped_segments,
+        }
+        if not plan.segments:
+            report = build_report(0, [], time.monotonic() - t0, plan_info, 0)
+            report["action"] = "noop"
+            from .util import invoke_hooks
+
+            invoke_hooks(post_hooks, report)
+            return report
+
+        # --- epoch resolution: continue an interrupted epoch for the same WAL
+        # frontier (same epoch => same deterministic file names => byte-identical
+        # resume), else open a new one.
+        seg_names = [os.path.basename(p) for p in plan.segments]
+        prior = mf.find_resumable_plan(lake_dir, seg_names, plan.max_seq)
+        cfg = mf.load_lake_config(lake_dir)
+        if prior is not None and cfg is not None:
+            epoch = prior["epoch"]
+        else:
+            epoch = mf.next_epoch(lake_dir)
+            if cfg is None:
+                hot = detect_hot_keys(plan.segments, partitions, hot_threshold)
+                cfg = mf.init_lake(lake_dir, partitions, salt, hot, sparse_updates)
+            mf.write_plan(
+                lake_dir,
+                {"epoch": epoch, "max_seq": plan.max_seq, "segments": seg_names},
+            )
+        P, S, hot_keys = cfg["partitions"], cfg["salt"], cfg["hot_keys"]
+        # update semantics are lake-level state: fixed at creation, like P/S
+        sparse = bool(cfg.get("sparse_updates", False))
+
+        lake_schema = lake_schema_for(plan.event_schema)
+        deadletter_dir = os.path.join(lake_dir, "_deadletter", f"epoch-{epoch:06d}")
+
+        n_parts_total = mf.total_partitions(cfg)
+        if merge_concurrency is None:
+            # leave at least half the CPUs to the read/normalize stages — an
+            # actor pool that reserves every CPU serializes the pipeline
+            import ray as _ray
+
+            cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+            merge_concurrency = max(1, min(16, n_parts_total, cpus // 2))
+
+        if engine == "exchange":
+            # fast path: map-side hash exchange + merge actor pool (exchange.py —
+            # avoids Ray Data's sort-based groupby shuffle, which needs no sort)
+            from .exchange import run_exchange
+
+            lineage = run_exchange(
+                plan.segments, min_hw, plan.event_schema, P, S, hot_keys,
+                n_parts_total, deadletter_dir, lake_dir, epoch, lake_schema,
+                base_files, hws, merge_concurrency, sparse=sparse,
+            )
+        else:
+            # Dataset path: identical semantics via groupby().map_groups — kept
+            # as the pure-Ray-Data expression of the same plan (and as fallback)
+            read_filter = pc.field("seq").is_null() | (pc.field("seq") > min_hw)
+            ds = ray.data.read_parquet(
+                plan.segments,
+                filter=read_filter,
+                schema=plan.event_schema,
+                file_extensions=["parquet"],
+            )
+            ds = ds.map_batches(
+                make_normalizer(plan.event_schema, deadletter_dir, sparse), batch_format="pyarrow"
+            )
+            ds = ds.map_batches(
+                lambda b: assign_partitions(b, P, S, hot_keys), batch_format="pyarrow"
+            )
+            lineage_ds = ds.groupby("__part").map_groups(
+                MergeWorker,
+                fn_constructor_kwargs=dict(
+                    lake_dir=lake_dir,
+                    epoch=epoch,
+                    lake_schema=lake_schema,
+                    base_files=base_files,
+                    high_watermarks=hws,
+                    sparse=sparse,
+                ),
+                batch_format="pyarrow",
+                concurrency=merge_concurrency,
+            )
+            lineage = lineage_ds.take_all()  # O(P) rows — the only driver materialization
+
+        # --- dirty-record threshold (ErrorRecordChecker parity) BEFORE commit
+        dirty_rows = 0
+        for p in glob.glob(os.path.join(deadletter_dir, "dirty-*.parquet")):
+            dirty_rows += pq.read_metadata(p).num_rows
+        if error_limit_records is not None and dirty_rows > error_limit_records:
+            raise RuntimeError(
+                f"dirty-record limit exceeded: {dirty_rows} > {error_limit_records}; "
+                f"job aborted before commit (dead letters under {deadletter_dir})"
+            )
+
+        # --- phase 2: per-partition atomic commit (writer post before job post)
+        committed = 0
+        for row in lineage:
+            if row["action"] != "write":
+                continue
+            if _crash_after_committing is not None and committed >= _crash_after_committing:
+                # test hook (FIXTURES.md F5): simulate a kill mid-commit — some
+                # partitions committed, staging left behind, no job watermark
+                raise KeyboardInterrupt("simulated crash mid-commit")
+            committed += 1
+            counts = {
+                "replayed": row["replayed"],
+                "ins": row["ins"],
+                "upd": row["upd"],
+                "del": row["del_"],
+                "lww_dropped": row["lww_dropped"],
+                "deleted_keys": row["deleted_keys"],
+            }
+            from .util import retry
+
+            retry(
+                lambda r=row: mf.commit_partition(
+                    lake_dir, r["partition"], epoch, r["file"], r["hw_seq"],
+                    r["rows_out"], counts,
+                ),
+                times=3,
+            )
+        # job-level watermark: ALL events <= plan.max_seq are now applied+committed
+        mf._atomic_write_json(
+            job_state_path(lake_dir), {"epoch": epoch, "wal_hw": plan.max_seq}
+        )
+        mf.gc_staging(lake_dir, epoch)
+        vacuumed = mf.vacuum(lake_dir)  # drop superseded epoch snapshots
+
+        report = build_report(epoch, lineage, time.monotonic() - t0, plan_info, dirty_rows)
+        report["action"] = "applied"
+        mf._atomic_write_json(
+            os.path.join(lake_dir, "_metrics", f"epoch-{epoch:06d}.json"), report
+        )
+        if not quiet:
+            print(format_summary(report))
         from .util import invoke_hooks
 
-        invoke_hooks(post_hooks, report)
+        invoke_hooks(post_hooks, report)  # DataX invokeHooks (JobContainer.java:971-975)
         return report
 
-    # --- epoch resolution: continue an interrupted epoch for the same WAL
-    # frontier (same epoch => same deterministic file names => byte-identical
-    # resume), else open a new one.
-    seg_names = [os.path.basename(p) for p in plan.segments]
-    prior = mf.find_resumable_plan(lake_dir, seg_names, plan.max_seq)
-    cfg = mf.load_lake_config(lake_dir)
-    if prior is not None and cfg is not None:
-        epoch = prior["epoch"]
-    else:
-        epoch = mf.next_epoch(lake_dir)
-        if cfg is None:
-            hot = detect_hot_keys(plan.segments, partitions, hot_threshold)
-            cfg = mf.init_lake(lake_dir, partitions, salt, hot, sparse_updates)
-        mf.write_plan(
-            lake_dir,
-            {"epoch": epoch, "max_seq": plan.max_seq, "segments": seg_names},
-        )
-    P, S, hot_keys = cfg["partitions"], cfg["salt"], cfg["hot_keys"]
-    # update semantics are lake-level state: fixed at creation, like P/S
-    sparse = bool(cfg.get("sparse_updates", False))
 
-    lake_schema = lake_schema_for(plan.event_schema)
-    deadletter_dir = os.path.join(lake_dir, "_deadletter", f"epoch-{epoch:06d}")
-
-    n_parts_total = mf.total_partitions(cfg)
-    if merge_concurrency is None:
-        # leave at least half the CPUs to the read/normalize stages — an
-        # actor pool that reserves every CPU serializes the pipeline
-        import ray as _ray
-
-        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        merge_concurrency = max(1, min(16, n_parts_total, cpus // 2))
-
-    if engine == "exchange":
-        # fast path: map-side hash exchange + merge actor pool (exchange.py —
-        # avoids Ray Data's sort-based groupby shuffle, which needs no sort)
-        from .exchange import run_exchange
-
-        lineage = run_exchange(
-            plan.segments, min_hw, plan.event_schema, P, S, hot_keys,
-            n_parts_total, deadletter_dir, lake_dir, epoch, lake_schema,
-            base_files, hws, merge_concurrency, sparse=sparse,
-        )
-    else:
-        # Dataset path: identical semantics via groupby().map_groups — kept
-        # as the pure-Ray-Data expression of the same plan (and as fallback)
-        read_filter = pc.field("seq").is_null() | (pc.field("seq") > min_hw)
-        ds = ray.data.read_parquet(
-            plan.segments,
-            filter=read_filter,
-            schema=plan.event_schema,
-            file_extensions=["parquet"],
-        )
-        ds = ds.map_batches(
-            make_normalizer(plan.event_schema, deadletter_dir, sparse), batch_format="pyarrow"
-        )
-        ds = ds.map_batches(
-            lambda b: assign_partitions(b, P, S, hot_keys), batch_format="pyarrow"
-        )
-        lineage_ds = ds.groupby("__part").map_groups(
-            MergeWorker,
-            fn_constructor_kwargs=dict(
-                lake_dir=lake_dir,
-                epoch=epoch,
-                lake_schema=lake_schema,
-                base_files=base_files,
-                high_watermarks=hws,
-                sparse=sparse,
-            ),
-            batch_format="pyarrow",
-            concurrency=merge_concurrency,
-        )
-        lineage = lineage_ds.take_all()  # O(P) rows — the only driver materialization
-
-    # --- dirty-record threshold (ErrorRecordChecker parity) BEFORE commit
-    dirty_rows = 0
-    for p in glob.glob(os.path.join(deadletter_dir, "dirty-*.parquet")):
-        dirty_rows += pq.read_metadata(p).num_rows
-    if error_limit_records is not None and dirty_rows > error_limit_records:
-        raise RuntimeError(
-            f"dirty-record limit exceeded: {dirty_rows} > {error_limit_records}; "
-            f"job aborted before commit (dead letters under {deadletter_dir})"
-        )
-
-    # --- phase 2: per-partition atomic commit (writer post before job post)
-    committed = 0
-    for row in lineage:
-        if row["action"] != "write":
-            continue
-        if _crash_after_committing is not None and committed >= _crash_after_committing:
-            # test hook (FIXTURES.md F5): simulate a kill mid-commit — some
-            # partitions committed, staging left behind, no job watermark
-            raise KeyboardInterrupt("simulated crash mid-commit")
-        committed += 1
-        counts = {
-            "replayed": row["replayed"],
-            "ins": row["ins"],
-            "upd": row["upd"],
-            "del": row["del_"],
-            "lww_dropped": row["lww_dropped"],
-            "deleted_keys": row["deleted_keys"],
-        }
-        from .util import retry
-
-        retry(
-            lambda r=row: mf.commit_partition(
-                lake_dir, r["partition"], epoch, r["file"], r["hw_seq"],
-                r["rows_out"], counts,
-            ),
-            times=3,
-        )
-    # job-level watermark: ALL events <= plan.max_seq are now applied+committed
-    mf._atomic_write_json(
-        job_state_path(lake_dir), {"epoch": epoch, "wal_hw": plan.max_seq}
-    )
-    mf.gc_staging(lake_dir, epoch)
-
-    report = build_report(epoch, lineage, time.monotonic() - t0, plan_info, dirty_rows)
-    report["action"] = "applied"
-    mf._atomic_write_json(
-        os.path.join(lake_dir, "_metrics", f"epoch-{epoch:06d}.json"), report
-    )
-    if not quiet:
-        print(format_summary(report))
-    from .util import invoke_hooks
-
-    invoke_hooks(post_hooks, report)  # DataX invokeHooks (JobContainer.java:971-975)
-    return report
-
+    finally:
+        _lock.close()  # flock released on close
 
 # ------------------------------------------------------------- lake readers
 

@@ -183,6 +183,41 @@ def write_plan(lake_dir: str, plan: dict) -> None:
     _atomic_write_json(plan_path(lake_dir, plan["epoch"]), plan)
 
 
+def vacuum(lake_dir: str, keep_unreferenced: int = 0) -> list[str]:
+    """Delete partition data files no longer referenced by any manifest
+    (each rebase epoch writes a fresh snapshot file; without vacuum old
+    epochs accumulate forever — a real leak at scale).  Safe after commit:
+    manifests already point at the new files.  ``keep_unreferenced`` retains
+    the N newest unreferenced epochs per partition (time-travel window)."""
+    referenced = {os.path.join(lake_dir, m["file"]) for m in load_manifests(lake_dir).values()}
+    removed = []
+    for pdir in sorted(glob.glob(os.path.join(lake_dir, "data", "part-*"))):
+        files = sorted(glob.glob(os.path.join(pdir, "epoch-*.parquet")))
+        unref = [f for f in files if f not in referenced]
+        for f in unref[: len(unref) - keep_unreferenced if keep_unreferenced else None]:
+            os.remove(f)
+            removed.append(f)
+    return removed
+
+
+def acquire_job_lock(lake_dir: str):
+    """Advisory exclusive lock: two concurrent ingest jobs on one lake would
+    race on staging files and epoch numbering.  Returns the held lock file
+    object (keep it alive for the job's duration) or raises RuntimeError."""
+    import fcntl
+
+    os.makedirs(lake_dir, exist_ok=True)
+    f = open(os.path.join(lake_dir, "_lock"), "w")
+    try:
+        fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        f.close()
+        raise RuntimeError(
+            f"another ingest job holds the lock on {lake_dir}"
+        ) from None
+    return f
+
+
 def gc_staging(lake_dir: str, committed_epoch: int) -> list[str]:
     """Orphan-staging GC (hdfswriter deletes its tmp dir on post): remove
     staging dirs for epochs <= the fully committed one."""

@@ -72,3 +72,41 @@ def test_wal_sink_roundtrip(tmp_path):
     full = pa.concat_tables([ev, gen_events(1000, seed=53, start_seq=10_000_000)])
     want = replay_to_table(full)
     assert got.num_rows == want.num_rows
+
+
+def test_vacuum_removes_superseded_epochs(tmp_wal, tmp_lake):
+    """Each incremental epoch rewrites partition snapshots; superseded epoch
+    files must be vacuumed automatically."""
+    ev = gen_events(8000, seed=54)
+    half = ev.num_rows // 2
+    write_wal(ev.slice(0, half), tmp_wal, seg_rows=2000)
+    run_job(tmp_wal, tmp_lake, partitions=4)
+    import glob as g
+    existing = len(g.glob(os.path.join(tmp_wal, "seg-*.parquet")))
+    tmp2 = tmp_wal + "_x"
+    write_wal(ev.slice(half), tmp2, seg_rows=2000)
+    for i, p in enumerate(sorted(g.glob(os.path.join(tmp2, "seg-*.parquet")))):
+        os.rename(p, os.path.join(tmp_wal, f"seg-{existing + i:05d}.parquet"))
+    run_job(tmp_wal, tmp_lake, partitions=4)
+
+    files = g.glob(os.path.join(tmp_lake, "data", "part-*", "epoch-*.parquet"))
+    # only epoch-2 snapshots remain (epoch-1 vacuumed)
+    assert files and all("epoch-000002" in f for f in files)
+    want = replay_to_table(ev)
+    got = lake_table(tmp_lake)
+    assert got.num_rows == want.num_rows
+
+
+def test_job_lock_blocks_concurrent_ingest(tmp_wal, tmp_lake):
+    from raydatax.manifest import acquire_job_lock
+
+    write_wal(gen_events(2000, seed=55), tmp_wal, seg_rows=1000)
+    lock = acquire_job_lock(tmp_lake)
+    try:
+        with pytest.raises(RuntimeError, match="lock"):
+            run_job(tmp_wal, tmp_lake, partitions=4)
+    finally:
+        lock.close()
+    # after release, the job proceeds
+    rep = run_job(tmp_wal, tmp_lake, partitions=4)
+    assert rep["action"] == "applied"
