@@ -379,6 +379,40 @@ def multimodal_features(sf_dir: str):
     return out.select_columns(["media_id", "dec_kind", "decoded_ok", "dec_width", "dec_height"])
 
 
+def revenue_by_segment(sf_dir: str):
+    """Both-sides-large distributed hash join chain (lineitem ⋈ orders ⋈
+    customer — the join the reference cannot express at all), then a
+    pre-aggregated rollup by market segment."""
+    from .relational import hash_join
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    ords = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+
+    ords = ords.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
+    )
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]), batch_format="pyarrow"
+    )
+    j1 = hash_join(li, ords, on="l_orderkey", num_partitions=16)
+    j2 = hash_join(j1, cust, on="o_custkey", num_partitions=16)
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("rev", rev)
+
+    out = preagg_groupby(
+        j2.map_batches(add_rev, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        [("rev", "count", "n_items"), ("rev", "sum", "revenue")],
+    )
+    return out.map_batches(lambda t: _round(t, {"revenue": 2}), batch_format="pyarrow")
+
+
 def orders_by_status(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderstatus", "o_totalprice"])
     out = preagg_groupby(
@@ -451,6 +485,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf": ann_ivf,
     "multimodal_features": multimodal_features,
+    "revenue_by_segment": revenue_by_segment,
     "orders_by_status": orders_by_status,
     "part_type_stats": part_type_stats,
     "events_daily_users": events_daily_users,
@@ -580,6 +615,15 @@ ORACLE_SQL = {
                                            ORDER BY sim DESC, neighbor_id) AS rank
               FROM s)
         SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 10
+    """,
+    "revenue_by_segment": """
+        SELECT c.c_mktsegment,
+               count(l.l_extendedprice) AS n_items,
+               floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
     """,
     "orders_by_status": """
         SELECT o_orderstatus, count(o_totalprice) AS n_orders,

@@ -99,6 +99,57 @@ def broadcast_join(
     return ds.map_batches(JoinBatch, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str | list[str],
+    join_type: str = "inner",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Both-sides-large join: hash-partitioned on the key.
+
+    Uses the native ``Dataset.join`` (hash-partitioned aggregator actors)
+    when this Ray version provides it; otherwise falls back to the portable
+    bucket pattern — add ``__b = hash(key) % B`` to both sides, tag, union,
+    ``groupby(__b)`` and Arrow-join matching buckets pairwise inside
+    ``map_groups``.  Skewed keys: pre-salt hot keys before calling (same
+    discipline as the CDC partitioner)."""
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    if hasattr(left, "join"):
+        return left.join(
+            right, join_type=join_type, num_partitions=num_partitions, on=on_t
+        )
+
+    # portable fallback (kept for older Ray): bucket + per-bucket Arrow join
+    import numpy as np
+    from pandas.util import hash_array
+
+    l_cols = left.schema().names
+    r_cols = [c for c in right.schema().names if c not in on_t]
+
+    def bucketed(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            h = np.zeros(batch.num_rows, dtype=np.uint64)
+            for k in on_t:
+                h ^= hash_array(
+                    batch[k].to_numpy(zero_copy_only=False).astype(object), categorize=False
+                )
+            batch = batch.append_column("__b", pa.array((h % num_partitions).astype(np.int32)))
+            return batch.append_column("__side", pa.array([side] * batch.num_rows))
+
+        return f
+
+    lb = left.map_batches(bucketed("l"), batch_format="pyarrow")
+    rb = right.map_batches(bucketed("r"), batch_format="pyarrow")
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        lt = group.filter(pc.equal(group["__side"], "l")).select(list(on_t) + [c for c in l_cols if c not in on_t])
+        rt = group.filter(pc.equal(group["__side"], "r")).select(list(on_t) + r_cols)
+        return lt.join(rt, keys=list(on_t), join_type=join_type)
+
+    return lb.union(rb).groupby("__b").map_groups(join_bucket, batch_format="pyarrow")
+
+
 def semi_join_filter(ds, key_values: set, column: str, anti: bool = False):
     """Semi/anti join by broadcasting the key set and masking per batch."""
     ref = ray.put(pa.array(sorted(key_values)))
