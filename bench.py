@@ -121,6 +121,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                "cdc_incremental_2pct": round(incremental, 3)}
     secondary = [
         "q1_pricing_summary",
+        "revenue_by_segment",
         "cdc_lww_upsert",
         "token_stats",
         "dedup_minhash",

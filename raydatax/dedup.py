@@ -293,11 +293,7 @@ def simhash64(col: pa.Array, k_token: int = 1, seed: int = 11) -> np.ndarray:
     off = np.zeros(len(col) + 1, dtype=np.int64)
     np.cumsum(lens, out=off[1:])
 
-    from .dedup import shingle_hashes as _sh  # self-import safe
-
-    # hash each token string fully (k = token length): reuse rolling machinery
-    # by hashing each token as one "shingle" of its own length → use the
-    # fingerprint path instead: polynomial full-string hash per token
+    # polynomial full-string hash per token (the fingerprint kernel)
     from .text import fingerprint_rolling
 
     tok_tab = pa.table({"t": flat})

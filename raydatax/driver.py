@@ -33,7 +33,6 @@ import os
 import time
 
 import pyarrow.compute as pc
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 import ray.data
@@ -260,6 +259,28 @@ def lake_table(lake_dir: str):
     )
 
 
+def lake_info(lake_dir: str) -> dict:
+    """Lake inspection: config, per-partition rows/bytes/watermarks, totals
+    — the operational 'describe table' surface."""
+    cfg = mf.load_lake_config(lake_dir)
+    if cfg is None:
+        raise FileNotFoundError(f"no lake at {lake_dir}")
+    manifests = mf.load_manifests(lake_dir)
+    parts = [
+        {"partition": pid, "epoch": m["epoch"], "rows": m["rows"],
+         "bytes": m["bytes"], "hw_seq": m["hw_seq"]}
+        for pid, m in sorted(manifests.items())
+    ]
+    return {
+        "config": cfg,
+        "partitions_committed": len(parts),
+        "rows_total": sum(p["rows"] for p in parts),
+        "bytes_total": sum(p["bytes"] for p in parts),
+        "job_watermark": load_job_watermark(lake_dir),
+        "partitions": parts,
+    }
+
+
 def lookup_conversation(lake_dir: str, conv_id: str):
     """Point lookup with partition pruning: hash the key to its partition
     (same salted mapping as ingest), read ONE partition file with a parquet
@@ -268,7 +289,7 @@ def lookup_conversation(lake_dir: str, conv_id: str):
     import numpy as np
     import pyarrow.compute as pc
 
-    from .partition import hash_ints, hash_strings
+    from .partition import hash_strings
 
     cfg = mf.load_lake_config(lake_dir)
     if cfg is None:

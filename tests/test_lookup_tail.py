@@ -47,3 +47,16 @@ def test_tail_wal_applies_appended_segments(tmp_wal, tmp_lake):
     want = replay_to_table(ev).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     got = lake_table(tmp_lake).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     assert got.cast(want.schema).equals(want)
+
+
+def test_lake_info(tmp_wal, tmp_lake):
+    from raydatax.driver import lake_info
+
+    ev = gen_events(5000, seed=44)
+    write_wal(ev, tmp_wal, seg_rows=1000)
+    rep = run_job(tmp_wal, tmp_lake, partitions=4)
+    info = lake_info(tmp_lake)
+    assert info["rows_total"] == rep["rows_total"]
+    assert info["partitions_committed"] == rep["partitions_written"]
+    assert info["job_watermark"] == max(p["hw_seq"] for p in info["partitions"])
+    assert info["config"]["partitions"] == 4

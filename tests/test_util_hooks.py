@@ -110,3 +110,61 @@ def test_job_lock_blocks_concurrent_ingest(tmp_wal, tmp_lake):
     # after release, the job proceeds
     rep = run_job(tmp_wal, tmp_lake, partitions=4)
     assert rep["action"] == "applied"
+
+
+def test_lake_config_wins_over_cli_args(tmp_wal, tmp_lake):
+    """Partition mapping is lake-level state: a later run passing different
+    P/salt must use the stored config (stable mapping under rebase)."""
+    import json
+
+    ev = gen_events(6000, seed=56)
+    half = ev.num_rows // 2
+    write_wal(ev.slice(0, half), tmp_wal, seg_rows=1500)
+    run_job(tmp_wal, tmp_lake, partitions=4, salt=2)
+    import glob as g
+    existing = len(g.glob(os.path.join(tmp_wal, "seg-*.parquet")))
+    tmp2 = tmp_wal + "_x"
+    write_wal(ev.slice(half), tmp2, seg_rows=1500)
+    for i, p in enumerate(sorted(g.glob(os.path.join(tmp2, "seg-*.parquet")))):
+        os.rename(p, os.path.join(tmp_wal, f"seg-{existing + i:05d}.parquet"))
+    run_job(tmp_wal, tmp_lake, partitions=64, salt=8)  # args must be ignored
+    cfg = json.load(open(os.path.join(tmp_lake, "_lake.json")))
+    assert cfg["partitions"] == 4 and cfg["salt"] == 2
+    want = replay_to_table(ev)
+    assert lake_table(tmp_lake).num_rows == want.num_rows
+
+
+def test_commit_partition_idempotent_after_crash_between_rename_and_manifest(tmp_path):
+    """Crash window: file renamed into data/ but manifest not yet written —
+    a re-commit must succeed using the already-final file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydatax.manifest import commit_partition, load_manifests
+
+    lake = str(tmp_path / "lake")
+    staged = os.path.join(lake, "_staging", "epoch-000001", "part-00000.parquet")
+    os.makedirs(os.path.dirname(staged))
+    pq.write_table(pa.table({"a": [1, 2]}), staged)
+    commit_partition(lake, 0, 1, staged, hw_seq=10, rows=2, counts={})
+    # staged file is gone now (renamed); committing again simulates the
+    # resume path after a crash in the window
+    commit_partition(lake, 0, 1, staged, hw_seq=10, rows=2, counts={})
+    m = load_manifests(lake)[0]
+    assert m["hw_seq"] == 10 and m["rows"] == 2
+    with pytest.raises(FileNotFoundError):
+        commit_partition(lake, 1, 1, "/nope/part-00001.parquet", 1, 1, {})
+
+
+def test_corrupted_segment_fails_cleanly(tmp_wal, tmp_lake):
+    """A truncated/corrupt WAL segment must raise a clear error, not hang or
+    commit partial state."""
+    write_wal(gen_events(3000, seed=57), tmp_wal, seg_rows=1000)
+    seg = sorted(__import__("glob").glob(os.path.join(tmp_wal, "seg-*.parquet")))[1]
+    data = open(seg, "rb").read()
+    open(seg, "wb").write(data[: len(data) // 2])  # truncate mid-file
+    with pytest.raises(Exception):
+        run_job(tmp_wal, tmp_lake, partitions=4)
+    assert not os.path.exists(os.path.join(tmp_lake, "_manifests", "_job.json")), (
+        "job watermark must not advance on failure"
+    )
