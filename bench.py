@@ -114,12 +114,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     incremental = time.monotonic() - t0
     assert rep_inc["events_replayed"] == n_delta, (rep_inc["events_replayed"], n_delta)
 
-    # representative secondary pipelines on the sf tables
+    # representative secondary pipelines on the sf tables (skipped in
+    # --scaling subprocesses: only the headline matters there)
     from raydatax import pipelines as pl
 
     queries = {"cdc_replay": round(headline, 3),
                "cdc_incremental_2pct": round(incremental, 3)}
-    secondary = [
+    secondary = [] if os.environ.get("BENCH_HEADLINE_ONLY") else [
         "q1_pricing_summary",
         "revenue_by_segment",
         "cdc_lww_upsert",
@@ -159,7 +160,7 @@ def run_subprocess(ncpu: int) -> dict:
     two-cluster-size evidence pins the process tree to `ncpu` physical cores
     with taskset (a real N-core "cluster"), falling back to the token-only
     limit where taskset is unavailable."""
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
     cmd = [sys.executable, os.path.abspath(__file__)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
