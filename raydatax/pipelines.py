@@ -448,6 +448,26 @@ def events_daily_users(sf_dir: str):
     return preagg_groupby(pairs, ["day"], [("user_id", "count", "n_users")])
 
 
+def value_percentiles(sf_dir: str):
+    """Exact per-group percentiles via sorted map_groups (numpy linear
+    interpolation == SQL quantile_cont)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        v = np.sort(g["value"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "event_type": [g["event_type"][0].as_py()],
+                "p50": pa.array([float(np.percentile(v, 50))]),
+                "p95": pa.array([float(np.percentile(v, 95))]),
+                "n": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    out = ds.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
+    return out.map_batches(lambda t: _round(t, {"p50": 6, "p95": 6}), batch_format="pyarrow")
+
+
 def dedup_embedding(sf_dir: str):
     from .dedup import embedding_neardup_pairs
 
@@ -489,6 +509,7 @@ QUERIES = {
     "orders_by_status": orders_by_status,
     "part_type_stats": part_type_stats,
     "events_daily_users": events_daily_users,
+    "value_percentiles": value_percentiles,
     "dedup_embedding": dedup_embedding,
 }
 
@@ -639,6 +660,13 @@ ORACLE_SQL = {
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
+               floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95,
+               count(value) AS n
+        FROM events GROUP BY event_type
     """,
     # rows-only (non-SQL-expressible) entries intentionally omitted:
     # transcript_cdc_replay, lang_id, dedup_minhash, dedup_simhash, ann_ivf,

@@ -105,3 +105,25 @@ def test_bad_config():
         run_job_config({"job": {"content": [{"reader": {"name": "nope"},
                                              "writer": {"name": "parquetwriter",
                                                         "parameter": {"path": "/tmp/x"}}}]}})
+
+
+def test_multi_step_job_chains_wal_to_lake(tmp_path):
+    """One config, two contents: produce a WAL, then ingest it — the
+    pipeline-chaining story through the declarative surface."""
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    cfg = {
+        "job": {
+            "content": [
+                {"reader": {"name": "streamreader",
+                            "parameter": {"sliceRecordCount": 1000, "channel": 2, "seed": 3}},
+                 "writer": {"name": "walwriter", "parameter": {"path": wal, "segRows": 500}}},
+                {"reader": {"name": "walreader", "parameter": {"path": wal}},
+                 "writer": {"name": "lakewriter", "parameter": {"path": lake, "partitions": 4}}},
+            ]
+        }
+    }
+    rep = run_job_config(cfg)
+    assert rep["contents"][0]["writer"] == "walwriter"
+    assert rep["contents"][1]["action"] == "applied"
+    assert rep["contents"][1]["rows_total"] > 0
