@@ -62,6 +62,7 @@ def run_job(
     hot_threshold: float = 0.05,
     merge_concurrency: int | None = None,
     error_limit_records: int | None = None,
+    error_limit_percentage: float | None = None,
     quiet: bool = True,
     engine: str = "exchange",
     sparse_updates: bool = False,
@@ -180,6 +181,15 @@ def run_job(
                 f"dirty-record limit exceeded: {dirty_rows} > {error_limit_records}; "
                 f"job aborted before commit (dead letters under {deadletter_dir})"
             )
+        if error_limit_percentage is not None:
+            routed = sum(r["events_in"] for r in lineage)
+            total = dirty_rows + routed
+            pct = dirty_rows / total if total else 0.0
+            if pct > error_limit_percentage:
+                raise RuntimeError(
+                    f"dirty-record percentage exceeded: {pct:.4f} > "
+                    f"{error_limit_percentage} ({dirty_rows}/{total}); job aborted"
+                )
 
         # --- phase 2: per-partition atomic commit (writer post before job post)
         committed = 0

@@ -120,6 +120,7 @@ def run_job_config(config: dict, quiet: bool = True) -> dict:
                 salt=int(wp.get("salt", 4)),
                 sparse_updates=bool(wp.get("sparseUpdates", False)),
                 error_limit_records=setting.get("errorLimit", {}).get("record"),
+                error_limit_percentage=setting.get("errorLimit", {}).get("percentage"),
                 quiet=quiet,
             )
             reports.append({"writer": "lakewriter", **{k: rep[k] for k in

@@ -139,3 +139,33 @@ def test_engine_paths_equivalent(tmp_path):
     assert [os.path.relpath(p, lake_a) for p in fa] == [os.path.relpath(p, lake_b) for p in fb]
     for a, b in zip(fa, fb):
         assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_dirty_percentage_limit(tmp_wal, tmp_lake):
+    """ErrorRecordChecker percentage mode (reference checks record count OR
+    fraction, ErrorRecordChecker.java:48-81)."""
+    ev = gen_events(1000, seed=14)
+    bad = pa.Table.from_pylist(
+        [{"seq": 10_000_000 + i, "op": "Z", "conv_id": "c", "turn_idx": i,
+          "role": "u", "text": "t", "tool": None, "ts": None} for i in range(200)],
+        schema=EVENT_SCHEMA,
+    )
+    write_wal(pa.concat_tables([ev, bad]), tmp_wal, seg_rows=500)
+    with pytest.raises(RuntimeError, match="percentage"):
+        run_job(tmp_wal, tmp_lake, partitions=4, error_limit_percentage=0.05)
+    # generous limit passes
+    lake2 = tmp_lake + "_ok"
+    rep = run_job(tmp_wal, lake2, partitions=4, error_limit_percentage=0.5)
+    assert rep["dirty_records"] == 200
+
+
+def test_engine_paths_equivalent_sparse(tmp_path):
+    wal = str(tmp_path / "wal")
+    write_wal(gen_events(6000, seed=78, sparse_updates=True), wal, seg_rows=1500)
+    lake_a, lake_b = str(tmp_path / "a"), str(tmp_path / "b")
+    run_job(wal, lake_a, partitions=4, engine="exchange", sparse_updates=True)
+    run_job(wal, lake_b, partitions=4, engine="dataset", sparse_updates=True)
+    fa = sorted(glob.glob(os.path.join(lake_a, "data", "part-*", "*.parquet")))
+    fb = sorted(glob.glob(os.path.join(lake_b, "data", "part-*", "*.parquet")))
+    for a, b in zip(fa, fb):
+        assert open(a, "rb").read() == open(b, "rb").read()

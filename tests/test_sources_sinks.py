@@ -100,3 +100,18 @@ def test_split_by_partition_covers_all_rows():
     for pid, p in enumerate(parts):
         assert p.num_rows == len([i for i in range(100) if i % 7 == pid])
         assert "__part" not in p.column_names
+
+
+def test_csv_gzip_compression(tmp_path):
+    """Compressed CSV inputs (the unstructured-storage codec surface) are
+    handled transparently by the Arrow filesystem layer."""
+    import gzip
+
+    p = str(tmp_path / "a.csv.gz")
+    with gzip.open(p, "wt") as f:
+        f.write("5,five\n6,six\n")
+    spec = [ColumnEntry(index=0, type="long", name="id"),
+            ColumnEntry(index=1, type="string", name="w")]
+    rows = sorted(read_csv_datax(p, spec).take_all(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == [5, 6]
+    assert rows[1]["w"] == "six"
