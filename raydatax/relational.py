@@ -57,11 +57,37 @@ def preagg_groupby(
         return batch.group_by(keys).aggregate(partial_specs)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    merge_aggs = [
-        _MERGE_AGG[fn](partial_name, alias_name=out)
-        for partial_name, fn, out in out_names
-    ]
-    out = partials.groupby(keys).aggregate(*merge_aggs)
+    # adaptive final merge (decided AFTER the partials materialize, like
+    # adaptive query execution): small partial sets are combined on the
+    # driver with one Arrow hash aggregation — skipping a whole Ray shuffle
+    # round; large ones go through the distributed groupby.
+    refs = partials.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    total_partial_rows = sum(t.num_rows for t in tables)
+    if total_partial_rows <= 200_000:
+        if not tables:
+            out = partials  # empty input: keep the (empty) dataset shape
+        else:
+            merged = pa.concat_tables(tables, promote_options="permissive")
+            agg_specs = []
+            renames = {}
+            for partial_name, fn, out_name in out_names:
+                arrow_fn = "sum" if fn in ("sum", "count") else fn
+                agg_specs.append((partial_name, arrow_fn))
+                renames[f"{partial_name}_{arrow_fn}"] = out_name
+            final = merged.group_by(keys).aggregate(agg_specs)
+            final = final.rename_columns(
+                [renames.get(c, c) for c in final.column_names]
+            )
+            # column order parity with the distributed path: keys first
+            final = final.select(keys + [o for _, _, o in out_names])
+            out = ray.data.from_arrow(final)
+    else:
+        merge_aggs = [
+            _MERGE_AGG[fn](partial_name, alias_name=out)
+            for partial_name, fn, out in out_names
+        ]
+        out = ray.data.from_arrow_refs(refs).groupby(keys).aggregate(*merge_aggs)
     if mean_of:
         def add_means(batch: pa.Table) -> pa.Table:
             for s, c, name in mean_of:
