@@ -36,7 +36,7 @@ def ensure_wal(sf: float, seed: int = 42, frac: float = 1.0, tag: str = "") -> t
     a SEPARATE process with its own Ray session: generating inside the
     session that is about to be timed pollutes its object store and was
     measured slowing the subsequent run ~2.5x."""
-    n_events = max(20_000, int(400_000_000 * sf * frac))
+    n_events = max(20_000, int(200_000_000 * sf * frac))
     wal = f"/tmp/raydatax_bench/wal{tag}_n{n_events}_s{seed}"
     marker = os.path.join(wal, "_complete")
     if not os.path.exists(marker):
