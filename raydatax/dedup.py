@@ -38,9 +38,18 @@ _MASK = (1 << 64) - 1
 
 
 def _buffers(col: pa.Array):
-    """(byte buffer, per-value offsets int64) of a string array."""
+    """(byte buffer, per-value offsets int64) of a string array.  Handles
+    both string (int32 offsets) and large_string (int64 offsets) — Arrow
+    casts/concat on big text blocks can silently produce large_string, and
+    misreading its offsets as int32 would yield wrong hashes, not an error."""
     n = len(col)
-    off = np.frombuffer(col.buffers()[1], dtype=np.int32, count=n + 1).astype(np.int64)
+    if pa.types.is_large_string(col.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(col.type):
+        off_dtype = np.int32
+    else:
+        raise TypeError(f"expected a (large_)string column, got {col.type}")
+    off = np.frombuffer(col.buffers()[1], dtype=off_dtype, count=n + 1).astype(np.int64)
     base = off[0]
     off = off - base
     total = int(off[-1])

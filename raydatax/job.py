@@ -146,10 +146,12 @@ def run_job_config(config: dict, quiet: bool = True) -> dict:
             limit = int(wp.get("print", 5))
             for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
                 n += batch.num_rows
-                while shown < limit and shown < batch.num_rows:
+                take = min(limit - shown, batch.num_rows)
+                if take > 0:
                     if not quiet:
-                        print(batch.slice(shown, 1).to_pylist()[0])
-                    shown += 1
+                        for row in batch.slice(0, take).to_pylist():
+                            print(row)
+                    shown += take
             reports.append({"writer": wname, "rows": n})
         else:
             raise JobConfigError(f"unknown writer {wname!r}")

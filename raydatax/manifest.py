@@ -194,7 +194,8 @@ def vacuum(lake_dir: str, keep_unreferenced: int = 0) -> list[str]:
     for pdir in sorted(glob.glob(os.path.join(lake_dir, "data", "part-*"))):
         files = sorted(glob.glob(os.path.join(pdir, "epoch-*.parquet")))
         unref = [f for f in files if f not in referenced]
-        for f in unref[: len(unref) - keep_unreferenced if keep_unreferenced else None]:
+        n_drop = max(0, len(unref) - keep_unreferenced) if keep_unreferenced else len(unref)
+        for f in unref[:n_drop]:
             os.remove(f)
             removed.append(f)
     return removed

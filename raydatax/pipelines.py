@@ -567,7 +567,7 @@ ORACLE_SQL = {
     "transform_chain": """
         SELECT c_custkey, substr(c_name, 1, 8) AS name8,
                lpad(substr(c_mktsegment, 1, 12), 12, '*') AS seg_pad, c_acctbal
-        FROM customer WHERE NOT (c_acctbal > 5000)
+        FROM customer WHERE c_acctbal IS NULL OR NOT (c_acctbal > 5000)
     """,
     "url_extract": """
         WITH u AS (

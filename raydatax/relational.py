@@ -31,12 +31,22 @@ from ray.data.aggregate import Max, Min, Sum
 _PARTIAL_FUNCS = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
 _MERGE_AGG = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
 
+# Partial-row count at or under which the final merge runs as one Arrow hash
+# aggregation on the driver (skipping a whole shuffle round).  The decision
+# is made from block METADATA — see preagg_groupby.
+DRIVER_MERGE_THRESHOLD = 200_000
+
+# Indirection for the driver-side fetch so tests can assert the distributed
+# path never pulls partial blocks to the driver.
+_fetch_partials = ray.get
+
 
 def preagg_groupby(
     ds: "ray.data.Dataset",
     keys: list[str],
     aggs: list[tuple[str, str, str]],
     mean_of: list[tuple[str, str, str]] | None = None,
+    driver_merge_threshold: int = DRIVER_MERGE_THRESHOLD,
 ) -> "ray.data.Dataset":
     """Grouped aggregation with in-batch combining.
 
@@ -56,38 +66,40 @@ def preagg_groupby(
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by(keys).aggregate(partial_specs)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    # adaptive final merge (decided AFTER the partials materialize, like
-    # adaptive query execution): small partial sets are combined on the
-    # driver with one Arrow hash aggregation — skipping a whole Ray shuffle
-    # round; large ones go through the distributed groupby.
-    refs = partials.to_arrow_refs()
-    tables = [t for t in ray.get(refs) if t.num_rows]
-    total_partial_rows = sum(t.num_rows for t in tables)
-    if total_partial_rows <= 200_000:
-        if not tables:
-            out = partials  # empty input: keep the (empty) dataset shape
-        else:
-            merged = pa.concat_tables(tables, promote_options="permissive")
-            agg_specs = []
-            renames = {}
-            for partial_name, fn, out_name in out_names:
-                arrow_fn = "sum" if fn in ("sum", "count") else fn
-                agg_specs.append((partial_name, arrow_fn))
-                renames[f"{partial_name}_{arrow_fn}"] = out_name
-            final = merged.group_by(keys).aggregate(agg_specs)
-            final = final.rename_columns(
-                [renames.get(c, c) for c in final.column_names]
-            )
-            # column order parity with the distributed path: keys first
-            final = final.select(keys + [o for _, _, o in out_names])
-            out = ray.data.from_arrow(final)
+    # Adaptive final merge, decided WITHOUT driver materialization: execute
+    # the partial stage once (blocks stay in the object store), read the
+    # total partial row count from block METADATA (``count()`` on a
+    # materialized dataset sums cached per-block num_rows — no block is
+    # fetched), and only then choose.  Small partial sets are combined on
+    # the driver with one Arrow hash aggregation — skipping a whole Ray
+    # shuffle round; large (high-cardinality-key) ones go through the
+    # distributed groupby and the driver never holds them.
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    total_partial_rows = partials.count()
+    if total_partial_rows == 0:
+        out = partials  # empty input: keep the (empty) dataset shape
+    elif total_partial_rows <= driver_merge_threshold:
+        tables = [t for t in _fetch_partials(partials.to_arrow_refs()) if t.num_rows]
+        merged = pa.concat_tables(tables, promote_options="permissive")
+        agg_specs = []
+        renames = {}
+        for partial_name, fn, out_name in out_names:
+            arrow_fn = "sum" if fn in ("sum", "count") else fn
+            agg_specs.append((partial_name, arrow_fn))
+            renames[f"{partial_name}_{arrow_fn}"] = out_name
+        final = merged.group_by(keys).aggregate(agg_specs)
+        final = final.rename_columns(
+            [renames.get(c, c) for c in final.column_names]
+        )
+        # column order parity with the distributed path: keys first
+        final = final.select(keys + [o for _, _, o in out_names])
+        out = ray.data.from_arrow(final)
     else:
         merge_aggs = [
             _MERGE_AGG[fn](partial_name, alias_name=out)
             for partial_name, fn, out in out_names
         ]
-        out = ray.data.from_arrow_refs(refs).groupby(keys).aggregate(*merge_aggs)
+        out = partials.groupby(keys).aggregate(*merge_aggs)
     if mean_of:
         def add_means(batch: pa.Table) -> pa.Table:
             for s, c, name in mean_of:

@@ -129,8 +129,14 @@ def fingerprint_rolling(batch: pa.Table, column: str = "text", out: str = "fp64"
     n = len(col)
     if n == 0:
         return batch.append_column(out, pa.array([], pa.int64()))
+    if pa.types.is_large_string(col.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(col.type):
+        off_dtype = np.int32
+    else:
+        raise TypeError(f"fingerprint_rolling: expected a (large_)string column, got {col.type}")
     off_buf = col.buffers()[1]
-    offsets = np.frombuffer(off_buf, dtype=np.int32, count=n + 1).astype(np.int64)
+    offsets = np.frombuffer(off_buf, dtype=off_dtype, count=n + 1).astype(np.int64)
     base = offsets[0]
     offsets = offsets - base
     total = int(offsets[-1])

@@ -103,6 +103,34 @@ def test_preagg_groupby_matches_pandas():
     assert np.allclose(out["avg_qty"], pdf["mean"])
 
 
+def test_preagg_groupby_distributed_path_no_driver_fetch(monkeypatch):
+    """High-cardinality keys must route through the distributed groupby with
+    NO driver fetch of the partial blocks: the branch decision comes from
+    block metadata, and the only ray.get the driver path would do is the
+    (patched-out) _fetch_partials indirection."""
+    import raydatax.relational as rel
+
+    li = pq.read_table(f"{SF}/lineitem.parquet")
+    ds = rd.from_arrow(li)
+
+    def boom(refs):
+        raise AssertionError("distributed path fetched partials to the driver")
+
+    monkeypatch.setattr(rel, "_fetch_partials", boom)
+    # threshold 0 forces the distributed branch even on this small input
+    out = preagg_groupby(
+        ds, ["l_orderkey", "l_linenumber"],  # ~unique per row: high cardinality
+        [("l_quantity", "sum", "sum_qty")],
+        driver_merge_threshold=0,
+    ).to_pandas()
+    pdf = (
+        li.to_pandas().groupby(["l_orderkey", "l_linenumber"])["l_quantity"].sum()
+    )
+    assert len(out) == len(pdf)
+    got = out.set_index(["l_orderkey", "l_linenumber"])["sum_qty"].sort_index()
+    assert np.allclose(got, pdf.sort_index())
+
+
 def test_broadcast_join_real():
     cust = pq.read_table(f"{SF}/customer.parquet").rename_columns(
         ["c_custkey", "c_name", "n_nationkey", "c_acctbal", "c_mktsegment"]

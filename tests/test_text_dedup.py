@@ -30,6 +30,31 @@ def docs():
     return pq.read_table(f"{SF}/documents.parquet")
 
 
+def test_fingerprint_and_shingles_large_string(docs):
+    """large_string columns (int64 offsets) must hash identically to string
+    columns — misreading offsets as int32 would silently corrupt dedup."""
+    from raydatax.dedup import _buffers, shingle_hashes
+
+    small = docs.slice(0, 50)
+    big = small.set_column(
+        small.schema.get_field_index("text"),
+        "text",
+        small["text"].cast(pa.large_string()),
+    )
+    h_small = fingerprint_rolling(small, "text")["fp64"].to_pylist()
+    h_big = fingerprint_rolling(big, "text")["fp64"].to_pylist()
+    assert h_small == h_big
+
+    col_s = small["text"].combine_chunks()
+    col_b = big["text"].combine_chunks()
+    ws, os_ = shingle_hashes(col_s)
+    wb, ob = shingle_hashes(col_b)
+    assert np.array_equal(ws, wb) and np.array_equal(os_, ob)
+
+    with pytest.raises(TypeError):
+        _buffers(pa.array([1, 2, 3]))
+
+
 @pytest.fixture(scope="module")
 def corpus_with_dups(docs):
     dup = docs.slice(0, 10).set_column(

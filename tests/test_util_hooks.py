@@ -97,6 +97,28 @@ def test_vacuum_removes_superseded_epochs(tmp_wal, tmp_lake):
     assert got.num_rows == want.num_rows
 
 
+def test_vacuum_keep_unreferenced_clamps(tmp_wal, tmp_lake):
+    """keep_unreferenced larger than the unreferenced set must delete
+    nothing (regression: negative slice stop deleted retained snapshots)."""
+    from raydatax.manifest import vacuum
+
+    write_wal(gen_events(2000, seed=59), tmp_wal, seg_rows=1000)
+    run_job(tmp_wal, tmp_lake, partitions=2)
+    import glob as g
+    # fabricate 2 unreferenced epoch files in one partition dir
+    pdir = sorted(g.glob(os.path.join(tmp_lake, "data", "part-*")))[0]
+    for e in (90, 91):
+        with open(os.path.join(pdir, f"epoch-{e:06d}.parquet"), "wb") as f:
+            f.write(b"x")
+    before = set(g.glob(os.path.join(pdir, "epoch-*.parquet")))
+    removed = vacuum(tmp_lake, keep_unreferenced=3)  # 3 > 2 unreferenced
+    assert removed == []
+    assert set(g.glob(os.path.join(pdir, "epoch-*.parquet"))) == before
+    # keep=1 drops only the oldest of the two
+    removed = vacuum(tmp_lake, keep_unreferenced=1)
+    assert [os.path.basename(p) for p in removed] == ["epoch-000090.parquet"]
+
+
 def test_job_lock_blocks_concurrent_ingest(tmp_wal, tmp_lake):
     from raydatax.manifest import acquire_job_lock
 
