@@ -87,20 +87,81 @@ def cdc_lww_upsert(sf_dir: str):
 
 
 def transcript_cdc_replay(sf_dir: str):
-    """Flagship transcript CDC replay (rows-only check: WAL+lake are engine
-    artifacts, not SQL views).  Deterministic: seeded WAL under /tmp, fresh
-    lake, full replay, return the final table."""
+    """Flagship transcript CDC replay THROUGH THE FULL ENGINE — WAL segments
+    → salted hash exchange → rebase-LWW merge actors → two-phase manifest
+    commit → lake read — with a DuckDB oracle: the CDC event stream is
+    derived deterministically from the driver's `events` table (seq =
+    event_id, op from event_id % 10, key = (conv-<user>, event_id % 37)),
+    so LWW replay is SQL-expressible as
+    ``row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC)``
+    with delete-winners dropped (mirrors otsstreamreader semantics,
+    /root/reference/otsstreamreader/.../core/RecordProcessor.java)."""
     import shutil
 
+    import pyarrow.parquet as pq
+
     from .driver import lake_table, run_job
-    from .gen import gen_wal
+    from .gen import write_wal
+    from .schema import EVENT_SCHEMA
+
+    e = pq.read_table(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    ).sort_by([("event_id", "ascending")])
+    eid = e["event_id"].to_numpy()
+    opk = np.where(eid % 10 < 6, 0, np.where(eid % 10 < 9, 1, 2)).astype(np.int8)
+    op = pa.array(["I", "U", "D"], pa.string()).take(pa.array(opk))
+    conv = pc.binary_join_element_wise(
+        pa.scalar("conv-"), pc.cast(e["user_id"], pa.string()), ""
+    )
+    turn = (eid % 37).astype(np.int32)
+    role = pa.array(["user", "assistant"], pa.string()).take(
+        pa.array((turn % 2).astype(np.int8))
+    )
+    text = pc.binary_join_element_wise(
+        e["event_type"], pc.cast(e["event_id"], pa.string()), " v"
+    )
+    tool_idx = np.where(eid % 5 < 2, eid % 5, 2).astype(np.int8)
+    tool = pa.array(["search", "python", None], pa.string()).take(pa.array(tool_idx))
+    ts = e["ts"].cast(pa.timestamp("us"))
+
+    is_del = pa.array(opk == 2)
+
+    def _mask(arr):
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        return pc.if_else(is_del, pa.scalar(None, a.type), a)
+
+    wal_table = pa.Table.from_arrays(
+        [
+            pa.array(eid, pa.int64()),
+            op,
+            conv.combine_chunks() if isinstance(conv, pa.ChunkedArray) else conv,
+            pa.array(turn, pa.int32()),
+            _mask(role),
+            _mask(text),
+            _mask(tool),
+            _mask(ts),
+        ],
+        schema=EVENT_SCHEMA,
+    )
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = f"/tmp/raydatax_entry_{tag}"
     shutil.rmtree(root, ignore_errors=True)
-    gen_wal(os.path.join(root, "wal"), 20_000, seed=42, seg_rows=4000)
+    write_wal(wal_table, os.path.join(root, "wal"), seg_rows=20_000)
     run_job(os.path.join(root, "wal"), os.path.join(root, "lake"), partitions=8)
-    return lake_table(os.path.join(root, "lake"))
+    lk = lake_table(os.path.join(root, "lake"))
+    full = pc.strftime(lk["ts"], format="%Y-%m-%d %H:%M:%S")
+    return pa.table(
+        {
+            "conv_id": lk["conv_id"],
+            "turn_idx": lk["turn_idx"],
+            "role": lk["role"],
+            "text": lk["text"],
+            "tool": lk["tool"],
+            "ts_str": pc.utf8_slice_codeunits(full, 0, 19),
+            "seq": lk["seq"],
+        }
+    )
 
 
 # ---------------------------------------------------------------- relational
@@ -526,6 +587,28 @@ ORACLE_SQL = {
         SELECT user_id, event_type, event_id AS last_event_id, value
         FROM ranked WHERE rn = 1 AND op <> 'D'
     """,
+    "transcript_cdc_replay": """
+        WITH src AS (
+          SELECT event_id AS seq,
+                 CASE WHEN event_id % 10 < 6 THEN 'I'
+                      WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+                 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                 CAST(event_id % 37 AS INTEGER) AS turn_idx,
+                 CASE WHEN (event_id % 37) % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 event_type || ' v' || CAST(event_id AS VARCHAR) AS text,
+                 CASE WHEN event_id % 5 = 0 THEN 'search'
+                      WHEN event_id % 5 = 1 THEN 'python' ELSE NULL END AS tool,
+                 ts
+          FROM events),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY seq DESC) AS rn
+          FROM src)
+        SELECT conv_id, turn_idx, role, text, tool,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, seq
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
@@ -669,6 +752,6 @@ ORACLE_SQL = {
         FROM events GROUP BY event_type
     """,
     # rows-only (non-SQL-expressible) entries intentionally omitted:
-    # transcript_cdc_replay, lang_id, dedup_minhash, dedup_simhash, ann_ivf,
+    # lang_id, dedup_minhash, dedup_simhash, ann_ivf,
     # multimodal_features, dedup_embedding (IVF-approximate pair set)
 }
