@@ -82,6 +82,22 @@ def _reader_to_dataset(reader: dict) -> "rd.Dataset":
         import os
 
         return rd.read_parquet(sorted(glob.glob(os.path.join(p["path"], "seg-*.parquet"))))
+    if name in ("rdbmsreader", "duckdbreader", "sqlitereader"):
+        # JDBC-family parity: splitPk range-sliced parallel SQL read
+        from .sql_source import read_sql_table
+
+        cols = p.get("column")
+        if cols in (None, ["*"], "*"):
+            cols = None
+        return read_sql_table(
+            p["path"],
+            p["table"],
+            split_pk=p.get("splitPk"),
+            num_splits=int(p.get("numSplits", p.get("channel", 8))),
+            columns=cols,
+            where=p.get("where"),
+            engine="sqlite" if name == "sqlitereader" else "duckdb",
+        )
     raise JobConfigError(f"unknown reader {name!r}")
 
 

@@ -255,6 +255,23 @@ def semi_join_fulfilled(sf_dir: str):
     return out.map_batches(lambda t: _round(t, {"sum_qty": 2}), batch_format="pyarrow")
 
 
+def sql_split_read(sf_dir: str):
+    """JDBC-family source parity: splitPk range-sliced parallel read out of
+    a DuckDB database file (built once from the orders table), with
+    projection and predicate pushed into every slice's SQL — the
+    mysql/pg/oracle reader surface over an engine the sandbox can host."""
+    from .sql_source import export_parquet_to_duckdb, read_sql_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    db = f"/tmp/raydatax_orders_{tag}.duckdb"
+    export_parquet_to_duckdb(_p(sf_dir, "orders"), db, "orders")
+    return read_sql_table(
+        db, "orders", split_pk="o_orderkey", num_splits=6,
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        where="o_totalprice > 150000",
+    )
+
+
 def distinct_event_types(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type"])
     vals = sorted(ds.unique("event_type"))
@@ -549,6 +566,7 @@ QUERIES = {
     "customers_per_region": customers_per_region,
     "projection_filter_revenue": projection_filter_revenue,
     "semi_join_fulfilled": semi_join_fulfilled,
+    "sql_split_read": sql_split_read,
     "distinct_event_types": distinct_event_types,
     "transform_chain": transform_chain,
     "url_extract": url_extract,
@@ -645,6 +663,10 @@ ORACLE_SQL = {
         FROM lineitem
         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
         GROUP BY l_returnflag
+    """,
+    "sql_split_read": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_totalprice > 150000
     """,
     "distinct_event_types": "SELECT DISTINCT event_type FROM events",
     "transform_chain": """

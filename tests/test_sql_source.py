@@ -1,0 +1,159 @@
+"""JDBC-family SQL source: splitPk range slicing + parallel slice reads.
+
+Reference behavior being mirrored (not ported):
+SingleTableSplitUtil.java:32-123,270-288 (min/max range slicing + IS NULL
+slice), CommonRdbmsReader.java:173-228 (per-slice query with projection and
+predicate pushdown).
+"""
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raydatax.sql_source import (
+    export_parquet_to_duckdb,
+    plan_splits,
+    read_sql_table,
+    split_ranges,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_split_ranges_cover_span_exactly():
+    rs = split_ranges(0, 99, 4)
+    assert rs[0] == (0, 25, False)
+    assert rs[-1][2] is True and rs[-1][1] == 99
+    # every value lands in exactly one range
+    seen = []
+    for lo, hi, inc in rs:
+        seen.extend(range(lo, hi + 1 if inc else hi))
+    assert seen == list(range(100))
+
+
+def test_split_ranges_narrow_span_degrades():
+    assert split_ranges(5, 5, 8) == [(5, 5, True)]
+    assert split_ranges(7, 3, 4) == []
+    assert len(split_ranges(0, 2, 8)) <= 3
+
+
+def test_plan_splits_shapes():
+    plans = plan_splits("t", "pk", 0, 9, 2, ["a", "b"], "b > 1")
+    assert len(plans) == 3  # 2 ranges + null slice
+    assert 'SELECT "a", "b" FROM "t"' in plans[0].sql
+    assert "(b > 1)" in plans[0].sql
+    assert '"pk" IS NULL' in plans[-1].sql
+    # no splitPk -> single full query
+    assert len(plan_splits("t", None, None, None, 4, None, None)) == 1
+    with pytest.raises(ValueError):
+        plan_splits("t; drop", "pk", 0, 1, 2, None, None)
+
+
+@pytest.fixture(scope="module")
+def orders_db(tmp_path_factory):
+    db = str(tmp_path_factory.mktemp("sqlsrc") / "orders.duckdb")
+    export_parquet_to_duckdb(f"{SF}/orders.parquet", db, "orders")
+    return db
+
+
+def test_read_sql_table_matches_direct(ray_session, orders_db):
+    got = (
+        read_sql_table(orders_db, "orders", split_pk="o_orderkey", num_splits=4)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    want = (
+        pq.read_table(f"{SF}/orders.parquet")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["o_orderkey"] == want["o_orderkey"]).all()
+    assert (got["o_totalprice"] == want["o_totalprice"]).all()
+
+
+def test_read_sql_table_pushdown_and_projection(ray_session, orders_db):
+    ds = read_sql_table(
+        orders_db, "orders", split_pk="o_orderkey", num_splits=4,
+        columns=["o_orderkey", "o_totalprice"], where="o_totalprice > 200000",
+    )
+    df = ds.to_pandas()
+    assert list(df.columns) == ["o_orderkey", "o_totalprice"]
+    assert (df["o_totalprice"] > 200000).all()
+    n_direct = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet') "
+        "WHERE o_totalprice > 200000"
+    ).fetchone()[0]
+    assert len(df) == n_direct
+
+
+def test_null_pk_slice_not_lost(ray_session, tmp_path):
+    db = str(tmp_path / "nulls.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1, 'a'), (2, 'b'), "
+        "(NULL, 'n1'), (3, 'c'), (NULL, 'n2')) AS v(pk, val)"
+    )
+    con.close()
+    df = read_sql_table(db, "t", split_pk="pk", num_splits=2).to_pandas()
+    assert len(df) == 5
+    assert sorted(df["val"]) == ["a", "b", "c", "n1", "n2"]
+
+
+def test_sqlite_engine(ray_session, tmp_path):
+    import sqlite3
+
+    db = str(tmp_path / "t.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE kv (k INTEGER, v TEXT)")
+    con.executemany("INSERT INTO kv VALUES (?, ?)", [(i, f"v{i}") for i in range(50)])
+    con.commit()
+    con.close()
+    df = (
+        read_sql_table(db, "kv", split_pk="k", num_splits=3, engine="sqlite")
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert df["k"].tolist() == list(range(50))
+
+
+def test_job_runner_rdbmsreader(ray_session, orders_db, tmp_path):
+    from raydatax.job import run_job_config
+
+    out = str(tmp_path / "out")
+    rep = run_job_config(
+        {
+            "job": {
+                "content": [
+                    {
+                        "reader": {
+                            "name": "rdbmsreader",
+                            "parameter": {
+                                "path": orders_db,
+                                "table": "orders",
+                                "splitPk": "o_orderkey",
+                                "numSplits": 3,
+                                "column": ["o_orderkey", "o_totalprice"],
+                                "where": "o_totalprice > 100000",
+                            },
+                        },
+                        "writer": {
+                            "name": "parquetwriter",
+                            "parameter": {"path": out, "writeMode": "truncate"},
+                        },
+                    }
+                ]
+            }
+        }
+    )
+    n = rep["contents"][0]["rows"]
+    n_direct = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet') "
+        "WHERE o_totalprice > 100000"
+    ).fetchone()[0]
+    assert n == n_direct
