@@ -17,9 +17,11 @@ Four levels, all Ray-Data-first (guide: ``/opt/skills/guides/ray_guide.md``
   intersection-over-union), run only on LSH survivors.
 
 Partitioning assumption: candidate PAIRS are sparse relative to the corpus
-(LSH bucket sizes are capped and logged).  Union-find runs on the driver
-only because the pair set is provably ≤ Σ bucket² with capped buckets; a
-full-scale variant would iterate min-label propagation via groupby.
+(every bucket/cluster fan-out is capped).  Clustering is adaptive, decided
+from pair-block METADATA: small pair sets use driver union-find with the
+node→rep mapping broadcast back; large ones run distributed min-label
+propagation (:func:`propagate_min_labels`) — the corpus id list is never
+collected on the driver.
 """
 
 from __future__ import annotations
@@ -257,26 +259,140 @@ def cluster_pairs(pairs: list[tuple[int, int]], ids: list[int]) -> dict[int, int
     return {i: find(i) for i in ids}
 
 
+def propagate_min_labels(
+    pairs: "ray.data.Dataset", max_rounds: int = 64, num_partitions: int = 16
+) -> "ray.data.Dataset":
+    """Distributed connected components over a pair Dataset by iterative
+    min-label propagation: every node starts at min(self, neighbors), each
+    round takes the min over its neighborhood again, until the global label
+    sum stops decreasing (labels are monotone non-increasing, so an
+    unchanged sum IS the fixpoint).  Rounds = cluster diameter; near-dup
+    clusters are shallow.  Returns (node, label) for every node that
+    appears in a pair — nothing is ever collected on the driver except the
+    one convergence scalar per round."""
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+        )
+
+    edges = pairs.map_batches(both, batch_format="pyarrow").materialize()
+    labels = preagg_groupby(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"node": t["src"], "label": pc.min_element_wise(t["src"], t["dst"])}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        [("label", "min", "label")],
+    ).materialize()
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        lbl_src = labels.map_batches(
+            lambda t: pa.table({"src": t["node"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        prop = edges.join(lbl_src, "inner", num_partitions, on=("src",))
+        cand = prop.map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = preagg_groupby(
+            cand.union(labels), ["node"], [("label", "min", "label")]
+        ).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+# Pair-set size at or under which clustering runs as driver union-find
+# (bounded: LSH buckets are capped, so pairs ≤ Σ capped-bucket²).
+PAIR_DRIVER_THRESHOLD = 200_000
+
+
 def minhash_dedup(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    pair_driver_threshold: int = PAIR_DRIVER_THRESHOLD,
     **kw,
-) -> pa.Table:
-    """Full near-dup pipeline → (doc_id, cluster_rep, keep) table."""
-    ids = [r[id_col] for r in ds.select_columns([id_col]).take_all()]
-    prs = minhash_candidate_pairs(ds, text_col, id_col, threshold=threshold, **kw).take_all()
-    mapping = cluster_pairs([(r["a"], r["b"]) for r in prs], ids)
-    ids_sorted = sorted(ids)
-    rep = [mapping[i] for i in ids_sorted]
-    return pa.table(
-        {
-            id_col: pa.array(ids_sorted, pa.int64()),
-            "cluster_rep": pa.array(rep, pa.int64()),
-            "keep": pa.array([i == r for i, r in zip(ids_sorted, rep)]),
-        }
+) -> "ray.data.Dataset":
+    """Full near-dup pipeline → Dataset(doc_id, cluster_rep, keep).
+
+    The candidate-pair set is materialized in the OBJECT STORE and counted
+    from block metadata; a small pair set is clustered with driver
+    union-find and the (tiny) node→rep mapping broadcast back into a
+    map_batches over the ids, a large one goes through distributed
+    min-label propagation + a hash left-join.  The corpus id list is never
+    collected on the driver in either path."""
+    pairs = minhash_candidate_pairs(
+        ds, text_col, id_col, threshold=threshold, **kw
+    ).materialize()
+    n_pairs = pairs.count()
+    ids = ds.select_columns([id_col])
+
+    def _finalize(rep_of):
+        """rep_of: (sorted keys, reps) numpy arrays broadcast via ray.put."""
+        ref = ray.put(rep_of)
+
+        def assign(t: pa.Table) -> pa.Table:
+            keys, reps = ray.get(ref)
+            idv = t[id_col].to_numpy(zero_copy_only=False)
+            if len(keys):
+                pos = np.minimum(np.searchsorted(keys, idv), len(keys) - 1)
+                hit = keys[pos] == idv
+                rep = np.where(hit, reps[pos], idv)
+            else:
+                rep = idv
+            return pa.table(
+                {
+                    id_col: pa.array(idv, pa.int64()),
+                    "cluster_rep": pa.array(rep, pa.int64()),
+                    "keep": pa.array(rep == idv),
+                }
+            )
+
+        return ids.map_batches(assign, batch_format="pyarrow")
+
+    if n_pairs == 0:
+        return _finalize((np.array([], np.int64), np.array([], np.int64)))
+    if n_pairs <= pair_driver_threshold:
+        tables = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        pr = pa.concat_tables(tables, promote_options="permissive")
+        pair_list = list(
+            zip(pr["a"].to_numpy(zero_copy_only=False).tolist(),
+                pr["b"].to_numpy(zero_copy_only=False).tolist())
+        )
+        nodes = sorted({i for p in pair_list for i in p})
+        mapping = cluster_pairs(pair_list, nodes)
+        keys = np.array(nodes, np.int64)
+        reps = np.array([mapping[n] for n in nodes], np.int64)
+        return _finalize((keys, reps))
+
+    labels = propagate_min_labels(pairs)
+    lbl = labels.map_batches(
+        lambda t: pa.table({id_col: t["node"], "cluster_rep": t["label"]}),
+        batch_format="pyarrow",
     )
+    joined = ids.join(lbl, "left_outer", 16, on=(id_col,))
+
+    def fin(t: pa.Table) -> pa.Table:
+        rep = pc.coalesce(t["cluster_rep"], t[id_col])
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster_rep": rep.combine_chunks() if isinstance(rep, pa.ChunkedArray) else rep,
+                "keep": pc.equal(rep, t[id_col]),
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------- simhash
@@ -351,7 +467,7 @@ def simhash_pairs(
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
+    def bucket_pairs(group: pa.Table, max_bucket: int = 128) -> pa.Table:
         empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                           "hamming": pa.array([], pa.int64())})
         if group.num_rows < 2:
@@ -360,6 +476,11 @@ def simhash_pairs(
         sh = group["sh"].to_numpy(zero_copy_only=False).view(np.uint64)
         order = np.argsort(ids)
         ids, sh = ids[order], sh[order]
+        # same cap discipline as the MinHash buckets: an adversarially hot
+        # 16-bit slice bucket must not explode into all-pairs — truncate
+        # (deterministically, by id order) instead of O(n²)-ing
+        if len(ids) > max_bucket:
+            ids, sh = ids[:max_bucket], sh[:max_bucket]
         iu = np.triu_indices(len(ids), 1)
         x = sh[iu[0]] ^ sh[iu[1]]
         ham = np.zeros(len(x), dtype=np.int64)
@@ -411,7 +532,7 @@ def embedding_neardup_pairs(
         cl = np.argmax(m @ c.T, axis=1).astype(np.int32)
         return batch.append_column("__cluster", pa.array(cl))
 
-    def pairs_in_cluster(group: pa.Table) -> pa.Table:
+    def pairs_in_cluster(group: pa.Table, max_cluster: int = 8192) -> pa.Table:
         empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                           "cosine": pa.array([], pa.float64())})
         if group.num_rows < 2:
@@ -420,12 +541,27 @@ def embedding_neardup_pairs(
         m = _normalize(_matrix(group[vec_col]))
         order = np.argsort(ids)
         ids, m = ids[order], m[order]
-        sims = m @ m.T
-        iu = np.triu_indices(len(ids), 1)
-        keep = sims[iu] >= threshold
-        return pa.table({"a": pa.array(ids[iu[0]][keep], pa.int64()),
-                         "b": pa.array(ids[iu[1]][keep], pa.int64()),
-                         "cosine": pa.array(sims[iu][keep], pa.float64())})
+        # cluster-size cap: within-cluster work is O(k²); a skewed cluster
+        # is truncated deterministically (by id) rather than allowed to
+        # blow up — at real scale raise n_clusters so k stays bounded
+        if len(ids) > max_cluster:
+            ids, m = ids[:max_cluster], m[:max_cluster]
+        # blocked matmul keeps peak memory at chunk×k instead of k×k
+        chunk = 2048
+        parts_a, parts_b, parts_c = [], [], []
+        for s in range(0, len(ids), chunk):
+            sims = m[s : s + chunk] @ m.T
+            ii, jj = np.nonzero(sims >= threshold)
+            gi = ii + s
+            up = jj > gi  # strict upper triangle only (a < b)
+            parts_a.append(ids[gi[up]])
+            parts_b.append(ids[jj[up]])
+            parts_c.append(sims[ii[up], jj[up]])
+        if not parts_a:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(parts_a), pa.int64()),
+                         "b": pa.array(np.concatenate(parts_b), pa.int64()),
+                         "cosine": pa.array(np.concatenate(parts_c), pa.float64())})
 
     out = (
         ds.map_batches(assign, batch_format="pyarrow")

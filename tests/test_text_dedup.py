@@ -116,6 +116,44 @@ def test_minhash_dedup_recovers_planted(corpus_with_dups):
     assert (planted.cluster_rep == planted.doc_id - 90_000).all()
 
 
+def test_minhash_dedup_distributed_path_matches_driver_path(corpus_with_dups):
+    """pair_driver_threshold=0 forces distributed min-label propagation; the
+    (doc_id, cluster_rep, keep) output must be identical to the driver
+    union-find path, and the corpus id list must never be collected."""
+    ds = rd.from_arrow(corpus_with_dups)
+    a = minhash_dedup(ds, threshold=0.8).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        minhash_dedup(ds, threshold=0.8, pair_driver_threshold=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) == corpus_with_dups.num_rows
+
+
+def test_propagate_min_labels_chain():
+    """A 4-node chain (diameter 3) must converge to the component min."""
+    from raydatax.dedup import propagate_min_labels
+
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array([10, 11, 12], pa.int64()),
+                  "b": pa.array([11, 12, 13], pa.int64())})
+    )
+    out = propagate_min_labels(pairs).to_pandas().sort_values("node")
+    assert out["node"].tolist() == [10, 11, 12, 13]
+    assert out["label"].tolist() == [10, 10, 10, 10]
+
+
+def test_simhash_hot_bucket_capped():
+    """An adversarial bucket (identical text ⇒ one simhash slice bucket)
+    must produce a capped pair count, not O(n²)."""
+    n = 400
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "text": pa.array(["same text for everyone here"] * n)})
+    pairs = simhash_pairs(rd.from_arrow(t)).to_pandas()
+    cap = 128
+    assert len(pairs) <= cap * (cap - 1) // 2
+
+
 def test_minhash_signature_similarity():
     t = pa.array(
         ["the quick brown fox jumps over the lazy dog " * 5,
