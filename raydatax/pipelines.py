@@ -27,7 +27,6 @@ from .relational import (
     broadcast_join,
     lww_latest,
     preagg_groupby,
-    semi_join_filter,
     sessionize,
     topk,
     tumbling_window,
@@ -239,15 +238,19 @@ def projection_filter_revenue(sf_dir: str):
 
 
 def semi_join_fulfilled(sf_dir: str):
-    import pyarrow.parquet as pq
+    """Semi join where the build side (orders) is read DISTRIBUTED with the
+    status predicate pushed to the parquet read; the key set is broadcast
+    only because it is metadata-counted under threshold (see semi_join)."""
+    from .relational import semi_join
 
-    keys = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"])
-    fset = set(
-        keys.filter(pc.equal(keys["o_orderstatus"], "F"))["o_orderkey"].to_pylist()
+    fulfilled = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey"],
+        filter=pc.field("o_orderstatus") == "F",
     )
     li = rd.read_parquet(_p(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_returnflag", "l_quantity"])
-    filtered = semi_join_filter(li, fset, "l_orderkey")
+    filtered = semi_join(li, fulfilled, "l_orderkey", "o_orderkey")
     out = preagg_groupby(
         filtered, ["l_returnflag"],
         [("l_quantity", "count", "n_items"), ("l_quantity", "sum", "sum_qty")],

@@ -114,6 +114,14 @@ def preagg_groupby(
 # -------------------------------------------------------------- joins
 
 
+def _join_partitions(requested: int) -> int:
+    """Clamp join partition count to the session's CPU budget: the native
+    hash join spins one aggregator actor per partition, and a pool larger
+    than ~2× the CPUs just queues (and can starve a small test session)."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(requested, cpus * 2))
+
+
 def broadcast_join(
     ds: "ray.data.Dataset",
     small: pa.Table,
@@ -155,7 +163,8 @@ def hash_join(
     on_t = (on,) if isinstance(on, str) else tuple(on)
     if hasattr(left, "join"):
         return left.join(
-            right, join_type=join_type, num_partitions=num_partitions, on=on_t
+            right, join_type=join_type,
+            num_partitions=_join_partitions(num_partitions), on=on_t,
         )
 
     # portable fallback (kept for older Ray): bucket + per-bucket Arrow join
@@ -188,9 +197,12 @@ def hash_join(
     return lb.union(rb).groupby("__b").map_groups(join_bucket, batch_format="pyarrow")
 
 
-def semi_join_filter(ds, key_values: set, column: str, anti: bool = False):
-    """Semi/anti join by broadcasting the key set and masking per batch."""
-    ref = ray.put(pa.array(sorted(key_values)))
+def semi_join_filter(ds, key_values, column: str, anti: bool = False):
+    """Semi/anti join by broadcasting an in-memory key set/array and masking
+    per batch.  For a build side that is itself a Dataset use
+    :func:`semi_join`, which only broadcasts under a size threshold."""
+    vals = key_values if isinstance(key_values, pa.Array) else pa.array(sorted(key_values))
+    ref = ray.put(vals)
 
     def f(batch: pa.Table) -> pa.Table:
         vals = ray.get(ref)
@@ -200,6 +212,53 @@ def semi_join_filter(ds, key_values: set, column: str, anti: bool = False):
         return batch.filter(pc.fill_null(m, anti))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    broadcast_threshold: int = 2_000_000,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Semi/anti join whose build side may be LARGE.  The distinct key set
+    is computed distributed (pre-aggregated groupby — the shuffle moves one
+    row per distinct key per block) and counted from block METADATA; only
+    a small key set is pulled to the driver and broadcast, a large one goes
+    through a hash-partitioned join (left_outer + null-mask for anti).  The
+    build side is never read whole on the driver."""
+    right_on = right_on or left_on
+    keys = preagg_groupby(
+        right, [right_on], [(right_on, "count", "__c")]
+    ).select_columns([right_on]).materialize()
+    n_keys = keys.count()
+
+    if n_keys <= broadcast_threshold:
+        tables = [t for t in _fetch_partials(keys.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            return left if anti else left.filter(lambda _: False)
+        arr = pa.concat_tables(tables)[right_on].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0) if arr.num_chunks else pa.array([])
+        return semi_join_filter(left, arr, left_on, anti=anti)
+
+    marked = keys.map_batches(
+        lambda t: pa.table(
+            {left_on: t[right_on],
+             "__m": pa.array(np.ones(t.num_rows, dtype=np.int8))}
+        ),
+        batch_format="pyarrow",
+    )
+    if not anti:
+        out = left.join(marked, "inner", _join_partitions(num_partitions), on=(left_on,))
+        return out.drop_columns(["__m"])
+    out = left.join(marked, "left_outer", _join_partitions(num_partitions), on=(left_on,))
+    return out.map_batches(
+        lambda t: t.filter(pc.is_null(t["__m"])).drop_columns(["__m"]),
+        batch_format="pyarrow",
+    )
 
 
 # -------------------------------------------------------------- top-k

@@ -142,6 +142,38 @@ def test_broadcast_join_real():
     assert set(out.columns) == set(want.columns)
 
 
+def test_semi_join_paths_agree():
+    """Broadcast path (threshold high) and hash-join path (threshold 0)
+    must produce identical semi/anti results; the hash path never fetches
+    the key set to the driver."""
+    import raydatax.relational as rel
+    from raydatax.relational import semi_join
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey"],
+        filter=__import__("pyarrow").compute.field("o_orderstatus") == "F",
+    )
+
+    def run(threshold):
+        out = semi_join(li, orders, "l_orderkey", "o_orderkey",
+                        broadcast_threshold=threshold)
+        return out.to_pandas().sort_values(["l_orderkey", "l_quantity"]).reset_index(drop=True)
+
+    a = run(10**9)
+    b = run(0)
+    assert a[["l_orderkey", "l_quantity"]].equals(b[["l_orderkey", "l_quantity"]])
+
+    def run_anti(threshold):
+        out = semi_join(li, orders, "l_orderkey", "o_orderkey",
+                        anti=True, broadcast_threshold=threshold)
+        return out.to_pandas().sort_values(["l_orderkey", "l_quantity"]).reset_index(drop=True)
+
+    aa, bb = run_anti(10**9), run_anti(0)
+    assert aa[["l_orderkey", "l_quantity"]].equals(bb[["l_orderkey", "l_quantity"]])
+    assert len(a) + len(aa) == li.count()
+
+
 def test_topk():
     orders = pq.read_table(f"{SF}/orders.parquet")
     got = topk(rd.from_arrow(orders), [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 10)
