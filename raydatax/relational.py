@@ -339,6 +339,114 @@ def lww_latest(
     )
 
 
+# ---------------------------------------------------------- percentiles
+
+
+def grouped_percentiles(
+    ds: "ray.data.Dataset",
+    key: str,
+    value_col: str,
+    percentiles: list[tuple[str, float]],
+    exact_threshold: int = 5_000_000,
+    num_bins: int = 8192,
+) -> "ray.data.Dataset":
+    """Per-group percentiles with a size-adaptive plan.
+
+    Per-group row counts and min/max come from ONE pre-aggregated pass.
+    Groups at or under ``exact_threshold`` rows use the exact path (sorted
+    ``map_groups`` + numpy linear interpolation == SQL ``quantile_cont``) —
+    one group must fit a task's heap, which the threshold guarantees.
+    Above it, a two-phase fixed-bin histogram runs instead: per-batch
+    ``np.bincount`` into ``num_bins`` bins per group (vectorized, combined
+    in-batch), a groupby-sum of the tiny (group, bin) partials, then linear
+    interpolation within the hit bin — error ≤ one bin width
+    ((max-min)/num_bins), documented approximation, no group ever
+    materializes in one heap."""
+    stats = preagg_groupby(
+        ds, [key],
+        [(value_col, "count", "__n"), (value_col, "min", "__lo"),
+         (value_col, "max", "__hi")],
+    ).take_all()  # bounded by group cardinality, not rows
+    if not stats:
+        return ray.data.from_arrow(
+            pa.table({key: pa.array([], pa.string()),
+                      **{n: pa.array([], pa.float64()) for n, _ in percentiles},
+                      "n": pa.array([], pa.int64())})
+        )
+    max_n = max(r["__n"] for r in stats)
+
+    if max_n <= exact_threshold:
+        def per_group(g: pa.Table) -> pa.Table:
+            v = np.sort(g[value_col].to_numpy(zero_copy_only=False))
+            cols = {key: [g[key][0].as_py()]}
+            for name, q in percentiles:
+                cols[name] = pa.array([float(np.percentile(v, q * 100))])
+            cols["n"] = pa.array([len(v)], pa.int64())
+            return pa.table(cols)
+
+        return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
+
+    # ---- histogram path: broadcast per-group (lo, hi), bincount per batch
+    gkeys = [r[key] for r in stats]
+    lo = np.array([r["__lo"] for r in stats], np.float64)
+    hi = np.array([r["__hi"] for r in stats], np.float64)
+    n_rows = np.array([r["__n"] for r in stats], np.int64)
+    width = np.where(hi > lo, (hi - lo) / num_bins, 1.0)
+    ref = ray.put((pa.array(gkeys), lo, width))
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        keys_arr, lo_b, w_b = ray.get(ref)
+        gidx = pc.index_in(t[key], value_set=keys_arr).to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((v - lo_b[gidx]) / w_b[gidx]).astype(np.int64), 0, num_bins - 1)
+        flat = gidx * num_bins + b
+        cnt = np.bincount(flat, minlength=1)  # sparse combine below
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {"__g": pa.array((nz // num_bins).astype(np.int64)),
+             "__b": pa.array((nz % num_bins).astype(np.int64)),
+             "__c": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    hist = preagg_groupby(
+        ds.map_batches(partial_hist, batch_format="pyarrow"),
+        ["__g", "__b"], [("__c", "sum", "c")],
+    ).take_all()  # ≤ groups × num_bins tiny rows
+    counts = {}
+    for r in hist:
+        counts.setdefault(r["__g"], {})[r["__b"]] = r["c"]
+    out_cols: dict[str, list] = {key: list(gkeys)}
+    for name, _ in percentiles:
+        out_cols[name] = []
+    for gi in range(len(gkeys)):
+        bins = counts.get(gi, {})
+        order = sorted(bins)
+        cum = np.cumsum([bins[b] for b in order])
+        total = int(cum[-1]) if len(cum) else 0
+
+        def rank_value(r: int) -> float:
+            # estimated value of the rank-r order statistic: locate its bin,
+            # place it at the in-bin midpoint of its position — always
+            # within the element's true bin, so error ≤ one bin width
+            j = min(int(np.searchsorted(cum, r + 1)), len(order) - 1)
+            b = order[j]
+            prev = cum[j - 1] if j else 0
+            frac = (r - prev + 0.5) / bins[b]
+            return float(lo[gi] + width[gi] * (b + min(max(frac, 0.0), 1.0)))
+
+        for name, q in percentiles:
+            if total == 0:
+                out_cols[name].append(None)
+                continue
+            target = q * (total - 1)
+            r_lo, r_hi = int(np.floor(target)), int(np.ceil(target))
+            v_lo = rank_value(r_lo)
+            v_hi = v_lo if r_hi == r_lo else rank_value(r_hi)
+            out_cols[name].append(v_lo + (target - r_lo) * (v_hi - v_lo))
+    out_cols["n"] = pa.array(n_rows, pa.int64())
+    return ray.data.from_arrow(pa.table(out_cols))
+
+
 # -------------------------------------------------------------- windows
 
 

@@ -181,6 +181,30 @@ def test_topk():
     assert got["o_orderkey"].to_pylist() == want["o_orderkey"].tolist()
 
 
+def test_grouped_percentiles_histogram_close_to_exact():
+    """Forcing the histogram path must stay within one bin width of the
+    exact per-group quantiles (and agree exactly on counts)."""
+    from raydatax.relational import grouped_percentiles
+
+    ev = pq.read_table(f"{SF}/events.parquet")
+    ds = rd.from_arrow(ev)
+    spec = [("p50", 0.5), ("p95", 0.95)]
+    exact = (
+        grouped_percentiles(ds, "event_type", "value", spec)
+        .to_pandas().set_index("event_type").sort_index()
+    )
+    approx = (
+        grouped_percentiles(ds, "event_type", "value", spec, exact_threshold=0)
+        .to_pandas().set_index("event_type").sort_index()
+    )
+    assert (exact["n"] == approx["n"]).all()
+    df = ev.to_pandas()
+    span = df.groupby("event_type")["value"].agg(lambda s: s.max() - s.min())
+    tol = (span / 8192 * 2.0).reindex(exact.index)
+    for colname in ("p50", "p95"):
+        assert (abs(exact[colname] - approx[colname]) <= tol).all()
+
+
 def test_lww_latest_matches_window_semantics():
     ev = pq.read_table(f"{SF}/events.parquet")
     ds = rd.from_arrow(ev)
