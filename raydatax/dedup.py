@@ -510,27 +510,33 @@ def embedding_neardup_pairs(
     n_clusters: int = 16,
     sample_rows: int = 4096,
     seed: int = 5,
+    assign_probes: int = 2,
 ) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold, a < b).
 
     Scale path: IVF-style bucketing — deterministic k-means on a sample,
-    assign every vector to its nearest centroid inside ``map_batches``, then
-    all-pairs cosine ONLY within each cluster (``groupby(cluster)``
-    map_groups).  Near-dups at high thresholds co-locate in a cluster with
-    overwhelming probability; cross-cluster misses are the documented
-    approximation (same contract as IVF ANN)."""
+    assign every vector to its ``assign_probes`` nearest centroids inside
+    ``map_batches`` (multi-probe assignment: boundary vectors land in both
+    neighboring clusters, recovering most near-boundary pairs), then
+    all-pairs cosine ONLY within each capped cluster (``groupby(cluster)``
+    map_groups), pairs deduplicated across probes.  Remaining cross-cluster
+    misses are the documented approximation (same contract as IVF ANN)."""
     from .ann import _matrix, _normalize, kmeans_fit
 
     sample = ds.limit(sample_rows).take_all()
     smat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     cent = kmeans_fit(smat, n_clusters, seed=seed)
+    probes = max(1, min(assign_probes, len(cent)))
     ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
         m = _normalize(_matrix(batch[vec_col]))
-        cl = np.argmax(m @ c.T, axis=1).astype(np.int32)
-        return batch.append_column("__cluster", pa.array(cl))
+        sims = m @ c.T
+        top = np.argsort(-sims, axis=1)[:, :probes].astype(np.int32)
+        idx = np.repeat(np.arange(batch.num_rows), probes)
+        out = batch.take(pa.array(idx))
+        return out.append_column("__cluster", pa.array(top.reshape(-1)))
 
     def pairs_in_cluster(group: pa.Table, max_cluster: int = 8192) -> pa.Table:
         empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -568,6 +574,8 @@ def embedding_neardup_pairs(
         .groupby("__cluster")
         .map_groups(pairs_in_cluster, batch_format="pyarrow")
     )
+    # multi-probe assignment surfaces the same pair from ≥1 cluster → dedupe
+    out = preagg_groupby(out, ["a", "b"], [("cosine", "max", "cosine")])
     rows = out.take_all()
     if not rows:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),

@@ -32,7 +32,7 @@ from .relational import (
     tumbling_window,
 )
 from .text import LangId, fingerprint_md5, token_count
-from .transforms import dx_filter, dx_pad, dx_substr, dx_url
+from .transforms import dx_filter, dx_url
 
 
 def _p(sf_dir: str, table: str) -> str:
@@ -285,16 +285,35 @@ def distinct_event_types(sf_dir: str):
 
 
 def transform_chain(sf_dir: str):
+    """Full transformer surface under one oracle: dx_substr / dx_pad /
+    dx_replace / dx_filter plus a REGISTERED external transformer, composed
+    through the chain() registry path (TransformerRegistry +
+    TransformerExchanger parity)."""
+    from .transforms import REGISTRY, chain, register
+
     ds = rd.read_parquet(_p(sf_dir, "customer"),
                          columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
 
+    if "upper_col" not in REGISTRY:  # external (non-dx_) transformer hook
+        def upper_col(batch: pa.Table, column: str) -> pa.Table:
+            i = batch.schema.get_field_index(column)
+            return batch.set_column(i, column, pc.utf8_upper(batch[column]))
+
+        register("upper_col", upper_col)
+
+    fn = chain([
+        ("dx_substr", "name8", 0, 8),
+        ("dx_pad", "seg_pad", "l", 12, "*"),
+        ("dx_replace", "seg_repl", 2, 3, "XX"),
+        ("upper_col", "name8"),
+        ("dx_filter", "c_acctbal", ">", 5000),
+    ])
+
     def apply(t: pa.Table) -> pa.Table:
         t = t.append_column("name8", t["c_name"])
-        t = dx_substr(t, "name8", 0, 8)
         t = t.append_column("seg_pad", t["c_mktsegment"])
-        t = dx_pad(t, "seg_pad", "l", 12, "*")
-        t = dx_filter(t, "c_acctbal", ">", 5000)
-        return t.select(["c_custkey", "name8", "seg_pad", "c_acctbal"])
+        t = t.append_column("seg_repl", t["c_mktsegment"])
+        return fn(t).select(["c_custkey", "name8", "seg_pad", "seg_repl", "c_acctbal"])
 
     return ds.map_batches(apply, batch_format="pyarrow")
 
@@ -666,8 +685,10 @@ ORACLE_SQL = {
     """,
     "distinct_event_types": "SELECT DISTINCT event_type FROM events",
     "transform_chain": """
-        SELECT c_custkey, substr(c_name, 1, 8) AS name8,
-               lpad(substr(c_mktsegment, 1, 12), 12, '*') AS seg_pad, c_acctbal
+        SELECT c_custkey, upper(substr(c_name, 1, 8)) AS name8,
+               lpad(substr(c_mktsegment, 1, 12), 12, '*') AS seg_pad,
+               substr(c_mktsegment, 1, 2) || 'XX' || substr(c_mktsegment, 6) AS seg_repl,
+               c_acctbal
         FROM customer WHERE c_acctbal IS NULL OR NOT (c_acctbal > 5000)
     """,
     "url_extract": """
@@ -707,6 +728,43 @@ ORACLE_SQL = {
         FROM documents
     """,
     "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    # heuristic lang-id IS SQL-expressible: marker-hit ratios are divisions
+    # of identical integers (bit-identical doubles in both engines), and the
+    # CASE cascade reproduces numpy argmax's first-max tie-break over the
+    # language order [en, de, fr, es, zh].
+    "lang_id": """
+        WITH h AS (
+          SELECT doc_id,
+                 greatest(len(regexp_extract_all(text, '\\S+')), 1) AS ntok,
+                 greatest(length(text), 1) AS nchr,
+                 len(regexp_extract_all(text,
+                   '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS h_en,
+                 len(regexp_extract_all(text,
+                   '\\b(der|die|das|und|ist|nicht|ein|mit|für|auf)\\b')) AS h_de,
+                 len(regexp_extract_all(text,
+                   '\\b(le|la|les|des|est|une|dans|pour|que|avec)\\b')) AS h_fr,
+                 len(regexp_extract_all(text,
+                   '\\b(el|los|las|una|es|en|por|para|con|del)\\b')) AS h_es,
+                 len(regexp_extract_all(text, '[一-鿿]')) AS h_zh
+          FROM documents),
+        sc AS (
+          SELECT doc_id,
+                 CAST(h_en AS DOUBLE) / ntok AS s_en,
+                 CAST(h_de AS DOUBLE) / ntok AS s_de,
+                 CAST(h_fr AS DOUBLE) / ntok AS s_fr,
+                 CAST(h_es AS DOUBLE) / ntok AS s_es,
+                 CAST(h_zh AS DOUBLE) / nchr AS s_zh
+          FROM h)
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN NULL
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                         AND s_en >= s_zh THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                    WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                    WHEN s_es >= s_zh THEN 'es'
+                    ELSE 'zh' END AS lang_pred
+        FROM sc
+    """,
     "dedup_exact_prefix": """
         SELECT min(doc_id) AS doc_id, count(doc_id) AS n_copies
         FROM documents GROUP BY substr(lower(text), 1, 20)
