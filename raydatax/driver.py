@@ -54,6 +54,17 @@ def load_job_watermark(lake_dir: str) -> int:
     return st["wal_hw"] if st else -1
 
 
+def _ts_us(v) -> int | None:
+    """Parse a window bound: int µs, ISO-8601 string, or datetime."""
+    if v is None:
+        return None
+    import numpy as np
+
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    return int(np.datetime64(v, "us").astype(np.int64))
+
+
 def run_job(
     wal_dir: str,
     lake_dir: str,
@@ -68,12 +79,28 @@ def run_job(
     sparse_updates: bool = False,
     pre_handler=None,
     post_hooks: list | None = None,
+    start_ts=None,
+    end_ts=None,
     _crash_after_committing: int | None = None,
 ) -> dict:
     """Tail the WAL and upsert into the lake.  Idempotent: killing this at
     any point and re-running converges to the same committed state with
-    byte-identical partition files (FIXTURES.md F5)."""
+    byte-identical partition files (FIXTURES.md F5).
+
+    ``start_ts``/``end_ts`` (int µs, ISO string, or datetime) bound the
+    replay to an event-time window [start_ts, end_ts) — the otsstreamreader
+    startTime/endTime contract (``/root/reference/otsstreamreader/.../core/
+    RecordProcessor.java:186-239``): each windowed run applies only events
+    whose ``ts`` falls in the window and checkpoints ``ts_hw = end_ts``.
+    A lake is either seq-tailed or ts-windowed — the mode is recorded in
+    the job state and mixing raises.  Windowed replay assumes stream-time
+    monotonicity ACROSS windows (a later window's events carry later seqs,
+    the realistic binlog property); within a window LWW-by-seq handles any
+    order.  Null-ts events are dead-lettered in windowed mode."""
     t0 = time.monotonic()
+    ts_lo, ts_hi = _ts_us(start_ts), _ts_us(end_ts)
+    windowed = ts_lo is not None or ts_hi is not None
+    mode = "window" if windowed else "seq"
     os.makedirs(lake_dir, exist_ok=True)
     _lock = mf.acquire_job_lock(lake_dir)  # one ingest job per lake at a time
     try:
@@ -83,9 +110,17 @@ def run_job(
         manifests = mf.load_manifests(lake_dir)
         hws = {pid: m["hw_seq"] for pid, m in manifests.items()}
         base_files = {pid: m["file"] for pid, m in manifests.items()}
-        min_hw = load_job_watermark(lake_dir)
+        job_state = mf._read_json(job_state_path(lake_dir))
+        if job_state is not None and job_state.get("mode", "seq") != mode:
+            raise RuntimeError(
+                f"lake {lake_dir} was ingested in {job_state.get('mode', 'seq')!r} "
+                f"mode; cannot mix with {mode!r} replay"
+            )
+        # windowed mode can't prune by the job seq watermark (ts, not seq,
+        # defines the frontier); per-partition watermarks still dedupe
+        min_hw = -1 if windowed else load_job_watermark(lake_dir)
 
-        plan = plan_read(wal_dir, min_hw)
+        plan = plan_read(wal_dir, min_hw, ts_lo, ts_hi)
         plan_info = {
             "segments_read": len(plan.segments),
             "segments_pruned": plan.skipped_segments,
@@ -102,7 +137,8 @@ def run_job(
         # frontier (same epoch => same deterministic file names => byte-identical
         # resume), else open a new one.
         seg_names = [os.path.basename(p) for p in plan.segments]
-        prior = mf.find_resumable_plan(lake_dir, seg_names, plan.max_seq)
+        window = [ts_lo, ts_hi] if windowed else None
+        prior = mf.find_resumable_plan(lake_dir, seg_names, plan.max_seq, window)
         cfg = mf.load_lake_config(lake_dir)
         if prior is not None and cfg is not None:
             epoch = prior["epoch"]
@@ -111,10 +147,10 @@ def run_job(
             if cfg is None:
                 hot = detect_hot_keys(plan.segments, partitions, hot_threshold)
                 cfg = mf.init_lake(lake_dir, partitions, salt, hot, sparse_updates)
-            mf.write_plan(
-                lake_dir,
-                {"epoch": epoch, "max_seq": plan.max_seq, "segments": seg_names},
-            )
+            plan_doc = {"epoch": epoch, "max_seq": plan.max_seq, "segments": seg_names}
+            if window is not None:
+                plan_doc["window"] = window
+            mf.write_plan(lake_dir, plan_doc)
         P, S, hot_keys = cfg["partitions"], cfg["salt"], cfg["hot_keys"]
         # update semantics are lake-level state: fixed at creation, like P/S
         sparse = bool(cfg.get("sparse_updates", False))
@@ -140,6 +176,7 @@ def run_job(
                 plan.segments, min_hw, plan.event_schema, P, S, hot_keys,
                 n_parts_total, deadletter_dir, lake_dir, epoch, lake_schema,
                 base_files, hws, merge_concurrency, sparse=sparse,
+                ts_lo=ts_lo, ts_hi=ts_hi,
             )
         else:
             # Dataset path: identical semantics via groupby().map_groups — kept
@@ -152,8 +189,23 @@ def run_job(
                 file_extensions=["parquet"],
             )
             ds = ds.map_batches(
-                make_normalizer(plan.event_schema, deadletter_dir, sparse), batch_format="pyarrow"
+                make_normalizer(plan.event_schema, deadletter_dir, sparse,
+                                require_ts=windowed),
+                batch_format="pyarrow",
             )
+            if windowed:
+                import pyarrow as _pa
+
+                def _window_filter(b):
+                    keep = None
+                    if ts_lo is not None:
+                        keep = pc.greater_equal(b["ts"], _pa.scalar(ts_lo, _pa.timestamp("us")))
+                    if ts_hi is not None:
+                        hi_m = pc.less(b["ts"], _pa.scalar(ts_hi, _pa.timestamp("us")))
+                        keep = hi_m if keep is None else pc.and_(keep, hi_m)
+                    return b.filter(pc.fill_null(keep, False))
+
+                ds = ds.map_batches(_window_filter, batch_format="pyarrow")
             ds = ds.map_batches(
                 lambda b: assign_partitions(b, P, S, hot_keys), batch_format="pyarrow"
             )
@@ -218,10 +270,22 @@ def run_job(
                 ),
                 times=3,
             )
-        # job-level watermark: ALL events <= plan.max_seq are now applied+committed
-        mf._atomic_write_json(
-            job_state_path(lake_dir), {"epoch": epoch, "wal_hw": plan.max_seq}
-        )
+        # job-level watermark.  Seq mode: ALL events <= plan.max_seq are now
+        # applied+committed.  Window mode: the frontier is ts_hw = end_ts
+        # (checkpoint-at-boundary); wal_hw records the max APPLIED seq (the
+        # segment footer max may include out-of-window events).
+        if windowed:
+            applied_hw = max((r["hw_seq"] for r in lineage), default=-1)
+            prev_wal_hw = job_state.get("wal_hw", -1) if job_state else -1
+            prev_ts_hw = job_state.get("ts_hw") if job_state else None
+            new_ts_hw = ts_hi if ts_hi is not None else prev_ts_hw
+            if prev_ts_hw is not None and new_ts_hw is not None:
+                new_ts_hw = max(prev_ts_hw, new_ts_hw)
+            state = {"epoch": epoch, "mode": mode,
+                     "wal_hw": max(prev_wal_hw, applied_hw), "ts_hw": new_ts_hw}
+        else:
+            state = {"epoch": epoch, "mode": mode, "wal_hw": plan.max_seq}
+        mf._atomic_write_json(job_state_path(lake_dir), state)
         mf.gc_staging(lake_dir, epoch)
         vacuumed = mf.vacuum(lake_dir)  # drop superseded epoch snapshots
 
@@ -366,6 +430,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--salt", type=int, default=4)
     ap.add_argument("--concurrency", type=int, default=None)
     ap.add_argument("--error-limit", type=int, default=None)
+    ap.add_argument("--start-ts", default=None, help="window start (ISO or µs)")
+    ap.add_argument("--end-ts", default=None, help="window end (ISO or µs)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -388,6 +454,8 @@ def main(argv: list[str] | None = None) -> int:
             salt=args.salt,
             merge_concurrency=args.concurrency,
             error_limit_records=args.error_limit,
+            start_ts=int(args.start_ts) if args.start_ts and args.start_ts.isdigit() else args.start_ts,
+            end_ts=int(args.end_ts) if args.end_ts and args.end_ts.isdigit() else args.end_ts,
             quiet=False,
         )
         print(json.dumps({k: v for k, v in report.items() if k != "per_partition"}))

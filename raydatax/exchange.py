@@ -90,21 +90,34 @@ def map_segment(
     n_parts_total: int,
     deadletter_dir: str | None,
     sparse: bool = False,
+    ts_lo: int | None = None,
+    ts_hi: int | None = None,
 ) -> list[pa.Table]:
     """Map stage: (segment, row-group subset) → normalized, partition-split
-    shards.  Row-group granularity keeps map parallelism ≫ segment count."""
+    shards.  Row-group granularity keeps map parallelism ≫ segment count.
+    ``ts_lo``/``ts_hi`` (µs) bound the replay to an event-time window
+    (otsstreamreader startTime/endTime); the window filter runs AFTER the
+    normalizer so null-ts rows dead-letter instead of silently vanishing."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     # each worker gets 1 logical CPU — don't let Arrow's internal pool
     # oversubscribe the node (N workers × all-cores pools thrash badly)
     pa.set_cpu_count(2)
+    windowed = ts_lo is not None or ts_hi is not None
     f = pq.ParquetFile(path)
     tab = f.read_row_groups(row_groups) if row_groups is not None else f.read()
     if min_hw >= 0 and "seq" in tab.column_names:
         keep = pc.or_kleene(pc.is_null(tab["seq"]), pc.greater(tab["seq"], min_hw))
         tab = tab.filter(pc.fill_null(keep, True))
-    tab = make_normalizer(event_schema, deadletter_dir, sparse)(tab)
+    tab = make_normalizer(event_schema, deadletter_dir, sparse, require_ts=windowed)(tab)
+    if windowed and tab.num_rows:
+        keep = pa.array(np.ones(tab.num_rows, dtype=bool))
+        if ts_lo is not None:
+            keep = pc.and_(keep, pc.greater_equal(tab["ts"], pa.scalar(ts_lo, pa.timestamp("us"))))
+        if ts_hi is not None:
+            keep = pc.and_(keep, pc.less(tab["ts"], pa.scalar(ts_hi, pa.timestamp("us"))))
+        tab = tab.filter(pc.fill_null(keep, False))
     tab = assign_partitions(tab, partitions, salt, hot_keys)
     return [_encode_shard(t) for t in split_by_partition(tab, n_parts_total)]
 
@@ -188,6 +201,8 @@ def run_exchange(
     high_watermarks: dict[int, int],
     merge_concurrency: int,
     sparse: bool = False,
+    ts_lo: int | None = None,
+    ts_hi: int | None = None,
 ) -> list[dict]:
     """Drive the two stages; returns lineage rows (one per touched
     partition).  Partitions that received zero events are merged too when
@@ -196,7 +211,7 @@ def run_exchange(
     shard_refs: list[list[ray.ObjectRef]] = [
         map_segment.options(num_returns=n_parts_total).remote(
             path, rgs, min_hw, event_schema, partitions, salt, hot_keys,
-            n_parts_total, deadletter_dir, sparse,
+            n_parts_total, deadletter_dir, sparse, ts_lo, ts_hi,
         )
         for path, rgs in chunks
     ]

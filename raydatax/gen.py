@@ -182,12 +182,14 @@ def gen_events(
 
     conv_str = pa.array(conv_ids, type=pa.string()).take(pa.array(conv_l))
 
-    # D rows: payload all null.  Sparse variant (FIXTURES F2): U rows carry
-    # only "changed" fields — each payload field independently nulled ~50%.
+    # D rows: payload all null — EXCEPT ts, which is the event time of the
+    # delete itself (real binlog deletes are timestamped; time-bounded
+    # replay needs it to window tombstones).  Sparse variant (FIXTURES F2):
+    # U rows carry only "changed" fields — independently nulled ~50%.
     is_upd = kinds_l == 1
 
-    def _masked(arr: pa.Array, field_bit: int = 0) -> pa.Array:
-        mask = is_del
+    def _masked(arr: pa.Array, field_bit: int = 0, keep_on_delete: bool = False) -> pa.Array:
+        mask = np.zeros(len(is_del), dtype=bool) if keep_on_delete else is_del.copy()
         if sparse_updates:
             drop = is_upd & (((h_l >> (4 + field_bit)) & 1) == 1)
             mask = mask | drop
@@ -202,7 +204,7 @@ def gen_events(
             _masked(role, 0),
             _masked(text_arr, 1),
             _masked(tool, 2),
-            _masked(pa.array(ts, type=pa.timestamp("us")), 3),
+            _masked(pa.array(ts, type=pa.timestamp("us")), 3, keep_on_delete=True),
         ],
         schema=EVENT_SCHEMA,
     )

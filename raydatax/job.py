@@ -129,11 +129,15 @@ def run_job_config(config: dict, quiet: bool = True) -> dict:
         if reader.get("name") == "walreader" and wname == "lakewriter":
             from .driver import run_job as run_ingest
 
+            rp = reader["parameter"]
             rep = run_ingest(
-                reader["parameter"]["path"],
+                rp["path"],
                 wp["path"],
                 partitions=int(wp.get("partitions", 32)),
                 salt=int(wp.get("salt", 4)),
+                # otsstreamreader startTime/endTime window (reader-side knobs)
+                start_ts=rp.get("startTime"),
+                end_ts=rp.get("endTime"),
                 sparse_updates=bool(wp.get("sparseUpdates", False)),
                 error_limit_records=setting.get("errorLimit", {}).get("record"),
                 error_limit_percentage=setting.get("errorLimit", {}).get("percentage"),

@@ -155,16 +155,20 @@ def plan_path(lake_dir: str, epoch: int) -> str:
     return os.path.join(staging_dir(lake_dir, epoch), "plan.json")
 
 
-def find_resumable_plan(lake_dir: str, segments: list[str], max_seq: int) -> dict | None:
-    """If a prior (killed) run staged a plan for the same WAL frontier,
-    continue its epoch — this is what makes resume byte-identical to an
-    uninterrupted run (same epoch number → same file names)."""
+def find_resumable_plan(
+    lake_dir: str, segments: list[str], max_seq: int, window: list | None = None
+) -> dict | None:
+    """If a prior (killed) run staged a plan for the same WAL frontier (and,
+    for time-bounded replay, the same [start_ts, end_ts) window), continue
+    its epoch — this is what makes resume byte-identical to an uninterrupted
+    run (same epoch number → same file names)."""
     for p in sorted(glob.glob(os.path.join(lake_dir, "_staging", "epoch-*", "plan.json"))):
         plan = _read_json(p)
         if (
             plan is not None
             and plan.get("max_seq") == max_seq
             and plan.get("segments") == segments
+            and plan.get("window") == window
         ):
             return plan
     return None

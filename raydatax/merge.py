@@ -58,7 +58,7 @@ LINEAGE_SCHEMA = pa.schema(
 
 
 def make_normalizer(event_schema: pa.Schema, deadletter_dir: str | None,
-                    sparse: bool = False):
+                    sparse: bool = False, require_ts: bool = False):
     """Stateless map_batches fn: unify each batch onto the evolved event
     schema (adds missing columns as nulls, widens ints — the Arrow
     schema-unification step), then split off dirty rows.
@@ -88,6 +88,10 @@ def make_normalizer(event_schema: pa.Schema, deadletter_dir: str | None,
             exempt,
             pc.and_kleene(pc.is_valid(batch["text"]), pc.is_valid(batch["role"])),
         )
+        if require_ts:
+            # time-bounded replay can only window events that carry an event
+            # time — a null ts is a dirty record there, not a silent drop
+            valid = pc.and_kleene(valid, pc.is_valid(batch["ts"]))
         ok = pc.fill_null(pc.and_kleene(valid, has_payload), False)
         if pc.all(ok).as_py():
             return batch

@@ -50,9 +50,39 @@ def segment_seq_range(path: str) -> tuple[int, int]:
     return (mn, mx)
 
 
-def plan_read(wal_dir: str, min_hw: int) -> ReadPlan:
-    """Segments that may contain events with seq > min_hw, plus the unified
-    (evolved) event schema across them."""
+def segment_ts_range(path: str) -> tuple[int, int]:
+    """min/max event-time (µs) from parquet row-group statistics (footer
+    only); unbounded when stats are missing — prune conservatively."""
+    md = pq.read_metadata(path)
+    sch = md.schema.to_arrow_schema()
+    if "ts" not in sch.names:
+        return (-(1 << 62), 1 << 62)
+    idx = sch.get_field_index("ts")
+    mn, mx = None, None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return (-(1 << 62), 1 << 62)
+        # physical (raw) stats are int64 µs for timestamp[us] — avoids any
+        # local-timezone interpretation of logical datetime stats
+        if not isinstance(st.min_raw, int) or not isinstance(st.max_raw, int):
+            return (-(1 << 62), 1 << 62)
+        lo, hi = st.min_raw, st.max_raw
+        mn = lo if mn is None else min(mn, lo)
+        mx = hi if mx is None else max(mx, hi)
+    return (mn, mx)
+
+
+def plan_read(
+    wal_dir: str,
+    min_hw: int,
+    ts_lo: int | None = None,
+    ts_hi: int | None = None,
+) -> ReadPlan:
+    """Segments that may contain events with seq > min_hw (and, for
+    time-bounded replay, event time in [ts_lo, ts_hi) µs — the
+    otsstreamreader startTime/endTime window), plus the unified (evolved)
+    event schema across them."""
     all_segs = discover_segments(wal_dir)
     keep, schemas = [], []
     lo, hi = None, None
@@ -60,6 +90,12 @@ def plan_read(wal_dir: str, min_hw: int) -> ReadPlan:
         mn, mx = segment_seq_range(p)
         if mx <= min_hw:
             continue
+        if ts_lo is not None or ts_hi is not None:
+            t_mn, t_mx = segment_ts_range(p)
+            if ts_lo is not None and t_mx < ts_lo:
+                continue
+            if ts_hi is not None and t_mn >= ts_hi:
+                continue
         keep.append(p)
         schemas.append(pq.read_schema(p))
         lo = mn if lo is None else min(lo, mn)
