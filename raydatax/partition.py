@@ -20,25 +20,48 @@ partition mapping stays stable for the lake's lifetime (a rebase merge
 requires it).  Re-partitioning an existing lake (e.g. a conversation turning
 hot later) is an offline maintenance job, not an ingest-path concern.
 
-Hashing is ``pandas.util.hash_array`` (vectorized SipHash with a fixed key)
-— deterministic across processes, nodes and runs, unlike Python's ``hash``.
+Hashing is a 64-bit polynomial over the raw Arrow UTF-8 buffer with a
+splitmix finalizer (:func:`raydatax.text.poly_hash_array`) — deterministic
+across processes, nodes and runs (unlike Python's ``hash``), and computed
+WITHOUT materializing per-row Python strings: the object-array conversion
+the previous pandas ``hash_array`` path required was the map stage's
+single largest cost at bench scale.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
-from pandas.util import hash_array
+
+_MIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix-style avalanche so `% P` sees uniform low bits."""
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(33))) * _MIX
+        h ^= h >> np.uint64(33)
+    return h
+
+
+def hash_string_column(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Deterministic uint64 hash of an Arrow string column, zero Python
+    objects on the path."""
+    from .text import poly_hash_array
+
+    return _mix64(poly_hash_array(col))
 
 
 def hash_strings(arr: np.ndarray) -> np.ndarray:
-    """Deterministic uint64 hash of an object-dtype string array."""
-    return hash_array(arr.astype(object, copy=False), categorize=False)
+    """Deterministic uint64 hash of an object/str numpy array (point
+    lookups and tests; the batch path uses :func:`hash_string_column`)."""
+    return hash_string_column(pa.array(arr.astype(object, copy=False), type=pa.string()))
 
 
 def hash_ints(arr: np.ndarray) -> np.ndarray:
-    return hash_array(np.ascontiguousarray(arr, dtype=np.int64))
+    return _mix64(np.ascontiguousarray(arr, dtype=np.int64).view(np.uint64).copy())
 
 
 def assign_partitions(
@@ -49,15 +72,15 @@ def assign_partitions(
     part_col: str = "__part",
 ) -> pa.Table:
     """Vectorized partition assignment; appends an int32 ``__part`` column."""
-    conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
-    h = hash_strings(conv)
+    conv_col = batch.column("conv_id")
+    h = hash_string_column(conv_col)
     part = (h % np.uint64(partitions)).astype(np.int64)
     if hot_keys:
-        hot_index = {k: i for i, k in enumerate(hot_keys)}
-        # membership test via a small dict over unique values of the batch
-        uniq, inv = np.unique(conv, return_inverse=True)
-        uniq_hot = np.array([hot_index.get(u, -1) for u in uniq], dtype=np.int64)
-        hot_i = uniq_hot[inv]
+        # membership via Arrow's hash join kernel — no object conversion
+        hot_i_arr = pc.fill_null(
+            pc.index_in(conv_col, value_set=pa.array(hot_keys, pa.string())), -1
+        )
+        hot_i = hot_i_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         mask = hot_i >= 0
         if mask.any():
             turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)

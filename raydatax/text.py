@@ -117,6 +117,26 @@ _POLY_R = 0x100000001B3  # odd -> invertible mod 2^64
 _POLY_RINV = pow(_POLY_R, -1, 1 << 64)
 
 
+def poly_hash_array(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """uint64 polynomial hash per string of an Arrow (large_)string array,
+    computed over the raw UTF-8 buffer — NO per-row Python objects.  This is
+    the shared kernel behind :func:`fingerprint_rolling` and the engine's
+    partition hashing (hot enough that object materialization was the map
+    stage's dominant cost)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # pyarrow<17 may still return chunked
+        col = col.chunk(0) if col.num_chunks else pa.array([], pa.string())
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    t = pa.table({"c": col})
+    out = fingerprint_rolling(t, "c", "h")["h"]
+    arr = out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], pa.int64())
+    return arr.to_numpy(zero_copy_only=False).view(np.uint64)
+
+
 def fingerprint_rolling(batch: pa.Table, column: str = "text", out: str = "fp64") -> pa.Table:
     """64-bit polynomial (Rabin-Karp-family) document fingerprint, fully
     vectorized: hash(doc) = (Σ byte_i · r^(len-i)) + len, computed over the
