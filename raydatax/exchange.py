@@ -42,6 +42,44 @@ from .merge import make_normalizer, merge_partition_tables
 from .partition import assign_partitions
 
 
+class StageStalledError(RuntimeError):
+    """A stage made no progress within the hang timeout (the engine-side
+    TaskMonitor: DataX expires a task after a no-progress interval,
+    ``/root/reference/core/.../taskgroup/TaskMonitor.java:61-94``)."""
+
+
+def wait_with_watchdog(
+    refs: list, stage: str, hang_timeout_s: float | None, poll_s: float = 5.0
+) -> list:
+    """ray.wait/ray.get with no-progress detection: completions are polled;
+    if NO new task finishes within ``hang_timeout_s`` the stage raises
+    :class:`StageStalledError` with a progress snapshot instead of blocking
+    forever (Ray retries cover crashed workers; the watchdog covers silent
+    hangs — deadlocked I/O, lost connections, livelock)."""
+    import time
+
+    if hang_timeout_s is None:
+        ray.wait(refs, num_returns=len(refs), fetch_local=False)
+        return refs
+    pending = list(refs)
+    done_n = 0
+    last_progress = time.monotonic()
+    while pending:
+        done, pending = ray.wait(
+            pending, num_returns=len(pending), timeout=poll_s, fetch_local=False
+        )
+        now = time.monotonic()
+        if done:
+            done_n += len(done)
+            last_progress = now
+        elif now - last_progress > hang_timeout_s:
+            raise StageStalledError(
+                f"{stage} stage stalled: {done_n}/{len(refs)} tasks done, "
+                f"no progress for {now - last_progress:.0f}s"
+            )
+    return refs
+
+
 def split_by_partition(batch: pa.Table, n_parts: int, part_col: str = "__part") -> list[pa.Table]:
     """Split one Arrow block into per-partition sub-tables: one stable
     argsort on the small int partition column + boundary slices (views into
@@ -205,6 +243,7 @@ def run_exchange(
     sparse: bool = False,
     ts_lo: int | None = None,
     ts_hi: int | None = None,
+    hang_timeout_s: float | None = 600.0,
 ) -> list[dict]:
     """Drive the two stages; returns lineage rows (one per touched
     partition).  Partitions that received zero events are merged too when
@@ -233,12 +272,13 @@ def run_exchange(
         for _ in range(max(1, merge_concurrency))
     ]
     flat = [r for refs in shard_refs for r in refs]
-    ray.wait(flat, num_returns=len(flat), fetch_local=False)
+    wait_with_watchdog(flat, "map", hang_timeout_s)
     lineage_refs = []
     for pid in range(n_parts_total):
         shards = [refs[pid] for refs in shard_refs]
         actor = actors[pid % len(actors)]
         lineage_refs.append(actor.merge.remote(pid, *shards))
+    wait_with_watchdog(lineage_refs, "merge", hang_timeout_s)
     lineage = ray.get(lineage_refs)
     for a in actors:
         ray.kill(a)

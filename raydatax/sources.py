@@ -82,6 +82,49 @@ def apply_column_spec(batch: pa.Table, spec: list[ColumnEntry]) -> pa.Table:
     return pa.Table.from_arrays(cols, names=names)
 
 
+# Extensions handled by the whole-file decompress path (per-file read task —
+# none of these formats block-split anyway).  gzip ALSO works through the
+# plain read_csv path (Arrow auto-detects it); the rest mirror the
+# reference's compress knob (UnstructuredStorageReaderUtil.java:103-251:
+# gzip, bzip2, zip, lzo, lzo_deflate, hadoop-snappy, framing-snappy).
+_WHOLE_FILE_CODEC_EXTS = (".bz2", ".zip", ".xz", ".lzma", ".zst", ".snappy", ".lzo")
+
+
+def decompress_file_bytes(name: str, data: bytes) -> bytes:
+    """Decompress one file's bytes, detecting the codec by MAGIC BYTES (the
+    Arrow filesystem layer already auto-decompresses the codecs it knows —
+    gzip/bz2/zstd — so extension alone would double-decompress; sniffing
+    handles both raw and pre-decompressed inputs).  Hadoop-framed
+    snappy/LZO are not present in this container — those raise a
+    clearly-marked NotImplementedError instead of guessing."""
+    if name.lower().endswith((".snappy", ".lzo")):
+        raise NotImplementedError(
+            "hadoop-framed snappy/LZO codecs are not available in this "
+            "container; re-encode as gzip/bzip2/zstd/xz/zip"
+        )
+    if data[:4] == b"PK\x03\x04":
+        import io
+        import zipfile
+
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            return b"".join(z.read(n) for n in sorted(z.namelist()))
+    if data[:6] == b"\xfd7zXZ\x00" or data[:3] == b"\x5d\x00\x00":
+        import lzma
+
+        return lzma.decompress(data)
+    if data[:3] == b"BZh":
+        import bz2
+
+        return bz2.decompress(data)
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.decompress(data)
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        return pa.input_stream(pa.BufferReader(data), compression="zstd").read()
+    return data
+
+
 def read_csv_datax(
     paths: str | list[str],
     column_spec: list[ColumnEntry] | None = None,
@@ -90,8 +133,10 @@ def read_csv_datax(
     null_format: str | None = None,
     encoding: str = "utf8",
 ) -> "rd.Dataset":
-    """CSV source with the reference's reader knobs.  Compression
-    (gzip/bz2/...) is handled transparently by Arrow's open_input_stream."""
+    """CSV source with the reference's reader knobs.  Plain and gzip files
+    go through Ray's block-splitting CSV datasource; bz2/zip/xz/zstd files
+    decompress whole-file inside the read task (one task per file — the
+    txtfilereader split unit) and parse with the same Arrow CSV options."""
     from pyarrow import csv as pacsv
 
     read_opts = pacsv.ReadOptions(encoding=encoding, autogenerate_column_names=not skip_header)
@@ -100,12 +145,32 @@ def read_csv_datax(
         null_values=[null_format] if null_format is not None else [""],
         strings_can_be_null=null_format is not None,
     )
-    ds = rd.read_csv(
-        paths,
-        read_options=read_opts,
-        parse_options=parse_opts,
-        convert_options=convert_opts,
-    )
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+    if any(p.lower().endswith(_WHOLE_FILE_CODEC_EXTS) for p in path_list):
+        def parse_files(batch: pa.Table) -> pa.Table:
+            tabs = []
+            for row in batch.to_pylist():
+                raw = decompress_file_bytes(row["path"], row["bytes"])
+                tabs.append(
+                    pacsv.read_csv(
+                        pa.BufferReader(raw),
+                        read_options=read_opts,
+                        parse_options=parse_opts,
+                        convert_options=convert_opts,
+                    )
+                )
+            return pa.concat_tables(tabs, promote_options="permissive")
+
+        ds = rd.read_binary_files(path_list, include_paths=True).map_batches(
+            parse_files, batch_format="pyarrow", batch_size=1
+        )
+    else:
+        ds = rd.read_csv(
+            path_list,
+            read_options=read_opts,
+            parse_options=parse_opts,
+            convert_options=convert_opts,
+        )
     if column_spec:
         ds = ds.map_batches(
             lambda t: apply_column_spec(t, column_spec), batch_format="pyarrow"

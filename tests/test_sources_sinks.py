@@ -115,3 +115,72 @@ def test_csv_gzip_compression(tmp_path):
     rows = sorted(read_csv_datax(p, spec).take_all(), key=lambda r: r["id"])
     assert [r["id"] for r in rows] == [5, 6]
     assert rows[1]["w"] == "six"
+
+
+def test_csv_whole_file_codecs(tmp_path):
+    """bz2 / zip / xz / zstd CSVs decompress whole-file inside the read
+    task (one task per file, txtfilereader split unit); hadoop-framed
+    snappy raises the documented NotImplementedError."""
+    import bz2
+    import lzma
+    import zipfile
+
+    body = "7,seven\n8,eight\n"
+    spec = [ColumnEntry(index=0, type="long", name="id"),
+            ColumnEntry(index=1, type="string", name="w")]
+
+    paths = []
+    p = str(tmp_path / "a.csv.bz2")
+    with bz2.open(p, "wt") as f:
+        f.write(body)
+    paths.append(p)
+    p = str(tmp_path / "b.csv.xz")
+    with lzma.open(p, "wt") as f:
+        f.write("9,nine\n")
+    paths.append(p)
+    p = str(tmp_path / "c.csv.zip")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("inner.csv", "10,ten\n")
+    paths.append(p)
+    p = str(tmp_path / "d.csv.zst")
+    import pyarrow as _pa
+
+    with _pa.output_stream(p, compression="zstd") as f:
+        f.write(b"11,eleven\n")
+    paths.append(p)
+
+    rows = sorted(read_csv_datax(paths, spec).take_all(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == [7, 8, 9, 10, 11]
+    assert rows[-1]["w"] == "eleven"
+
+    from raydatax.sources import decompress_file_bytes
+
+    with pytest.raises(NotImplementedError, match="snappy"):
+        decompress_file_bytes("x.csv.snappy", b"data")
+
+
+def test_exchange_watchdog_detects_stall(ray_session):
+    """wait_with_watchdog raises StageStalledError when no task completes
+    within the hang timeout (TaskMonitor no-progress parity), and passes
+    through quietly when tasks finish."""
+    import ray as _ray
+
+    from raydatax.exchange import StageStalledError, wait_with_watchdog
+
+    @_ray.remote
+    def quick():
+        return 1
+
+    refs = [quick.remote() for _ in range(4)]
+    assert wait_with_watchdog(refs, "map", hang_timeout_s=30.0, poll_s=0.2) == refs
+
+    @_ray.remote
+    def stuck():
+        import time as _t
+
+        _t.sleep(60)
+
+    ref = [stuck.remote()]
+    with pytest.raises(StageStalledError, match="map stage stalled: 0/1"):
+        wait_with_watchdog(ref, "map", hang_timeout_s=1.0, poll_s=0.2)
+    _ray.cancel(ref[0], force=True)
