@@ -143,7 +143,7 @@ def map_segment(
 
     # each worker gets 1 logical CPU — don't let Arrow's internal pool
     # oversubscribe the node (N workers × all-cores pools thrash badly)
-    pa.set_cpu_count(2)
+    pa.set_cpu_count(1)
     windowed = ts_lo is not None or ts_hi is not None
     f = pq.ParquetFile(path)
     tab = f.read_row_groups(row_groups) if row_groups is not None else f.read()
@@ -203,7 +203,7 @@ class MergeActor:
         high_watermarks: dict[int, int],
         sparse: bool = False,
     ):
-        pa.set_cpu_count(2)  # see map_segment: avoid N×all-cores Arrow pools
+        pa.set_cpu_count(1)  # see map_segment: avoid N×all-cores Arrow pools
         self.sparse = sparse
         self.lake_dir = lake_dir
         self.epoch = epoch

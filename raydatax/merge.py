@@ -127,18 +127,31 @@ def lww_winners(combined: pa.Table, sparse: bool = False) -> pa.Table:
     key's last full-image reset (``I`` replaces the whole row, explicit
     nulls included; ``D`` clears).  Resolution is one numpy pass per column:
     global last-valid-index accumulate, clipped at reset-segment starts."""
-    s = combined.sort_by(
-        [("conv_id", "ascending"), ("turn_idx", "ascending"), ("seq", "ascending")]
-    )
-    if s.num_rows == 0:
-        return s
-    s = s.combine_chunks()
-    conv = s.column("conv_id")
+    if combined.num_rows == 0:
+        return combined
+    # Sort by an INTEGER rank of conv_id instead of the string itself: the
+    # distinct conversations per partition are few relative to events, so
+    # dictionary-encode (one pass), lexicographically rank the (small)
+    # dictionary, and run a pure-integer 3-key sort — measured several times
+    # cheaper than the string-led sort on transcript-sized partitions, with
+    # an identical resulting order (Arrow string ordering is bytewise).
+    combined = combined.combine_chunks()
+    conv = combined.column("conv_id")
     if isinstance(conv, pa.ChunkedArray):
         conv = conv.chunk(0)  # single chunk after combine; per-chunk dicts would break adjacency
-    codes = pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(conv)
+    dic = enc.dictionary
+    sort_idx = pc.array_sort_indices(dic).to_numpy(zero_copy_only=False)
+    rank_of = np.empty(len(dic), np.int64)
+    rank_of[sort_idx] = np.arange(len(dic), dtype=np.int64)
+    rank = rank_of[enc.indices.to_numpy(zero_copy_only=False)]
+    s = combined.append_column("__rank", pa.array(rank)).sort_by(
+        [("__rank", "ascending"), ("turn_idx", "ascending"), ("seq", "ascending")]
+    ).combine_chunks()
+    rank_s = s.column("__rank").to_numpy(zero_copy_only=False)
     turn = s.column("turn_idx").to_numpy(zero_copy_only=False)
-    neq = (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])
+    s = s.drop_columns(["__rank"])
+    neq = (rank_s[1:] != rank_s[:-1]) | (turn[1:] != turn[:-1])
     last = np.append(neq, True)
 
     if sparse:

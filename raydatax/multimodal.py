@@ -21,7 +21,6 @@ are not split absurdly small.
 
 from __future__ import annotations
 
-import hashlib
 import struct
 
 import numpy as np
@@ -110,22 +109,35 @@ class DecodeMedia:
 
 class MediaFeatures:
     """Feature-extraction stage: deterministic 64-d hash-projection of the
-    payload (stands in for a CNN/audio embedding; same actor-pool shape)."""
+    payload (stands in for a CNN/audio embedding; same actor-pool shape).
+    Fully vectorized: one polynomial hash pass over the whole batch's
+    binary buffer, then a per-dimension splitmix expansion — no per-row
+    Python, so the stub's Ray-side cost profile matches a real batched
+    model-inference stage."""
 
     DIM = 64
+    _MIX = np.uint64(0xFF51AFD7ED558CCD)
 
     def __init__(self, dim: int = 64):
         self.dim = dim
-        # per-actor setup: projection seeds derived once
-        self.seeds = np.arange(dim, dtype=np.uint64)
+        # per-actor setup: per-dimension odd multipliers derived once
+        rng = np.random.default_rng(97)
+        self.mult = rng.integers(1, 1 << 63, size=dim, dtype=np.uint64) | np.uint64(1)
+        self.add = rng.integers(0, 1 << 63, size=dim, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
-        for payload in batch["payload"].to_pylist():
-            digest = hashlib.sha256(payload).digest()
-            base = np.frombuffer((digest * ((self.dim * 4) // len(digest) + 1))[: self.dim * 4], dtype=np.uint32)
-            feats.append((base.astype(np.float32) / np.float32(2**32)).tolist())
-        return batch.append_column("features", pa.array(feats, pa.list_(pa.float32())))
+        from .text import poly_hash_array
+
+        h = poly_hash_array(batch["payload"])  # uint64 per row, one pass
+        with np.errstate(over="ignore"):
+            m = h[:, None] * self.mult[None, :] + self.add[None, :]
+            m = (m ^ (m >> np.uint64(33))) * self._MIX
+            m ^= m >> np.uint64(33)
+        vals = (m >> np.uint64(40)).astype(np.float32) / np.float32(1 << 24)
+        n = batch.num_rows
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * self.dim)
+        arr = pa.ListArray.from_arrays(offsets, pa.array(vals.reshape(-1), pa.float32()))
+        return batch.append_column("features", arr)
 
 
 def frame_sample_plan(duration_ms: pa.Array, every_ms: int = 1000) -> pa.Array:

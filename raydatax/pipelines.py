@@ -426,6 +426,22 @@ def dedup_minhash(sf_dir: str):
     return minhash_dedup(ds, threshold=0.6)
 
 
+def ngram_jaccard(sf_dir: str):
+    """Exact char-5-gram Jaccard over a deterministic candidate-pair list
+    (every 25th doc vs its successor) — the verification stage of the
+    near-dup pipeline, SQL-oracled: hashed-shingle distinct counts equal
+    raw-substring distinct counts (64-bit collisions are negligible), and
+    |∩|/|∪| is an integer division both engines perform identically."""
+    import pyarrow.parquet as pq
+
+    from .dedup import ngram_jaccard_verify
+
+    ids = set(pq.read_table(_p(sf_dir, "documents"), columns=["doc_id"])["doc_id"].to_pylist())
+    pairs = [(i, i + 1) for i in sorted(ids) if i % 25 == 0 and i + 1 in ids]
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ngram_jaccard_verify(ds, pairs, k=5)
+
+
 def dedup_simhash(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
@@ -593,6 +609,7 @@ QUERIES = {
     "dedup_exact_prefix": dedup_exact_prefix,
     "lang_id": lang_id,
     "dedup_minhash": dedup_minhash,
+    "ngram_jaccard": ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "events_hourly": events_hourly,
     "user_sessions": user_sessions,
@@ -768,6 +785,33 @@ ORACLE_SQL = {
     "dedup_exact_prefix": """
         SELECT min(doc_id) AS doc_id, count(doc_id) AS n_copies
         FROM documents GROUP BY substr(lower(text), 1, 20)
+    """,
+    "ngram_jaccard": """
+        WITH pairs AS (
+          SELECT d.doc_id AS a, d.doc_id + 1 AS b
+          FROM documents d
+          WHERE d.doc_id % 25 = 0
+            AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)),
+        need AS (SELECT a AS x FROM pairs UNION SELECT b FROM pairs),
+        idx AS (
+          SELECT d.doc_id, d.text,
+                 unnest(generate_series(1, greatest(length(d.text) - 4, 0))) AS i
+          FROM documents d JOIN need ON d.doc_id = need.x),
+        g AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS gram FROM idx),
+        sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT p.a, p.b, count(*) AS ni
+          FROM pairs p
+          JOIN g ga ON ga.doc_id = p.a
+          JOIN g gb ON gb.doc_id = p.b AND gb.gram = ga.gram
+          GROUP BY p.a, p.b)
+        SELECT p.a, p.b,
+               CAST(coalesce(i.ni, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(i.ni, 0)) AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.a
+        JOIN sizes sb ON sb.doc_id = p.b
+        LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
     """,
     "events_hourly": """
         SELECT user_id, date_trunc('hour', ts) AS window,

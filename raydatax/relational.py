@@ -292,7 +292,7 @@ def lww_latest(
     seq_col: str,
     op_col: str | None = None,
     delete_value: str = "D",
-    num_partitions: int = 32,
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """Generic last-writer-wins: keep each key's max-``seq_col`` row; if
     ``op_col`` is given, keys whose winning row carries ``delete_value`` are
@@ -300,7 +300,11 @@ def lww_latest(
     engine's merge specialised in merge.py uses the same contract).
 
     Shuffle = ONE hash partition on the key columns; LWW inside each
-    partition is vectorized (sort + group-boundary mask)."""
+    partition is vectorized (sort + group-boundary mask).  One partition =
+    one ``map_groups`` task heap: size ``num_partitions`` so
+    rows/num_partitions fits a worker (~100-500 MB) — at real scale pass
+    hundreds/thousands; the CDC engine path (exchange.py) is the
+    fully-tuned variant of this operator."""
 
     def add_part(batch: pa.Table) -> pa.Table:
         from pandas.util import hash_array

@@ -118,17 +118,19 @@ _POLY_RINV = pow(_POLY_R, -1, 1 << 64)
 
 
 def poly_hash_array(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
-    """uint64 polynomial hash per string of an Arrow (large_)string array,
-    computed over the raw UTF-8 buffer — NO per-row Python objects.  This is
-    the shared kernel behind :func:`fingerprint_rolling` and the engine's
-    partition hashing (hot enough that object materialization was the map
-    stage's dominant cost)."""
+    """uint64 polynomial hash per value of an Arrow (large_)string or
+    (large_)binary array, computed over the raw byte buffer — NO per-row
+    Python objects.  This is the shared kernel behind
+    :func:`fingerprint_rolling`, the engine's partition hashing, and the
+    multimodal feature stub (hot enough that object materialization was the
+    map stage's dominant cost)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if isinstance(col, pa.ChunkedArray):  # pyarrow<17 may still return chunked
         col = col.chunk(0) if col.num_chunks else pa.array([], pa.string())
     if col.null_count:
-        col = pc.fill_null(col, "")
+        fill = b"" if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type) else ""
+        col = pc.fill_null(col, fill)
     t = pa.table({"c": col})
     out = fingerprint_rolling(t, "c", "h")["h"]
     arr = out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
@@ -149,12 +151,12 @@ def fingerprint_rolling(batch: pa.Table, column: str = "text", out: str = "fp64"
     n = len(col)
     if n == 0:
         return batch.append_column(out, pa.array([], pa.int64()))
-    if pa.types.is_large_string(col.type):
+    if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
         off_dtype = np.int64
-    elif pa.types.is_string(col.type):
-        off_dtype = np.int32
+    elif pa.types.is_string(col.type) or pa.types.is_binary(col.type):
+        off_dtype = np.int32  # the kernel never decodes utf-8: bytes are bytes
     else:
-        raise TypeError(f"fingerprint_rolling: expected a (large_)string column, got {col.type}")
+        raise TypeError(f"fingerprint_rolling: expected a (large_)string/binary column, got {col.type}")
     off_buf = col.buffers()[1]
     offsets = np.frombuffer(off_buf, dtype=off_dtype, count=n + 1).astype(np.int64)
     base = offsets[0]
