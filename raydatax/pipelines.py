@@ -163,6 +163,81 @@ def transcript_cdc_replay(sf_dir: str):
     )
 
 
+def transcript_window_replay(sf_dir: str):
+    """Time-bounded replay, hash-verified: the same derived CDC stream as
+    the flagship but with a seq-monotone event time (ts = BASE + seq
+    seconds, the realistic binlog property windowed replay documents),
+    applied as TWO consecutive [start_ts, end_ts) windows through the full
+    engine — checkpoint-at-boundary, windowed mode state — whose final lake
+    must equal the one-shot LWW replay the SQL oracle computes."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .driver import lake_table, run_job
+    from .gen import BASE_TS_US, write_wal
+    from .schema import EVENT_SCHEMA
+
+    e = pq.read_table(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    ).sort_by([("event_id", "ascending")])
+    eid = e["event_id"].to_numpy()
+    opk = np.where(eid % 10 < 6, 0, np.where(eid % 10 < 9, 1, 2)).astype(np.int8)
+    op = pa.array(["I", "U", "D"], pa.string()).take(pa.array(opk))
+    conv = pc.binary_join_element_wise(
+        pa.scalar("conv-"), pc.cast(e["user_id"], pa.string()), ""
+    )
+    turn = (eid % 37).astype(np.int32)
+    role = pa.array(["user", "assistant"], pa.string()).take(
+        pa.array((turn % 2).astype(np.int8))
+    )
+    text = pc.binary_join_element_wise(
+        e["event_type"], pc.cast(e["event_id"], pa.string()), " w"
+    )
+    ts = pa.array(BASE_TS_US + eid * 1_000_000, pa.timestamp("us"))
+
+    is_del = pa.array(opk == 2)
+
+    def _mask(arr):
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        return pc.if_else(is_del, pa.scalar(None, a.type), a)
+
+    wal_table = pa.Table.from_arrays(
+        [
+            pa.array(eid, pa.int64()),
+            op,
+            conv.combine_chunks() if isinstance(conv, pa.ChunkedArray) else conv,
+            pa.array(turn, pa.int32()),
+            _mask(role),
+            _mask(text),
+            pa.nulls(len(eid), pa.string()),  # tool: absent in this stream
+            ts,  # event time set on every op incl. deletes
+        ],
+        schema=EVENT_SCHEMA,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = f"/tmp/raydatax_window_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    wal = os.path.join(root, "wal")
+    lake = os.path.join(root, "lake")
+    write_wal(wal_table, wal, seg_rows=20_000)
+    mid = int(BASE_TS_US + int(np.median(eid)) * 1_000_000)
+    end = int(BASE_TS_US + (int(eid.max()) + 1) * 1_000_000)
+    run_job(wal, lake, partitions=8, start_ts=int(BASE_TS_US), end_ts=mid)
+    run_job(wal, lake, partitions=8, start_ts=mid, end_ts=end)
+    lk = lake_table(lake)
+    return pa.table(
+        {
+            "conv_id": lk["conv_id"],
+            "turn_idx": lk["turn_idx"],
+            "role": lk["role"],
+            "text": lk["text"],
+            "seq": lk["seq"],
+        }
+    )
+
+
 # ---------------------------------------------------------------- relational
 
 
@@ -592,6 +667,7 @@ def dedup_embedding(sf_dir: str):
 QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "transcript_cdc_replay": transcript_cdc_replay,
+    "transcript_window_replay": transcript_window_replay,
     "q1_pricing_summary": q1_pricing_summary,
     "top_orders": top_orders,
     "customers_per_region": customers_per_region,
@@ -657,6 +733,24 @@ ORACLE_SQL = {
           FROM src)
         SELECT conv_id, turn_idx, role, text, tool,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, seq
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    "transcript_window_replay": """
+        WITH src AS (
+          SELECT event_id AS seq,
+                 CASE WHEN event_id % 10 < 6 THEN 'I'
+                      WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+                 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                 CAST(event_id % 37 AS INTEGER) AS turn_idx,
+                 CASE WHEN (event_id % 37) % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 event_type || ' w' || CAST(event_id AS VARCHAR) AS text
+          FROM events),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY seq DESC) AS rn
+          FROM src)
+        SELECT conv_id, turn_idx, role, text, seq
         FROM ranked WHERE rn = 1 AND op <> 'D'
     """,
     "q1_pricing_summary": """
