@@ -333,6 +333,21 @@ def semi_join_fulfilled(sf_dir: str):
     return out.map_batches(lambda t: _round(t, {"sum_qty": 2}), batch_format="pyarrow")
 
 
+def customers_without_orders(sf_dir: str):
+    """Anti join with a large build side: customers with NO fulfilled
+    order.  The distinct order-customer key set is built distributed (with
+    the status predicate pushed to the read) and the broadcast-vs-hash
+    decision comes from a metadata count (relational.semi_join, anti=True)."""
+    from .relational import semi_join
+
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    ords = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey"],
+        filter=pc.field("o_orderstatus") == "F",
+    )
+    return semi_join(cust, ords, "c_custkey", "o_custkey", anti=True)
+
+
 def sql_split_read(sf_dir: str):
     """JDBC-family source parity: splitPk range-sliced parallel read out of
     a DuckDB database file (built once from the orders table), with
@@ -673,6 +688,7 @@ QUERIES = {
     "customers_per_region": customers_per_region,
     "projection_filter_revenue": projection_filter_revenue,
     "semi_join_fulfilled": semi_join_fulfilled,
+    "customers_without_orders": customers_without_orders,
     "sql_split_read": sql_split_read,
     "distinct_event_types": distinct_event_types,
     "transform_chain": transform_chain,
@@ -789,6 +805,11 @@ ORACLE_SQL = {
         FROM lineitem
         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
         GROUP BY l_returnflag
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     """,
     "sql_split_read": """
         SELECT o_orderkey, o_custkey, o_totalprice
