@@ -305,6 +305,79 @@ def run_job(
     finally:
         _lock.close()  # flock released on close
 
+# ----------------------------------------------------------- dead letters
+
+
+def list_deadletters(lake_dir: str, epoch: int | None = None):
+    """All dead-lettered (dirty) records, with their epoch — the inspection
+    half of the DataX dirty-data story (records diverted instead of failing
+    the job; the writer surfaces them for repair)."""
+    import re
+
+    import pyarrow as pa
+
+    pat = os.path.join(lake_dir, "_deadletter",
+                       f"epoch-{epoch:06d}" if epoch is not None else "epoch-*",
+                       "dirty-*.parquet")
+    tables = []
+    for p in sorted(glob.glob(pat)):
+        m = re.search(r"epoch-(\d+)", p)
+        t = pq.read_table(p)
+        tables.append(t.append_column("__epoch", pa.array([int(m.group(1))] * t.num_rows)))
+    if not tables:
+        return None
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def requeue_deadletters(lake_dir: str, wal_dir: str, repair_fn, epoch: int | None = None,
+                        clear: bool = True) -> int:
+    """Repair dead-lettered records and append them to the WAL as NEW events
+    (fresh seq range past the current WAL maximum — a repair is a new
+    version by definition under LWW).  ``repair_fn(table) -> table`` fixes
+    the payload; rows it cannot fix may be dropped.  Returns the number of
+    requeued events.  The next ``run_job`` applies them like any other
+    appended segment."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .gen import write_wal
+    from .schema import EVENT_SCHEMA, normalize_to
+    from .source import discover_segments, segment_seq_range
+
+    bad = list_deadletters(lake_dir, epoch)
+    if bad is None or bad.num_rows == 0:
+        return 0
+    repaired = repair_fn(bad.drop_columns(["__epoch"]))
+    if repaired is None or repaired.num_rows == 0:
+        return 0
+    segs = discover_segments(wal_dir)
+    max_seq = max((segment_seq_range(p)[1] for p in segs), default=-1)
+    fresh = pa.array(np.arange(max_seq + 1, max_seq + 1 + repaired.num_rows), pa.int64())
+    repaired = repaired.set_column(
+        repaired.schema.get_field_index("seq"), "seq", fresh
+    )
+    repaired = normalize_to(repaired, EVENT_SCHEMA)
+    existing = len(segs)
+    # write_wal numbers from 0, which would collide with the live log —
+    # stage in a scratch dir, then move after the current tail
+    stage = os.path.join(wal_dir, "_requeue")
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    new_paths = write_wal(repaired, stage, seg_rows=max(repaired.num_rows, 1))
+    for k, p in enumerate(new_paths):
+        os.replace(p, os.path.join(wal_dir, f"seg-{existing + k:05d}.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+    if clear:
+        pat = os.path.join(lake_dir, "_deadletter",
+                           f"epoch-{epoch:06d}" if epoch is not None else "epoch-*")
+        import shutil
+
+        for d in glob.glob(pat):
+            shutil.rmtree(d)
+    return repaired.num_rows
+
+
 # ------------------------------------------------------------- lake readers
 
 

@@ -333,6 +333,35 @@ def semi_join_fulfilled(sf_dir: str):
     return out.map_batches(lambda t: _round(t, {"sum_qty": 2}), batch_format="pyarrow")
 
 
+def events_partitioned_roundtrip(sf_dir: str):
+    """odps/hive partitioned-table parity: write events hive-partitioned by
+    event_type (one key=value directory per partition — the resumable
+    output layout), read back ONLY the 'click' partition with
+    directory-level pruning, and aggregate per day."""
+    import shutil
+
+    from .sinks import read_partitioned, write_partitioned
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/raydatax_part_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    write_partitioned(ds, out, ["event_type"])
+
+    clicks = read_partitioned(out, filters={"event_type": "click"},
+                              columns=["ts", "value"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                         "value": t["value"]})
+
+    agg = preagg_groupby(
+        clicks.map_batches(add_day, batch_format="pyarrow"),
+        ["day"], [("value", "count", "n_events"), ("value", "sum", "sum_value")],
+    )
+    return agg.map_batches(lambda t: _round(t, {"sum_value": 2}), batch_format="pyarrow")
+
+
 def customers_without_orders(sf_dir: str):
     """Anti join with a large build side: customers with NO fulfilled
     order.  The distinct order-customer key set is built distributed (with
@@ -689,6 +718,7 @@ QUERIES = {
     "projection_filter_revenue": projection_filter_revenue,
     "semi_join_fulfilled": semi_join_fulfilled,
     "customers_without_orders": customers_without_orders,
+    "events_partitioned_roundtrip": events_partitioned_roundtrip,
     "sql_split_read": sql_split_read,
     "distinct_event_types": distinct_event_types,
     "transform_chain": transform_chain,
@@ -810,6 +840,13 @@ ORACLE_SQL = {
         SELECT c_custkey, c_name FROM customer
         WHERE c_custkey NOT IN
           (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    "events_partitioned_roundtrip": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               count(value) AS n_events,
+               floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY strftime(ts, '%Y-%m-%d')
     """,
     "sql_split_read": """
         SELECT o_orderkey, o_custkey, o_totalprice

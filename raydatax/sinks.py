@@ -95,6 +95,44 @@ def write_wal_sink(
     return paths
 
 
+def write_partitioned(
+    ds,
+    path: str,
+    partition_cols: list[str],
+    write_mode: str = "truncate",
+    **kwargs,
+) -> str:
+    """Hive-partitioned parquet sink (one ``key=value`` directory per
+    partition value — the odps/hive partitioned-table surface,
+    ``/root/reference/odpswriter/.../OdpsWriter.java`` partition handling,
+    and the resumable-output layout the 100-TB guidelines require: a failed
+    run can skip finished partitions and a reader prunes directories).
+    Returns the output dir."""
+    _prepare_dir(path, write_mode)
+    ds.write_parquet(path, partition_cols=list(partition_cols), **kwargs)
+    return path
+
+
+def read_partitioned(path: str, filters: dict | None = None, columns=None):
+    """Read a hive-partitioned dataset with DIRECTORY-level pruning: only
+    partitions matching ``filters`` (col -> value) are even listed, the
+    read-side analogue of odpsreader's partition list."""
+    import ray.data as rd
+    from ray.data.datasource.partitioning import Partitioning, PathPartitionFilter
+
+    kwargs = {}
+    if filters:
+        def keep(part: dict) -> bool:
+            return all(part.get(k) == str(v) for k, v in filters.items())
+
+        kwargs["partition_filter"] = PathPartitionFilter.of(
+            keep, style="hive"
+        )
+    if columns:
+        kwargs["columns"] = list(columns)
+    return rd.read_parquet(path, **kwargs)
+
+
 def write_files(
     ds,
     path: str,

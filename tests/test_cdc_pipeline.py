@@ -97,6 +97,45 @@ def test_dirty_records_dead_lettered(tmp_wal, tmp_lake):
     assert lake_table(tmp_lake).sort_by(SORT).cast(want.schema).equals(want)
 
 
+def test_deadletter_repair_requeue(tmp_wal, tmp_lake):
+    """Dirty-data round trip: dead-lettered records are listed, repaired,
+    requeued as NEW events past the WAL tail, and applied by the next job
+    — the full DataX dirty-record story, closed."""
+    import pyarrow.compute as pc
+
+    from raydatax.driver import list_deadletters, requeue_deadletters
+
+    ev = gen_events(3000, seed=61)
+    bad = pa.Table.from_pylist(
+        [
+            {"seq": 10_000_000, "op": "I", "conv_id": None, "turn_idx": 0,
+             "role": "user", "text": "repair-me-a", "tool": None, "ts": None},
+            {"seq": 10_000_001, "op": "I", "conv_id": None, "turn_idx": 1,
+             "role": "user", "text": "repair-me-b", "tool": None, "ts": None},
+        ],
+        schema=EVENT_SCHEMA,
+    )
+    write_wal(pa.concat_tables([ev, bad]), tmp_wal, seg_rows=1000)
+    rep = run_job(tmp_wal, tmp_lake, partitions=4)
+    assert rep["dirty_records"] == 2
+    dl = list_deadletters(tmp_lake)
+    assert dl.num_rows == 2 and "__epoch" in dl.column_names
+
+    def repair(t: pa.Table) -> pa.Table:
+        fixed = pc.fill_null(t["conv_id"], "conv-repaired")
+        return t.set_column(t.schema.get_field_index("conv_id"), "conv_id", fixed)
+
+    n = requeue_deadletters(tmp_lake, tmp_wal, repair)
+    assert n == 2
+    assert list_deadletters(tmp_lake) is None  # cleared after requeue
+    rep2 = run_job(tmp_wal, tmp_lake, partitions=4)
+    assert rep2["action"] == "applied" and rep2["dirty_records"] == 0
+    got = lake_table(tmp_lake)
+    fixed_rows = got.filter(pc.equal(got["conv_id"], "conv-repaired"))
+    assert fixed_rows.num_rows == 2
+    assert sorted(fixed_rows["text"].to_pylist()) == ["repair-me-a", "repair-me-b"]
+
+
 def test_dirty_record_limit_aborts_before_commit(tmp_wal, tmp_lake):
     ev = gen_events(2000, seed=8)
     bad = pa.Table.from_pylist(
