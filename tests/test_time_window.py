@@ -110,6 +110,22 @@ def test_null_ts_deadletters_in_window_mode(tmp_path):
     assert rep["dirty_records"] == 1
 
 
+def test_windowed_split_equals_full_replay_any_cut(tmp_path):
+    """Property: for ANY window cut point over a ts-monotone log, replaying
+    [t0, cut) then [cut, end) equals the one-shot full replay."""
+    wal, ev = _monotone_wal(tmp_path, n=3000, seed=31, seg_rows=800)
+    n = ev.num_rows
+    want = replay_to_table(ev).sort_by(SORT)
+    for frac in (0.1, 0.37, 0.5, 0.93):
+        cut = BASE_TS_US + int(n * frac) * 1_000_000
+        end = BASE_TS_US + (n + 1) * 1_000_000
+        lake = str(tmp_path / f"lake_{int(frac * 100)}")
+        run_job(wal, lake, partitions=2, start_ts=BASE_TS_US, end_ts=cut)
+        run_job(wal, lake, partitions=2, start_ts=cut, end_ts=end)
+        got = lake_table(lake).sort_by(SORT)
+        assert got.select(want.column_names).cast(want.schema).equals(want), frac
+
+
 def test_window_crash_resume_byte_identical(tmp_path):
     wal, ev = _monotone_wal(tmp_path)
     n = ev.num_rows
