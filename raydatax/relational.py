@@ -353,6 +353,7 @@ def grouped_percentiles(
     percentiles: list[tuple[str, float]],
     exact_threshold: int = 5_000_000,
     num_bins: int = 8192,
+    max_groups: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """Per-group percentiles with a size-adaptive plan.
 
@@ -366,11 +367,20 @@ def grouped_percentiles(
     interpolation within the hit bin — error ≤ one bin width
     ((max-min)/num_bins), documented approximation, no group ever
     materializes in one heap."""
-    stats = preagg_groupby(
+    stats_ds = preagg_groupby(
         ds, [key],
         [(value_col, "count", "__n"), (value_col, "min", "__lo"),
          (value_col, "max", "__hi")],
-    ).take_all()  # bounded by group cardinality, not rows
+    ).materialize()
+    n_groups = stats_ds.count()  # metadata — nothing fetched yet
+    if n_groups > max_groups:
+        raise ValueError(
+            f"grouped_percentiles: {n_groups} groups exceeds max_groups="
+            f"{max_groups}; this operator holds one stats row per group on "
+            f"the driver — for very-high-cardinality keys use a plain "
+            f"preagg_groupby with min/max or raise max_groups deliberately"
+        )
+    stats = stats_ds.take_all()  # bounded by the guard above, not by rows
     if not stats:
         return ray.data.from_arrow(
             pa.table({key: pa.array([], pa.string()),
