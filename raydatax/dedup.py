@@ -260,16 +260,21 @@ def cluster_pairs(pairs: list[tuple[int, int]], ids: list[int]) -> dict[int, int
 
 
 def propagate_min_labels(
-    pairs: "ray.data.Dataset", max_rounds: int = 64, num_partitions: int = 16
+    pairs: "ray.data.Dataset", max_rounds: int = 64, num_partitions: int | None = None
 ) -> "ray.data.Dataset":
     """Distributed connected components over a pair Dataset by iterative
     min-label propagation: every node starts at min(self, neighbors), each
     round takes the min over its neighborhood again, until the global label
     sum stops decreasing (labels are monotone non-increasing, so an
     unchanged sum IS the fixpoint).  Rounds = cluster diameter; near-dup
-    clusters are shallow.  Returns (node, label) for every node that
-    appears in a pair — nothing is ever collected on the driver except the
-    one convergence scalar per round."""
+    clusters are shallow — a pathological chain exceeding ``max_rounds``
+    RAISES rather than silently returning unconverged (wrong) labels.
+    Returns (node, label) for every node that appears in a pair — nothing
+    is ever collected on the driver except the one convergence scalar per
+    round."""
+    from .relational import _join_partitions
+
+    n_parts = _join_partitions(num_partitions or 16)
 
     def both(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
@@ -290,12 +295,13 @@ def propagate_min_labels(
         [("label", "min", "label")],
     ).materialize()
     prev_sum = labels.sum("label")
+    converged = False
     for _ in range(max_rounds):
         lbl_src = labels.map_batches(
             lambda t: pa.table({"src": t["node"], "label": t["label"]}),
             batch_format="pyarrow",
         )
-        prop = edges.join(lbl_src, "inner", num_partitions, on=("src",))
+        prop = edges.join(lbl_src, "inner", n_parts, on=("src",))
         cand = prop.map_batches(
             lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
             batch_format="pyarrow",
@@ -305,8 +311,14 @@ def propagate_min_labels(
         ).materialize()
         s = labels.sum("label")
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        raise RuntimeError(
+            f"propagate_min_labels did not converge in {max_rounds} rounds "
+            f"(a component's diameter exceeds it); raise max_rounds"
+        )
     return labels
 
 
@@ -375,12 +387,14 @@ def minhash_dedup(
         reps = np.array([mapping[n] for n in nodes], np.int64)
         return _finalize((keys, reps))
 
+    from .relational import _join_partitions
+
     labels = propagate_min_labels(pairs)
     lbl = labels.map_batches(
         lambda t: pa.table({id_col: t["node"], "cluster_rep": t["label"]}),
         batch_format="pyarrow",
     )
-    joined = ids.join(lbl, "left_outer", 16, on=(id_col,))
+    joined = ids.join(lbl, "left_outer", _join_partitions(16), on=(id_col,))
 
     def fin(t: pa.Table) -> pa.Table:
         rep = pc.coalesce(t["cluster_rep"], t[id_col])

@@ -81,6 +81,7 @@ def run_job(
     post_hooks: list | None = None,
     start_ts=None,
     end_ts=None,
+    hang_timeout_s: float | None = 600.0,
     _crash_after_committing: int | None = None,
 ) -> dict:
     """Tail the WAL and upsert into the lake.  Idempotent: killing this at
@@ -176,7 +177,7 @@ def run_job(
                 plan.segments, min_hw, plan.event_schema, P, S, hot_keys,
                 n_parts_total, deadletter_dir, lake_dir, epoch, lake_schema,
                 base_files, hws, merge_concurrency, sparse=sparse,
-                ts_lo=ts_lo, ts_hi=ts_hi,
+                ts_lo=ts_lo, ts_hi=ts_hi, hang_timeout_s=hang_timeout_s,
             )
         else:
             # Dataset path: identical semantics via groupby().map_groups — kept
@@ -336,7 +337,11 @@ def requeue_deadletters(lake_dir: str, wal_dir: str, repair_fn, epoch: int | Non
     version by definition under LWW).  ``repair_fn(table) -> table`` fixes
     the payload; rows it cannot fix may be dropped.  Returns the number of
     requeued events.  The next ``run_job`` applies them like any other
-    appended segment."""
+    appended segment.  Records are de-duplicated across epochs first (the
+    same bad row re-dead-letters on every epoch that re-reads its segment).
+    For a ts-WINDOWED lake the repair must also set ``ts`` inside a window
+    that will still be replayed — a repaired ts behind the lake's ``ts_hw``
+    is filtered out by the next window and never applied."""
     import numpy as np
     import pyarrow as pa
 
@@ -347,7 +352,13 @@ def requeue_deadletters(lake_dir: str, wal_dir: str, repair_fn, epoch: int | Non
     bad = list_deadletters(lake_dir, epoch)
     if bad is None or bad.num_rows == 0:
         return 0
-    repaired = repair_fn(bad.drop_columns(["__epoch"]))
+    bad = bad.drop_columns(["__epoch"])
+    if bad.num_rows > 1:
+        # the same record can sit in several epochs' dead-letter dirs
+        # (re-read segments re-dead-letter it) — requeue one copy only
+        df = bad.to_pandas().drop_duplicates()
+        bad = pa.Table.from_pandas(df, schema=bad.schema, preserve_index=False)
+    repaired = repair_fn(bad)
     if repaired is None or repaired.num_rows == 0:
         return 0
     segs = discover_segments(wal_dir)

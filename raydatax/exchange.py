@@ -55,7 +55,10 @@ def wait_with_watchdog(
     if NO new task finishes within ``hang_timeout_s`` the stage raises
     :class:`StageStalledError` with a progress snapshot instead of blocking
     forever (Ray retries cover crashed workers; the watchdog covers silent
-    hangs — deadlocked I/O, lost connections, livelock)."""
+    hangs — deadlocked I/O, lost connections, livelock).  "No progress"
+    means NOTHING completed in the window — size the timeout above the
+    largest expected single task (a huge hot partition's merge counts as
+    one task); pass ``run_job(hang_timeout_s=None)`` to disable."""
     import time
 
     if hang_timeout_s is None:
@@ -271,16 +274,18 @@ def run_exchange(
         )
         for _ in range(max(1, merge_concurrency))
     ]
-    flat = [r for refs in shard_refs for r in refs]
-    wait_with_watchdog(flat, "map", hang_timeout_s)
-    lineage_refs = []
-    for pid in range(n_parts_total):
-        shards = [refs[pid] for refs in shard_refs]
-        actor = actors[pid % len(actors)]
-        lineage_refs.append(actor.merge.remote(pid, *shards))
-    wait_with_watchdog(lineage_refs, "merge", hang_timeout_s)
-    lineage = ray.get(lineage_refs)
-    for a in actors:
-        ray.kill(a)
+    try:
+        flat = [r for refs in shard_refs for r in refs]
+        wait_with_watchdog(flat, "map", hang_timeout_s)
+        lineage_refs = []
+        for pid in range(n_parts_total):
+            shards = [refs[pid] for refs in shard_refs]
+            actor = actors[pid % len(actors)]
+            lineage_refs.append(actor.merge.remote(pid, *shards))
+        wait_with_watchdog(lineage_refs, "merge", hang_timeout_s)
+        lineage = ray.get(lineage_refs)
+    finally:
+        for a in actors:  # never leak the pool, watchdog abort included
+            ray.kill(a)
     # drop no-op lineage for partitions that had no events at all
     return [r for r in lineage if r["events_in"] > 0 or r["action"] == "write"]

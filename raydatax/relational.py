@@ -391,10 +391,14 @@ def grouped_percentiles(
 
     if max_n <= exact_threshold:
         def per_group(g: pa.Table) -> pa.Table:
-            v = np.sort(g[value_col].to_numpy(zero_copy_only=False))
+            vals = g[value_col].drop_null()  # quantile_cont ignores NULLs
+            v = np.sort(vals.to_numpy(zero_copy_only=False))
             cols = {key: [g[key][0].as_py()]}
             for name, q in percentiles:
-                cols[name] = pa.array([float(np.percentile(v, q * 100))])
+                cols[name] = pa.array(
+                    [float(np.percentile(v, q * 100)) if len(v) else None],
+                    pa.float64(),
+                )
             cols["n"] = pa.array([len(v)], pa.int64())
             return pa.table(cols)
 
@@ -402,14 +406,17 @@ def grouped_percentiles(
 
     # ---- histogram path: broadcast per-group (lo, hi), bincount per batch
     gkeys = [r[key] for r in stats]
-    lo = np.array([r["__lo"] for r in stats], np.float64)
-    hi = np.array([r["__hi"] for r in stats], np.float64)
+    # an all-null group has null min/max → NaN (its output is None anyway)
+    lo = np.array([r["__lo"] if r["__lo"] is not None else np.nan for r in stats], np.float64)
+    hi = np.array([r["__hi"] if r["__hi"] is not None else np.nan for r in stats], np.float64)
     n_rows = np.array([r["__n"] for r in stats], np.int64)
     width = np.where(hi > lo, (hi - lo) / num_bins, 1.0)
     ref = ray.put((pa.array(gkeys), lo, width))
 
     def partial_hist(t: pa.Table) -> pa.Table:
         keys_arr, lo_b, w_b = ray.get(ref)
+        if t[value_col].null_count:  # quantile_cont ignores NULLs
+            t = t.filter(pc.is_valid(t[value_col]))
         gidx = pc.index_in(t[key], value_set=keys_arr).to_numpy(zero_copy_only=False)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         b = np.clip(((v - lo_b[gidx]) / w_b[gidx]).astype(np.int64), 0, num_bins - 1)
@@ -442,6 +449,8 @@ def grouped_percentiles(
             # estimated value of the rank-r order statistic: locate its bin,
             # place it at the in-bin midpoint of its position — always
             # within the element's true bin, so error ≤ one bin width
+            if hi[gi] <= lo[gi]:
+                return float(lo[gi])  # degenerate group: every value == lo
             j = min(int(np.searchsorted(cum, r + 1)), len(order) - 1)
             b = order[j]
             prev = cum[j - 1] if j else 0

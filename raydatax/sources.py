@@ -103,11 +103,7 @@ def decompress_file_bytes(name: str, data: bytes) -> bytes:
             "container; re-encode as gzip/bzip2/zstd/xz/zip"
         )
     if data[:4] == b"PK\x03\x04":
-        import io
-        import zipfile
-
-        with zipfile.ZipFile(io.BytesIO(data)) as z:
-            return b"".join(z.read(n) for n in sorted(z.namelist()))
+        return b"".join(_zip_members(data))
     if data[:6] == b"\xfd7zXZ\x00" or data[:3] == b"\x5d\x00\x00":
         import lzma
 
@@ -125,6 +121,24 @@ def decompress_file_bytes(name: str, data: bytes) -> bytes:
     return data
 
 
+def _zip_members(data: bytes) -> list[bytes]:
+    import io
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        return [z.read(n) for n in sorted(z.namelist())]
+
+
+def _file_payloads(name: str, data: bytes) -> list[bytes]:
+    """One CSV payload per logical file: a zip archive yields one payload
+    PER MEMBER (each parsed separately, so skipHeader applies to every
+    member's own header, not just the first); everything else yields its
+    decompressed bytes."""
+    if data[:4] == b"PK\x03\x04":
+        return _zip_members(data)
+    return [decompress_file_bytes(name, data)]
+
+
 def read_csv_datax(
     paths: str | list[str],
     column_spec: list[ColumnEntry] | None = None,
@@ -136,7 +150,9 @@ def read_csv_datax(
     """CSV source with the reference's reader knobs.  Plain and gzip files
     go through Ray's block-splitting CSV datasource; bz2/zip/xz/zstd files
     decompress whole-file inside the read task (one task per file — the
-    txtfilereader split unit) and parse with the same Arrow CSV options."""
+    txtfilereader split unit) and parse with the same Arrow CSV options.
+    Mixed path lists are split so the block-splittable files keep their
+    parallel reads, then unioned."""
     from pyarrow import csv as pacsv
 
     read_opts = pacsv.ReadOptions(encoding=encoding, autogenerate_column_names=not skip_header)
@@ -146,31 +162,40 @@ def read_csv_datax(
         strings_can_be_null=null_format is not None,
     )
     path_list = [paths] if isinstance(paths, str) else list(paths)
-    if any(p.lower().endswith(_WHOLE_FILE_CODEC_EXTS) for p in path_list):
+    whole = [p for p in path_list if p.lower().endswith(_WHOLE_FILE_CODEC_EXTS)]
+    plain = [p for p in path_list if not p.lower().endswith(_WHOLE_FILE_CODEC_EXTS)]
+
+    parts = []
+    if plain:
+        parts.append(
+            rd.read_csv(
+                plain,
+                read_options=read_opts,
+                parse_options=parse_opts,
+                convert_options=convert_opts,
+            )
+        )
+    if whole:
         def parse_files(batch: pa.Table) -> pa.Table:
             tabs = []
             for row in batch.to_pylist():
-                raw = decompress_file_bytes(row["path"], row["bytes"])
-                tabs.append(
-                    pacsv.read_csv(
-                        pa.BufferReader(raw),
-                        read_options=read_opts,
-                        parse_options=parse_opts,
-                        convert_options=convert_opts,
+                for raw in _file_payloads(row["path"], row["bytes"]):
+                    tabs.append(
+                        pacsv.read_csv(
+                            pa.BufferReader(raw),
+                            read_options=read_opts,
+                            parse_options=parse_opts,
+                            convert_options=convert_opts,
+                        )
                     )
-                )
             return pa.concat_tables(tabs, promote_options="permissive")
 
-        ds = rd.read_binary_files(path_list, include_paths=True).map_batches(
-            parse_files, batch_format="pyarrow", batch_size=1
+        parts.append(
+            rd.read_binary_files(whole, include_paths=True).map_batches(
+                parse_files, batch_format="pyarrow", batch_size=1
+            )
         )
-    else:
-        ds = rd.read_csv(
-            path_list,
-            read_options=read_opts,
-            parse_options=parse_opts,
-            convert_options=convert_opts,
-        )
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     if column_spec:
         ds = ds.map_batches(
             lambda t: apply_column_spec(t, column_spec), batch_format="pyarrow"

@@ -114,6 +114,9 @@ def _duckdb_query(db_path: str, sql: str) -> pa.Table:
 
 
 def _sqlite_query(db_path: str, sql: str) -> pa.Table:
+    """sqlite has no column-type metadata on results — types are inferred
+    from the rows, so a slice whose column is ALL NULL infers null type
+    (documented limitation; DuckDB slices carry real types)."""
     import sqlite3
 
     con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
@@ -165,7 +168,14 @@ class SQLDatasource(Datasource):
             sql = plan.sql
 
             def read_fn(sql=sql):
-                yield query(db, sql)
+                t = query(db, sql)
+                # drop empty row-inferred (null-typed) blocks — e.g. the
+                # always-present `pk IS NULL` slice on a NOT NULL key via
+                # sqlite — so they can't poison downstream schema unification
+                if t.num_rows or all(
+                    not pa.types.is_null(f.type) for f in t.schema
+                ):
+                    yield t
 
             meta = BlockMetadata(
                 num_rows=None, size_bytes=None, exec_stats=None,

@@ -159,6 +159,64 @@ def test_csv_whole_file_codecs(tmp_path):
         decompress_file_bytes("x.csv.snappy", b"data")
 
 
+def test_zip_members_parsed_individually_and_mixed_lists(tmp_path):
+    """Each zip member is its own CSV (skipHeader applies per member), and
+    a mixed plain+compressed path list unions both read paths."""
+    import zipfile
+
+    z = str(tmp_path / "two.csv.zip")
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("m1.csv", "id,w\n1,one\n2,two\n")
+        zf.writestr("m2.csv", "id,w\n3,three\n")
+    plain = str(tmp_path / "p.csv")
+    with open(plain, "w") as f:
+        f.write("id,w\n4,four\n")
+    spec = [ColumnEntry(index=0, type="long", name="id"),
+            ColumnEntry(index=1, type="string", name="w")]
+    rows = sorted(
+        read_csv_datax([plain, z], spec, skip_header=True).take_all(),
+        key=lambda r: r["id"],
+    )
+    assert [r["id"] for r in rows] == [1, 2, 3, 4]
+    assert rows[2]["w"] == "three"  # m2's header did NOT become a data row
+
+
+def test_grouped_percentiles_degenerate_and_null_groups():
+    """Histogram path: a constant-value group returns that value exactly,
+    and NULL values are excluded (quantile_cont semantics)."""
+    import ray.data as rd
+
+    from raydatax.relational import grouped_percentiles
+
+    t = pa.table({
+        "k": ["c"] * 100 + ["m"] * 100 + ["n"] * 4,
+        "v": [7.0] * 100 + [float(i) for i in range(100)] + [None, None, 0.0, 100.0],
+    })
+    out = (
+        grouped_percentiles(rd.from_arrow(t), "k", "v", [("p50", 0.5)],
+                            exact_threshold=0)
+        .to_pandas().set_index("k")
+    )
+    assert out.loc["c", "p50"] == 7.0          # degenerate group: exact
+    assert abs(out.loc["m", "p50"] - 49.5) < (99 / 8192) * 2
+    assert out.loc["n", "n"] == 2              # nulls excluded from count
+    assert 0.0 <= out.loc["n", "p50"] <= 100.0
+
+
+def test_propagate_min_labels_raises_on_nonconvergence():
+    import pytest as _pytest
+    import ray.data as rd
+
+    from raydatax.dedup import propagate_min_labels
+
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array([1, 2, 3, 4], pa.int64()),
+                  "b": pa.array([2, 3, 4, 5], pa.int64())})
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        propagate_min_labels(pairs, max_rounds=1)
+
+
 def test_partitioned_write_read_roundtrip(tmp_path):
     """Hive-partitioned sink + directory-pruned read (odps partitioned
     table parity): only the filtered partition's files are listed."""
