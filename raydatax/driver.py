@@ -82,6 +82,7 @@ def run_job(
     start_ts=None,
     end_ts=None,
     hang_timeout_s: float | None = 600.0,
+    time_travel_epochs: int = 0,
     _crash_after_committing: int | None = None,
 ) -> dict:
     """Tail the WAL and upsert into the lake.  Idempotent: killing this at
@@ -288,7 +289,8 @@ def run_job(
             state = {"epoch": epoch, "mode": mode, "wal_hw": plan.max_seq}
         mf._atomic_write_json(job_state_path(lake_dir), state)
         mf.gc_staging(lake_dir, epoch)
-        vacuumed = mf.vacuum(lake_dir)  # drop superseded epoch snapshots
+        # drop superseded epoch snapshots beyond the time-travel window
+        vacuumed = mf.vacuum(lake_dir, keep_unreferenced=time_travel_epochs)
 
         report = build_report(epoch, lineage, time.monotonic() - t0, plan_info, dirty_rows)
         report["action"] = "applied"
@@ -392,21 +394,23 @@ def requeue_deadletters(lake_dir: str, wal_dir: str, repair_fn, epoch: int | Non
 # ------------------------------------------------------------- lake readers
 
 
-def read_lake(lake_dir: str) -> "ray.data.Dataset":
-    """Current committed table state as a streaming Dataset (partition-major,
-    key-sorted within partitions — the stable output order)."""
-    files = mf.committed_files(lake_dir)
+def read_lake(lake_dir: str, at_epoch: int | None = None) -> "ray.data.Dataset":
+    """Committed table state as a streaming Dataset (partition-major,
+    key-sorted within partitions — the stable output order).  ``at_epoch``
+    time-travels to the snapshot as of that epoch (retained per
+    ``run_job(time_travel_epochs=N)``)."""
+    files = mf.committed_files(lake_dir, at_epoch)
     if not files:
         raise FileNotFoundError(f"no committed partitions under {lake_dir}")
     return ray.data.read_parquet(files)
 
 
-def lake_table(lake_dir: str):
+def lake_table(lake_dir: str, at_epoch: int | None = None):
     """Small-scale helper (tests): whole table as one pyarrow.Table in
     deterministic partition-major order."""
     import pyarrow as pa
 
-    files = mf.committed_files(lake_dir)
+    files = mf.committed_files(lake_dir, at_epoch)
     tables = [pq.read_table(f) for f in files]
     tables = [t for t in tables if t.num_rows]
     if not tables:

@@ -132,13 +132,46 @@ def commit_partition(
         "counts": counts,
     }
     _atomic_write_json(manifest_path(lake_dir, pid), man)
+    # append-only history record → time travel (snapshot-by-epoch reads);
+    # idempotent: a resumed commit rewrites the identical record
+    _atomic_write_json(history_path(lake_dir, pid, epoch), man)
     return man
 
 
-def committed_files(lake_dir: str) -> list[str]:
-    """Current table state = latest committed file of every partition, in
-    partition order (the stable output ordering's outer key)."""
-    mans = load_manifests(lake_dir)
+def history_path(lake_dir: str, pid: int, epoch: int) -> str:
+    return os.path.join(
+        lake_dir, "_manifests", "history", f"part-{pid:05d}-epoch-{epoch:06d}.json"
+    )
+
+
+def snapshot_manifests(lake_dir: str, at_epoch: int) -> dict[int, dict]:
+    """Manifest set as of ``at_epoch``: for every partition, its newest
+    commit with epoch ≤ at_epoch.  Raises if a needed snapshot file was
+    vacuumed away (the time-travel window is ``vacuum(keep_unreferenced=N)``
+    / ``run_job(time_travel_epochs=N)``)."""
+    best: dict[int, dict] = {}
+    for p in glob.glob(os.path.join(lake_dir, "_manifests", "history", "part-*.json")):
+        m = _read_json(p)
+        if m is None or m["epoch"] > at_epoch:
+            continue
+        cur = best.get(m["partition"])
+        if cur is None or m["epoch"] > cur["epoch"]:
+            best[m["partition"]] = m
+    for pid, m in best.items():
+        if not os.path.exists(os.path.join(lake_dir, m["file"])):
+            raise FileNotFoundError(
+                f"time travel to epoch {at_epoch}: partition {pid}'s snapshot "
+                f"{m['file']} was vacuumed — raise time_travel_epochs/"
+                f"keep_unreferenced to widen the retention window"
+            )
+    return best
+
+
+def committed_files(lake_dir: str, at_epoch: int | None = None) -> list[str]:
+    """Table state = latest committed file of every partition (or, with
+    ``at_epoch``, the newest ≤ that epoch), in partition order (the stable
+    output ordering's outer key)."""
+    mans = load_manifests(lake_dir) if at_epoch is None else snapshot_manifests(lake_dir, at_epoch)
     return [
         os.path.join(lake_dir, mans[pid]["file"]) for pid in sorted(mans)
     ]
@@ -192,7 +225,11 @@ def vacuum(lake_dir: str, keep_unreferenced: int = 0) -> list[str]:
     (each rebase epoch writes a fresh snapshot file; without vacuum old
     epochs accumulate forever — a real leak at scale).  Safe after commit:
     manifests already point at the new files.  ``keep_unreferenced`` retains
-    the N newest unreferenced epochs per partition (time-travel window)."""
+    the N newest unreferenced epochs per partition — the TIME-TRAVEL window
+    for ``committed_files(at_epoch=)`` / ``read_lake(at_epoch=)``.  History
+    records are kept even when their file is vacuumed (tiny JSONs) so a
+    time travel past the window fails LOUDLY instead of silently returning
+    partial state."""
     referenced = {os.path.join(lake_dir, m["file"]) for m in load_manifests(lake_dir).values()}
     removed = []
     for pdir in sorted(glob.glob(os.path.join(lake_dir, "data", "part-*"))):

@@ -97,6 +97,46 @@ def test_vacuum_removes_superseded_epochs(tmp_wal, tmp_lake):
     assert got.num_rows == want.num_rows
 
 
+def test_time_travel_snapshot_reads(tmp_wal, tmp_lake):
+    """Each epoch's committed state stays readable within the retention
+    window; beyond it, time travel raises with a vacuum hint."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from raydatax.driver import lake_table
+    from raydatax.manifest import snapshot_manifests
+
+    ev = gen_events(9000, seed=71)
+    third = ev.num_rows // 3
+    snapshots = {}
+    epoch_of = []
+    for i in range(3):
+        part = ev.slice(0, third * (i + 1))
+        import glob as g
+        import shutil
+
+        shutil.rmtree(tmp_wal, ignore_errors=True)
+        write_wal(part, tmp_wal, seg_rows=1500)
+        rep = run_job(tmp_wal, tmp_lake, partitions=2, time_travel_epochs=2)
+        epoch_of.append(rep["epoch"])
+        snapshots[rep["epoch"]] = lake_table(tmp_lake)
+
+    sort = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    for e in epoch_of[1:]:  # epochs inside the retention window
+        got = lake_table(tmp_lake, at_epoch=e).sort_by(sort)
+        want = snapshots[e].sort_by(sort)
+        assert got.equals(want), e
+    # current state == time travel to the last epoch
+    assert lake_table(tmp_lake, at_epoch=epoch_of[-1]).num_rows == snapshots[epoch_of[-1]].num_rows
+
+    # shrink the window to 0: older snapshots vacuumed, travel raises
+    from raydatax.manifest import vacuum
+
+    vacuum(tmp_lake, keep_unreferenced=0)
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
+        snapshot_manifests(tmp_lake, epoch_of[0])
+
+
 def test_vacuum_keep_unreferenced_clamps(tmp_wal, tmp_lake):
     """keep_unreferenced larger than the unreferenced set must delete
     nothing (regression: negative slice stop deleted retained snapshots)."""
