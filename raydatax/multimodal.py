@@ -59,6 +59,41 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+def media_from_documents(batch: pa.Table) -> pa.Table:
+    """Deterministic media table derived from a (doc_id, text) documents
+    batch: the RDXM container wraps the doc's utf-8 bytes, and the header
+    fields are pure functions of ``doc_id`` — so a SQL oracle can recompute
+    every decoded column from the source table (the round-trip contract the
+    real codec stage must also satisfy: decode(encode(x)) == x).
+
+    kind  = [image, audio, video][doc_id % 3]
+    w, h  = 16 + (doc_id*37) % 240, 16 + (doc_id*53) % 240
+    dur   = 0 for image else 100 + (doc_id*97) % 9900
+    """
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch["text"].to_pylist()
+    kinds_np = np.array(["image", "audio", "video"])[ids % 3]
+    ws = (16 + (ids * 37) % 240).astype(np.int32)
+    hs = (16 + (ids * 53) % 240).astype(np.int32)
+    durs = np.where(ids % 3 == 0, 0, 100 + (ids * 97) % 9900).astype(np.int32)
+    payloads = [
+        _MAGIC + str(k)[:1].encode() + struct.pack("<iii", int(w), int(h), int(d))
+        + (t or "").encode("utf-8")
+        for k, w, h, d, t in zip(kinds_np, ws, hs, durs, texts)
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds_np.tolist(), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "format": pa.array(["rdxm"] * len(ids), pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
+        }
+    )
+
+
 def _decode_real(payload: bytes, kind: str):
     """Real decoder hook — requires libraries absent from this container."""
     if kind == "image":
@@ -92,18 +127,21 @@ class DecodeMedia:
             pass
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ok, ws, hs, ks = [], [], [], []
+        ok, ws, hs, ks, nb = [], [], [], [], []
         for payload in batch["payload"].to_pylist():
             try:
-                kind, w, h, dur, _ = _decode_fake(payload)
+                kind, w, h, dur, blob = _decode_fake(payload)
                 ok.append(True), ws.append(w), hs.append(h), ks.append(kind)
+                nb.append(len(blob))
             except (ValueError, KeyError, struct.error):
                 ok.append(False), ws.append(None), hs.append(None), ks.append(None)
+                nb.append(None)
         return (
             batch.append_column("decoded_ok", pa.array(ok, pa.bool_()))
             .append_column("dec_width", pa.array(ws, pa.int32()))
             .append_column("dec_height", pa.array(hs, pa.int32()))
             .append_column("dec_kind", pa.array(ks, pa.string()))
+            .append_column("dec_bytes", pa.array(nb, pa.int64()))
         )
 
 

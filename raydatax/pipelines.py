@@ -561,6 +561,24 @@ def ngram_jaccard(sf_dir: str):
     return ngram_jaccard_verify(ds, pairs, k=5)
 
 
+def dedup_minhash_verified(sf_dir: str):
+    """The full MinHash LSH path under the exact-SQL gate: LSH candidate
+    pairs (shingle → minhash → banded buckets) exact-verified with char-5-gram
+    Jaccard and filtered at the same threshold.  The oracle computes ALL-pairs
+    exact Jaccard ≥ 0.6 in DuckDB, so a green row certifies both precision
+    (no false pair survives the verify) and — at this corpus scale — recall
+    (LSH missed no true pair).  At 100-TB scale only the engine side runs;
+    recall becomes the documented 1-(1-t^r)^b LSH bound."""
+    from .dedup import minhash_candidate_pairs, ngram_jaccard_verify
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs(ds, threshold=0.6)
+    pair_list = sorted({(r["a"], r["b"]) for r in cand.take_all()})
+    ver = ngram_jaccard_verify(ds, pair_list, k=5)
+    kept = ver.filter(pc.greater_equal(ver["jaccard"], 0.6))
+    return kept.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
 def dedup_simhash(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
@@ -604,14 +622,23 @@ def ann_ivf(sf_dir: str):
 
 
 def multimodal_features(sf_dir: str):
-    from .multimodal import DecodeMedia, MediaFeatures, synth_media
+    """Binary-column decode + feature plumbing, SQL-oracled: media payloads
+    are derived deterministically from the documents table (RDXM container
+    wrapping the doc's utf-8 bytes, header fields pure functions of doc_id —
+    see multimodal.media_from_documents), so the decode stage's outputs —
+    parsed header fields AND the decoded blob's byte length — are
+    recomputable in DuckDB from the source table."""
+    from .multimodal import DecodeMedia, MediaFeatures, media_from_documents
 
-    media = rd.from_arrow(synth_media(240, seed=42))
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    media = docs.map_batches(media_from_documents, batch_format="pyarrow")
     out = (
         media.map_batches(DecodeMedia, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
         .map_batches(MediaFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
     )
-    return out.select_columns(["media_id", "dec_kind", "decoded_ok", "dec_width", "dec_height"])
+    return out.select_columns(
+        ["media_id", "dec_kind", "decoded_ok", "dec_width", "dec_height", "dec_bytes"]
+    )
 
 
 def revenue_by_segment(sf_dir: str):
@@ -732,6 +759,7 @@ QUERIES = {
     "lang_id": lang_id,
     "dedup_minhash": dedup_minhash,
     "ngram_jaccard": ngram_jaccard,
+    "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash": dedup_simhash,
     "events_hourly": events_hourly,
     "user_sessions": user_sessions,
@@ -964,6 +992,40 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = p.a
         JOIN sizes sb ON sb.doc_id = p.b
         LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+    """,
+    # ALL-pairs exact char-5-gram Jaccard >= 0.6: certifies the engine's
+    # LSH-candidate + exact-verify path end to end (precision exactly,
+    # recall at this corpus scale)
+    "dedup_minhash_verified": """
+        WITH idx AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+          FROM documents),
+        g AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS gram FROM idx),
+        sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS ni
+          FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+          GROUP BY 1, 2)
+        SELECT i.a, i.b,
+               CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.6
+    """,
+    # decode round-trip: every decoded column is a pure function of the
+    # source documents row (media_from_documents' generative rule)
+    "multimodal_features": """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS dec_kind,
+               TRUE AS decoded_ok,
+               CAST(16 + (doc_id * 37) % 240 AS INTEGER) AS dec_width,
+               CAST(16 + (doc_id * 53) % 240 AS INTEGER) AS dec_height,
+               CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS dec_bytes
+        FROM documents
     """,
     "events_hourly": """
         SELECT user_id, date_trunc('hour', ts) AS window,

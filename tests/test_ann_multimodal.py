@@ -71,6 +71,27 @@ def test_multimodal_pipeline():
     assert out[0]["features"] == out2[0]["features"]
 
 
+def test_media_from_documents_roundtrip():
+    """Decode must recover exactly the header fields + blob bytes that
+    media_from_documents encoded from the source rows."""
+    from raydatax.multimodal import media_from_documents
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 7, 100], pa.int64()),
+        "text": pa.array(["alpha", "béta", "", "long " * 50, "z"], pa.string()),
+    })
+    media = media_from_documents(docs)
+    out = rd.from_arrow(media).map_batches(DecodeMedia(), batch_format="pyarrow").take_all()
+    by_id = {r["media_id"]: r for r in out}
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        r = by_id[did]
+        assert r["decoded_ok"]
+        assert r["dec_kind"] == ["image", "audio", "video"][did % 3]
+        assert r["dec_width"] == 16 + (did * 37) % 240
+        assert r["dec_height"] == 16 + (did * 53) % 240
+        assert r["dec_bytes"] == len(text.encode("utf-8"))
+
+
 def test_multimodal_bad_payload_is_dirty_not_fatal():
     media = synth_media(5)
     bad = media.set_column(
