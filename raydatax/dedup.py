@@ -598,6 +598,67 @@ def embedding_neardup_pairs(
     return t.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
+def embedding_allpairs_exact(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 8192,
+) -> pa.Table:
+    """EXACT cosine-threshold self-join: the verification baseline for
+    :func:`embedding_neardup_pairs` (same contract as brute-force top-k vs
+    IVF in ``ann.py``).
+
+    Blocked block-pair tasks, not a broadcast: vectors are normalized and
+    re-blocked to ``block_rows``, blocks stay in the object store, and one
+    Ray task per block pair (i ≤ j) does a single (block × block) float64
+    matmul — P(P+1)/2 tasks, each holding exactly two blocks.  Compute is
+    inherently O(N²·d) (it is the exact join); memory per task and driver
+    traffic (only surviving pairs come back) are bounded.  No node ever
+    sees the whole matrix."""
+    prepped = ds.map_batches(
+        lambda t: pa.table({id_col: t[id_col], vec_col: t[vec_col]}),
+        batch_format="pyarrow",
+    )
+    n = prepped.count()  # metadata-only
+    num_blocks = max(1, -(-n // block_rows))
+    refs = prepped.repartition(num_blocks).to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def pair_task(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        from .ann import _matrix, _normalize
+
+        ia = ta[id_col].to_numpy(zero_copy_only=False)
+        ib = tb[id_col].to_numpy(zero_copy_only=False)
+        ma = _normalize(_matrix(ta[vec_col]))
+        mb = _normalize(_matrix(tb[vec_col]))
+        sims = ma @ mb.T
+        ii, jj = np.nonzero(sims >= threshold)
+        aa, bb = ia[ii], ib[jj]
+        # orient a < b; drop self-pairs (diagonal of the same-block task)
+        lo, hi = np.minimum(aa, bb), np.maximum(aa, bb)
+        keep = lo < hi
+        if same:  # same block scores every ordered pair twice — keep one
+            keep &= aa < bb
+        return pa.table({"a": pa.array(lo[keep], pa.int64()),
+                         "b": pa.array(hi[keep], pa.int64()),
+                         "cosine": pa.array(sims[ii[keep], jj[keep]], pa.float64())})
+
+    futs = [
+        pair_task.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [t for t in ray.get(futs) if t.num_rows]
+    if not parts:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    out = pa.concat_tables(parts)
+    # cross-block duplicates are impossible (each unordered block pair runs
+    # once) — just order the result deterministically
+    return out.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
 # ------------------------------------------------------- exact n-gram jaccard
 
 

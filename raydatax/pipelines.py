@@ -723,6 +723,18 @@ def value_percentiles(sf_dir: str):
     return out.map_batches(lambda t: _round(t, {"p50": 6, "p95": 6}), batch_format="pyarrow")
 
 
+def dedup_embedding_exact(sf_dir: str):
+    """Exact cosine-threshold self-join (blocked block-pair tasks — see
+    dedup.embedding_allpairs_exact), SQL-oracled against DuckDB's
+    list_cosine_similarity over all pairs.  The verified baseline the
+    approximate clustered variant (dedup_embedding) is measured against."""
+    from .dedup import embedding_allpairs_exact
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"))
+    pairs = embedding_allpairs_exact(ds, threshold=0.35, block_rows=256)
+    return pairs.select(["a", "b"])
+
+
 def dedup_embedding(sf_dir: str):
     from .dedup import embedding_neardup_pairs
 
@@ -772,6 +784,7 @@ QUERIES = {
     "events_daily_users": events_daily_users,
     "value_percentiles": value_percentiles,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_exact": dedup_embedding_exact,
 }
 
 ORACLE_SQL = {
@@ -1013,6 +1026,13 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = i.a
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.6
+    """,
+    # exact cosine-threshold self-join: DuckDB scores every pair, the
+    # engine scores block pairs — same float64 arithmetic, same set
+    "dedup_embedding_exact": """
+        SELECT e1.vec_id AS a, e2.vec_id AS b
+        FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+        WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.35
     """,
     # decode round-trip: every decoded column is a pure function of the
     # source documents row (media_from_documents' generative rule)

@@ -217,3 +217,24 @@ def test_embedding_neardup_recovers_planted():
     # determinism
     pairs2 = embedding_neardup_pairs(rd.from_arrow(corpus), threshold=0.99)
     assert pairs.equals(pairs2)
+
+
+def test_embedding_allpairs_exact_matches_numpy():
+    """Blocked block-pair join == single-matrix numpy ground truth, and the
+    approximate clustered variant is a subset of it."""
+    import pyarrow.parquet as pq
+    import numpy as np
+    from raydatax.ann import _matrix, _normalize
+    from raydatax.dedup import embedding_allpairs_exact, embedding_neardup_pairs
+
+    e = pq.read_table(f"{SF}/embeddings.parquet")
+    # small block_rows forces many cross-block tasks
+    got = embedding_allpairs_exact(rd.from_arrow(e), threshold=0.35, block_rows=64)
+    m = _normalize(_matrix(e["embedding"]))
+    ids = e["vec_id"].to_numpy(zero_copy_only=False)
+    sims = m @ m.T
+    ii, jj = np.nonzero(sims >= 0.35)
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj) if ids[i] < ids[j]}
+    assert {(r["a"], r["b"]) for r in got.to_pylist()} == want
+    approx = embedding_neardup_pairs(rd.from_arrow(e), threshold=0.35)
+    assert {(r["a"], r["b"]) for r in approx.to_pylist()} <= want
