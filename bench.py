@@ -31,7 +31,8 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def ensure_wal(sf: float, seed: int = 42, frac: float = 1.0, tag: str = "") -> tuple[str, int]:
+def ensure_wal(sf: float, seed: int = 42, frac: float = 1.0, tag: str = "",
+               **gen_kw) -> tuple[str, int]:
     """Deterministic WAL under /tmp, cached across runs.  Generation runs in
     a SEPARATE process with its own Ray session: generating inside the
     session that is about to be timed pollutes its object store and was
@@ -42,7 +43,11 @@ def ensure_wal(sf: float, seed: int = 42, frac: float = 1.0, tag: str = "") -> t
     marker = os.path.join(wal, "_complete")
     if not os.path.exists(marker):
         shutil.rmtree(wal, ignore_errors=True)
-        extra = "" if not tag else ", conv_offset=500_000_000, start_seq=1_000_000_000_000"
+        # the delta tail needs a disjoint conv/seq namespace vs the base log;
+        # other tagged logs (skew) pick their namespace via seed alone
+        extra = "" if tag != "delta" else ", conv_offset=500_000_000, start_seq=1_000_000_000_000"
+        for k, v in gen_kw.items():
+            extra += f", {k}={v!r}"
         code = (
             "import ray; ray.init(address='local', include_dashboard=False, logging_level='ERROR');"
             "import sys; sys.path.insert(0, %r);"
@@ -50,7 +55,13 @@ def ensure_wal(sf: float, seed: int = 42, frac: float = 1.0, tag: str = "") -> t
             "gen_wal(%r, %d, seed=%d, seg_rows=250_000%s);"
             "ray.shutdown()"
         ) % (os.path.dirname(os.path.abspath(__file__)), wal, n_events, seed, extra)
-        subprocess.run([sys.executable, "-c", code], check=True, capture_output=True)
+        # output goes to a FILE, not pipes: the child's Ray daemons inherit
+        # stdio and outlive it briefly — an inherited pipe write-end keeps
+        # subprocess.run blocked on read long after the child exits
+        os.makedirs(os.path.dirname(wal), exist_ok=True)
+        with open(wal + ".genlog", "w") as logf:
+            subprocess.run([sys.executable, "-c", code], check=True,
+                           stdout=logf, stderr=logf, timeout=1800)
         open(marker, "w").write("ok")
     import glob
 
@@ -178,9 +189,60 @@ def run_subprocess(ncpu: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+def run_skew_bench(sf_dir: str, num_cpus: int) -> dict:
+    """Skew evidence (north-rule: hot keys handled explicitly): replay a log
+    where hot conversations hold ~30% of all events (FIXTURES F3; one hot
+    conv per 4M-event generation slab) and report the wall next to the
+    uniform log's — salted sub-partitions keep the hot keys spread, so the
+    two should be close.  BENCH/BASELINE.md records the salted-vs-unsalted
+    A/B on the single-slab variant (ONE conv = 30%), where the contrast is
+    sharpest."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sf = sf_of(sf_dir)
+    wal, n_events = ensure_wal(sf, seed=47, tag="skew",
+                               skew_hot_convs=1, skew_hot_frac=0.3)
+    import glob
+
+    for p in glob.glob(os.path.join(wal, "seg-*.parquet")):
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+    from raydatax.driver import run_job
+
+    walls = []
+    for _ in range(2):
+        lake = f"/tmp/raydatax_bench/lake_skew_{num_cpus}"
+        shutil.rmtree(lake, ignore_errors=True)
+        t0 = time.monotonic()
+        rep = run_job(wal, lake, partitions=max(32, num_cpus * 2),
+                      merge_concurrency=num_cpus)
+        walls.append(round(time.monotonic() - t0, 3))
+        assert rep["events_replayed"] == n_events
+    lake_cfg = json.load(open(os.path.join(lake, "_lake.json")))
+    out = {
+        "metric": "skewed-log replay (hot convs hold ~30% of events, salted)",
+        "value": min(walls), "unit": "sec", "walls": walls,
+        "events": n_events, "num_cpus": num_cpus,
+        "events_per_s": round(n_events / min(walls), 1),
+        "hot_keys_detected": lake_cfg["hot_keys"],
+        "salt": lake_cfg["salt"],
+    }
+    ray.shutdown()
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--skew" in sys.argv:
+        print(json.dumps(run_skew_bench(sf_dir, ncpu)))
+        return 0
     if "--scaling" in sys.argv:
         # Two pairs of cluster sizes, both pinned to physical cores:
         #  - N=2 vs 4N=8: the compute-bound regime — this is the evidence

@@ -88,6 +88,20 @@ def gen_events(
         n_convs = max(4, int(n_events / (21 * 1.6)))
     conv_ids, turns = conv_universe(n_convs, seed, conv_offset)
 
+    # skew: hot conversations are LONG-RUNNING transcripts — scale their
+    # TURN counts so they hold ~skew_hot_frac of all events (chain-length
+    # distribution per key stays identical, so hot and cold keys share the
+    # same events-per-turn expectation and the Markov pass below stays
+    # O(total); scaling chain lengths instead would make one key's chain
+    # ~frac·n_events long and the per-position pass O(max_len · n_keys))
+    if skew_hot_convs > 0 and skew_hot_frac > 0 and n_convs > skew_hot_convs:
+        # sized against n_events (not cold turns): the trim-to-target pass
+        # below drops TAIL keys, never the hot front, so this lands the
+        # post-trim hot share at ~skew_hot_frac
+        target_turns = skew_hot_frac * n_events / 1.6
+        per_hot = max(2, int(round(target_turns / skew_hot_convs)))
+        turns[:skew_hot_convs] = per_hot
+
     # --- key universe: (conv_idx, turn_idx) for every turn of every conv
     key_conv = np.repeat(np.arange(n_convs), turns)
     key_turn = np.concatenate([np.arange(t) for t in turns]) if n_convs else np.array([], dtype=np.int64)
@@ -99,15 +113,6 @@ def gen_events(
     else:
         extras = np.minimum(rng.geometric(0.62, size=n_keys) - 1, 10)
         lengths = 1 + extras
-    # skew: scale hot convs' chains so they hold ~skew_hot_frac of events
-    if skew_hot_convs > 0 and skew_hot_frac > 0:
-        hot_mask = key_conv < skew_hot_convs
-        cold = lengths[~hot_mask].sum()
-        target_hot = skew_hot_frac / (1.0 - skew_hot_frac) * cold
-        cur_hot = lengths[hot_mask].sum()
-        if cur_hot > 0:
-            factor = max(1, int(round(target_hot / cur_hot)))
-            lengths[hot_mask] = lengths[hot_mask] * factor
     # trim/grow to approximately n_events by scaling key count
     total = int(lengths.sum())
     if total > n_events * 1.25:
