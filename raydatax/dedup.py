@@ -624,10 +624,15 @@ def embedding_allpairs_exact(
     num_blocks = max(1, -(-n // block_rows))
     refs = prepped.repartition(num_blocks).to_arrow_refs()
 
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+
     @ray.remote(num_cpus=1)
     def pair_task(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
         from .ann import _matrix, _normalize
 
+        if ta.num_rows == 0 or tb.num_rows == 0:
+            return empty
         ia = ta[id_col].to_numpy(zero_copy_only=False)
         ib = tb[id_col].to_numpy(zero_copy_only=False)
         ma = _normalize(_matrix(ta[vec_col]))
