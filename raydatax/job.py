@@ -72,7 +72,12 @@ def _reader_to_dataset(reader: dict) -> "rd.Dataset":
             encoding=p.get("encoding", "utf8"),
         )
     if name == "jsonreader":
-        return read_jsonl(p["path"])
+        # docPaths: [{"path": "meta.lang", "name": "lang"}, ...] — the
+        # mongodbreader nested-document column contract (dotted paths,
+        # missing → NULL)
+        doc_paths = [(d["path"], d.get("name", d["path"]))
+                     for d in p.get("docPaths", [])] or None
+        return read_jsonl(p["path"], doc_paths=doc_paths)
     if name == "streamreader":
         n = int(p.get("sliceRecordCount", 1000)) * int(p.get("channel", 1))
         return synthetic_stream(n, seed=int(p.get("seed", 42)),

@@ -540,6 +540,43 @@ def lang_id(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred"])
 
 
+def jsonl_doc_roundtrip(sf_dir: str):
+    """Document-store reader family end-to-end (mongodbreader /
+    elasticsearch over an export dump): documents → nested JSONL export
+    (mongoexport-style sub-documents) → read_jsonl with dotted-path column
+    extraction ("meta.lang") → grouped counts.  The oracle recomputes the
+    same aggregate from the source table, so a green row certifies the
+    export + nested-extraction round trip."""
+    import hashlib
+    import shutil as _sh
+
+    from .sources import read_jsonl
+
+    out_dir = "/tmp/raydatax_jsonl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    docs = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "source", "n_chars"]
+    )
+
+    def nest(t: pa.Table) -> pa.Table:
+        meta = pa.StructArray.from_arrays(
+            [t["lang"].combine_chunks(), t["source"].combine_chunks()],
+            ["lang", "source"],
+        )
+        return pa.table({"doc_id": t["doc_id"], "meta": meta, "n_chars": t["n_chars"]})
+
+    _sh.rmtree(out_dir, ignore_errors=True)
+    docs.map_batches(nest, batch_format="pyarrow").write_json(out_dir)
+    ds = read_jsonl(
+        out_dir,
+        doc_paths=[("meta.lang", "lang"), ("meta.source", "source"),
+                   ("n_chars", "n_chars")],
+    )
+    return preagg_groupby(
+        ds, ["lang", "source"],
+        [("n_chars", "count", "n_docs"), ("n_chars", "sum", "sum_chars")],
+    )
+
+
 def dedup_minhash(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_dedup(ds, threshold=0.6)
@@ -769,6 +806,7 @@ QUERIES = {
     "fingerprint": fingerprint,
     "dedup_exact_prefix": dedup_exact_prefix,
     "lang_id": lang_id,
+    "jsonl_doc_roundtrip": jsonl_doc_roundtrip,
     "dedup_minhash": dedup_minhash,
     "ngram_jaccard": ngram_jaccard,
     "dedup_minhash_verified": dedup_minhash_verified,
@@ -1026,6 +1064,13 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = i.a
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.6
+    """,
+    # export + nested-extraction round trip recomputed from the source table
+    "jsonl_doc_roundtrip": """
+        SELECT lang, source,
+               CAST(count(n_chars) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang, source
     """,
     # exact cosine-threshold self-join: DuckDB scores every pair, the
     # engine scores block pairs — same float64 arithmetic, same set

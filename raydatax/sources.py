@@ -203,9 +203,41 @@ def read_csv_datax(
     return ds
 
 
-def read_jsonl(paths: str | list[str]) -> "rd.Dataset":
-    """JSON-lines source (per-file splits built in)."""
-    return rd.read_json(paths)
+def read_jsonl(
+    paths: str | list[str],
+    doc_paths: list[tuple[str, str]] | None = None,
+) -> "rd.Dataset":
+    """JSON-lines source (per-file splits built in) — the runnable analogue
+    of the document-store reader family (mongodbreader over a mongoexport
+    dump, elasticsearch scroll dumps).
+
+    ``doc_paths``: ordered list of ``(dotted_path, out_name)`` — the
+    mongodbreader nested-document column contract
+    (``/root/reference/mongodbreader/.../MongoDBReader.java:125-170``):
+    ``"a.b.c"`` walks sub-documents; a missing path yields a NULL column
+    entry, never a skipped/misaligned record (the reference comments on
+    exactly that bug).  Extraction is vectorized ``pc.struct_field`` over
+    the parsed Arrow structs — no per-row JSON handling."""
+    ds = rd.read_json(paths)
+    if not doc_paths:
+        return ds
+
+    def extract(t: pa.Table) -> pa.Table:
+        cols = {}
+        for path, name in doc_paths:
+            head, *rest = path.split(".")
+            try:
+                arr = t[head]
+                if rest:
+                    arr = pc.struct_field(arr, rest)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+            except (KeyError, pa.ArrowInvalid, pa.ArrowTypeError):
+                arr = pa.nulls(t.num_rows, pa.string())
+            cols[name] = arr
+        return pa.table(cols)
+
+    return ds.map_batches(extract, batch_format="pyarrow")
 
 
 def synthetic_stream(

@@ -264,3 +264,65 @@ def test_exchange_watchdog_detects_stall(ray_session):
     with pytest.raises(StageStalledError, match="map stage stalled: 0/1"):
         wait_with_watchdog(ref, "map", hang_timeout_s=1.0, poll_s=0.2)
     _ray.cancel(ref[0], force=True)
+
+
+def test_jsonl_nested_doc_extraction(tmp_path):
+    """mongodbreader nested-document contract: dotted paths walk
+    sub-documents; a missing path yields NULLs, never misalignment."""
+    import json as _json
+
+    from raydatax.sources import read_jsonl
+
+    p = tmp_path / "dump.jsonl"
+    rows = [
+        {"doc_id": 1, "meta": {"lang": "en", "source": "web"}, "n": 10},
+        {"doc_id": 2, "meta": {"lang": "fr", "source": "book"}, "n": 20},
+        {"doc_id": 3, "meta": {"lang": "de", "source": "web"}, "n": 30},
+    ]
+    p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    out = read_jsonl(
+        str(p),
+        doc_paths=[("doc_id", "doc_id"), ("meta.lang", "lang"),
+                   ("missing.path", "gone"), ("n", "n")],
+    ).take_all()
+    out.sort(key=lambda r: r["doc_id"])
+    assert [r["lang"] for r in out] == ["en", "fr", "de"]
+    assert [r["gone"] for r in out] == [None, None, None]
+    assert [r["n"] for r in out] == [10, 20, 30]
+
+
+def test_jsonreader_job_doc_paths(tmp_path):
+    import json as _json
+
+    from raydatax.job import run_job_config
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        "\n".join(
+            _json.dumps({"k": i, "meta": {"v": f"x{i}"}}) for i in range(5)
+        )
+        + "\n"
+    )
+    dest = tmp_path / "out"
+    cfg = {
+        "job": {
+            "content": [{
+                "reader": {"name": "jsonreader",
+                           "parameter": {"path": str(src),
+                                         "docPaths": [
+                                             {"path": "k", "name": "k"},
+                                             {"path": "meta.v", "name": "v"}]}},
+                "writer": {"name": "csvwriter",
+                           "parameter": {"path": str(dest),
+                                         "writeMode": "truncate"}},
+            }]
+        }
+    }
+    run_job_config(cfg)
+    import glob
+
+    files = glob.glob(str(dest / "*"))
+    assert files
+    body = "".join(open(f).read() for f in files)
+    assert "x3" in body
