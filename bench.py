@@ -38,8 +38,11 @@ def ensure_wal(sf: float, seed: int = 42, frac: float = 1.0, tag: str = "",
     session that is about to be timed pollutes its object store and was
     measured slowing the subsequent run ~2.5x."""
     n_events = max(20_000, int(200_000_000 * sf * frac))
-    # g2: cache key versioned with the generator (round 2: deletes carry ts)
-    wal = f"/tmp/raydatax_bench/wal{tag}_g2_n{n_events}_s{seed}"
+    # g2: cache key versioned with the generator (round 2: deletes carry
+    # ts); extra generator kwargs are part of the key — a changed skew
+    # parameter must not silently reuse the old log
+    kw_key = "".join(f"_{k}{v}" for k, v in sorted(gen_kw.items()))
+    wal = f"/tmp/raydatax_bench/wal{tag}_g2_n{n_events}_s{seed}{kw_key}"
     marker = os.path.join(wal, "_complete")
     if not os.path.exists(marker):
         shutil.rmtree(wal, ignore_errors=True)

@@ -616,11 +616,11 @@ def embedding_allpairs_exact(
     inherently O(N²·d) (it is the exact join); memory per task and driver
     traffic (only surviving pairs come back) are bounded.  No node ever
     sees the whole matrix."""
+    n = ds.count()  # metadata-only on the parquet read (projection keeps rows)
     prepped = ds.map_batches(
         lambda t: pa.table({id_col: t[id_col], vec_col: t[vec_col]}),
         batch_format="pyarrow",
     )
-    n = prepped.count()  # metadata-only
     num_blocks = max(1, -(-n // block_rows))
     refs = prepped.repartition(num_blocks).to_arrow_refs()
 

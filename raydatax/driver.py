@@ -82,7 +82,7 @@ def run_job(
     start_ts=None,
     end_ts=None,
     hang_timeout_s: float | None = 600.0,
-    time_travel_epochs: int = 0,
+    time_travel_epochs: int | None = None,
     _crash_after_committing: int | None = None,
 ) -> dict:
     """Tail the WAL and upsert into the lake.  Idempotent: killing this at
@@ -148,7 +148,8 @@ def run_job(
             epoch = mf.next_epoch(lake_dir)
             if cfg is None:
                 hot = detect_hot_keys(plan.segments, partitions, hot_threshold)
-                cfg = mf.init_lake(lake_dir, partitions, salt, hot, sparse_updates)
+                cfg = mf.init_lake(lake_dir, partitions, salt, hot, sparse_updates,
+                                   time_travel_epochs=time_travel_epochs or 0)
             plan_doc = {"epoch": epoch, "max_seq": plan.max_seq, "segments": seg_names}
             if window is not None:
                 plan_doc["window"] = window
@@ -289,8 +290,12 @@ def run_job(
             state = {"epoch": epoch, "mode": mode, "wal_hw": plan.max_seq}
         mf._atomic_write_json(job_state_path(lake_dir), state)
         mf.gc_staging(lake_dir, epoch)
-        # drop superseded epoch snapshots beyond the time-travel window
-        vacuumed = mf.vacuum(lake_dir, keep_unreferenced=time_travel_epochs)
+        # drop superseded epoch snapshots beyond the time-travel window —
+        # retention is LAKE-LEVEL config (set at creation, every ingest path
+        # honors it); an explicit per-call value overrides for this run only
+        retain = (time_travel_epochs if time_travel_epochs is not None
+                  else int(cfg.get("time_travel_epochs", 0)))
+        vacuumed = mf.vacuum(lake_dir, keep_unreferenced=retain)
 
         report = build_report(epoch, lineage, time.monotonic() - t0, plan_info, dirty_rows)
         report["action"] = "applied"
@@ -397,8 +402,9 @@ def requeue_deadletters(lake_dir: str, wal_dir: str, repair_fn, epoch: int | Non
 def read_lake(lake_dir: str, at_epoch: int | None = None) -> "ray.data.Dataset":
     """Committed table state as a streaming Dataset (partition-major,
     key-sorted within partitions — the stable output order).  ``at_epoch``
-    time-travels to the snapshot as of that epoch (retained per
-    ``run_job(time_travel_epochs=N)``)."""
+    time-travels to the snapshot as of that epoch (retained per the lake's
+    ``time_travel_epochs`` config, set at creation via
+    ``run_job(time_travel_epochs=N)`` on the first apply)."""
     files = mf.committed_files(lake_dir, at_epoch)
     if not files:
         raise FileNotFoundError(f"no committed partitions under {lake_dir}")

@@ -16,7 +16,8 @@ Everything is a pure function of ``seed``:
 - chains randomly interleaved into one global log; ``seq`` = log position
   (strictly increasing, the version vector);
 - skew variant (F3): hot conversations receive a target fraction of all
-  events via chain-length scaling;
+  events by getting proportionally more TURNS (long-running transcripts;
+  the per-key chain-length distribution stays identical to cold keys);
 - schema-evolution variant (F4) at WAL-write time: early segments lack the
   ``tool`` column, final segments carry ``turn_idx`` widened to int64.
 """
@@ -269,12 +270,18 @@ def gen_wal(
     per_slab = n_events // n_slabs
     slab_span = per_slab * 2  # seq headroom: gen may emit up to ~1.25x target
 
+    # caller-supplied namespace offsets (e.g. a delta log's disjoint
+    # conv/seq range) compose with the per-slab offsets instead of
+    # colliding as duplicate kwargs
+    base_conv = int(kw.pop("conv_offset", 0))
+    base_seq = int(kw.pop("start_seq", 0))
+
     def _one(slab: int) -> list[str]:
         t = gen_events(
             per_slab,
             seed=seed + slab * 1000,
-            start_seq=slab * slab_span,
-            conv_offset=slab * 10_000_000,
+            start_seq=base_seq + slab * slab_span,
+            conv_offset=base_conv + slab * 10_000_000,
             **kw,
         )
         return write_wal(t, os.path.join(wal_dir, f"_slab{slab:02d}"), seg_rows)

@@ -64,10 +64,13 @@ def load_lake_config(lake_dir: str) -> dict | None:
 
 
 def init_lake(lake_dir: str, partitions: int, salt: int, hot_keys: list[str],
-              sparse_updates: bool = False) -> dict:
+              sparse_updates: bool = False, time_travel_epochs: int = 0) -> dict:
     """Create (or load) the immutable lake config.  Partition mapping must be
     stable across the lake's lifetime (rebase merge depends on it), so
-    P / S / the hot-key registry are fixed at creation."""
+    P / S / the hot-key registry are fixed at creation.  Time-travel
+    retention is lake-level too: EVERY ingest path (run_job, tail_wal, the
+    job runner) vacuums, so a per-call-only setting would let one caller
+    silently delete the snapshot window another caller relies on."""
     cfg = load_lake_config(lake_dir)
     if cfg is not None:
         return cfg
@@ -76,6 +79,7 @@ def init_lake(lake_dir: str, partitions: int, salt: int, hot_keys: list[str],
         "salt": int(salt),
         "hot_keys": list(hot_keys),
         "sparse_updates": bool(sparse_updates),
+        "time_travel_epochs": int(time_travel_epochs),
         "format": "raydatax-lake-v1",
     }
     _atomic_write_json(lake_config_path(lake_dir), cfg)

@@ -547,12 +547,14 @@ def jsonl_doc_roundtrip(sf_dir: str):
     extraction ("meta.lang") → grouped counts.  The oracle recomputes the
     same aggregate from the source table, so a green row certifies the
     export + nested-extraction round trip."""
-    import hashlib
-    import shutil as _sh
+    import tempfile
 
     from .sources import read_jsonl
 
-    out_dir = "/tmp/raydatax_jsonl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # unique per call: a shared fixed path would race between concurrent
+    # gate/bench runs (one rmtree-ing what the other reads); scratch lives
+    # under /tmp and is bounded by the sf documents size
+    out_dir = tempfile.mkdtemp(prefix="raydatax_jsonl_")
     docs = rd.read_parquet(
         _p(sf_dir, "documents"), columns=["doc_id", "lang", "source", "n_chars"]
     )
@@ -564,7 +566,6 @@ def jsonl_doc_roundtrip(sf_dir: str):
         )
         return pa.table({"doc_id": t["doc_id"], "meta": meta, "n_chars": t["n_chars"]})
 
-    _sh.rmtree(out_dir, ignore_errors=True)
     docs.map_batches(nest, batch_format="pyarrow").write_json(out_dir)
     ds = read_jsonl(
         out_dir,

@@ -233,7 +233,10 @@ def read_jsonl(
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
             except (KeyError, pa.ArrowInvalid, pa.ArrowTypeError):
-                arr = pa.nulls(t.num_rows, pa.string())
+                # null-typed (not string-typed) so a batch/file where the
+                # path is entirely absent still unifies with typed batches
+                # from files that do carry it (null promotes to any type)
+                arr = pa.nulls(t.num_rows, pa.null())
             cols[name] = arr
         return pa.table(cols)
 

@@ -117,7 +117,10 @@ def test_time_travel_snapshot_reads(tmp_wal, tmp_lake):
 
         shutil.rmtree(tmp_wal, ignore_errors=True)
         write_wal(part, tmp_wal, seg_rows=1500)
-        rep = run_job(tmp_wal, tmp_lake, partitions=2, time_travel_epochs=2)
+        # retention is LAKE-LEVEL config: passed only at creation; later
+        # applies (and any other ingest path) must honor it without the kwarg
+        kw = {"time_travel_epochs": 2} if i == 0 else {}
+        rep = run_job(tmp_wal, tmp_lake, partitions=2, **kw)
         epoch_of.append(rep["epoch"])
         snapshots[rep["epoch"]] = lake_table(tmp_lake)
 
