@@ -160,6 +160,21 @@ def run_job_config(config: dict, quiet: bool = True) -> dict:
             out = write_files(ds, wp["path"], fmt=fmt,
                               write_mode=wp.get("writeMode", "append"))
             reports.append({"writer": wname, "path": out, "rows": ds.count()})
+        elif wname == "rdbmswriter":
+            # JDBC writer family: writeMode insert|replace|upsert, preSql/
+            # postSql — CommonRdbmsWriter / WriterUtil.java:113-146
+            from .sql_source import write_sql_table
+
+            rep = write_sql_table(
+                ds, wp["dbPath"], wp["table"],
+                write_mode=wp.get("writeMode", "insert"),
+                conflict_keys=wp.get("conflictKeys"),
+                order_by=wp.get("orderBy"),
+                unique_keys=wp.get("uniqueKeys"),
+                pre_sql=wp.get("preSql"),
+                post_sql=wp.get("postSql"),
+            )
+            reports.append({"writer": wname, **rep})
         elif wname == "walwriter":
             paths = write_wal_sink(ds, wp["path"],
                                    seg_rows=int(wp.get("segRows", 250_000)))

@@ -394,6 +394,36 @@ def sql_split_read(sf_dir: str):
     )
 
 
+def sql_writer_roundtrip(sf_dir: str):
+    """JDBC-family WRITER parity (CommonRdbmsWriter writeMode + adswriter
+    load-then-swap): documents --replace--> DuckDB table with a unique key,
+    a derived delta --upsert--> ON CONFLICT DO UPDATE (the mysql ON
+    DUPLICATE KEY semantic), final state read back through the
+    splitPk-sliced reader.  The oracle recomputes the post-upsert rows
+    directly from the source table."""
+    import tempfile
+
+    from .sql_source import read_sql_table, write_sql_table
+
+    db = os.path.join(tempfile.mkdtemp(prefix="raydatax_sqlsink_"), "docs.duckdb")
+    docs = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "source", "n_chars"]
+    )
+    write_sql_table(docs, db, "docs", write_mode="replace", unique_keys=["doc_id"])
+
+    def bump(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % 10 == 0))
+        return sub.set_column(
+            sub.schema.get_field_index("n_chars"), "n_chars",
+            pc.add(sub["n_chars"], pa.scalar(1000, pa.int64())),
+        )
+
+    delta = docs.map_batches(bump, batch_format="pyarrow")
+    write_sql_table(delta, db, "docs", write_mode="upsert", conflict_keys=["doc_id"])
+    return read_sql_table(db, "docs", split_pk="doc_id", num_splits=6)
+
+
 def distinct_event_types(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type"])
     vals = sorted(ds.unique("event_type"))
@@ -797,6 +827,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "events_partitioned_roundtrip": events_partitioned_roundtrip,
     "sql_split_read": sql_split_read,
+    "sql_writer_roundtrip": sql_writer_roundtrip,
     "distinct_event_types": distinct_event_types,
     "transform_chain": transform_chain,
     "url_extract": url_extract,
@@ -931,6 +962,14 @@ ORACLE_SQL = {
     "sql_split_read": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_totalprice > 150000
+    """,
+    # post-upsert table state recomputed from the source: rows whose key
+    # got a conflicting delta carry the updated value (ON DUPLICATE KEY)
+    "sql_writer_roundtrip": """
+        SELECT doc_id, lang, source,
+               CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+                    ELSE n_chars END AS n_chars
+        FROM documents
     """,
     "distinct_event_types": "SELECT DISTINCT event_type FROM events",
     "transform_chain": """

@@ -215,6 +215,113 @@ def read_sql_table(
     return ray.data.read_datasource(SQLDatasource(db_path, plans, engine))
 
 
+# ---------------------------------------------------------------- SQL writer
+
+
+def write_sql_table(
+    ds: "ray.data.Dataset",
+    db_path: str,
+    table: str,
+    write_mode: str = "insert",
+    conflict_keys: list[str] | None = None,
+    order_by: str | None = None,
+    unique_keys: list[str] | None = None,
+    pre_sql: list[str] | None = None,
+    post_sql: list[str] | None = None,
+    staging_dir: str | None = None,
+) -> dict:
+    """RDBMS writer family — the reference's most-used sink
+    (``/root/reference/plugin-rdbms-util/.../writer/CommonRdbmsWriter.java``,
+    writeMode insert/replace/update at ``writer/util/WriterUtil.java:113-146``;
+    pre/postSql ibid.; adswriter's load-then-switch pattern
+    ``/root/reference/adswriter/.../AdsWriter.java``).
+
+    Ray-side design: the Dataset STAGES itself as parquet (distributed,
+    parallel write — the same two-phase discipline as the lake sink), then
+    the database ingests the staged files in ONE bulk statement (DuckDB
+    scans parquet natively) — load-then-swap, never a per-row loop.  A
+    single-writer embedded engine serializes only this final cheap load; on
+    a server RDBMS the identical staging generalizes to per-partition COPY.
+
+    write_mode:
+      - ``insert``  — append (INSERT INTO ... SELECT).
+      - ``replace`` — full refresh: load into a staging table, atomic
+        RENAME swap (adswriter semantics).  ``unique_keys`` adds a unique
+        index after the load so later upserts have a conflict target.
+      - ``upsert``  — INSERT ... ON CONFLICT (conflict_keys) DO UPDATE of
+        every non-key column (mysql ON DUPLICATE KEY UPDATE semantics).
+        ``order_by`` (e.g. a seq column) LWW-dedupes conflicting rows
+        WITHIN the staged batch first — multi-row conflicts in one INSERT
+        are an error in DuckDB, and last-writer-wins is the CDC contract.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    if write_mode not in ("insert", "replace", "upsert"):
+        raise ValueError(f"unknown write_mode {write_mode!r}")
+    if write_mode == "upsert" and not conflict_keys:
+        raise ValueError("upsert requires conflict_keys")
+
+    own_staging = staging_dir is None
+    staging = staging_dir or tempfile.mkdtemp(prefix="raydatax_sqlsink_")
+    try:
+        ds.write_parquet(staging)
+        scan = f"read_parquet('{staging}/*.parquet')"
+        con = duckdb.connect(db_path)
+        try:
+            for s in pre_sql or []:
+                con.execute(s)
+            cols = [f[0] for f in con.execute(f"SELECT * FROM {scan} LIMIT 0").description]
+            proj = ", ".join(_quote_ident(c) for c in cols)
+            tbl = _quote_ident(table)
+            if write_mode == "replace":
+                load_tbl = _quote_ident(table + "__load")
+                con.execute(f"DROP TABLE IF EXISTS {load_tbl}")
+                con.execute(f"CREATE TABLE {load_tbl} AS SELECT {proj} FROM {scan}")
+                con.execute(f"DROP TABLE IF EXISTS {tbl}")
+                con.execute(f"ALTER TABLE {load_tbl} RENAME TO {tbl}")
+                if unique_keys:
+                    # after the swap: DuckDB cannot rename a table that an
+                    # index depends on
+                    idx = ", ".join(_quote_ident(k) for k in unique_keys)
+                    con.execute(
+                        f"CREATE UNIQUE INDEX {_quote_ident(table + '__uk')} "
+                        f"ON {tbl} ({idx})"
+                    )
+            elif write_mode == "insert":
+                con.execute(f"INSERT INTO {tbl} SELECT {proj} FROM {scan}")
+            else:  # upsert
+                keys = [k for k in conflict_keys]
+                non_keys = [c for c in cols if c not in keys]
+                sets = ", ".join(
+                    f"{_quote_ident(c)} = excluded.{_quote_ident(c)}" for c in non_keys
+                )
+                src = f"SELECT {proj} FROM {scan}"
+                if order_by:
+                    part = ", ".join(_quote_ident(k) for k in keys)
+                    src += (
+                        f" QUALIFY row_number() OVER (PARTITION BY {part} "
+                        f"ORDER BY {_quote_ident(order_by)} DESC) = 1"
+                    )
+                target = ", ".join(_quote_ident(k) for k in keys)
+                con.execute(
+                    f"INSERT INTO {tbl} {src} "
+                    f"ON CONFLICT ({target}) DO UPDATE SET {sets}"
+                )
+            n = con.execute(f"SELECT count(*) FROM {tbl}").fetchone()[0]
+            for s in post_sql or []:
+                con.execute(s)
+        finally:
+            con.close()
+        return {"table": table, "rows_in_table": int(n), "mode": write_mode}
+    finally:
+        if own_staging:
+            shutil.rmtree(staging, ignore_errors=True)
+
+
 def export_parquet_to_duckdb(
     parquet_path: str, db_path: str, table: str, engine: str = "duckdb"
 ) -> None:

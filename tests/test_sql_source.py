@@ -157,3 +157,63 @@ def test_job_runner_rdbmsreader(ray_session, orders_db, tmp_path):
         "WHERE o_totalprice > 100000"
     ).fetchone()[0]
     assert n == n_direct
+
+
+def test_write_sql_table_modes(tmp_path):
+    """Writer family: replace (load-then-swap + unique key), insert
+    (append), upsert (ON CONFLICT DO UPDATE with in-batch LWW dedupe),
+    pre/postSql hooks — CommonRdbmsWriter/WriterUtil.java:113-146."""
+    import ray.data as rd
+
+    from raydatax.sql_source import write_sql_table
+
+    db = str(tmp_path / "t.duckdb")
+    base = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array(["a", "b", "c"], pa.string()),
+        "seq": pa.array([10, 10, 10], pa.int64()),
+    })
+    rep = write_sql_table(rd.from_arrow(base), db, "t",
+                          write_mode="replace", unique_keys=["k"],
+                          pre_sql=["CREATE TABLE IF NOT EXISTS audit(x INT)"],
+                          post_sql=["INSERT INTO audit VALUES (1)"])
+    assert rep["rows_in_table"] == 3
+
+    # replace is idempotent (swap, not append)
+    rep = write_sql_table(rd.from_arrow(base), db, "t",
+                          write_mode="replace", unique_keys=["k"])
+    assert rep["rows_in_table"] == 3
+
+    # insert appends
+    extra = pa.table({"k": pa.array([4], pa.int64()),
+                      "v": pa.array(["d"], pa.string()),
+                      "seq": pa.array([10], pa.int64())})
+    rep = write_sql_table(rd.from_arrow(extra), db, "t", write_mode="insert")
+    assert rep["rows_in_table"] == 4
+
+    # upsert: conflicting keys update, new keys insert; duplicate keys
+    # within the staged batch resolve last-writer-wins by order_by
+    delta = pa.table({
+        "k": pa.array([2, 2, 5], pa.int64()),
+        "v": pa.array(["stale", "B2", "e"], pa.string()),
+        "seq": pa.array([11, 12, 11], pa.int64()),
+    })
+    rep = write_sql_table(rd.from_arrow(delta), db, "t",
+                          write_mode="upsert", conflict_keys=["k"],
+                          order_by="seq")
+    assert rep["rows_in_table"] == 5
+    got = duckdb.connect(db).execute("SELECT k, v FROM t ORDER BY k").fetchall()
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "d"), (5, "e")]
+    n_audit = duckdb.connect(db).execute("SELECT count(*) FROM audit").fetchone()[0]
+    assert n_audit == 1
+
+
+def test_write_sql_table_upsert_requires_keys(tmp_path):
+    import ray.data as rd
+
+    from raydatax.sql_source import write_sql_table
+
+    t = pa.table({"k": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="conflict_keys"):
+        write_sql_table(rd.from_arrow(t), str(tmp_path / "x.duckdb"), "t",
+                        write_mode="upsert")
