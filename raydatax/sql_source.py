@@ -253,6 +253,10 @@ def write_sql_table(
         ``order_by`` (e.g. a seq column) LWW-dedupes conflicting rows
         WITHIN the staged batch first — multi-row conflicts in one INSERT
         are an error in DuckDB, and last-writer-wins is the CDC contract.
+      - ``deleteinsert`` — DELETE the staged keys then INSERT: the
+        PG/Oracle upsert mechanism the fork adds
+        (``CommonRdbmsWriter.java:401-403,430-498``).  Same final state as
+        ``upsert``; needs no unique index on the target.
     """
     import os
     import shutil
@@ -260,10 +264,10 @@ def write_sql_table(
 
     import duckdb
 
-    if write_mode not in ("insert", "replace", "upsert"):
+    if write_mode not in ("insert", "replace", "upsert", "deleteinsert"):
         raise ValueError(f"unknown write_mode {write_mode!r}")
-    if write_mode == "upsert" and not conflict_keys:
-        raise ValueError("upsert requires conflict_keys")
+    if write_mode in ("upsert", "deleteinsert") and not conflict_keys:
+        raise ValueError(f"{write_mode} requires conflict_keys")
 
     own_staging = staging_dir is None
     staging = staging_dir or tempfile.mkdtemp(prefix="raydatax_sqlsink_")
@@ -293,6 +297,23 @@ def write_sql_table(
                     )
             elif write_mode == "insert":
                 con.execute(f"INSERT INTO {tbl} SELECT {proj} FROM {scan}")
+            elif write_mode == "deleteinsert":
+                keys = list(conflict_keys)
+                pred = " AND ".join(
+                    f"{tbl}.{_quote_ident(k)} = s.{_quote_ident(k)}" for k in keys
+                )
+                con.execute(
+                    f"DELETE FROM {tbl} WHERE EXISTS "
+                    f"(SELECT 1 FROM {scan} s WHERE {pred})"
+                )
+                src = f"SELECT {proj} FROM {scan}"
+                if order_by:
+                    part = ", ".join(_quote_ident(k) for k in keys)
+                    src += (
+                        f" QUALIFY row_number() OVER (PARTITION BY {part} "
+                        f"ORDER BY {_quote_ident(order_by)} DESC) = 1"
+                    )
+                con.execute(f"INSERT INTO {tbl} {src}")
             else:  # upsert
                 keys = [k for k in conflict_keys]
                 non_keys = [c for c in cols if c not in keys]

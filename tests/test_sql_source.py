@@ -217,3 +217,27 @@ def test_write_sql_table_upsert_requires_keys(tmp_path):
     with pytest.raises(ValueError, match="conflict_keys"):
         write_sql_table(rd.from_arrow(t), str(tmp_path / "x.duckdb"), "t",
                         write_mode="upsert")
+
+
+def test_write_sql_table_deleteinsert(tmp_path):
+    """PG/Oracle delete-then-insert upsert (CommonRdbmsWriter.java:401-403,
+    430-498): same final state as ON CONFLICT upsert, no unique index
+    required on the target."""
+    import ray.data as rd
+
+    from raydatax.sql_source import write_sql_table
+
+    db = str(tmp_path / "t.duckdb")
+    base = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                     "v": pa.array(["a", "b", "c"], pa.string()),
+                     "seq": pa.array([1, 1, 1], pa.int64())})
+    write_sql_table(rd.from_arrow(base), db, "t", write_mode="replace")
+    delta = pa.table({"k": pa.array([2, 2, 9], pa.int64()),
+                      "v": pa.array(["old", "B", "z"], pa.string()),
+                      "seq": pa.array([2, 3, 2], pa.int64())})
+    rep = write_sql_table(rd.from_arrow(delta), db, "t",
+                          write_mode="deleteinsert", conflict_keys=["k"],
+                          order_by="seq")
+    assert rep["rows_in_table"] == 4
+    got = duckdb.connect(db).execute("SELECT k, v FROM t ORDER BY k").fetchall()
+    assert got == [(1, "a"), (2, "B"), (3, "c"), (9, "z")]
