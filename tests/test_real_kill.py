@@ -27,9 +27,22 @@ run_job({wal!r}, {lake!r}, partitions=8, merge_concurrency=1)
 """
 
 
-def test_sigkill_mid_merge_then_resume(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "seed,gen_kw",
+    [
+        (91, {}),
+        # north-rule intersection: exactly-once × skew — the hot conv's
+        # SALTED sub-partitions must also resume byte-identically
+        (92, {"skew_hot_convs": 1, "skew_hot_frac": 0.35}),
+    ],
+    ids=["uniform", "skewed"],
+)
+def test_sigkill_mid_merge_then_resume(tmp_path, seed, gen_kw):
     wal = str(tmp_path / "wal")
-    gen_wal(wal, 60_000, seed=91, seg_rows=5000)
+    gen_wal(wal, 60_000, seed=seed, seg_rows=5000, **gen_kw)
 
     # reference: uninterrupted run in THIS session
     lake_ref = str(tmp_path / "ref")
