@@ -87,8 +87,10 @@ def _reader_to_dataset(reader: dict) -> "rd.Dataset":
         import os
 
         return rd.read_parquet(sorted(glob.glob(os.path.join(p["path"], "seg-*.parquet"))))
-    if name in ("rdbmsreader", "duckdbreader", "sqlitereader"):
-        # JDBC-family parity: splitPk range-sliced parallel SQL read
+    if name in ("rdbmsreader", "duckdbreader", "sqlitereader", "cassandrareader"):
+        # JDBC-family parity: splitPk range-sliced parallel SQL read;
+        # splitMode "token" (default for cassandrareader) = token-ring
+        # slices over hash(pk), the cassandra/kudu split model
         from .sql_source import read_sql_table
 
         cols = p.get("column")
@@ -102,6 +104,9 @@ def _reader_to_dataset(reader: dict) -> "rd.Dataset":
             columns=cols,
             where=p.get("where"),
             engine="sqlite" if name == "sqlitereader" else "duckdb",
+            split_mode=p.get(
+                "splitMode", "token" if name == "cassandrareader" else "range"
+            ),
         )
     raise JobConfigError(f"unknown reader {name!r}")
 
@@ -155,7 +160,18 @@ def run_job_config(config: dict, quiet: bool = True) -> dict:
         ds = _reader_to_dataset(reader)
         ds = _apply_transformers(ds, content.get("transformer", []))
 
-        if wname in ("parquetwriter", "csvwriter", "jsonwriter"):
+        if wname == "mongodbwriter" or (
+            wname == "jsonwriter" and wp.get("docPaths")
+        ):
+            # document-store sink: flat columns → nested sub-documents
+            # (inverse of jsonreader docPaths), mongodbwriter analogue
+            from .sinks import write_jsonl
+
+            dp = [(d["path"], d["name"]) for d in wp["docPaths"]]
+            out = write_jsonl(ds, wp["path"], doc_paths=dp,
+                              write_mode=wp.get("writeMode", "truncate"))
+            reports.append({"writer": wname, "path": out, "rows": ds.count()})
+        elif wname in ("parquetwriter", "csvwriter", "jsonwriter"):
             fmt = wname.replace("writer", "")
             out = write_files(ds, wp["path"], fmt=fmt,
                               write_mode=wp.get("writeMode", "append"))

@@ -394,6 +394,24 @@ def sql_split_read(sf_dir: str):
     )
 
 
+def sql_token_read(sf_dir: str):
+    """Cassandra/kudu-family source parity: token-range sliced parallel
+    read — contiguous ranges of the uint64 hash(pk) ring, cut WITHOUT any
+    driver-side min/max planning query, over a STRING key (the case splitPk
+    range slicing cannot handle).  Each row lands in exactly one slice; the
+    union must hash-match a plain scan."""
+    from .sql_source import export_parquet_to_duckdb, read_sql_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    db = f"/tmp/raydatax_customer_{tag}.duckdb"
+    export_parquet_to_duckdb(_p(sf_dir, "customer"), db, "customer")
+    return read_sql_table(
+        db, "customer", split_pk="c_name", num_splits=8, split_mode="token",
+        columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+        where="c_acctbal > 1000",
+    )
+
+
 def sql_writer_roundtrip(sf_dir: str):
     """JDBC-family WRITER parity (CommonRdbmsWriter writeMode + adswriter
     load-then-swap): documents --replace--> DuckDB table with a unique key,
@@ -571,14 +589,15 @@ def lang_id(sf_dir: str):
 
 
 def jsonl_doc_roundtrip(sf_dir: str):
-    """Document-store reader family end-to-end (mongodbreader /
-    elasticsearch over an export dump): documents → nested JSONL export
-    (mongoexport-style sub-documents) → read_jsonl with dotted-path column
-    extraction ("meta.lang") → grouped counts.  The oracle recomputes the
+    """Document-store family end-to-end (mongodbwriter → mongodbreader over
+    an export dump): documents → ``sinks.write_jsonl`` assembling DEPTH-2
+    nested sub-documents ("meta.src.source") → ``read_jsonl`` with
+    dotted-path extraction → grouped counts.  The oracle recomputes the
     same aggregate from the source table, so a green row certifies the
-    export + nested-extraction round trip."""
+    nested write + extraction round trip in both directions."""
     import tempfile
 
+    from .sinks import write_jsonl
     from .sources import read_jsonl
 
     # unique per call: a shared fixed path would race between concurrent
@@ -588,18 +607,14 @@ def jsonl_doc_roundtrip(sf_dir: str):
     docs = rd.read_parquet(
         _p(sf_dir, "documents"), columns=["doc_id", "lang", "source", "n_chars"]
     )
-
-    def nest(t: pa.Table) -> pa.Table:
-        meta = pa.StructArray.from_arrays(
-            [t["lang"].combine_chunks(), t["source"].combine_chunks()],
-            ["lang", "source"],
-        )
-        return pa.table({"doc_id": t["doc_id"], "meta": meta, "n_chars": t["n_chars"]})
-
-    docs.map_batches(nest, batch_format="pyarrow").write_json(out_dir)
+    write_jsonl(
+        docs, out_dir,
+        doc_paths=[("doc_id", "doc_id"), ("meta.lang", "lang"),
+                   ("meta.src.source", "source"), ("n_chars", "n_chars")],
+    )
     ds = read_jsonl(
         out_dir,
-        doc_paths=[("meta.lang", "lang"), ("meta.source", "source"),
+        doc_paths=[("meta.lang", "lang"), ("meta.src.source", "source"),
                    ("n_chars", "n_chars")],
     )
     return preagg_groupby(
@@ -827,6 +842,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "events_partitioned_roundtrip": events_partitioned_roundtrip,
     "sql_split_read": sql_split_read,
+    "sql_token_read": sql_token_read,
     "sql_writer_roundtrip": sql_writer_roundtrip,
     "distinct_event_types": distinct_event_types,
     "transform_chain": transform_chain,
@@ -962,6 +978,11 @@ ORACLE_SQL = {
     "sql_split_read": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_totalprice > 150000
+    """,
+    # token slices partition the table: their union IS the filtered scan
+    "sql_token_read": """
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        FROM customer WHERE c_acctbal > 1000
     """,
     # post-upsert table state recomputed from the source: rows whose key
     # got a conflicting delta carry the updated value (ON DUPLICATE KEY)

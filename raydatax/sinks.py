@@ -133,6 +133,69 @@ def read_partitioned(path: str, filters: dict | None = None, columns=None):
     return rd.read_parquet(path, **kwargs)
 
 
+def _nest_columns(t, doc_paths):
+    """Assemble flat columns into nested struct columns, bottom-up.
+
+    ``doc_paths``: ordered ``(dotted_path, source_column)`` — the exact
+    inverse of the reader's extraction contract (``sources.read_jsonl``),
+    so ``write_jsonl`` → ``read_jsonl`` round-trips.  Struct assembly is
+    ``pa.StructArray.from_arrays`` — zero-copy wrapping of the existing
+    Arrow buffers, no per-row work."""
+    import pyarrow as pa
+
+    def build(entries):
+        # entries: list of (remaining_segments, source_col); group by head
+        order, groups = [], {}
+        for segs, src in entries:
+            head = segs[0]
+            if head not in groups:
+                groups[head] = []
+                order.append(head)
+            groups[head].append((segs[1:], src))
+        out = {}
+        for head in order:
+            sub = groups[head]
+            leaves = [s for s in sub if not s[0]]
+            if leaves and len(sub) > 1:
+                raise ValueError(
+                    f"path {head!r} is both a leaf and a sub-document prefix"
+                )
+            if leaves:
+                out[head] = t[leaves[0][1]].combine_chunks()
+            else:
+                children = build(sub)
+                out[head] = pa.StructArray.from_arrays(
+                    list(children.values()), names=list(children.keys())
+                )
+        return out
+
+    cols = build([(path.split("."), src) for path, src in doc_paths])
+    return pa.table(cols)
+
+
+def write_jsonl(
+    ds,
+    path: str,
+    doc_paths: list[tuple[str, str]] | None = None,
+    write_mode: str = "truncate",
+) -> str:
+    """Document-store sink — the mongodbwriter analogue (bulk upserts of
+    nested documents, ``/root/reference/mongodbwriter/``; also the shape
+    elasticsearchwriter bulk-indexes): flat columns reassembled into
+    arbitrarily nested sub-documents per ``doc_paths`` (the inverse of
+    ``sources.read_jsonl(doc_paths=)``), written as JSON-lines by every
+    write task in parallel.  Returns the output dir."""
+    _prepare_dir(path, write_mode)
+    if doc_paths:
+        import pyarrow as pa  # noqa: F401  (used via _nest_columns)
+
+        ds = ds.map_batches(
+            lambda t: _nest_columns(t, doc_paths), batch_format="pyarrow"
+        )
+    ds.write_json(path)
+    return path
+
+
 def write_files(
     ds,
     path: str,

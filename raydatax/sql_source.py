@@ -100,6 +100,52 @@ def plan_splits(
     return plans
 
 
+_TOKEN_RING = 1 << 64  # DuckDB hash() is UBIGINT: the full token ring
+
+
+def plan_token_splits(
+    table: str,
+    token_pk: str,
+    num_splits: int,
+    columns: list[str] | None,
+    where: str | None,
+) -> list[SQLSplitPlan]:
+    """Token-range slicing — the cassandrareader / kudureader split model
+    (``/root/reference/cassandrareader/.../CassandraReaderHelper.java:415-430``
+    cuts the Murmur3 token ring into ``token(pk) > lo AND token(pk) <= hi``
+    ranges; kudu tablets hash-partition the same way).
+
+    Unlike splitPk range slicing this needs NO min/max planning query and
+    works on keys of ANY type (string conversation ids included): the
+    uint64 ring of ``hash(pk)`` is cut into ``num_splits`` contiguous
+    half-open ranges.  Rows land in exactly one slice; a separate
+    ``IS NULL`` slice keeps null keys (hash(NULL) is engine-defined, so
+    every range predicate carries ``pk IS NOT NULL``).  DuckDB-only: the
+    split function must run inside the database, like Cassandra's
+    ``token()``."""
+    proj = ", ".join(_quote_ident(c) for c in columns) if columns else "*"
+    tbl = _quote_ident(table)
+    base_where = f"({where})" if where else None
+
+    def q(pred: str) -> str:
+        preds = [p for p in (pred, base_where) if p]
+        return f"SELECT {proj} FROM {tbl} WHERE {' AND '.join(preds)}"
+
+    pk = _quote_ident(token_pk)
+    tok = f"hash({pk})"
+    n = max(1, int(num_splits))
+    bounds = [(_TOKEN_RING * i) // n for i in range(n + 1)]
+    plans = []
+    for i in range(n):
+        lo, hi = bounds[i], bounds[i + 1]
+        parts = [f"{pk} IS NOT NULL", f"{tok} >= {lo}"]
+        if hi < _TOKEN_RING:  # last range is ring-closed: no upper bound
+            parts.append(f"{tok} < {hi}")
+        plans.append(SQLSplitPlan(q(" AND ".join(parts)), f"token[{lo}..{hi})"))
+    plans.append(SQLSplitPlan(q(f"{pk} IS NULL"), "null"))
+    return plans
+
+
 # ------------------------------------------------------------ engine drivers
 
 
@@ -193,25 +239,39 @@ def read_sql_table(
     columns: list[str] | None = None,
     where: str | None = None,
     engine: str = "duckdb",
+    split_mode: str = "range",
 ) -> "ray.data.Dataset":
-    """Parallel SQL table read with splitPk range slicing.
+    """Parallel SQL table read with splitPk slicing.
 
-    Planning runs ONE tiny MIN/MAX query on the driver; the data itself is
-    read by the split tasks.  Projection (``columns``) and predicate
-    (``where``) are pushed into every slice's SQL — only needed columns and
-    rows leave the database, the reader-side pruning discipline."""
+    ``split_mode="range"`` (default) is the JDBC-family contract: ONE tiny
+    MIN/MAX planning query on the driver, numeric key ranges per task.
+    ``split_mode="token"`` is the cassandra/kudu contract: contiguous
+    ranges of the uint64 ``hash(pk)`` ring — no planning query at all, and
+    the key may be any type (DuckDB engine only).  Projection (``columns``)
+    and predicate (``where``) are pushed into every slice's SQL — only
+    needed columns and rows leave the database, the reader-side pruning
+    discipline."""
     import ray.data
 
-    pk_min = pk_max = None
-    if split_pk is not None:
-        pk = _quote_ident(split_pk)
-        w = f" WHERE ({where})" if where else ""
-        pk_min, pk_max = _scalar_query(
-            db_path,
-            f"SELECT MIN({pk}), MAX({pk}) FROM {_quote_ident(table)}{w}",
-            engine,
-        )
-    plans = plan_splits(table, split_pk, pk_min, pk_max, num_splits, columns, where)
+    if split_mode == "token":
+        if split_pk is None:
+            raise ValueError("token split requires split_pk")
+        if engine != "duckdb":
+            raise ValueError("token split needs an in-database hash(): duckdb only")
+        plans = plan_token_splits(table, split_pk, num_splits, columns, where)
+    elif split_mode == "range":
+        pk_min = pk_max = None
+        if split_pk is not None:
+            pk = _quote_ident(split_pk)
+            w = f" WHERE ({where})" if where else ""
+            pk_min, pk_max = _scalar_query(
+                db_path,
+                f"SELECT MIN({pk}), MAX({pk}) FROM {_quote_ident(table)}{w}",
+                engine,
+            )
+        plans = plan_splits(table, split_pk, pk_min, pk_max, num_splits, columns, where)
+    else:
+        raise ValueError(f"unknown split_mode {split_mode!r}")
     return ray.data.read_datasource(SQLDatasource(db_path, plans, engine))
 
 

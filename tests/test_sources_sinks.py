@@ -292,6 +292,60 @@ def test_jsonl_nested_doc_extraction(tmp_path):
     assert [r["n"] for r in out] == [10, 20, 30]
 
 
+def test_write_jsonl_nested_roundtrip(ray_session, tmp_path):
+    """mongodbwriter analogue: flat columns assembled into depth-2 nested
+    sub-documents (write_jsonl doc_paths), read back through the reader's
+    dotted-path extraction — exact inverse contract."""
+    import json as _json
+
+    import ray.data as rd
+
+    from raydatax.sinks import write_jsonl
+    from raydatax.sources import read_jsonl
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "fr", None], pa.string()),
+        "site": pa.array(["web", "book", "web"], pa.string()),
+        "n": pa.array([10, 20, 30], pa.int64()),
+    })
+    out = str(tmp_path / "dump")
+    write_jsonl(
+        rd.from_arrow(t), out,
+        doc_paths=[("doc_id", "doc_id"), ("meta.lang", "lang"),
+                   ("meta.src.site", "site"), ("n", "n")],
+    )
+    # raw JSON really is nested (depth 2)
+    import glob
+
+    lines = []
+    for f in sorted(glob.glob(out + "/*.json")):
+        lines += [_json.loads(x) for x in open(f) if x.strip()]
+    by_id = {r["doc_id"]: r for r in lines}
+    assert by_id[1]["meta"]["src"]["site"] == "web"
+    assert by_id[3]["meta"]["lang"] is None
+
+    back = read_jsonl(
+        out, doc_paths=[("doc_id", "doc_id"), ("meta.lang", "lang"),
+                        ("meta.src.site", "site"), ("n", "n")],
+    ).take_all()
+    back.sort(key=lambda r: r["doc_id"])
+    assert [r["site"] for r in back] == ["web", "book", "web"]
+    assert [r["lang"] for r in back] == ["en", "fr", None]
+    assert [r["n"] for r in back] == [10, 20, 30]
+
+
+def test_write_jsonl_leaf_prefix_conflict(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raydatax.sinks import write_jsonl
+
+    t = pa.table({"a": pa.array([1]), "b": pa.array([2])})
+    with pytest.raises(Exception, match="leaf and a sub-document"):
+        write_jsonl(rd.from_arrow(t), str(tmp_path / "x"),
+                    doc_paths=[("m", "a"), ("m.b", "b")])
+
+
 def test_jsonreader_job_doc_paths(tmp_path):
     import json as _json
 

@@ -122,6 +122,54 @@ def test_sqlite_engine(ray_session, tmp_path):
     assert df["k"].tolist() == list(range(50))
 
 
+def test_token_split_plans_partition_ring():
+    from raydatax.sql_source import _TOKEN_RING, plan_token_splits
+
+    plans = plan_token_splits("t", "pk", 4, ["a"], "a > 0")
+    assert len(plans) == 5  # 4 token ranges + null slice
+    assert 'hash("pk") >= 0' in plans[0].sql
+    assert '"pk" IS NOT NULL' in plans[0].sql
+    # last range is ring-closed: no upper bound past 2^64
+    assert plans[3].sql.count("hash") == 1
+    assert str(_TOKEN_RING) not in plans[3].sql
+    # middle ranges carry both bounds
+    assert plans[1].sql.count("hash") == 2
+    assert '"pk" IS NULL' in plans[-1].sql
+    assert "(a > 0)" in plans[0].sql
+
+
+def test_token_split_read_string_key(ray_session, tmp_path):
+    """Token slices over a STRING key (what splitPk range-slicing cannot
+    do): disjoint, complete, nulls kept — CassandraReaderHelper.java:415-430
+    token-ring contract."""
+    from raydatax.sql_source import read_sql_table
+
+    db = str(tmp_path / "conv.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE conv AS SELECT 'conv-' || lpad(CAST(i AS VARCHAR), 5, '0')"
+        " AS cid, i AS n FROM range(500) t(i)"
+    )
+    con.execute("INSERT INTO conv VALUES (NULL, -1), (NULL, -2)")
+    con.close()
+
+    ds = read_sql_table(db, "conv", split_pk="cid", num_splits=8,
+                        split_mode="token")
+    df = ds.to_pandas()
+    assert len(df) == 502  # every row in exactly one slice, nulls included
+    assert sorted(df["n"]) == list(range(-2, 500))
+    # slices genuinely split the data: several non-empty token ranges
+    sizes = [b.num_rows for b in ds.iter_batches(batch_size=None,
+                                                 batch_format="pyarrow")]
+    assert sum(sizes) == 502
+
+    with pytest.raises(ValueError, match="duckdb only"):
+        read_sql_table(db, "conv", split_pk="cid", split_mode="token",
+                       engine="sqlite")
+    with pytest.raises(ValueError, match="requires split_pk"):
+        read_sql_table(db, "conv", split_mode="token")
+
+
 def test_job_runner_rdbmsreader(ray_session, orders_db, tmp_path):
     from raydatax.job import run_job_config
 
