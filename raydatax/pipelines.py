@@ -623,6 +623,26 @@ def jsonl_doc_roundtrip(sf_dir: str):
     )
 
 
+def search_topk_scroll(sf_dir: str):
+    """Search-reader family (elasticsearchreader match query + scroll,
+    solrreader paged query): TF-score documents on two terms, page through
+    the result with search_after cursors (2 pages × 10), which must equal
+    the global top-20 by (score DESC, doc_id ASC) — certifying both the
+    scoring and the cursor pagination against one SQL oracle."""
+    from .text import search_scroll
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    terms = ["merge", "window"]
+    pages, cursor = [], None
+    for _ in range(2):
+        page, cursor = search_scroll(ds, terms, 10, cursor=cursor)
+        if page.num_rows:
+            pages.append(page)
+        if cursor is None:
+            break
+    return pa.concat_tables(pages)
+
+
 def dedup_minhash(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_dedup(ds, threshold=0.6)
@@ -843,6 +863,7 @@ QUERIES = {
     "events_partitioned_roundtrip": events_partitioned_roundtrip,
     "sql_split_read": sql_split_read,
     "sql_token_read": sql_token_read,
+    "search_topk_scroll": search_topk_scroll,
     "sql_writer_roundtrip": sql_writer_roundtrip,
     "distinct_event_types": distinct_event_types,
     "transform_chain": transform_chain,
@@ -983,6 +1004,19 @@ ORACLE_SQL = {
     "sql_token_read": """
         SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         FROM customer WHERE c_acctbal > 1000
+    """,
+    # non-overlapping substring counts: the replace trick counts exactly
+    # what pc.count_substring counts; (score DESC, doc_id ASC) is total
+    "search_topk_scroll": """
+        SELECT doc_id,
+               CAST((length(text) - length(replace(text, 'merge', ''))) / 5
+                  + (length(text) - length(replace(text, 'window', ''))) / 6
+                  AS BIGINT) AS score
+        FROM documents
+        WHERE (length(text) - length(replace(text, 'merge', ''))) / 5
+            + (length(text) - length(replace(text, 'window', ''))) / 6 > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 20
     """,
     # post-upsert table state recomputed from the source: rows whose key
     # got a conflicting delta carry the updated value (ON DUPLICATE KEY)

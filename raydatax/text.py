@@ -191,3 +191,86 @@ def fingerprint_rolling(batch: pa.Table, column: str = "text", out: str = "fp64"
     if col.null_count:
         arr = pc.if_else(pc.is_valid(col), arr, pa.scalar(None, pa.int64()))
     return batch.append_column(out, arr)
+
+
+# ------------------------------------------------------------ search reader
+
+
+def term_scores(
+    batch: pa.Table,
+    terms: list[str],
+    column: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Per-batch term-frequency scoring: score = total occurrence count of
+    all query terms in the document (vectorized ``pc.count_substring`` per
+    term — no per-row loops).  The match-query scoring stage of the
+    search-reader family."""
+    col = batch[column]
+    score = pa.nulls(batch.num_rows, pa.int64())
+    score = pc.fill_null(pc.cast(score, pa.int64()), 0)
+    for term in terms:
+        score = pc.add(score, pc.cast(pc.count_substring(col, term), pa.int64()))
+    return pa.table({id_col: batch[id_col], "score": score})
+
+
+def search_topk(
+    ds,
+    terms: list[str],
+    k: int,
+    column: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Search-reader family analogue (elasticsearchreader bool-must match
+    query, ``/root/reference/elasticsearchreader/.../ESReader.java:174-188``;
+    solrreader query pulls): score every document by term frequency, keep
+    matches (score > 0), return the global top-k by (score DESC, id ASC) —
+    a total order, so results are deterministic.  Top-k is per-block
+    partial + tiny driver merge (``relational.topk``): no global sort
+    shuffle, bounded driver memory (≤ k rows per block)."""
+    from .relational import topk
+
+    scored = ds.map_batches(
+        lambda t: term_scores(t, terms, column, id_col), batch_format="pyarrow"
+    ).filter(expr="score > 0")
+    out = topk(scored, [("score", "descending"), (id_col, "ascending")], k)
+    if out is None:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64())})
+    return out
+
+
+def search_scroll(
+    ds,
+    terms: list[str],
+    page_size: int,
+    cursor: tuple[int, int] | None = None,
+    column: str = "text",
+    id_col: str = "doc_id",
+):
+    """Scroll/search_after pagination over the match result (the ES scroll
+    loop, ``ESReader.java:195-214``): ``cursor`` is the (score, id) of the
+    last row already delivered; each page is the top ``page_size`` rows
+    STRICTLY AFTER the cursor in (score DESC, id ASC) order.  Stateless
+    between calls — exactly the search_after contract, so any worker can
+    serve any page and a failed scroll resumes from its last cursor.
+    Returns ``(page, next_cursor)``; next_cursor is None when exhausted."""
+    scored = ds.map_batches(
+        lambda t: term_scores(t, terms, column, id_col), batch_format="pyarrow"
+    ).filter(expr="score > 0")
+    if cursor is not None:
+        s, i = int(cursor[0]), int(cursor[1])
+        scored = scored.filter(
+            expr=f"score < {s} or (score == {s} and {id_col} > {i})"
+        )
+    from .relational import topk
+
+    page = topk(scored, [("score", "descending"), (id_col, "ascending")],
+                page_size)
+    if page is None or page.num_rows == 0:
+        return (pa.table({id_col: pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64())}), None)
+    nxt = None
+    if page.num_rows == page_size:
+        nxt = (page["score"][-1].as_py(), page[id_col][-1].as_py())
+    return page, nxt

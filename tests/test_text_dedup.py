@@ -238,3 +238,39 @@ def test_embedding_allpairs_exact_matches_numpy():
     assert {(r["a"], r["b"]) for r in got.to_pylist()} == want
     approx = embedding_neardup_pairs(rd.from_arrow(e), threshold=0.35)
     assert {(r["a"], r["b"]) for r in approx.to_pylist()} <= want
+
+
+def test_search_topk_and_scroll(ray_session):
+    """ES/solr search-reader analogue: TF scoring, deterministic tie order,
+    search_after pagination equals the unpaged top-k, cursor exhaustion."""
+    import ray.data as rd
+
+    from raydatax.text import search_scroll, search_topk
+
+    t = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array([
+            "cat cat cat", "cat dog", "dog", "nothing here",
+            "cat cat cat", "dog dog", "cat", "x",
+        ]),
+    })
+    ds = rd.from_arrow(t)
+    top = search_topk(ds, ["cat", "dog"], 5)
+    # ties broken by doc_id ascending: (3,id0),(3,id4),(2,id1),(2,id5),(1,..)
+    assert top["doc_id"].to_pylist() == [0, 4, 1, 5, 2]
+    assert top["score"].to_pylist() == [3, 3, 2, 2, 1]
+
+    # scroll pages concatenated == unpaged top-k; final page exhausts
+    got, cursor, pages = [], None, 0
+    while True:
+        page, cursor = search_scroll(ds, ["cat", "dog"], 2, cursor=cursor)
+        got += page["doc_id"].to_pylist()
+        pages += 1
+        if cursor is None:
+            break
+    assert got == search_topk(ds, ["cat", "dog"], 10)["doc_id"].to_pylist()
+    assert pages >= 3
+
+    # no matches -> empty table, no cursor
+    page, cursor = search_scroll(ds, ["zebra"], 3)
+    assert page.num_rows == 0 and cursor is None
