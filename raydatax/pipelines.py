@@ -623,6 +623,41 @@ def jsonl_doc_roundtrip(sf_dir: str):
     )
 
 
+def key_range_scan(sf_dir: str):
+    """hbase11xreader surface end-to-end: events staged as a KV table
+    SORTED by rowkey (user_id, version = event_id) so parquet row groups
+    are the region analogue, then a rowkey-range scan [20, 60) in
+    ``normal`` mode — latest version per rowkey — via footer-stat
+    row-group pruning.  Oracle: row_number() latest within the range."""
+    import tempfile
+
+    from .sources import read_key_range
+
+    staged = tempfile.mkdtemp(prefix="raydatax_kv_")
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    # distributed range partition + sort (Ray Data sort), small row groups
+    # so the range scan has several "regions" to prune
+    ds.sort("user_id").write_parquet(staged, row_group_size=4096)
+
+    out = read_key_range(
+        staged, "user_id", start=20, stop=60,
+        mode="normal", version_col="event_id",
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "last_event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "value": t["value"],
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def search_topk_scroll(sf_dir: str):
     """Search-reader family (elasticsearchreader match query + scroll,
     solrreader paged query): TF-score documents on two terms, page through
@@ -864,6 +899,7 @@ QUERIES = {
     "sql_split_read": sql_split_read,
     "sql_token_read": sql_token_read,
     "search_topk_scroll": search_topk_scroll,
+    "key_range_scan": key_range_scan,
     "sql_writer_roundtrip": sql_writer_roundtrip,
     "distinct_event_types": distinct_event_types,
     "transform_chain": transform_chain,
@@ -1004,6 +1040,13 @@ ORACLE_SQL = {
     "sql_token_read": """
         SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         FROM customer WHERE c_acctbal > 1000
+    """,
+    "key_range_scan": """
+        SELECT user_id, event_id AS last_event_id, event_type, value
+        FROM events
+        WHERE user_id >= 20 AND user_id < 60
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) = 1
     """,
     # non-overlapping substring counts: the replace trick counts exactly
     # what pc.count_substring counts; (score DESC, doc_id ASC) is total

@@ -270,3 +270,127 @@ def synthetic_stream(
     return rd.range(shards).map_batches(
         gen_shard, batch_format="pyarrow", batch_size=1
     )
+
+
+# ------------------------------------------------------- rowkey-range reader
+
+
+def plan_key_range(
+    paths: list[str],
+    key_col: str,
+    start=None,
+    stop=None,
+) -> tuple[list[tuple[str, list[int]]], int]:
+    """Row-group-granular scan plan for a rowkey range [start, stop) —
+    the hbase11xreader region/rowkey-range split model
+    (``/root/reference/hbase11xreader/.../Hbase11xHelper.java:290-330``
+    splits the scan into per-region rowkey ranges; a parquet row group
+    with footer min/max stats is our region analogue).  Only the footers
+    are read on the driver; a row group whose key stats cannot overlap the
+    range is never opened.  Returns ``([(path, [rg, ...]), ...], pruned)``.
+    Works for integer and string rowkeys (parquet keeps typed stats for
+    both); missing stats keep the group (prune conservatively)."""
+    import pyarrow.parquet as pq
+
+    plans, pruned = [], 0
+    for p in paths:
+        md = pq.read_metadata(p)
+        idx = md.schema.to_arrow_schema().get_field_index(key_col)
+        if idx < 0:
+            raise KeyError(f"{key_col!r} not in {p}")
+        keep = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                if start is not None and st.max < start:
+                    pruned += 1
+                    continue
+                if stop is not None and st.min >= stop:
+                    pruned += 1
+                    continue
+            keep.append(rg)
+        if keep:
+            plans.append((p, keep))
+    return plans, pruned
+
+
+def read_key_range(
+    paths: str | list[str],
+    key_col: str,
+    start=None,
+    stop=None,
+    columns: list[str] | None = None,
+    mode: str = "multiVersion",
+    version_col: str = "seq",
+) -> "rd.Dataset":
+    """KV rowkey-range scan — the hbase11xreader surface.  ``mode``
+    mirrors the reference's two output modes (normal vs multiVersion,
+    ``Hbase11xReader`` mode switch): ``multiVersion`` yields EVERY stored
+    version of each row in the range (one record per version, like one
+    record per cell-version); ``normal`` collapses to the latest version
+    per rowkey by ``version_col`` (LWW).  Planning prunes parquet row
+    groups by footer key stats; each kept (file, row-group run) is one
+    read task, and the exact range predicate is applied in-task."""
+    import glob as _glob
+    import os as _os
+
+    from ray.data.block import BlockMetadata
+    from ray.data.datasource import Datasource, ReadTask
+
+    if isinstance(paths, str):
+        paths = (
+            sorted(_glob.glob(_os.path.join(paths, "*.parquet")))
+            if _os.path.isdir(paths)
+            else [paths]
+        )
+    if mode not in ("multiVersion", "normal"):
+        raise ValueError(f"unknown mode {mode!r}")
+    read_cols = columns
+    if columns is not None and key_col not in columns:
+        read_cols = [key_col, *columns]  # needed for the range predicate
+    plans, _ = plan_key_range(paths, key_col, start, stop)
+    if not plans:  # fully pruned: empty dataset with the projected schema
+        import pyarrow.parquet as pq
+
+        sch = pq.read_schema(paths[0])
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return rd.from_arrow(sch.empty_table())
+
+    class _KeyRangeSource(Datasource):
+        def get_name(self):
+            return f"KeyRange[{key_col}]"
+
+        def estimate_inmemory_data_size(self):
+            return None
+
+        def get_read_tasks(self, parallelism: int) -> list[ReadTask]:
+            import pyarrow.parquet as pq
+
+            tasks = []
+            for path, rgs in plans:
+                def read_fn(path=path, rgs=rgs):
+                    t = pq.ParquetFile(path).read_row_groups(
+                        rgs, columns=read_cols
+                    )
+                    if start is not None:
+                        t = t.filter(pc.field(key_col) >= start)
+                    if stop is not None:
+                        t = t.filter(pc.field(key_col) < stop)
+                    if read_cols is not columns:
+                        t = t.select(columns)
+                    yield t
+
+                meta = BlockMetadata(
+                    num_rows=None, size_bytes=None, exec_stats=None,
+                    input_files=[f"{path}#rg{rgs[0]}-{rgs[-1]}"],
+                )
+                tasks.append(ReadTask(read_fn, meta))
+            return tasks
+
+    ds = rd.read_datasource(_KeyRangeSource())
+    if mode == "normal":
+        from .relational import lww_latest
+
+        ds = lww_latest(ds, [key_col], version_col)
+    return ds

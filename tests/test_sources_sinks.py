@@ -380,3 +380,62 @@ def test_jsonreader_job_doc_paths(tmp_path):
     assert files
     body = "".join(open(f).read() for f in files)
     assert "x3" in body
+
+
+def test_key_range_plan_prunes_row_groups(tmp_path):
+    """Row groups whose footer stats cannot overlap [start, stop) are never
+    opened — the region-pruning analogue (Hbase11xHelper.java:290-330)."""
+    import pyarrow.parquet as pq
+
+    from raydatax.sources import plan_key_range
+
+    t = pa.table({"k": pa.array(range(1000), pa.int64()),
+                  "v": pa.array(range(1000), pa.int64())})
+    p = str(tmp_path / "kv.parquet")
+    pq.write_table(t, p, row_group_size=100)  # 10 "regions", k sorted
+
+    plans, pruned = plan_key_range([p], "k", 250, 420)
+    assert pruned == 7
+    assert plans == [(p, [2, 3, 4])]
+    # unbounded sides
+    plans, pruned = plan_key_range([p], "k", None, 100)
+    assert plans == [(p, [0])] and pruned == 9
+    # fully pruned
+    plans, pruned = plan_key_range([p], "k", 5000, None)
+    assert plans == [] and pruned == 10
+
+
+def test_key_range_scan_modes(ray_session, tmp_path):
+    """multiVersion yields every stored version; normal collapses to the
+    latest per rowkey; string keys work; exact bounds applied in-task."""
+    import pyarrow.parquet as pq
+
+    from raydatax.sources import read_key_range
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b", "b", "b", "c", "d"], pa.string()),
+        "seq": pa.array([1, 2, 1, 3, 2, 1, 1], pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50, 60, 70], pa.int64()),
+    })
+    p = str(tmp_path / "kv.parquet")
+    pq.write_table(t, p, row_group_size=3)
+
+    multi = read_key_range(p, "k", "a", "c").take_all()
+    assert len(multi) == 5  # every version of a and b, c/d excluded
+
+    norm = read_key_range(p, "k", "a", "c", mode="normal").take_all()
+    norm.sort(key=lambda r: r["k"])
+    assert [(r["k"], r["seq"], r["v"]) for r in norm] == [("a", 2, 20), ("b", 3, 40)]
+
+    # projection without the key column still range-filters correctly
+    vals = read_key_range(p, "k", "b", "d", columns=["v"]).take_all()
+    assert sorted(r["v"] for r in vals) == [30, 40, 50, 60]
+    assert set(vals[0]) == {"v"}
+
+    # fully-pruned range -> empty dataset with the projected schema
+    empty = read_key_range(p, "k", "zz", None, columns=["k", "v"])
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"k", "v"}
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        read_key_range(p, "k", mode="latest")
