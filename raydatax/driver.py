@@ -83,6 +83,7 @@ def run_job(
     end_ts=None,
     hang_timeout_s: float | None = 600.0,
     time_travel_epochs: int | None = None,
+    output: str | None = None,
     _crash_after_committing: int | None = None,
 ) -> dict:
     """Tail the WAL and upsert into the lake.  Idempotent: killing this at
@@ -98,7 +99,16 @@ def run_job(
     the job state and mixing raises.  Windowed replay assumes stream-time
     monotonicity ACROSS windows (a later window's events carry later seqs,
     the realistic binlog property); within a window LWW-by-seq handles any
-    order.  Null-ts events are dead-lettered in windowed mode."""
+    order.  Null-ts events are dead-lettered in windowed mode.
+
+    ``output`` selects the lake's storage mode at creation (lake-level,
+    like P/salt/sparse; a later call passing a different mode raises):
+    ``"image"`` (default) keeps the LWW-collapsed latest row per key;
+    ``"changelog"`` keeps the FULL ordered change history — every event
+    with its op + seq as append-only per-partition epoch files, O(delta)
+    per epoch (the otsstreamreader multi-version output mode,
+    ``MultiVerModeRecordSender.java:23-28,40-127``).  Read it back with
+    :func:`read_changelog`."""
     t0 = time.monotonic()
     ts_lo, ts_hi = _ts_us(start_ts), _ts_us(end_ts)
     windowed = ts_lo is not None or ts_hi is not None
@@ -117,6 +127,14 @@ def run_job(
             raise RuntimeError(
                 f"lake {lake_dir} was ingested in {job_state.get('mode', 'seq')!r} "
                 f"mode; cannot mix with {mode!r} replay"
+            )
+        cfg_early = mf.load_lake_config(lake_dir)
+        if (output is not None and cfg_early is not None
+                and output != cfg_early.get("output", "image")):
+            raise RuntimeError(
+                f"lake {lake_dir} stores {cfg_early.get('output', 'image')!r} "
+                f"output; cannot ingest with output={output!r} (storage mode "
+                f"is lake-level state)"
             )
         # windowed mode can't prune by the job seq watermark (ts, not seq,
         # defines the frontier); per-partition watermarks still dedupe
@@ -149,7 +167,8 @@ def run_job(
             if cfg is None:
                 hot = detect_hot_keys(plan.segments, partitions, hot_threshold)
                 cfg = mf.init_lake(lake_dir, partitions, salt, hot, sparse_updates,
-                                   time_travel_epochs=time_travel_epochs or 0)
+                                   time_travel_epochs=time_travel_epochs or 0,
+                                   output=output or "image")
             plan_doc = {"epoch": epoch, "max_seq": plan.max_seq, "segments": seg_names}
             if window is not None:
                 plan_doc["window"] = window
@@ -157,6 +176,12 @@ def run_job(
         P, S, hot_keys = cfg["partitions"], cfg["salt"], cfg["hot_keys"]
         # update semantics are lake-level state: fixed at creation, like P/S
         sparse = bool(cfg.get("sparse_updates", False))
+        out_mode = cfg.get("output", "image")
+        if output is not None and output != out_mode:
+            raise RuntimeError(
+                f"lake {lake_dir} stores {out_mode!r} output; cannot ingest "
+                f"with output={output!r} (storage mode is lake-level state)"
+            )
 
         lake_schema = lake_schema_for(plan.event_schema)
         deadletter_dir = os.path.join(lake_dir, "_deadletter", f"epoch-{epoch:06d}")
@@ -180,6 +205,7 @@ def run_job(
                 n_parts_total, deadletter_dir, lake_dir, epoch, lake_schema,
                 base_files, hws, merge_concurrency, sparse=sparse,
                 ts_lo=ts_lo, ts_hi=ts_hi, hang_timeout_s=hang_timeout_s,
+                output=out_mode,
             )
         else:
             # Dataset path: identical semantics via groupby().map_groups — kept
@@ -221,6 +247,7 @@ def run_job(
                     base_files=base_files,
                     high_watermarks=hws,
                     sparse=sparse,
+                    output=out_mode,
                 ),
                 batch_format="pyarrow",
                 concurrency=merge_concurrency,
@@ -295,7 +322,10 @@ def run_job(
         # honors it); an explicit per-call value overrides for this run only
         retain = (time_travel_epochs if time_travel_epochs is not None
                   else int(cfg.get("time_travel_epochs", 0)))
-        vacuumed = mf.vacuum(lake_dir, keep_unreferenced=retain)
+        if out_mode != "changelog":
+            # every epoch file IS live history in a changelog lake — the
+            # image-mode notion of "superseded snapshot" does not exist there
+            mf.vacuum(lake_dir, keep_unreferenced=retain)
 
         report = build_report(epoch, lineage, time.monotonic() - t0, plan_info, dirty_rows)
         report["action"] = "applied"
@@ -405,10 +435,52 @@ def read_lake(lake_dir: str, at_epoch: int | None = None) -> "ray.data.Dataset":
     time-travels to the snapshot as of that epoch (retained per the lake's
     ``time_travel_epochs`` config, set at creation via
     ``run_job(time_travel_epochs=N)`` on the first apply)."""
+    cfg = mf.load_lake_config(lake_dir)
+    if cfg is not None and cfg.get("output", "image") == "changelog":
+        raise RuntimeError(
+            f"{lake_dir} is a changelog lake (append-only history) — use "
+            f"read_changelog(); its latest manifest alone is one epoch's delta"
+        )
     files = mf.committed_files(lake_dir, at_epoch)
     if not files:
         raise FileNotFoundError(f"no committed partitions under {lake_dir}")
     return ray.data.read_parquet(files)
+
+
+def read_changelog(lake_dir: str, at_epoch: int | None = None) -> "ray.data.Dataset":
+    """Full committed change history of a ``output="changelog"`` lake as a
+    streaming Dataset: every event with its op + seq, partition-major, then
+    epoch-ascending, key-seq-sorted within each epoch file.  A total
+    per-key replay order needs only a per-key seq sort downstream (epochs
+    already commit in seq order).  ``at_epoch`` bounds the log."""
+    cfg = mf.load_lake_config(lake_dir)
+    if cfg is None:
+        raise FileNotFoundError(f"no lake at {lake_dir}")
+    if cfg.get("output", "image") != "changelog":
+        raise RuntimeError(
+            f"{lake_dir} is an image lake — read_changelog applies only to "
+            f"lakes created with run_job(output='changelog')"
+        )
+    files = mf.changelog_files(lake_dir, at_epoch)
+    if not files:
+        raise FileNotFoundError(f"no committed changelog epochs under {lake_dir}")
+    return ray.data.read_parquet(files)
+
+
+def changelog_table(lake_dir: str, at_epoch: int | None = None):
+    """Small-scale helper (tests): the whole change history as one
+    pyarrow.Table in deterministic (partition, epoch, key, seq) order."""
+    import pyarrow as pa
+
+    files = mf.changelog_files(lake_dir, at_epoch)
+    tables = [pq.read_table(f) for f in files]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return None
+    schema = tables[-1].schema
+    return pa.concat_tables(
+        [t.cast(schema) for t in tables], promote_options="permissive"
+    )
 
 
 def lake_table(lake_dir: str, at_epoch: int | None = None):

@@ -205,9 +205,11 @@ class MergeActor:
         base_files: dict[int, str],
         high_watermarks: dict[int, int],
         sparse: bool = False,
+        output: str = "image",
     ):
         pa.set_cpu_count(1)  # see map_segment: avoid N×all-cores Arrow pools
         self.sparse = sparse
+        self.output = output
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.lake_schema = lake_schema
@@ -225,6 +227,7 @@ class MergeActor:
             self.base_files.get(pid),
             self.hws.get(pid, -1),
             sparse=self.sparse,
+            output=self.output,
         )
 
 
@@ -247,6 +250,7 @@ def run_exchange(
     ts_lo: int | None = None,
     ts_hi: int | None = None,
     hang_timeout_s: float | None = 600.0,
+    output: str = "image",
 ) -> list[dict]:
     """Drive the two stages; returns lineage rows (one per touched
     partition).  Partitions that received zero events are merged too when
@@ -270,7 +274,7 @@ def run_exchange(
     actors = [
         MergeActor.options(num_cpus=0).remote(
             lake_dir, epoch, lake_schema, event_schema, base_files,
-            high_watermarks, sparse,
+            high_watermarks, sparse, output,
         )
         for _ in range(max(1, merge_concurrency))
     ]

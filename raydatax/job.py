@@ -149,6 +149,9 @@ def run_job_config(config: dict, quiet: bool = True) -> dict:
                 start_ts=rp.get("startTime"),
                 end_ts=rp.get("endTime"),
                 sparse_updates=bool(wp.get("sparseUpdates", False)),
+                # "image" (LWW row images) | "changelog" (multi-version
+                # history) — the otsstreamreader output-mode switch
+                output=wp.get("output"),
                 error_limit_records=setting.get("errorLimit", {}).get("record"),
                 error_limit_percentage=setting.get("errorLimit", {}).get("percentage"),
                 quiet=quiet,

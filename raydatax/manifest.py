@@ -64,22 +64,29 @@ def load_lake_config(lake_dir: str) -> dict | None:
 
 
 def init_lake(lake_dir: str, partitions: int, salt: int, hot_keys: list[str],
-              sparse_updates: bool = False, time_travel_epochs: int = 0) -> dict:
+              sparse_updates: bool = False, time_travel_epochs: int = 0,
+              output: str = "image") -> dict:
     """Create (or load) the immutable lake config.  Partition mapping must be
     stable across the lake's lifetime (rebase merge depends on it), so
     P / S / the hot-key registry are fixed at creation.  Time-travel
     retention is lake-level too: EVERY ingest path (run_job, tail_wal, the
     job runner) vacuums, so a per-call-only setting would let one caller
-    silently delete the snapshot window another caller relies on."""
+    silently delete the snapshot window another caller relies on.
+    ``output`` ("image" | "changelog") is equally lake-level: the two modes
+    store different things under data/ (latest row images vs append-only
+    change history) and must never mix."""
     cfg = load_lake_config(lake_dir)
     if cfg is not None:
         return cfg
+    if output not in ("image", "changelog"):
+        raise ValueError(f"unknown lake output mode {output!r}")
     cfg = {
         "partitions": int(partitions),
         "salt": int(salt),
         "hot_keys": list(hot_keys),
         "sparse_updates": bool(sparse_updates),
         "time_travel_epochs": int(time_travel_epochs),
+        "output": output,
         "format": "raydatax-lake-v1",
     }
     _atomic_write_json(lake_config_path(lake_dir), cfg)
@@ -169,6 +176,28 @@ def snapshot_manifests(lake_dir: str, at_epoch: int) -> dict[int, dict]:
                 f"keep_unreferenced to widen the retention window"
             )
     return best
+
+
+def changelog_files(lake_dir: str, at_epoch: int | None = None) -> list[str]:
+    """ALL committed epoch files, partition-major then epoch-ascending — the
+    read side of a ``output="changelog"`` lake, where every epoch file is
+    live history (not a superseded snapshot).  ``at_epoch`` bounds the log
+    to commits ≤ that epoch."""
+    by_part: dict[int, list[tuple[int, str]]] = {}
+    for p in glob.glob(os.path.join(lake_dir, "_manifests", "history", "part-*.json")):
+        m = _read_json(p)
+        if m is None or (at_epoch is not None and m["epoch"] > at_epoch):
+            continue
+        f = os.path.join(lake_dir, m["file"])
+        if not os.path.exists(f):
+            raise FileNotFoundError(
+                f"changelog epoch file missing: {m['file']} — was this lake "
+                f"vacuumed as an image lake?"
+            )
+        by_part.setdefault(m["partition"], []).append((m["epoch"], f))
+    return [
+        f for pid in sorted(by_part) for _, f in sorted(by_part[pid])
+    ]
 
 
 def committed_files(lake_dir: str, at_epoch: int | None = None) -> list[str]:

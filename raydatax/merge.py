@@ -116,25 +116,15 @@ def make_normalizer(event_schema: pa.Schema, deadletter_dir: str | None,
 PAYLOAD_COLUMNS_EXCLUDED = ("conv_id", "turn_idx", "seq", "op")
 
 
-def lww_winners(combined: pa.Table, sparse: bool = False) -> pa.Table:
-    """Vectorized LWW: sort by (conv_id, turn_idx, seq) and keep the last row
-    of every key group.  Output remains key-sorted (the stable output
-    order).
-
-    ``sparse=True`` implements FIXTURES F2's sparse-update variant: a ``U``
-    carries only changed fields (nulls = "unchanged"), so fields resolve
-    independently — each winner field is the latest non-null value since the
-    key's last full-image reset (``I`` replaces the whole row, explicit
-    nulls included; ``D`` clears).  Resolution is one numpy pass per column:
-    global last-valid-index accumulate, clipped at reset-segment starts."""
-    if combined.num_rows == 0:
-        return combined
-    # Sort by an INTEGER rank of conv_id instead of the string itself: the
-    # distinct conversations per partition are few relative to events, so
-    # dictionary-encode (one pass), lexicographically rank the (small)
-    # dictionary, and run a pure-integer 3-key sort — measured several times
-    # cheaper than the string-led sort on transcript-sized partitions, with
-    # an identical resulting order (Arrow string ordering is bytewise).
+def sort_key_seq(combined: pa.Table) -> tuple[pa.Table, np.ndarray]:
+    """Sort by (conv_id, turn_idx, seq) via an INTEGER rank of conv_id
+    instead of the string itself: the distinct conversations per partition
+    are few relative to events, so dictionary-encode (one pass),
+    lexicographically rank the (small) dictionary, and run a pure-integer
+    3-key sort — measured several times cheaper than the string-led sort on
+    transcript-sized partitions, with an identical resulting order (Arrow
+    string ordering is bytewise).  Returns the sorted table plus the
+    key-change mask ``neq`` (row i+1 starts a new (conv, turn) group)."""
     combined = combined.combine_chunks()
     conv = combined.column("conv_id")
     if isinstance(conv, pa.ChunkedArray):
@@ -152,6 +142,23 @@ def lww_winners(combined: pa.Table, sparse: bool = False) -> pa.Table:
     turn = s.column("turn_idx").to_numpy(zero_copy_only=False)
     s = s.drop_columns(["__rank"])
     neq = (rank_s[1:] != rank_s[:-1]) | (turn[1:] != turn[:-1])
+    return s, neq
+
+
+def lww_winners(combined: pa.Table, sparse: bool = False) -> pa.Table:
+    """Vectorized LWW: sort by (conv_id, turn_idx, seq) and keep the last row
+    of every key group.  Output remains key-sorted (the stable output
+    order).
+
+    ``sparse=True`` implements FIXTURES F2's sparse-update variant: a ``U``
+    carries only changed fields (nulls = "unchanged"), so fields resolve
+    independently — each winner field is the latest non-null value since the
+    key's last full-image reset (``I`` replaces the whole row, explicit
+    nulls included; ``D`` clears).  Resolution is one numpy pass per column:
+    global last-valid-index accumulate, clipped at reset-segment starts."""
+    if combined.num_rows == 0:
+        return combined
+    s, neq = sort_key_seq(combined)
     last = np.append(neq, True)
 
     if sparse:
@@ -214,13 +221,22 @@ def merge_partition_tables(
     base_file: str | None,
     hw: int,
     sparse: bool = False,
+    output: str = "image",
 ) -> dict:
     """The merge kernel, shared by both execution paths (Dataset map_groups
     and the hash-exchange actor pool): rebase-LWW one partition's events onto
     its committed base and write the staged file.  Returns one lineage row
     (plain dict).  The per-partition LWW state is materialized from the base
     file + this epoch's events — bounded by live keys of one partition,
-    never by the event stream (SURVEY.md §7.4 10^10-event framing)."""
+    never by the event stream (SURVEY.md §7.4 10^10-event framing).
+
+    ``output="changelog"`` is the otsstreamreader multi-version mode
+    (``/root/reference/otsstreamreader/.../core/MultiVerModeRecordSender.
+    java:23-28,40-127`` — full change log with op types + sequence id,
+    versus the single-version row-image mode): the epoch's replayed events
+    are written AS-IS, key-seq-sorted with their ``op``, as an append-only
+    epoch file — no base read, no LWW collapse, cost O(delta) per epoch.
+    The seq > hw replay filter still dedupes resumes exactly-once."""
     t0 = time.monotonic()
     merge_schema = pa.schema(list(lake_schema) + [pa.field("op", pa.string())])
     event_tables = [t for t in event_tables if t.num_rows]
@@ -240,6 +256,26 @@ def merge_partition_tables(
     n_ins = pc.sum(pc.equal(ops, "I")).as_py() or 0
     n_upd = pc.sum(pc.equal(ops, "U")).as_py() or 0
     n_del = pc.sum(pc.equal(ops, "D")).as_py() or 0
+
+    if output == "changelog":
+        s, _ = sort_key_seq(normalize_to(replay, merge_schema))
+        out = s.replace_schema_metadata(None)
+        staging = os.path.join(lake_dir, "_staging", f"epoch-{epoch:06d}")
+        os.makedirs(staging, exist_ok=True)
+        path = os.path.join(staging, f"part-{pid:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp, **PARQUET_OPTS)
+        os.replace(tmp, path)
+        return _empty_lineage(
+            pid, "write", t0, hw,
+            events_in=events_in,
+            replayed=replay.num_rows,
+            ins=n_ins, upd=n_upd, del_=n_del,
+            rows_out=out.num_rows,
+            hw_seq=max(hw, pc.max(replay["seq"]).as_py()),
+            bytes_out=os.path.getsize(path),
+            file=path,
+        )
 
     if base_file is not None:
         base = pq.read_table(os.path.join(lake_dir, base_file))
@@ -297,6 +333,7 @@ class MergeWorker:
         base_files: dict[int, str],
         high_watermarks: dict[int, int],
         sparse: bool = False,
+        output: str = "image",
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
@@ -304,6 +341,7 @@ class MergeWorker:
         self.base_files = base_files
         self.hws = high_watermarks
         self.sparse = sparse
+        self.output = output
 
     def __call__(self, group: pa.Table) -> pa.Table:
         pid = group.column("__part")[0].as_py()
@@ -317,5 +355,6 @@ class MergeWorker:
             self.base_files.get(pid),
             self.hws.get(pid, -1),
             sparse=self.sparse,
+            output=self.output,
         )
         return pa.Table.from_pylist([row], schema=LINEAGE_SCHEMA)

@@ -85,22 +85,13 @@ def cdc_lww_upsert(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
-def transcript_cdc_replay(sf_dir: str):
-    """Flagship transcript CDC replay THROUGH THE FULL ENGINE — WAL segments
-    → salted hash exchange → rebase-LWW merge actors → two-phase manifest
-    commit → lake read — with a DuckDB oracle: the CDC event stream is
-    derived deterministically from the driver's `events` table (seq =
-    event_id, op from event_id % 10, key = (conv-<user>, event_id % 37)),
-    so LWW replay is SQL-expressible as
-    ``row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC)``
-    with delete-winners dropped (mirrors otsstreamreader semantics,
-    /root/reference/otsstreamreader/.../core/RecordProcessor.java)."""
-    import shutil
-
+def _derived_cdc_wal_table(sf_dir: str) -> pa.Table:
+    """The flagship's deterministic transcript CDC stream, derived from the
+    driver's `events` table so replay is SQL-recomputable: seq = event_id,
+    op from event_id % 10, key = (conv-<user>, event_id % 37); D rows carry
+    a null payload (tombstones)."""
     import pyarrow.parquet as pq
 
-    from .driver import lake_table, run_job
-    from .gen import write_wal
     from .schema import EVENT_SCHEMA
 
     e = pq.read_table(
@@ -129,7 +120,7 @@ def transcript_cdc_replay(sf_dir: str):
         a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         return pc.if_else(is_del, pa.scalar(None, a.type), a)
 
-    wal_table = pa.Table.from_arrays(
+    return pa.Table.from_arrays(
         [
             pa.array(eid, pa.int64()),
             op,
@@ -142,6 +133,24 @@ def transcript_cdc_replay(sf_dir: str):
         ],
         schema=EVENT_SCHEMA,
     )
+
+
+def transcript_cdc_replay(sf_dir: str):
+    """Flagship transcript CDC replay THROUGH THE FULL ENGINE — WAL segments
+    → salted hash exchange → rebase-LWW merge actors → two-phase manifest
+    commit → lake read — with a DuckDB oracle: the CDC event stream is
+    derived deterministically from the driver's `events` table (seq =
+    event_id, op from event_id % 10, key = (conv-<user>, event_id % 37)),
+    so LWW replay is SQL-expressible as
+    ``row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC)``
+    with delete-winners dropped (mirrors otsstreamreader semantics,
+    /root/reference/otsstreamreader/.../core/RecordProcessor.java)."""
+    import shutil
+
+    from .driver import lake_table, run_job
+    from .gen import write_wal
+
+    wal_table = _derived_cdc_wal_table(sf_dir)
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = f"/tmp/raydatax_entry_{tag}"
@@ -159,6 +168,40 @@ def transcript_cdc_replay(sf_dir: str):
             "tool": lk["tool"],
             "ts_str": pc.utf8_slice_codeunits(full, 0, 19),
             "seq": lk["seq"],
+        }
+    )
+
+
+def cdc_changelog_export(sf_dir: str):
+    """The engine's multi-version output mode under the SQL gate
+    (otsstreamreader MultiVerModeRecordSender parity): the same derived CDC
+    stream as the flagship, ingested with ``run_job(output="changelog")``,
+    read back via ``read_changelog`` — EVERY event with its op + seq must
+    survive, deletes included, exactly once."""
+    import shutil
+
+    from .driver import changelog_table, run_job
+    from .gen import write_wal
+
+    wal_table = _derived_cdc_wal_table(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = f"/tmp/raydatax_changelog_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    write_wal(wal_table, os.path.join(root, "wal"), seg_rows=20_000)
+    run_job(os.path.join(root, "wal"), os.path.join(root, "lake"),
+            partitions=8, output="changelog")
+    log = changelog_table(os.path.join(root, "lake"))
+    full = pc.strftime(log["ts"], format="%Y-%m-%d %H:%M:%S")
+    return pa.table(
+        {
+            "conv_id": log["conv_id"],
+            "turn_idx": log["turn_idx"],
+            "op": log["op"],
+            "role": log["role"],
+            "text": log["text"],
+            "tool": log["tool"],
+            "ts_str": pc.utf8_slice_codeunits(full, 0, 19),
+            "seq": log["seq"],
         }
     )
 
@@ -888,6 +931,7 @@ def dedup_embedding(sf_dir: str):
 QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "transcript_cdc_replay": transcript_cdc_replay,
+    "cdc_changelog_export": cdc_changelog_export,
     "transcript_window_replay": transcript_window_replay,
     "q1_pricing_summary": q1_pricing_summary,
     "top_orders": top_orders,
@@ -964,6 +1008,31 @@ ORACLE_SQL = {
         SELECT conv_id, turn_idx, role, text, tool,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, seq
         FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    # multi-version mode: the FULL derived change log survives — every op
+    # (deletes included, payload-masked like the engine's tombstones)
+    "cdc_changelog_export": """
+        WITH src AS (
+          SELECT event_id AS seq,
+                 CASE WHEN event_id % 10 < 6 THEN 'I'
+                      WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+                 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                 CAST(event_id % 37 AS INTEGER) AS turn_idx,
+                 CASE WHEN (event_id % 37) % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 event_type || ' v' || CAST(event_id AS VARCHAR) AS text,
+                 CASE WHEN event_id % 5 = 0 THEN 'search'
+                      WHEN event_id % 5 = 1 THEN 'python' ELSE NULL END AS tool,
+                 ts
+          FROM events)
+        SELECT conv_id, turn_idx, op,
+               CASE WHEN op = 'D' THEN NULL ELSE role END AS role,
+               CASE WHEN op = 'D' THEN NULL ELSE text END AS text,
+               CASE WHEN op = 'D' THEN NULL ELSE tool END AS tool,
+               CASE WHEN op = 'D' THEN NULL
+                    ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_str,
+               seq
+        FROM src
     """,
     "transcript_window_replay": """
         WITH src AS (
