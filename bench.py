@@ -240,11 +240,55 @@ def run_skew_bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def run_changelog_bench(sf_dir: str, num_cpus: int) -> dict:
+    """Multi-version output mode on the same cached log: append-only epoch
+    files, no base read, no LWW collapse — the lighter write path a
+    changelog lake buys (vs the image-mode headline)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sf = sf_of(sf_dir)
+    wal, n_events = ensure_wal(sf)
+    import glob
+
+    for p in glob.glob(os.path.join(wal, "seg-*.parquet")):
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+    from raydatax.driver import run_job
+
+    walls = []
+    for _ in range(2):
+        lake = f"/tmp/raydatax_bench/lake_clg_{num_cpus}"
+        shutil.rmtree(lake, ignore_errors=True)
+        t0 = time.monotonic()
+        rep = run_job(wal, lake, partitions=max(32, num_cpus * 2),
+                      merge_concurrency=num_cpus, output="changelog")
+        walls.append(round(time.monotonic() - t0, 3))
+        assert rep["events_replayed"] == n_events
+        assert rep["rows_total"] == n_events  # every version survives
+    out = {
+        "metric": "changelog-mode replay (multi-version, append-only epochs)",
+        "value": min(walls), "unit": "sec", "walls": walls,
+        "events": n_events, "num_cpus": num_cpus,
+        "events_per_s": round(n_events / min(walls), 1),
+    }
+    ray.shutdown()
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--skew" in sys.argv:
         print(json.dumps(run_skew_bench(sf_dir, ncpu)))
+        return 0
+    if "--changelog" in sys.argv:
+        print(json.dumps(run_changelog_bench(sf_dir, ncpu)))
         return 0
     if "--scaling" in sys.argv:
         # Two pairs of cluster sizes, both pinned to physical cores:

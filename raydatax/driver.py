@@ -444,7 +444,29 @@ def read_lake(lake_dir: str, at_epoch: int | None = None) -> "ray.data.Dataset":
     files = mf.committed_files(lake_dir, at_epoch)
     if not files:
         raise FileNotFoundError(f"no committed partitions under {lake_dir}")
-    return ray.data.read_parquet(files)
+    return ray.data.read_parquet(files, schema=_unified_schema(files))
+
+
+def _unified_schema(files: list[str]):
+    """Widened union schema across committed files (footers only).  Files
+    from different epochs can differ — a partition that received no events
+    since an early epoch keeps its narrow schema (int32 turn_idx, missing
+    later columns), and changelog epochs are permanent by design — so reads
+    must promote, never downcast to whichever file happens to come last."""
+    import pyarrow as pa
+
+    return pa.unify_schemas(
+        [pq.read_schema(f) for f in files], promote_options="permissive"
+    )
+
+
+def _unified_concat(files: list[str]):
+    import pyarrow as pa
+
+    tables = [t for t in (pq.read_table(f) for f in files) if t.num_rows]
+    if not tables:
+        return None
+    return pa.concat_tables(tables, promote_options="permissive")
 
 
 def read_changelog(lake_dir: str, at_epoch: int | None = None) -> "ray.data.Dataset":
@@ -464,39 +486,22 @@ def read_changelog(lake_dir: str, at_epoch: int | None = None) -> "ray.data.Data
     files = mf.changelog_files(lake_dir, at_epoch)
     if not files:
         raise FileNotFoundError(f"no committed changelog epochs under {lake_dir}")
-    return ray.data.read_parquet(files)
+    return ray.data.read_parquet(files, schema=_unified_schema(files))
 
 
 def changelog_table(lake_dir: str, at_epoch: int | None = None):
     """Small-scale helper (tests): the whole change history as one
-    pyarrow.Table in deterministic (partition, epoch, key, seq) order."""
-    import pyarrow as pa
-
-    files = mf.changelog_files(lake_dir, at_epoch)
-    tables = [pq.read_table(f) for f in files]
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        return None
-    schema = tables[-1].schema
-    return pa.concat_tables(
-        [t.cast(schema) for t in tables], promote_options="permissive"
-    )
+    pyarrow.Table in deterministic (partition, epoch, key, seq) order,
+    promoted onto the widened union schema across epochs."""
+    return _unified_concat(mf.changelog_files(lake_dir, at_epoch))
 
 
 def lake_table(lake_dir: str, at_epoch: int | None = None):
     """Small-scale helper (tests): whole table as one pyarrow.Table in
-    deterministic partition-major order."""
-    import pyarrow as pa
-
-    files = mf.committed_files(lake_dir, at_epoch)
-    tables = [pq.read_table(f) for f in files]
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        return None
-    schema = tables[-1].schema
-    return pa.concat_tables(
-        [t.cast(schema) for t in tables], promote_options="permissive"
-    )
+    deterministic partition-major order, promoted onto the widened union
+    schema (a partition that received no events since an early epoch still
+    carries that epoch's narrower schema)."""
+    return _unified_concat(mf.committed_files(lake_dir, at_epoch))
 
 
 def lake_info(lake_dir: str) -> dict:

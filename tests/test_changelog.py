@@ -162,3 +162,53 @@ def test_changelog_replays_to_image_state(ray_session, wal, tmp_path):
             t["seq"].to_pylist(), t["text"].to_pylist())
     )
     assert key(got) == key(want)
+
+
+def test_changelog_schema_evolution_across_epochs(ray_session, tmp_path):
+    """Changelog epoch files are PERMANENT, so an early epoch's narrow
+    schema (no tool, int32 turn_idx) must still unify with later widened
+    epochs at read time — unlike image mode, where rebase rewrites."""
+    import glob as _glob
+
+    from raydatax.gen import gen_events, write_wal
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    ev = gen_events(6000, seed=25)
+    n = ev.num_rows
+    # the F4 evolution layout: early segments lack tool, late widen
+    # turn_idx; ingest in TWO waves so the epoch files really differ
+    write_wal(ev, wal, seg_rows=750, evolution=True)
+    segs = sorted(_glob.glob(os.path.join(wal, "seg-*.parquet")))
+    held_back = segs[len(segs) // 2:]
+    stash = {p: p + ".hold" for p in held_back}
+    for p, h in stash.items():
+        os.replace(p, h)
+
+    run_job(wal, lake, partitions=4, output="changelog")
+    from raydatax.manifest import changelog_files
+
+    assert all(
+        pq.read_schema(f).field("turn_idx").type == pa.int32()
+        for f in changelog_files(lake)
+    )
+
+    for p, h in stash.items():
+        os.replace(h, p)
+    run_job(wal, lake, partitions=4)
+    assert any(
+        pq.read_schema(f).field("turn_idx").type == pa.int64()
+        for f in changelog_files(lake)
+    )
+
+    t = changelog_table(lake)
+    assert t.num_rows == n
+    assert t.schema.field("turn_idx").type == pa.int64()
+    assert "tool" in t.schema.names
+    # pre-evolution events carry null tool
+    assert t["tool"].null_count > 0
+
+    # the streaming reader unifies too
+    ds = read_changelog(lake)
+    assert ds.count() == n
+    assert set(ds.schema().names) >= {"conv_id", "turn_idx", "op", "seq", "tool"}
