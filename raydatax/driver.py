@@ -504,6 +504,97 @@ def lake_table(lake_dir: str, at_epoch: int | None = None):
     return _unified_concat(mf.committed_files(lake_dir, at_epoch))
 
 
+def compact_changelog(lake_dir: str, upto_epoch: int | None = None) -> dict:
+    """Offline maintenance for ``output="changelog"`` lakes: merge each
+    partition's epoch files ≤ ``upto_epoch`` (default: its newest commit)
+    into ONE key-seq-sorted file — the log-segment compaction a micro-batch
+    cadence needs (1-minute epochs = 1440 files/partition/day; at 100 TB
+    the small-file count, not the bytes, is what kills the reader).
+
+    Runs under the lake's job lock (never concurrent with ingest).  Crash-
+    safe and idempotent: the merged file atomically REPLACES the newest
+    epoch's file (same path), its history record gains ``compacted_upto``,
+    and only then are superseded records/files deleted — readers skip
+    records below a partition's compaction horizon even if their files
+    still (or no longer) exist, so every intermediate state is readable
+    and a re-run completes the cleanup.  Events are unique by ``seq`` and
+    the sort is total, so the merged file is deterministic (same
+    PARQUET_OPTS as the ingest path).  Time travel below the horizon
+    raises loudly."""
+    import pyarrow as pa
+
+    from .merge import PARQUET_OPTS, sort_key_seq
+
+    cfg = mf.load_lake_config(lake_dir)
+    if cfg is None or cfg.get("output", "image") != "changelog":
+        raise RuntimeError(f"{lake_dir} is not a changelog lake")
+    lock = mf.acquire_job_lock(lake_dir)
+    try:
+        by_part: dict[int, list[dict]] = {}
+        rec_paths: dict[tuple[int, int], str] = {}
+        for p in glob.glob(os.path.join(lake_dir, "_manifests", "history", "part-*.json")):
+            m = mf._read_json(p)
+            if m is not None:
+                by_part.setdefault(m["partition"], []).append(m)
+                rec_paths[(m["partition"], m["epoch"])] = p
+        compacted, files_removed = 0, 0
+        for pid in sorted(by_part):
+            recs = sorted(by_part[pid], key=lambda m: m["epoch"])
+            horizon = max((m["epoch"] for m in recs if m.get("compacted_upto")),
+                          default=-1)
+            live = [m for m in recs if m["epoch"] >= horizon]
+            if upto_epoch is not None:
+                live = [m for m in live if m["epoch"] <= upto_epoch]
+            if len(live) < 2:
+                continue
+            target = live[-1]
+            paths = [os.path.join(lake_dir, m["file"]) for m in live]
+            merged = pa.concat_tables(
+                [pq.read_table(f) for f in paths], promote_options="permissive"
+            )
+            merged, _ = sort_key_seq(merged)
+            # the merged file gets a NEW deterministic name; the single
+            # atomic history-record write below is the commit point (a
+            # crash before it leaves the old records authoritative, a crash
+            # after it leaves the marker authoritative — never both)
+            final = os.path.join(
+                lake_dir, "data", f"part-{pid:05d}",
+                f"epoch-{target['epoch']:06d}-c.parquet",
+            )
+            tmp = final + ".tmp"
+            pq.write_table(merged.replace_schema_metadata(None), tmp, **PARQUET_OPTS)
+            os.replace(tmp, final)
+            new_rec = dict(target)
+            new_rec["file"] = os.path.relpath(final, lake_dir)
+            new_rec["rows"] = int(merged.num_rows)
+            new_rec["bytes"] = os.path.getsize(final)
+            new_rec["compacted_upto"] = target["epoch"]
+            mf._atomic_write_json(
+                mf.history_path(lake_dir, pid, target["epoch"]), new_rec
+            )  # ← commit point
+            # latest manifest mirrors the newest epoch's record
+            latest = mf.load_manifests(lake_dir).get(pid)
+            if latest is not None and latest["epoch"] == target["epoch"]:
+                latest.update(file=new_rec["file"], rows=new_rec["rows"],
+                              bytes=new_rec["bytes"])
+                mf._atomic_write_json(mf.manifest_path(lake_dir, pid), latest)
+            # cleanup LAST: superseded files (incl. the target epoch's old
+            # delta file), then the superseded records
+            for m in live:
+                f = os.path.join(lake_dir, m["file"])
+                if f != final and os.path.exists(f):
+                    os.remove(f)
+                    files_removed += 1
+                if m is not target:
+                    rp = rec_paths.get((pid, m["epoch"]))
+                    if rp and os.path.exists(rp):
+                        os.remove(rp)
+            compacted += 1
+        return {"partitions_compacted": compacted, "files_removed": files_removed}
+    finally:
+        lock.close()
+
+
 def lake_info(lake_dir: str) -> dict:
     """Lake inspection: config, per-partition rows/bytes/watermarks, totals
     — the operational 'describe table' surface."""

@@ -87,6 +87,32 @@ def _reader_to_dataset(reader: dict) -> "rd.Dataset":
         import os
 
         return rd.read_parquet(sorted(glob.glob(os.path.join(p["path"], "seg-*.parquet"))))
+    if name in ("searchreader", "elasticsearchreader", "solrreader"):
+        # search-reader family: TF match query over a parquet corpus,
+        # global top-k (ESReader match query; solr paged query)
+        from .text import search_topk
+
+        ds = rd.read_parquet(
+            p["path"], columns=[p.get("idColumn", "doc_id"),
+                                p.get("column", "text")]
+        )
+        top = search_topk(
+            ds, list(p["terms"]), int(p.get("topK", 100)),
+            column=p.get("column", "text"), id_col=p.get("idColumn", "doc_id"),
+        )
+        return rd.from_arrow(top)
+    if name in ("hbasereader", "keyrangereader"):
+        # rowkey-range scan with footer-stat pruning; mode normal (latest
+        # per key) | multiVersion (every version) — Hbase11xReader switch
+        from .sources import read_key_range
+
+        return read_key_range(
+            p["path"], p["rowkeyColumn"],
+            start=p.get("startRowkey"), stop=p.get("endRowkey"),
+            columns=p.get("column") if p.get("column") not in (["*"], "*") else None,
+            mode=p.get("mode", "multiVersion"),
+            version_col=p.get("versionColumn", "seq"),
+        )
     if name in ("rdbmsreader", "duckdbreader", "sqlitereader", "cassandrareader"):
         # JDBC-family parity: splitPk range-sliced parallel SQL read;
         # splitMode "token" (default for cassandrareader) = token-ring

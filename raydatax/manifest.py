@@ -182,22 +182,44 @@ def changelog_files(lake_dir: str, at_epoch: int | None = None) -> list[str]:
     """ALL committed epoch files, partition-major then epoch-ascending — the
     read side of a ``output="changelog"`` lake, where every epoch file is
     live history (not a superseded snapshot).  ``at_epoch`` bounds the log
-    to commits ≤ that epoch."""
-    by_part: dict[int, list[tuple[int, str]]] = {}
+    to commits ≤ that epoch.
+
+    A record carrying ``compacted_upto: E`` means its file holds the FULL
+    history ≤ E for its partition (see ``driver.compact_changelog``):
+    records below E are superseded and skipped — even when their files are
+    already deleted, so a crash between marker write and file deletion
+    leaves a readable lake and a re-run finishes the cleanup.  Reading AT
+    an epoch below a partition's compaction horizon raises loudly (that
+    history no longer exists file-by-file)."""
+    by_part: dict[int, list[dict]] = {}
     for p in glob.glob(os.path.join(lake_dir, "_manifests", "history", "part-*.json")):
         m = _read_json(p)
-        if m is None or (at_epoch is not None and m["epoch"] > at_epoch):
-            continue
-        f = os.path.join(lake_dir, m["file"])
-        if not os.path.exists(f):
-            raise FileNotFoundError(
-                f"changelog epoch file missing: {m['file']} — was this lake "
-                f"vacuumed as an image lake?"
+        if m is not None:
+            by_part.setdefault(m["partition"], []).append(m)
+    out = []
+    for pid in sorted(by_part):
+        recs = sorted(by_part[pid], key=lambda m: m["epoch"])
+        horizon = max(
+            (m["epoch"] for m in recs if m.get("compacted_upto")), default=None
+        )
+        if horizon is not None and at_epoch is not None and at_epoch < horizon:
+            raise RuntimeError(
+                f"partition {pid}: changelog history ≤ epoch {horizon} was "
+                f"compacted — cannot read at epoch {at_epoch}"
             )
-        by_part.setdefault(m["partition"], []).append((m["epoch"], f))
-    return [
-        f for pid in sorted(by_part) for _, f in sorted(by_part[pid])
-    ]
+        for m in recs:
+            if at_epoch is not None and m["epoch"] > at_epoch:
+                continue
+            if horizon is not None and m["epoch"] < horizon:
+                continue  # superseded by the compacted record
+            f = os.path.join(lake_dir, m["file"])
+            if not os.path.exists(f):
+                raise FileNotFoundError(
+                    f"changelog epoch file missing: {m['file']} — was this "
+                    f"lake vacuumed as an image lake?"
+                )
+            out.append(f)
+    return out
 
 
 def committed_files(lake_dir: str, at_epoch: int | None = None) -> list[str]:

@@ -212,3 +212,104 @@ def test_changelog_schema_evolution_across_epochs(ray_session, tmp_path):
     ds = read_changelog(lake)
     assert ds.count() == n
     assert set(ds.schema().names) >= {"conv_id", "turn_idx", "op", "seq", "tool"}
+
+
+def test_changelog_compaction(ray_session, wal, tmp_path):
+    """Log-segment compaction: 3 ingest epochs collapse to one file per
+    partition; content is unchanged; re-run is a no-op; later deltas
+    compact again; time travel below the horizon raises."""
+    from raydatax.driver import compact_changelog
+    from raydatax.manifest import changelog_files
+
+    lake = str(tmp_path / "lake")
+    run_job(wal, lake, partitions=4, output="changelog")
+    for k, (seq0, conv0) in enumerate([(20_000_000, 60_000), (30_000_000, 70_000)]):
+        d = str(tmp_path / f"wal_d{k}")
+        gen_wal(d, 2000, start_seq=seq0, conv_offset=conv0)
+        n_seg = len(glob.glob(os.path.join(wal, "seg-*.parquet")))
+        for i, p in enumerate(sorted(glob.glob(os.path.join(d, "seg-*.parquet")))):
+            os.replace(p, os.path.join(wal, f"seg-{n_seg + i:05d}.parquet"))
+        run_job(wal, lake, partitions=4)
+
+    before = changelog_table(lake)
+    n_files_before = len(changelog_files(lake))
+    assert n_files_before > 4  # several epochs per partition
+
+    rep = compact_changelog(lake)
+    assert rep["partitions_compacted"] == 4
+    assert len(changelog_files(lake)) == 4  # one file per partition
+    after = changelog_table(lake)
+    assert after.num_rows == before.num_rows
+    assert sorted(after["seq"].to_pylist()) == sorted(before["seq"].to_pylist())
+    # key-seq sorted within the compacted file
+    for f in changelog_files(lake):
+        part = pq.read_table(f)
+        keys = list(zip(part["conv_id"].to_pylist(), part["turn_idx"].to_pylist(),
+                        part["seq"].to_pylist()))
+        assert keys == sorted(keys)
+
+    # idempotent
+    assert compact_changelog(lake)["partitions_compacted"] == 0
+
+    # below-horizon time travel raises; at/after the horizon still works
+    with pytest.raises(RuntimeError, match="compacted"):
+        changelog_files(lake, at_epoch=1)
+
+    # new deltas after compaction ingest + read + compact again
+    d = str(tmp_path / "wal_d2")
+    gen_wal(d, 1500, start_seq=40_000_000, conv_offset=80_000)
+    n_seg = len(glob.glob(os.path.join(wal, "seg-*.parquet")))
+    for i, p in enumerate(sorted(glob.glob(os.path.join(d, "seg-*.parquet")))):
+        os.replace(p, os.path.join(wal, f"seg-{n_seg + i:05d}.parquet"))
+    run_job(wal, lake, partitions=4)
+    t2 = changelog_table(lake)
+    assert t2.num_rows > after.num_rows
+    rep2 = compact_changelog(lake)
+    assert rep2["partitions_compacted"] == 4
+    assert changelog_table(lake).num_rows == t2.num_rows
+
+    # ingest still works after compaction (hw preserved: rerun is a noop)
+    assert run_job(wal, lake, partitions=4)["action"] == "noop"
+
+
+def test_changelog_compaction_crash_states_stay_readable(ray_session, wal, tmp_path):
+    """Either side of the commit point is a readable lake: a stray merged
+    file without its record is ignored; once the marker record exists,
+    superseded records are skipped even if their files were deleted."""
+    import json as _json
+
+    from raydatax.driver import compact_changelog
+    from raydatax.manifest import changelog_files
+
+    lake = str(tmp_path / "lake")
+    run_job(wal, lake, partitions=2, output="changelog")
+    d = str(tmp_path / "wal_d")
+    gen_wal(d, 2000, start_seq=20_000_000, conv_offset=60_000)
+    n_seg = len(glob.glob(os.path.join(wal, "seg-*.parquet")))
+    for i, p in enumerate(sorted(glob.glob(os.path.join(d, "seg-*.parquet")))):
+        os.replace(p, os.path.join(wal, f"seg-{n_seg + i:05d}.parquet"))
+    run_job(wal, lake, partitions=2)
+    base = changelog_table(lake)
+
+    # crash BEFORE the commit point: stray -c file, records untouched
+    stray = os.path.join(lake, "data", "part-00000", "epoch-000099-c.parquet")
+    pq.write_table(base.slice(0, 1), stray)
+    assert changelog_table(lake).num_rows == base.num_rows
+    os.remove(stray)
+
+    # crash AFTER the commit point mid-cleanup: compact, then restore one
+    # superseded record (its file is already gone) — reader must skip it
+    hist = os.path.join(lake, "_manifests", "history")
+    pre_recs = {p: open(p).read() for p in glob.glob(os.path.join(hist, "*.json"))}
+    compact_changelog(lake)
+    gone = set(pre_recs) - set(glob.glob(os.path.join(hist, "*.json")))
+    assert gone
+    victim = sorted(gone)[0]
+    with open(victim, "w") as f:
+        f.write(pre_recs[victim])
+    assert changelog_table(lake).num_rows == base.num_rows  # no raise, no dupes
+    rec = _json.load(open(victim))
+    assert not os.path.exists(os.path.join(lake, rec["file"]))
+    # a compaction re-run completes the cleanup
+    compact_changelog(lake)
+    assert not os.path.exists(victim) or changelog_table(lake).num_rows == base.num_rows

@@ -127,3 +127,46 @@ def test_multi_step_job_chains_wal_to_lake(tmp_path):
     assert rep["contents"][0]["writer"] == "walwriter"
     assert rep["contents"][1]["action"] == "applied"
     assert rep["contents"][1]["rows_total"] > 0
+
+
+def test_job_runner_search_and_keyrange_readers(ray_session, tmp_path):
+    """Job-JSON surface for the search-reader and rowkey-range families."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydatax.job import run_job_config
+
+    corpus = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["cat cat", "dog", "cat", "x", "cat dog dog", "y"]),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(corpus, src)
+
+    out = str(tmp_path / "hits")
+    rep = run_job_config({"job": {"content": [{
+        "reader": {"name": "searchreader",
+                   "parameter": {"path": src, "terms": ["cat", "dog"],
+                                 "topK": 3}},
+        "writer": {"name": "parquetwriter",
+                   "parameter": {"path": out, "writeMode": "truncate"}},
+    }]}})
+    assert rep["contents"][0]["rows"] == 3
+
+    kv = pa.table({
+        "k": pa.array([1, 1, 2, 3], pa.int64()),
+        "seq": pa.array([1, 2, 1, 1], pa.int64()),
+        "v": pa.array(["a", "A", "b", "c"]),
+    })
+    kvp = str(tmp_path / "kv.parquet")
+    pq.write_table(kv, kvp)
+    out2 = str(tmp_path / "latest")
+    rep = run_job_config({"job": {"content": [{
+        "reader": {"name": "hbasereader",
+                   "parameter": {"path": kvp, "rowkeyColumn": "k",
+                                 "startRowkey": 1, "endRowkey": 3,
+                                 "mode": "normal", "versionColumn": "seq"}},
+        "writer": {"name": "parquetwriter",
+                   "parameter": {"path": out2, "writeMode": "truncate"}},
+    }]}})
+    assert rep["contents"][0]["rows"] == 2  # latest of k=1, plus k=2
