@@ -176,12 +176,9 @@ def run_job(
         P, S, hot_keys = cfg["partitions"], cfg["salt"], cfg["hot_keys"]
         # update semantics are lake-level state: fixed at creation, like P/S
         sparse = bool(cfg.get("sparse_updates", False))
+        # mismatch vs an explicit `output` was already rejected by the
+        # cfg_early check above (which runs BEFORE the noop early-return)
         out_mode = cfg.get("output", "image")
-        if output is not None and output != out_mode:
-            raise RuntimeError(
-                f"lake {lake_dir} stores {out_mode!r} output; cannot ingest "
-                f"with output={output!r} (storage mode is lake-level state)"
-            )
 
         lake_schema = lake_schema_for(plan.event_schema)
         deadletter_dir = os.path.join(lake_dir, "_deadletter", f"epoch-{epoch:06d}")
@@ -501,6 +498,12 @@ def lake_table(lake_dir: str, at_epoch: int | None = None):
     deterministic partition-major order, promoted onto the widened union
     schema (a partition that received no events since an early epoch still
     carries that epoch's narrower schema)."""
+    cfg = mf.load_lake_config(lake_dir)
+    if cfg is not None and cfg.get("output", "image") == "changelog":
+        raise RuntimeError(
+            f"{lake_dir} is a changelog lake — use changelog_table(); the "
+            f"latest manifests alone are one epoch's delta"
+        )
     return _unified_concat(mf.committed_files(lake_dir, at_epoch))
 
 
@@ -538,10 +541,23 @@ def compact_changelog(lake_dir: str, upto_epoch: int | None = None) -> dict:
                 by_part.setdefault(m["partition"], []).append(m)
                 rec_paths[(m["partition"], m["epoch"])] = p
         compacted, files_removed = 0, 0
+        manifests = mf.load_manifests(lake_dir)
         for pid in sorted(by_part):
             recs = sorted(by_part[pid], key=lambda m: m["epoch"])
             horizon = max((m["epoch"] for m in recs if m.get("compacted_upto")),
                           default=-1)
+            # finish any interrupted cleanup first: records (and files)
+            # below an existing horizon are superseded leftovers from a
+            # crash between the commit point and the deletes
+            for m in recs:
+                if m["epoch"] < horizon:
+                    f = os.path.join(lake_dir, m["file"])
+                    if os.path.exists(f):
+                        os.remove(f)
+                        files_removed += 1
+                    rp = rec_paths.get((pid, m["epoch"]))
+                    if rp and os.path.exists(rp):
+                        os.remove(rp)
             live = [m for m in recs if m["epoch"] >= horizon]
             if upto_epoch is not None:
                 live = [m for m in live if m["epoch"] <= upto_epoch]
@@ -573,7 +589,7 @@ def compact_changelog(lake_dir: str, upto_epoch: int | None = None) -> dict:
                 mf.history_path(lake_dir, pid, target["epoch"]), new_rec
             )  # ← commit point
             # latest manifest mirrors the newest epoch's record
-            latest = mf.load_manifests(lake_dir).get(pid)
+            latest = manifests.get(pid)
             if latest is not None and latest["epoch"] == target["epoch"]:
                 latest.update(file=new_rec["file"], rows=new_rec["rows"],
                               bytes=new_rec["bytes"])
@@ -589,6 +605,13 @@ def compact_changelog(lake_dir: str, upto_epoch: int | None = None) -> dict:
                     rp = rec_paths.get((pid, m["epoch"]))
                     if rp and os.path.exists(rp):
                         os.remove(rp)
+            # stray merged files from a crash BEFORE a commit point (their
+            # record was never written) are unreferenced — sweep them
+            for f in glob.glob(os.path.join(
+                    lake_dir, "data", f"part-{pid:05d}", "epoch-*-c.parquet")):
+                if f != final:
+                    os.remove(f)
+                    files_removed += 1
             compacted += 1
         return {"partitions_compacted": compacted, "files_removed": files_removed}
     finally:
@@ -607,7 +630,7 @@ def lake_info(lake_dir: str) -> dict:
          "bytes": m["bytes"], "hw_seq": m["hw_seq"]}
         for pid, m in sorted(manifests.items())
     ]
-    return {
+    info = {
         "config": cfg,
         "partitions_committed": len(parts),
         "rows_total": sum(p["rows"] for p in parts),
@@ -615,6 +638,14 @@ def lake_info(lake_dir: str) -> dict:
         "job_watermark": load_job_watermark(lake_dir),
         "partitions": parts,
     }
+    if cfg.get("output", "image") == "changelog":
+        # every epoch file is live history: totals come from the full log,
+        # not just each partition's newest commit
+        files = mf.changelog_files(lake_dir)
+        info["rows_total"] = sum(pq.read_metadata(f).num_rows for f in files)
+        info["bytes_total"] = sum(os.path.getsize(f) for f in files)
+        info["changelog_files"] = len(files)
+    return info
 
 
 def lookup_conversation(lake_dir: str, conv_id: str):
@@ -637,22 +668,26 @@ def lookup_conversation(lake_dir: str, conv_id: str):
     else:
         h = hash_strings(np.array([conv_id], dtype=object))[0]
         pids = [int(h % np.uint64(P))]
-    tables = []
-    for pid in pids:
-        m = manifests.get(pid)
-        if m is None:
-            continue
-        t = pq.read_table(
-            os.path.join(lake_dir, m["file"]),
-            filters=[("conv_id", "==", conv_id)],
-        )
-        tables.append(t)
+    if cfg.get("output", "image") == "changelog":
+        # point lookup over a changelog lake = the conversation's FULL
+        # version history: every epoch file of its partition(s), in
+        # (turn, seq) order — partition pruning applies identically
+        tags = {f"part-{pid:05d}" for pid in pids}
+        files = [f for f in mf.changelog_files(lake_dir)
+                 if os.path.basename(os.path.dirname(f)) in tags]
+    else:
+        files = [os.path.join(lake_dir, manifests[pid]["file"])
+                 for pid in pids if pid in manifests]
+    tables = [
+        pq.read_table(f, filters=[("conv_id", "==", conv_id)]) for f in files
+    ]
+    tables = [t for t in tables if t.num_rows]
     import pyarrow as pa
 
     if not tables:
         return None
     out = pa.concat_tables(tables, promote_options="permissive")
-    return out.sort_by([("turn_idx", "ascending")])
+    return out.sort_by([("turn_idx", "ascending"), ("seq", "ascending")])
 
 
 def tail_wal(

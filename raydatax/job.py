@@ -196,7 +196,12 @@ def run_job_config(config: dict, quiet: bool = True) -> dict:
             # (inverse of jsonreader docPaths), mongodbwriter analogue
             from .sinks import write_jsonl
 
-            dp = [(d["path"], d["name"]) for d in wp["docPaths"]]
+            if not wp.get("docPaths"):
+                raise JobConfigError(f"{wname} requires parameter.docPaths")
+            # name (source column) defaults to the path's last segment —
+            # the flat column usually carries the leaf name
+            dp = [(d["path"], d.get("name", d["path"].rsplit(".", 1)[-1]))
+                  for d in wp["docPaths"]]
             out = write_jsonl(ds, wp["path"], doc_paths=dp,
                               write_mode=wp.get("writeMode", "truncate"))
             reports.append({"writer": wname, "path": out, "rows": ds.count()})

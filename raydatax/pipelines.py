@@ -669,9 +669,11 @@ def jsonl_doc_roundtrip(sf_dir: str):
 def key_range_scan(sf_dir: str):
     """hbase11xreader surface end-to-end: events staged as a KV table
     SORTED by rowkey (user_id, version = event_id) so parquet row groups
-    are the region analogue, then a rowkey-range scan [20, 60) in
+    are the region analogue, then a rowkey-range scan [2, 12) in
     ``normal`` mode — latest version per rowkey — via footer-stat
-    row-group pruning.  Oracle: row_number() latest within the range."""
+    row-group pruning.  The range is non-empty at EVERY sf (user ids
+    start at 0; sf0.001 tops out near 14), so the gate works at any
+    scale.  Oracle: row_number() latest within the range."""
     import tempfile
 
     from .sources import read_key_range
@@ -686,7 +688,7 @@ def key_range_scan(sf_dir: str):
     ds.sort("user_id").write_parquet(staged, row_group_size=4096)
 
     out = read_key_range(
-        staged, "user_id", start=20, stop=60,
+        staged, "user_id", start=2, stop=12,
         mode="normal", version_col="event_id",
     )
 
@@ -1113,7 +1115,7 @@ ORACLE_SQL = {
     "key_range_scan": """
         SELECT user_id, event_id AS last_event_id, event_type, value
         FROM events
-        WHERE user_id >= 20 AND user_id < 60
+        WHERE user_id >= 2 AND user_id < 12
         QUALIFY row_number() OVER (PARTITION BY user_id
                                    ORDER BY event_id DESC) = 1
     """,

@@ -295,9 +295,16 @@ def plan_key_range(
     plans, pruned = [], 0
     for p in paths:
         md = pq.read_metadata(p)
-        idx = md.schema.to_arrow_schema().get_field_index(key_col)
+        # row_group().column() takes the parquet LEAF index, which diverges
+        # from the Arrow field index whenever a nested column precedes the
+        # key — resolve by leaf path, not position
+        idx = next(
+            (i for i in range(md.num_columns)
+             if md.schema.column(i).path == key_col),
+            -1,
+        )
         if idx < 0:
-            raise KeyError(f"{key_col!r} not in {p}")
+            raise KeyError(f"{key_col!r} not a primitive leaf column in {p}")
         keep = []
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
@@ -346,8 +353,13 @@ def read_key_range(
     if mode not in ("multiVersion", "normal"):
         raise ValueError(f"unknown mode {mode!r}")
     read_cols = columns
-    if columns is not None and key_col not in columns:
-        read_cols = [key_col, *columns]  # needed for the range predicate
+    if columns is not None:
+        # the range predicate always needs the key; normal mode's LWW also
+        # needs the version column — read them, project away at the end
+        need = [key_col] + ([version_col] if mode == "normal" else [])
+        extra = [c for c in need if c not in columns]
+        if extra:
+            read_cols = [*extra, *columns]
     plans, _ = plan_key_range(paths, key_col, start, stop)
     if not plans:  # fully pruned: empty dataset with the projected schema
         import pyarrow.parquet as pq
@@ -377,8 +389,6 @@ def read_key_range(
                         t = t.filter(pc.field(key_col) >= start)
                     if stop is not None:
                         t = t.filter(pc.field(key_col) < stop)
-                    if read_cols is not columns:
-                        t = t.select(columns)
                     yield t
 
                 meta = BlockMetadata(
@@ -393,4 +403,6 @@ def read_key_range(
         from .relational import lww_latest
 
         ds = lww_latest(ds, [key_col], version_col)
+    if read_cols is not columns:
+        ds = ds.select_columns(columns)
     return ds

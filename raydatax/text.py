@@ -235,9 +235,20 @@ def search_topk(
     ).filter(expr="score > 0")
     out = topk(scored, [("score", "descending"), (id_col, "ascending")], k)
     if out is None:
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         "score": pa.array([], pa.int64())})
+        return _empty_hits(ds, id_col)
     return out
+
+
+def _empty_hits(ds, id_col: str) -> pa.Table:
+    """Empty result with the CORRECT id type (string corpora included), so
+    empty and non-empty pages stay concat-compatible."""
+    try:
+        sch = ds.schema()
+        id_type = dict(zip(sch.names, sch.types))[id_col]
+    except Exception:
+        id_type = pa.int64()
+    return pa.table({id_col: pa.array([], id_type),
+                     "score": pa.array([], pa.int64())})
 
 
 def search_scroll(
@@ -259,17 +270,24 @@ def search_scroll(
         lambda t: term_scores(t, terms, column, id_col), batch_format="pyarrow"
     ).filter(expr="score > 0")
     if cursor is not None:
-        s, i = int(cursor[0]), int(cursor[1])
-        scored = scored.filter(
-            expr=f"score < {s} or (score == {s} and {id_col} > {i})"
-        )
+        cur_score, cur_id = cursor  # id may be any orderable type (strings!)
+
+        def after_cursor(t: pa.Table) -> pa.Table:
+            s = pa.scalar(cur_score, pa.int64())
+            keep = pc.or_(
+                pc.less(t["score"], s),
+                pc.and_(pc.equal(t["score"], s),
+                        pc.greater(t[id_col], pa.scalar(cur_id))),
+            )
+            return t.filter(keep)
+
+        scored = scored.map_batches(after_cursor, batch_format="pyarrow")
     from .relational import topk
 
     page = topk(scored, [("score", "descending"), (id_col, "ascending")],
                 page_size)
     if page is None or page.num_rows == 0:
-        return (pa.table({id_col: pa.array([], pa.int64()),
-                          "score": pa.array([], pa.int64())}), None)
+        return (_empty_hits(ds, id_col), None)
     nxt = None
     if page.num_rows == page_size:
         nxt = (page["score"][-1].as_py(), page[id_col][-1].as_py())

@@ -77,6 +77,12 @@ def test_changelog_epochs_append_without_rewriting_history(ray_session, wal, tmp
     # and the log now holds base + delta exactly
     t = changelog_table(lake)
     assert t.num_rows == _wal_events(wal).num_rows
+    # lake_info totals span the full history, not just the newest epoch
+    from raydatax.driver import lake_info
+
+    info = lake_info(lake)
+    assert info["rows_total"] == t.num_rows
+    assert info["changelog_files"] > 4
     # idempotent rerun
     assert run_job(wal, lake, partitions=4)["action"] == "noop"
 
@@ -310,6 +316,32 @@ def test_changelog_compaction_crash_states_stay_readable(ray_session, wal, tmp_p
     assert changelog_table(lake).num_rows == base.num_rows  # no raise, no dupes
     rec = _json.load(open(victim))
     assert not os.path.exists(os.path.join(lake, rec["file"]))
-    # a compaction re-run completes the cleanup
-    compact_changelog(lake)
-    assert not os.path.exists(victim) or changelog_table(lake).num_rows == base.num_rows
+    # a compaction re-run completes the cleanup: the stale record is
+    # removed even though there is nothing new to compact
+    rep = compact_changelog(lake)
+    assert rep["partitions_compacted"] == 0
+    assert not os.path.exists(victim)
+    assert changelog_table(lake).num_rows == base.num_rows
+
+
+def test_changelog_lookup_and_lake_table_guard(ray_session, wal, tmp_path):
+    """Point lookup on a changelog lake returns the conversation's FULL
+    version history across epochs; lake_table refuses (like read_lake)."""
+    from raydatax.driver import lake_table, lookup_conversation
+
+    lake = str(tmp_path / "lake")
+    run_job(wal, lake, partitions=4, output="changelog")
+    # pick a conv present in the log
+    t = changelog_table(lake)
+    conv = t["conv_id"][0].as_py()
+    n_versions = len([x for x in t["conv_id"].to_pylist() if x == conv])
+
+    got = lookup_conversation(lake, conv)
+    assert got is not None and got.num_rows == n_versions
+    assert "op" in got.column_names
+    # (turn, seq)-ordered history
+    keys = list(zip(got["turn_idx"].to_pylist(), got["seq"].to_pylist()))
+    assert keys == sorted(keys)
+
+    with pytest.raises(RuntimeError, match="changelog_table"):
+        lake_table(lake)

@@ -439,3 +439,42 @@ def test_key_range_scan_modes(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="unknown mode"):
         read_key_range(p, "k", mode="latest")
+
+
+def test_key_range_nested_schema_stats_resolved_by_leaf_path(tmp_path):
+    """A nested column BEFORE the rowkey must not shift the statistics
+    lookup (parquet leaf index != Arrow field index)."""
+    import pyarrow.parquet as pq
+
+    from raydatax.sources import plan_key_range
+
+    t = pa.table({
+        "meta": pa.array([{"a": i, "b": i * 2} for i in range(6)]),
+        "k": pa.array(range(6), pa.int64()),
+        "v": pa.array(range(6), pa.int64()),
+    })
+    p = str(tmp_path / "nested.parquet")
+    pq.write_table(t, p, row_group_size=3)
+    plans, pruned = plan_key_range([p], "k", 4, None)
+    assert plans == [(p, [1])] and pruned == 1
+    with pytest.raises(KeyError, match="leaf"):
+        plan_key_range([p], "meta", 0, None)
+
+
+def test_key_range_normal_mode_projection_without_keys(ray_session, tmp_path):
+    """normal mode with a column list omitting key/version columns still
+    works: they are read for LWW, then projected away."""
+    import pyarrow.parquet as pq
+
+    from raydatax.sources import read_key_range
+
+    t = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "seq": pa.array([1, 2, 1], pa.int64()),
+        "v": pa.array(["old", "new", "b"], pa.string()),
+    })
+    p = str(tmp_path / "kv.parquet")
+    pq.write_table(t, p)
+    rows = read_key_range(p, "k", 1, 3, columns=["v"], mode="normal").take_all()
+    assert sorted(r["v"] for r in rows) == ["b", "new"]
+    assert set(rows[0]) == {"v"}

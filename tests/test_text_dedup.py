@@ -274,3 +274,29 @@ def test_search_topk_and_scroll(ray_session):
     # no matches -> empty table, no cursor
     page, cursor = search_scroll(ds, ["zebra"], 3)
     assert page.num_rows == 0 and cursor is None
+
+
+def test_search_scroll_string_ids(ray_session):
+    """Cursor pagination over a STRING id column (the normal ES case):
+    cursors carry string ids; empty pages keep the string id type."""
+    import ray.data as rd
+
+    from raydatax.text import search_scroll, search_topk
+
+    t = pa.table({
+        "doc_id": pa.array([f"doc-{i:02d}" for i in range(6)]),
+        "text": pa.array(["cat cat", "cat", "dog", "cat", "z", "cat"]),
+    })
+    ds = rd.from_arrow(t)
+    got, cursor = [], None
+    while True:
+        page, cursor = search_scroll(ds, ["cat", "dog"], 2, cursor=cursor)
+        got += page["doc_id"].to_pylist()
+        if cursor is None:
+            break
+    assert got == search_topk(ds, ["cat", "dog"], 10)["doc_id"].to_pylist()
+    assert got[0] == "doc-00"  # score 2 first, then ties by id
+
+    empty, cur = search_scroll(ds, ["zebra"], 2)
+    assert empty.num_rows == 0 and cur is None
+    assert empty.schema.field("doc_id").type == pa.string()
