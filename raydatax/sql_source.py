@@ -146,6 +146,75 @@ def plan_token_splits(
     return plans
 
 
+def _sql_literal(v) -> str:
+    import datetime
+
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    if not isinstance(v, (int, float)):
+        raise TypeError(f"unsupported sample-split boundary type: {type(v)}")
+    return str(v)
+
+
+def plan_sample_splits(
+    db_path: str,
+    table: str,
+    split_pk: str,
+    num_splits: int,
+    columns: list[str] | None,
+    where: str | None,
+    sample_per_split: int = 64,
+) -> list[SQLSplitPlan]:
+    """Sample-based split boundaries — the Oracle reader's SAMPLE split
+    (``/root/reference/plugin-rdbms-util/.../reader/util/
+    SingleTableSplitUtil.java:293-388``: sample the key, cut at quantiles).
+    Unlike min/max range slicing this balances SKEWED keys and supports
+    ANY orderable type (string keys included): boundaries are the sampled
+    quantiles, slices are half-open boundary ranges plus open ends and the
+    ``IS NULL`` slice.  The planning query reads only the sample."""
+    proj = ", ".join(_quote_ident(c) for c in columns) if columns else "*"
+    tbl = _quote_ident(table)
+    pk = _quote_ident(split_pk)
+    base_where = f"({where})" if where else None
+
+    def q(pred: str | None) -> str:
+        preds = [p for p in (pred, base_where) if p]
+        w = f" WHERE {' AND '.join(preds)}" if preds else ""
+        return f"SELECT {proj} FROM {tbl}{w}"
+
+    n = max(1, int(num_splits))
+    samp = _duckdb_query(
+        db_path,
+        f"SELECT {pk} AS k FROM {tbl}"
+        f"{' WHERE ' + base_where if base_where else ''}"
+        f" USING SAMPLE {n * sample_per_split} ROWS (reservoir, 42)",
+    )
+    vals = sorted(v for v in samp.column("k").to_pylist() if v is not None)
+    bounds = []
+    for i in range(1, n):
+        b = vals[(i * len(vals)) // n] if vals else None
+        if b is not None and (not bounds or b != bounds[-1]):
+            bounds.append(b)
+    plans = []
+    if not bounds:
+        plans.append(SQLSplitPlan(q(f"{pk} IS NOT NULL"), "all"))
+    else:
+        lits = [_sql_literal(b) for b in bounds]
+        plans.append(SQLSplitPlan(q(f"{pk} < {lits[0]}"), f"(..{bounds[0]})"))
+        for lo, hi in zip(lits, lits[1:]):
+            plans.append(SQLSplitPlan(q(f"{pk} >= {lo} AND {pk} < {hi}"),
+                                      f"[{lo}..{hi})"))
+        plans.append(SQLSplitPlan(q(f"{pk} >= {lits[-1]}"), f"[{bounds[-1]}..)"))
+    plans.append(SQLSplitPlan(q(f"{pk} IS NULL"), "null"))
+    return plans
+
+
 # ------------------------------------------------------------ engine drivers
 
 
@@ -259,6 +328,13 @@ def read_sql_table(
         if engine != "duckdb":
             raise ValueError("token split needs an in-database hash(): duckdb only")
         plans = plan_token_splits(table, split_pk, num_splits, columns, where)
+    elif split_mode == "sample":
+        if split_pk is None:
+            raise ValueError("sample split requires split_pk")
+        if engine != "duckdb":
+            raise ValueError("sample split needs USING SAMPLE: duckdb only")
+        plans = plan_sample_splits(db_path, table, split_pk, num_splits,
+                                   columns, where)
     elif split_mode == "range":
         pk_min = pk_max = None
         if split_pk is not None:

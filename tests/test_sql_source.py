@@ -289,3 +289,33 @@ def test_write_sql_table_deleteinsert(tmp_path):
     assert rep["rows_in_table"] == 4
     got = duckdb.connect(db).execute("SELECT k, v FROM t ORDER BY k").fetchall()
     assert got == [(1, "a"), (2, "B"), (3, "c"), (9, "z")]
+
+
+def test_sample_split_read_skewed_string_key(ray_session, tmp_path):
+    """Oracle SAMPLE split (SingleTableSplitUtil.java:293-388): quantile
+    boundaries from a seeded sample balance a SKEWED string key; slices
+    are disjoint + complete, nulls kept, quotes escaped in literals."""
+    from raydatax.sql_source import plan_sample_splits, read_sql_table
+
+    db = str(tmp_path / "s.duckdb")
+    con = duckdb.connect(db)
+    # heavy skew: 70% of keys share one prefix; one key contains a quote
+    con.execute(
+        "CREATE TABLE t AS SELECT CASE WHEN i % 10 < 7 THEN 'aaa-' ELSE 'zz-' END"
+        " || lpad(CAST(i AS VARCHAR), 5, '0') AS k, i AS n FROM range(400) r(i)"
+    )
+    con.execute("INSERT INTO t VALUES ('it''s', -1), (NULL, -2)")
+    con.close()
+
+    df = read_sql_table(db, "t", split_pk="k", num_splits=4,
+                        split_mode="sample").to_pandas()
+    assert len(df) == 402
+    assert sorted(df["n"]) == list(range(-2, 400))
+
+    plans = plan_sample_splits(db, "t", "k", 4, None, None)
+    assert 3 <= len(plans) <= 6  # open ends + interior ranges + null slice
+    assert plans[-1].label == "null"
+
+    with pytest.raises(ValueError, match="duckdb only"):
+        read_sql_table(db, "t", split_pk="k", split_mode="sample",
+                       engine="sqlite")
