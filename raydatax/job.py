@@ -80,6 +80,14 @@ def _reader_to_dataset(reader: dict) -> "rd.Dataset":
         return read_jsonl(p["path"], doc_paths=doc_paths)
     if name == "streamreader":
         n = int(p.get("sliceRecordCount", 1000)) * int(p.get("channel", 1))
+        if p.get("column"):
+            # the reference's column-spec mixup generator: per-column
+            # const `value` or `random: "a, b"` (StreamReader.java:95-166)
+            from .sources import synthetic_columns
+
+            return synthetic_columns(p["column"], n,
+                                     seed=int(p.get("seed", 42)),
+                                     shards=int(p.get("channel", 1)))
         return synthetic_stream(n, seed=int(p.get("seed", 42)),
                                 shards=int(p.get("channel", 1)))
     if name == "walreader":

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -406,3 +407,104 @@ def read_key_range(
     if read_cols is not columns:
         ds = ds.select_columns(columns)
     return ds
+
+
+# ------------------------------------------------ column-spec stream source
+
+
+_ALNUM = np.frombuffer(
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+    dtype=np.uint8,
+)
+
+
+def _random_strings(rng, n: int, lo: int, hi: int) -> pa.Array:
+    """n random alphanumeric strings of length in [lo, hi] — built as ONE
+    byte buffer + offsets (no per-row Python strings)."""
+    lens = rng.integers(lo, hi + 1, size=n)
+    total = int(lens.sum())
+    data = _ALNUM[rng.integers(0, len(_ALNUM), size=total)]
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())
+    )
+
+
+def synthetic_columns(
+    column_spec: list[dict],
+    total_records: int,
+    seed: int = 42,
+    shards: int = 8,
+) -> "rd.Dataset":
+    """The reference streamreader's column-spec generator
+    (``/root/reference/streamreader/.../StreamReader.java:95-166`` mixup
+    parse, ``:221-306`` generate): each column is either a constant
+    ``value`` (priority) or ``random: "a, b"`` with type semantics —
+    LONG/DOUBLE = value in [a, b]; STRING/BYTES = alphanumeric of length
+    in [a, b]; BOOL = a:b false:true ratio; DATE = instant between two
+    datetimes (``dateFormat``, default ``%Y-%m-%d %H:%M:%S``).
+    Generation is seeded per shard and runs ON the cluster."""
+    per_shard = max(1, -(-total_records // shards))
+
+    def gen_shard(batch: pa.Table) -> pa.Table:
+        out = []
+        for sid in batch.column("id").to_pylist():
+            n = min(per_shard, total_records - sid * per_shard)
+            if n <= 0:
+                continue
+            rng = np.random.default_rng(seed * 1_000_003 + sid)
+            cols, names = [], []
+            for i, c in enumerate(column_spec):
+                typ = str(c.get("type", "string")).lower()
+                names.append(c.get("name", f"col{i}"))
+                if "value" in c:
+                    v = c["value"]
+                    if typ == "long":
+                        arr = pa.array(np.full(n, int(v), np.int64))
+                    elif typ == "double":
+                        arr = pa.array(np.full(n, float(v), np.float64))
+                    elif typ == "bool":
+                        arr = pa.array(np.full(n, str(v).lower() == "true"))
+                    elif typ == "bytes":
+                        arr = pa.array([str(v).encode()] * n, pa.binary())
+                    elif typ == "date":
+                        fmt = c.get("dateFormat", "%Y-%m-%d %H:%M:%S")
+                        import datetime as _dt
+
+                        ts = _dt.datetime.strptime(str(v), fmt)
+                        arr = pa.array([ts] * n, pa.timestamp("us"))
+                    else:
+                        arr = pa.array([str(v)] * n, pa.string())
+                elif "random" in c:
+                    a_s, b_s = [s.strip() for s in str(c["random"]).split(",", 1)]
+                    if typ == "long":
+                        arr = pa.array(rng.integers(int(a_s), int(b_s) + 1,
+                                                    size=n, dtype=np.int64))
+                    elif typ == "double":
+                        arr = pa.array(rng.uniform(float(a_s), float(b_s), size=n))
+                    elif typ == "bool":
+                        a, b = int(a_s), int(b_s)  # false:true ratio
+                        p_true = b / (a + b) if (a + b) else 0.5
+                        arr = pa.array(rng.random(n) < p_true)
+                    elif typ in ("string", "bytes"):
+                        s = _random_strings(rng, n, int(a_s), int(b_s))
+                        arr = s if typ == "string" else s.cast(pa.binary())
+                    elif typ == "date":
+                        fmt = c.get("dateFormat", "%Y-%m-%d %H:%M:%S")
+                        import datetime as _dt
+
+                        lo = _dt.datetime.strptime(a_s, fmt).timestamp()
+                        hi = _dt.datetime.strptime(b_s, fmt).timestamp()
+                        us = rng.uniform(lo, hi, size=n) * 1e6
+                        arr = pa.array(us.astype(np.int64)).cast(pa.timestamp("us"))
+                    else:
+                        raise ValueError(f"unknown streamreader type {typ!r}")
+                else:
+                    raise ValueError("streamreader column needs value or random")
+                cols.append(arr)
+            out.append(pa.table(dict(zip(names, cols))))
+        return pa.concat_tables(out) if out else None
+
+    return rd.range(shards).map_batches(gen_shard, batch_format="pyarrow",
+                                        batch_size=1)

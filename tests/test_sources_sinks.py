@@ -478,3 +478,36 @@ def test_key_range_normal_mode_projection_without_keys(ray_session, tmp_path):
     rows = read_key_range(p, "k", 1, 3, columns=["v"], mode="normal").take_all()
     assert sorted(r["v"] for r in rows) == ["b", "new"]
     assert set(rows[0]) == {"v"}
+
+
+def test_synthetic_columns_mixup_spec(ray_session):
+    """streamreader column-spec generator (StreamReader.java:95-166,
+    221-306): const value takes priority, random ranges per type, BOOL is
+    a false:true ratio, deterministic per (seed, shard)."""
+    from raydatax.sources import synthetic_columns
+
+    spec = [
+        {"type": "long", "random": "5, 9", "name": "n"},
+        {"type": "string", "random": "2, 4", "name": "s"},
+        {"type": "double", "random": "0, 1", "name": "d"},
+        {"type": "bool", "random": "0, 1", "name": "b"},  # always true
+        {"type": "date", "random": "2014-07-07 00:00:00, 2016-07-07 00:00:00",
+         "name": "t"},
+        {"type": "bytes", "random": "1, 2", "name": "raw"},
+        {"type": "string", "value": "k", "random": "9, 9", "name": "c"},
+    ]
+    rows = synthetic_columns(spec, 500, seed=3, shards=4).take_all()
+    assert len(rows) == 500
+    assert all(5 <= r["n"] <= 9 for r in rows)
+    assert all(2 <= len(r["s"]) <= 4 and r["s"].isalnum() for r in rows)
+    assert all(0 <= r["d"] <= 1 for r in rows)
+    assert all(r["b"] is True for r in rows)
+    assert all(2014 <= r["t"].year <= 2016 for r in rows)
+    assert all(isinstance(r["raw"], bytes) and 1 <= len(r["raw"]) <= 2 for r in rows)
+    assert {r["c"] for r in rows} == {"k"}  # value beats random
+
+    again = synthetic_columns(spec, 500, seed=3, shards=4).take_all()
+    assert sorted(map(str, again)) == sorted(map(str, rows))
+
+    with pytest.raises(Exception, match="value or random"):
+        synthetic_columns([{"type": "long"}], 10, shards=1).take_all()
