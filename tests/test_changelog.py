@@ -345,3 +345,37 @@ def test_changelog_lookup_and_lake_table_guard(ray_session, wal, tmp_path):
 
     with pytest.raises(RuntimeError, match="changelog_table"):
         lake_table(lake)
+
+
+def test_changelog_compaction_promotes_evolved_schemas(ray_session, tmp_path):
+    """Compacting epochs with DIFFERENT schemas (pre/post evolution)
+    produces one widened file; the log content survives."""
+    import glob as _glob
+
+    from raydatax.driver import compact_changelog
+    from raydatax.gen import gen_events, write_wal
+    from raydatax.manifest import changelog_files
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    ev = gen_events(4000, seed=29)
+    write_wal(ev, wal, seg_rows=500, evolution=True)
+    segs = sorted(_glob.glob(os.path.join(wal, "seg-*.parquet")))
+    stash = {p: p + ".hold" for p in segs[len(segs) // 2:]}
+    for p, h in stash.items():
+        os.replace(p, h)
+    run_job(wal, lake, partitions=2, output="changelog")
+    for p, h in stash.items():
+        os.replace(h, p)
+    run_job(wal, lake, partitions=2)
+
+    before = changelog_table(lake)
+    rep = compact_changelog(lake)
+    assert rep["partitions_compacted"] == 2
+    files = changelog_files(lake)
+    assert len(files) == 2
+    for f in files:
+        assert pq.read_schema(f).field("turn_idx").type == pa.int64()
+    after = changelog_table(lake)
+    assert after.num_rows == before.num_rows == ev.num_rows
+    assert sorted(after["seq"].to_pylist()) == sorted(before["seq"].to_pylist())
