@@ -379,3 +379,27 @@ def test_changelog_compaction_promotes_evolved_schemas(ray_session, tmp_path):
     after = changelog_table(lake)
     assert after.num_rows == before.num_rows == ev.num_rows
     assert sorted(after["seq"].to_pylist()) == sorted(before["seq"].to_pylist())
+
+
+def test_changelog_at_epoch_bounds_log(ray_session, wal, tmp_path):
+    """at_epoch bounds the log to commits <= that epoch (before any
+    compaction); compact_changelog refuses image lakes."""
+    from raydatax.driver import compact_changelog
+
+    lake = str(tmp_path / "lake")
+    run_job(wal, lake, partitions=2, output="changelog")
+    n1 = changelog_table(lake).num_rows
+    gen_wal(str(tmp_path / "wal2"), 2000, start_seq=30_000_000, conv_offset=75_000)
+    n_seg = len(glob.glob(os.path.join(wal, "seg-*.parquet")))
+    for i, p in enumerate(sorted(glob.glob(str(tmp_path / "wal2" / "seg-*.parquet")))):
+        os.replace(p, os.path.join(wal, f"seg-{n_seg + i:05d}.parquet"))
+    run_job(wal, lake, partitions=2)
+
+    assert changelog_table(lake, at_epoch=1).num_rows == n1
+    assert changelog_table(lake).num_rows > n1
+    assert read_changelog(lake, at_epoch=1).count() == n1
+
+    img = str(tmp_path / "img")
+    run_job(wal, img, partitions=2)
+    with pytest.raises(RuntimeError, match="not a changelog lake"):
+        compact_changelog(img)
