@@ -455,6 +455,22 @@ def sql_token_read(sf_dir: str):
     )
 
 
+def sql_sample_read(sf_dir: str):
+    """Oracle-reader SAMPLE split parity: slice boundaries from a seeded
+    sample's quantiles (balances skew, works on the string key), union of
+    slices must hash-match a plain filtered scan."""
+    from .sql_source import export_parquet_to_duckdb, read_sql_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    db = f"/tmp/raydatax_customer_{tag}.duckdb"
+    export_parquet_to_duckdb(_p(sf_dir, "customer"), db, "customer")
+    return read_sql_table(
+        db, "customer", split_pk="c_name", num_splits=5, split_mode="sample",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+        where="c_acctbal < 9000",
+    )
+
+
 def sql_writer_roundtrip(sf_dir: str):
     """JDBC-family WRITER parity (CommonRdbmsWriter writeMode + adswriter
     load-then-swap): documents --replace--> DuckDB table with a unique key,
@@ -944,6 +960,7 @@ QUERIES = {
     "events_partitioned_roundtrip": events_partitioned_roundtrip,
     "sql_split_read": sql_split_read,
     "sql_token_read": sql_token_read,
+    "sql_sample_read": sql_sample_read,
     "search_topk_scroll": search_topk_scroll,
     "key_range_scan": key_range_scan,
     "sql_writer_roundtrip": sql_writer_roundtrip,
@@ -1118,6 +1135,11 @@ ORACLE_SQL = {
         WHERE user_id >= 2 AND user_id < 12
         QUALIFY row_number() OVER (PARTITION BY user_id
                                    ORDER BY event_id DESC) = 1
+    """,
+    # sample-quantile slices partition the table: union == filtered scan
+    "sql_sample_read": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer WHERE c_acctbal < 9000
     """,
     # non-overlapping substring counts: the replace trick counts exactly
     # what pc.count_substring counts; (score DESC, doc_id ASC) is total
