@@ -403,3 +403,33 @@ def test_changelog_at_epoch_bounds_log(ray_session, wal, tmp_path):
     run_job(wal, img, partitions=2)
     with pytest.raises(RuntimeError, match="not a changelog lake"):
         compact_changelog(img)
+
+
+def test_changelog_salted_hot_conversation_history(ray_session, tmp_path):
+    """Hot-key salting composes with changelog mode: a hot conversation's
+    events spread across salt sub-partitions, yet its full version history
+    comes back complete via the salted point lookup."""
+    from raydatax.driver import lookup_conversation
+    from raydatax.gen import gen_events, write_wal
+    from raydatax.manifest import load_lake_config
+
+    ev = gen_events(20_000, seed=33, skew_hot_convs=1, skew_hot_frac=0.35)
+    wal = str(tmp_path / "wal")
+    write_wal(ev, wal, seg_rows=4000)
+    lake = str(tmp_path / "lake")
+    # partitions=8 → hot floor is 2/8 = 0.25 < the fixture's 0.35 share
+    run_job(wal, lake, partitions=8, salt=3, hot_threshold=0.05,
+            output="changelog")
+
+    cfg = load_lake_config(lake)
+    assert cfg["hot_keys"], "fixture must trigger hot-key detection"
+    hot = cfg["hot_keys"][0]
+
+    want = ev.filter(pa.compute.equal(ev["conv_id"], hot))
+    got = lookup_conversation(lake, hot)
+    assert got.num_rows == want.num_rows  # every version, no loss, no dupes
+    assert sorted(got["seq"].to_pylist()) == sorted(want["seq"].to_pylist())
+    # history really spans multiple salt sub-partitions
+    files = {os.path.basename(os.path.dirname(f))
+             for f in glob.glob(os.path.join(lake, "data", "part-*", "*.parquet"))}
+    assert len(files) > 8  # base partitions + salted sub-partitions
