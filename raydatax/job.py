@@ -109,6 +109,18 @@ def _reader_to_dataset(reader: dict) -> "rd.Dataset":
             column=p.get("column", "text"), id_col=p.get("idColumn", "doc_id"),
         )
         return rd.from_arrow(top)
+    if name in ("tsdbreader", "opentsdbreader"):
+        # time-series family: per-interval read tasks over [start, end),
+        # metric predicate pushed (TSDBReader.java:94-96,145-192)
+        from .sources import read_tsdb
+
+        return read_tsdb(
+            p["path"], p.get("tsColumn", "ts"),
+            start=p["beginDateTime"], end=p["endDateTime"],
+            interval_s=int(p.get("intervalSeconds", 3600)),
+            metric_col=p.get("metricColumn"), metrics=p.get("metric"),
+            columns=p.get("column") if p.get("column") not in (["*"], "*") else None,
+        )
     if name in ("hbasereader", "keyrangereader"):
         # rowkey-range scan with footer-stat pruning; mode normal (latest
         # per key) | multiVersion (every version) — Hbase11xReader switch

@@ -719,6 +719,22 @@ def key_range_scan(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def tsdb_window_read(sf_dir: str):
+    """tsdbreader split-model parity: the query [Jan 2 .. Jan 5) over two
+    metrics runs as one read task per 6-hour interval (row groups pruned
+    by ts footer stats, metric predicate pushed into each task); the union
+    of interval slices must hash-match a plain filtered scan."""
+    from .sources import read_tsdb
+
+    return read_tsdb(
+        _p(sf_dir, "events"), "ts",
+        start="2024-01-02 00:00:00", end="2024-01-05 00:00:00",
+        interval_s=6 * 3600,
+        metric_col="event_type", metrics=["click", "view"],
+        columns=["event_id", "event_type", "ts", "value"],
+    )
+
+
 def search_topk_scroll(sf_dir: str):
     """Search-reader family (elasticsearchreader match query + scroll,
     solrreader paged query): TF-score documents on two terms, page through
@@ -963,6 +979,7 @@ QUERIES = {
     "sql_sample_read": sql_sample_read,
     "search_topk_scroll": search_topk_scroll,
     "key_range_scan": key_range_scan,
+    "tsdb_window_read": tsdb_window_read,
     "sql_writer_roundtrip": sql_writer_roundtrip,
     "distinct_event_types": distinct_event_types,
     "transform_chain": transform_chain,
@@ -1135,6 +1152,13 @@ ORACLE_SQL = {
         WHERE user_id >= 2 AND user_id < 12
         QUALIFY row_number() OVER (PARTITION BY user_id
                                    ORDER BY event_id DESC) = 1
+    """,
+    # per-interval tsdb slices partition the window: union == filtered scan
+    "tsdb_window_read": """
+        SELECT event_id, event_type, ts, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-05 00:00:00'
+          AND event_type IN ('click', 'view')
     """,
     # sample-quantile slices partition the table: union == filtered scan
     "sql_sample_read": """

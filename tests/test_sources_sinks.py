@@ -511,3 +511,43 @@ def test_synthetic_columns_mixup_spec(ray_session):
 
     with pytest.raises(Exception, match="value or random"):
         synthetic_columns([{"type": "long"}], 10, shards=1).take_all()
+
+
+def test_read_tsdb_interval_splits_exact(ray_session, tmp_path):
+    """tsdbreader analogue: per-interval read tasks; a row group spanning
+    two windows is exact-filtered (no loss, no duplication); metric
+    predicate pushed; projection without ts/metric still filters."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from raydatax.sources import read_tsdb
+
+    base = dt.datetime(2024, 3, 1)
+    n = 240  # one row per minute for 4 hours
+    t = pa.table({
+        "ts": pa.array([base + dt.timedelta(minutes=i) for i in range(n)],
+                       pa.timestamp("us")),
+        "metric": pa.array(["cpu", "mem"]).take(
+            pa.array([i % 2 for i in range(n)])),
+        "v": pa.array(range(n), pa.int64()),
+    })
+    p = str(tmp_path / "ts.parquet")
+    pq.write_table(t, p, row_group_size=90)  # groups straddle hour bounds
+
+    ds = read_tsdb(p, "ts", start=base + dt.timedelta(hours=1),
+                   end=base + dt.timedelta(hours=3), interval_s=3600)
+    rows = ds.take_all()
+    assert len(rows) == 120  # exactly hours [1, 3)
+    assert len({r["v"] for r in rows}) == 120  # no duplicates across windows
+
+    only_cpu = read_tsdb(p, "ts", start=base, end=base + dt.timedelta(hours=4),
+                         interval_s=3600, metric_col="metric",
+                         metrics=["cpu"]).take_all()
+    assert len(only_cpu) == 120 and all(r["metric"] == "cpu" for r in only_cpu)
+
+    proj = read_tsdb(p, "ts", start=base + dt.timedelta(hours=2),
+                     end=base + dt.timedelta(hours=3), interval_s=1800,
+                     metric_col="metric", metrics=["mem"],
+                     columns=["v"]).take_all()
+    assert len(proj) == 30 and set(proj[0]) == {"v"}
