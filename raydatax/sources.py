@@ -494,8 +494,12 @@ def synthetic_columns(
                         fmt = c.get("dateFormat", "%Y-%m-%d %H:%M:%S")
                         import datetime as _dt
 
-                        lo = _dt.datetime.strptime(a_s, fmt).timestamp()
-                        hi = _dt.datetime.strptime(b_s, fmt).timestamp()
+                        # epoch deltas, NOT .timestamp() (which interprets
+                        # naive datetimes in the host's local timezone —
+                        # nondeterministic across machines)
+                        epoch = _dt.datetime(1970, 1, 1)
+                        lo = (_dt.datetime.strptime(a_s, fmt) - epoch).total_seconds()
+                        hi = (_dt.datetime.strptime(b_s, fmt) - epoch).total_seconds()
                         us = rng.uniform(lo, hi, size=n) * 1e6
                         arr = pa.array(us.astype(np.int64)).cast(pa.timestamp("us"))
                     else:
@@ -567,10 +571,48 @@ def read_tsdb(
         windows.append((w, min(w + step, hi)))
         w += step
 
-    per_window = [
-        (wlo, whi, plan_key_range(paths, ts_col, wlo, whi)[0])
-        for wlo, whi in windows
-    ]
+    # ONE footer pass per file (not per window): cache each row group's
+    # (min, max) ts stats, then assign row groups to overlapping windows —
+    # a year of hourly windows over many files must not re-read metadata
+    # 8760 times
+    import pyarrow.parquet as _pq
+
+    file_stats: list[tuple[str, list]] = []
+    for p in paths:
+        md = _pq.read_metadata(p)
+        idx = next(
+            (i for i in range(md.num_columns)
+             if md.schema.column(i).path == ts_col),
+            -1,
+        )
+        if idx < 0:
+            raise KeyError(f"{ts_col!r} not a primitive leaf column in {p}")
+        rg_stats = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                rg_stats.append((rg, st.min, st.max))
+            else:
+                rg_stats.append((rg, None, None))  # no stats: never prune
+        file_stats.append((p, rg_stats))
+
+    def _may_overlap(mn, mx, wlo, whi) -> bool:
+        if mn is None:
+            return True
+        try:
+            return not (mx < wlo or mn >= whi)
+        except TypeError:
+            return True  # incomparable stats (e.g. tz-aware): never prune
+
+    per_window = []
+    for wlo, whi in windows:
+        plans = []
+        for p, rg_stats in file_stats:
+            keep = [rg for rg, mn, mx in rg_stats
+                    if _may_overlap(mn, mx, wlo, whi)]
+            if keep:
+                plans.append((p, keep))
+        per_window.append((wlo, whi, plans))
 
     class _TsdbSource(Datasource):
         def get_name(self):
