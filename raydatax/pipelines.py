@@ -814,6 +814,113 @@ def user_sessions(sf_dir: str):
     return sessionize(ds, "user_id", "ts", 30)
 
 
+def asof_latest_purchase(sf_dir: str):
+    """As-of (backward) join — for every click/view, the user's latest
+    purchase at-or-before it (relational.asof_join: union + one hash
+    exchange + sorted vectorized scan; DuckDB mirrors it with ASOF LEFT
+    JOIN).  (user_id, ts) is unique in the testdata, the asof uniqueness
+    contract."""
+    from .relational import asof_join
+
+    left = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "value"],
+        filter=pc.field("event_type").isin(["click", "view"]),
+    )
+    right = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "value"],
+        filter=pc.field("event_type") == "purchase",
+    ).map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"],
+             "purchase_id": t["event_id"], "purchase_value": t["value"]}
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(left, right, key="user_id", ts_col="ts", num_partitions=16)
+    return out.select_columns(["event_id", "user_id", "value", "purchase_id", "purchase_value"])
+
+
+def top_events_per_type(sf_dir: str):
+    """Grouped top-N (row_number() <= n per key): per-batch partial top-n,
+    shuffle ≤ n rows per key per batch, final re-rank per key."""
+    from .relational import grouped_topk
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+    out = grouped_topk(
+        ds, "event_type", [("value", "descending"), ("event_id", "ascending")], n=3
+    )
+    return out.select_columns(["event_type", "rank", "event_id", "value"])
+
+
+def events_hopping(sf_dir: str):
+    """Hopping windows (2 h wide, 1 h hop): vectorized in-map fan-out to the
+    two containing windows, then the pre-aggregated (key, window) groupby."""
+    from .relational import hopping_window
+
+    HOUR_US = 3_600_000_000
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    out = hopping_window(
+        ds, "event_type", "ts", size_us=2 * HOUR_US, hop_us=HOUR_US,
+        aggs=[("value", "count", "n_events"), ("value", "sum", "sum_value")],
+    )
+    return out.map_batches(lambda t: _round(t, {"sum_value": 2}), batch_format="pyarrow")
+
+
+def user_running_totals(sf_dir: str):
+    """Per-key ordered window functions (row_number, lag, running sum) in
+    one hash-partitioned vectorized scan (relational.window_scan).  The
+    running sum runs over integer cents — order-exact in both engines
+    (float running sums are accumulation-order-sensitive)."""
+    from .relational import window_scan
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "value"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64()
+        )
+        return t.append_column("cents", cents)
+
+    out = window_scan(
+        ds.map_batches(add_cents, batch_format="pyarrow"),
+        key="user_id", order_col="event_id",
+        lag_cols=["value"], sum_cols=["cents"], num_partitions=16,
+    )
+    return out.select_columns(
+        ["user_id", "event_id", "value", "rn", "prev_value", "run_cents"]
+    )
+
+
+def revenue_rollup_region(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation): aggregate the raw table once at the
+    finest level, roll coarser levels up from the RESULT (integer-cents sums
+    so every level is order-exact vs SQL)."""
+    import pyarrow.parquet as pq
+
+    from .relational import rollup_aggregate
+
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = pq.read_table(_p(sf_dir, "nation")).rename_columns(["c_nationkey", "n_name", "r_regionkey"])
+    region = pq.read_table(_p(sf_dir, "region")).rename_columns(["r_regionkey", "r_name"])
+    joined = broadcast_join(cust, nation, "c_nationkey")
+    joined = broadcast_join(joined, region, "r_regionkey")
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["c_acctbal"], 100.0), 0.5)), pa.int64()
+        )
+        return t.append_column("cents", cents)
+
+    out = rollup_aggregate(
+        joined.map_batches(add_cents, batch_format="pyarrow"),
+        ["r_name", "n_name"],
+        [("c_custkey", "count", "n_customers"), ("cents", "sum", "acctbal_cents")],
+    )
+    return out.select_columns(["r_name", "n_name", "n_customers", "acctbal_cents"])
+
+
 # --------------------------------------------------------------------- ANN
 
 
@@ -998,6 +1105,11 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "events_hourly": events_hourly,
     "user_sessions": user_sessions,
+    "asof_latest_purchase": asof_latest_purchase,
+    "top_events_per_type": top_events_per_type,
+    "events_hopping": events_hopping,
+    "user_running_totals": user_running_totals,
+    "revenue_rollup_region": revenue_rollup_region,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf": ann_ivf,
     "multimodal_features": multimodal_features,
@@ -1362,6 +1474,51 @@ ORACLE_SQL = {
                         OR (epoch(ts) - epoch(prev)) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                count(ts) AS n_events
         FROM o GROUP BY user_id
+    """,
+    "asof_latest_purchase": """
+        SELECT l.event_id, l.user_id, l.value,
+               r.event_id AS purchase_id, r.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type IN ('click', 'view')) l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "top_events_per_type": """
+        SELECT event_type, rn AS rank, event_id, value FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events) WHERE rn <= 3
+    """,
+    "events_hopping": """
+        SELECT event_type,
+               date_trunc('hour', ts) - to_hours(i.i) AS "window",
+               count(value) AS n_events,
+               floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        FROM events CROSS JOIN (VALUES (0), (1)) AS i(i)
+        GROUP BY 1, 2
+    """,
+    "user_running_totals": """
+        WITH src AS (
+          SELECT user_id, event_id, value,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+        SELECT user_id, event_id, value,
+               row_number() OVER w AS rn,
+               lag(value) OVER w AS prev_value,
+               CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+        FROM src WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    "revenue_rollup_region": """
+        WITH src AS (
+          SELECT r.r_name, n.n_name, c.c_custkey,
+                 CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey)
+        SELECT r_name, n_name, count(c_custkey) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS acctbal_cents
+        FROM src GROUP BY ROLLUP(r_name, n_name)
     """,
     "ann_cosine_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe

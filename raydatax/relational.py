@@ -492,6 +492,293 @@ def tumbling_window(
     )
 
 
+def _hash_partition_col(batch: pa.Table, keys: list[str], num_partitions: int) -> pa.Table:
+    """Append ``__part = hash(keys) % num_partitions`` (same discipline as
+    the CDC exchange: ONE hash partitioning reused by every per-key scan)."""
+    from pandas.util import hash_array
+
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for kcol in keys:
+        arr = batch[kcol].to_numpy(zero_copy_only=False)
+        h ^= hash_array(arr.astype(object, copy=False), categorize=False)
+    return batch.append_column("__part", pa.array((h % num_partitions).astype(np.int32)))
+
+
+def _segment_starts(s: pa.Table, keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """For a table SORTED by ``keys``: per-row start index of its key segment
+    and the new-segment mask — the shared vectorized-scan primitive (no
+    Python loop over rows; adjacent-inequality + ``maximum.accumulate``)."""
+    n = s.num_rows
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, bool)
+    newkey = np.zeros(n, dtype=bool)
+    newkey[0] = True
+    for kcol in keys:
+        a = s.column(kcol).combine_chunks()
+        if isinstance(a, pa.ChunkedArray):
+            a = a.chunk(0) if a.num_chunks else pa.array([])
+        if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+            # equality of dictionary indices == equality of values (one
+            # dictionary: the array was combined into a single chunk above)
+            a = pc.dictionary_encode(a).indices
+        v = a.to_numpy(zero_copy_only=False)
+        newkey[1:] |= v[1:] != v[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    seg_start = np.maximum.accumulate(np.where(newkey, idx, -1))
+    return seg_start, newkey
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """As-of (backward) join: for every left row, attach the columns of the
+    LATEST right row with ``right.ts <= left.ts`` for the same key
+    (unmatched left rows keep the right columns NULL — ASOF LEFT JOIN).
+
+    Ray Data has no asof join; this is the composition the task brief calls
+    for: pad both sides to one schema, tag, union, hash-partition on the key
+    (each key lands wholly in one partition), then ONE sorted vectorized
+    scan per partition — sort by (key, ts, side) with right rows first at
+    ts ties (inclusive match), forward-carry the last right index with
+    ``maximum.accumulate`` and invalidate carries that cross a key segment.
+    Shuffle cost = one hash exchange; no per-row Python.
+
+    Right must be unique per (key, ts) for deterministic output (same
+    contract DuckDB's ASOF JOIN assumes); non-key/ts column names must not
+    collide between the sides."""
+    l_names, l_types = left.schema().names, left.schema().types
+    r_names, r_types = right.schema().names, right.schema().types
+    l_other = [(c, t) for c, t in zip(l_names, l_types) if c not in (key, ts_col)]
+    r_other = [(c, t) for c, t in zip(r_names, r_types) if c not in (key, ts_col)]
+    clash = {c for c, _ in l_other} & {c for c, _ in r_other}
+    if clash:
+        raise ValueError(f"asof_join: column collision {sorted(clash)}")
+    ordered = [key, ts_col] + [c for c, _ in l_other] + [c for c, _ in r_other] + ["__side"]
+
+    def pad(side_tag: int, other_fields):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {c: t[c] for c in t.column_names}
+            for name, typ in other_fields:
+                cols[name] = pa.nulls(n, typ)
+            cols["__side"] = pa.array(np.full(n, side_tag, np.int8))
+            return pa.table({c: cols[c] for c in ordered})
+
+        return f
+
+    unioned = right.map_batches(pad(0, l_other), batch_format="pyarrow").union(
+        left.map_batches(pad(1, r_other), batch_format="pyarrow")
+    )
+    parted = unioned.map_batches(
+        lambda t: _hash_partition_col(t, [key], num_partitions), batch_format="pyarrow"
+    )
+
+    r_value_names = [c for c, _ in r_other]
+
+    def merge(group: pa.Table) -> pa.Table:
+        s = group.drop_columns(["__part"]).sort_by(
+            [(key, "ascending"), (ts_col, "ascending"), ("__side", "ascending")]
+        )
+        n = s.num_rows
+        if n == 0:
+            return s.drop_columns(["__side"])
+        side = s["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        seg_start, _ = _segment_starts(s, [key])
+        idx = np.arange(n, dtype=np.int64)
+        last_right = np.maximum.accumulate(np.where(side == 0, idx, -1))
+        valid = last_right >= seg_start
+        left_mask = side == 1
+        match = np.where(valid, last_right, 0)[left_mask]
+        has_match = pa.array(valid[left_mask])
+        out = s.filter(pa.array(left_mask))
+        take_idx = pa.array(match)
+        for c in r_value_names:
+            src = s.column(c).combine_chunks()
+            taken = src.take(take_idx)
+            out = out.set_column(
+                out.schema.get_field_index(c), c,
+                pc.if_else(has_match, taken, pa.nulls(len(match), src.type)),
+            )
+        return out.drop_columns(["__side"])
+
+    return parted.groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+def grouped_topk(
+    ds: "ray.data.Dataset",
+    key: str,
+    sort_keys: list[tuple[str, str]],
+    n: int,
+) -> "ray.data.Dataset":
+    """Top-``n`` rows PER KEY (``row_number() OVER (PARTITION BY key ORDER
+    BY ...) <= n``), with a 1-based ``rank`` column.
+
+    Two-stage like global :func:`topk`: every batch first keeps at most
+    ``n`` rows per key it contains (in-batch sort + segment-rank mask — the
+    shuffle then moves ≤ n rows per key per batch, never the raw stream),
+    then one groupby per key re-ranks the survivors.  ``sort_keys`` should
+    end with a unique tiebreaker for deterministic output."""
+    order = [(key, "ascending")] + list(sort_keys)
+
+    def keep_topn(t: pa.Table, with_rank: bool) -> pa.Table:
+        s = t.sort_by(order)
+        seg_start, _ = _segment_starts(s, [key])
+        rank = np.arange(s.num_rows, dtype=np.int64) - seg_start
+        keep = rank < n
+        out = s.filter(pa.array(keep))
+        if with_rank:
+            out = out.append_column("rank", pa.array(rank[keep] + 1))
+        return out
+
+    partial = ds.map_batches(
+        lambda t: keep_topn(t, with_rank=False), batch_format="pyarrow"
+    )
+    return partial.groupby(key).map_groups(
+        lambda g: keep_topn(g, with_rank=True), batch_format="pyarrow"
+    )
+
+
+def hopping_window(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    size_us: int,
+    hop_us: int,
+    aggs: list[tuple[str, str, str]],
+) -> "ray.data.Dataset":
+    """Hopping (sliding) event-time windows: width ``size_us``, advancing by
+    ``hop_us`` (``size_us`` must be a multiple).  Each row is expanded to
+    the ``size/hop`` windows containing it with one vectorized
+    ``np.repeat``/``take`` per batch — the fan-out happens inside the map
+    stage, and the only shuffle is the pre-aggregated (key, window) groupby
+    of partials (same discipline as :func:`tumbling_window`)."""
+    if size_us % hop_us:
+        raise ValueError("hopping_window: size must be a multiple of hop")
+    k = size_us // hop_us
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("window", pa.nulls(0, pa.timestamp("us")))
+        ts_type = t[ts_col].type
+        ts = t[ts_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        w0 = (ts // hop_us) * hop_us
+        rep = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), k)))
+        wins = np.repeat(w0, k) - np.tile(np.arange(k, dtype=np.int64) * hop_us, n)
+        return rep.append_column("window", pc.cast(pa.array(wins), ts_type))
+
+    return preagg_groupby(
+        ds.map_batches(expand, batch_format="pyarrow"), [key, "window"], aggs
+    )
+
+
+def window_scan(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_col: str,
+    lag_cols: list[str] | None = None,
+    sum_cols: list[str] | None = None,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key ordered window functions in one vectorized scan:
+    ``rn`` (row_number), ``prev_<c>`` (lag 1) for ``lag_cols`` and
+    ``run_<c>`` (running sum, UNBOUNDED PRECEDING .. CURRENT ROW) for
+    ``sum_cols`` — PARTITION BY key ORDER BY order_col.
+
+    Hash-partition on the key (a key never splits), then per partition:
+    one sort + segment-start arithmetic; lag is a shifted ``take`` masked
+    at segment starts, the running sum is a global ``cumsum`` rebased at
+    each segment start.  For exact cross-engine (SQL) parity pass INTEGER
+    ``sum_cols`` — the rebase subtraction is order-exact only for ints;
+    floats carry the usual accumulation-order caveat."""
+    lag_cols = lag_cols or []
+    sum_cols = sum_cols or []
+    parted = ds.map_batches(
+        lambda t: _hash_partition_col(t, [key], num_partitions), batch_format="pyarrow"
+    )
+
+    def scan(group: pa.Table) -> pa.Table:
+        s = group.drop_columns(["__part"]).sort_by(
+            [(key, "ascending"), (order_col, "ascending")]
+        )
+        n = s.num_rows
+        if n == 0:
+            out = s.append_column("rn", pa.nulls(0, pa.int64()))
+            for c in lag_cols:
+                out = out.append_column(f"prev_{c}", pa.nulls(0, s.schema.field(c).type))
+            for c in sum_cols:
+                out = out.append_column(f"run_{c}", pa.nulls(0, s.schema.field(c).type))
+            return out
+        seg_start, newkey = _segment_starts(s, [key])
+        idx = np.arange(n, dtype=np.int64)
+        out = s.append_column("rn", pa.array(idx - seg_start + 1))
+        not_first = pa.array(~newkey)
+        for c in lag_cols:
+            src = s.column(c).combine_chunks()
+            shifted = src.take(pa.array(np.maximum(idx - 1, 0)))
+            out = out.append_column(
+                f"prev_{c}", pc.if_else(not_first, shifted, pa.nulls(n, src.type))
+            )
+        for c in sum_cols:
+            v = s.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+            cs = np.cumsum(v)
+            base = cs[seg_start] - v[seg_start]
+            out = out.append_column(f"run_{c}", pa.array(cs - base, s.schema.field(c).type))
+        return out
+
+    return parted.groupby("__part").map_groups(scan, batch_format="pyarrow")
+
+
+def rollup_aggregate(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+) -> "ray.data.Dataset":
+    """``GROUP BY ROLLUP(keys...)``: the finest grouping plus every prefix
+    level up to the grand total, rolled columns emitted as NULL.
+
+    The raw data is aggregated ONCE (pre-aggregated groupby at the finest
+    level); every coarser level re-aggregates the finest RESULT — at scale
+    the rollup costs one shuffle of partials plus trivially-small re-aggs
+    of the aggregate itself (sum/count roll up as sums, min/max as
+    min/max; use integer sum columns for order-exact SQL parity)."""
+    finest = preagg_groupby(ds, keys, aggs).materialize()
+    out_specs = [(out, "sum" if fn in ("sum", "count") else fn, out) for _, fn, out in aggs]
+    out_names = [out for _, _, out in aggs]
+    key_types = {
+        c: t for c, t in zip(finest.schema().names, finest.schema().types) if c in keys
+    }
+
+    def pad_nulls(dropped: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            for c in dropped:
+                t = t.append_column(c, pa.nulls(t.num_rows, key_types[c]))
+            return t.select(keys + out_names)
+
+        return f
+
+    levels = [finest.map_batches(pad_nulls([]), batch_format="pyarrow")]
+    for k in range(len(keys) - 1, -1, -1):
+        prefix, dropped = keys[:k], keys[k:]
+        if prefix:
+            lvl = preagg_groupby(finest, prefix, out_specs)
+        else:
+            withc = finest.map_batches(
+                lambda t: t.append_column("__all", pa.array(np.zeros(t.num_rows, np.int8))),
+                batch_format="pyarrow",
+            )
+            lvl = preagg_groupby(withc, ["__all"], out_specs).drop_columns(["__all"])
+        levels.append(lvl.map_batches(pad_nulls(dropped), batch_format="pyarrow"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     key: str,

@@ -1,0 +1,165 @@
+"""Edge cases for the round-2 relational additions: as-of join, grouped
+top-N, hopping windows, per-key window scan, rollup aggregates.
+
+The happy paths are oracled end-to-end (tools/check_oracle.py queries
+asof_latest_purchase / top_events_per_type / events_hopping /
+user_running_totals / revenue_rollup_region); these tests pin the
+boundary semantics DuckDB's hash gate can't isolate: ts-tie inclusivity,
+unmatched-left NULLs, sub-n groups, window-boundary membership, per-key
+lag/running-sum resets, NULL level markers."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from raydatax.relational import (
+    asof_join,
+    grouped_topk,
+    hopping_window,
+    rollup_aggregate,
+    window_scan,
+)
+
+US = 1_000_000
+HOUR_US = 3_600 * US
+
+
+def _ts(sec_list):
+    return pa.array(np.array(sec_list, np.int64) * US).cast(pa.timestamp("us"))
+
+
+def _sorted_rows(ds, cols):
+    t = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    return sorted(tuple(r) for r in t[cols].itertuples(index=False, name=None))
+
+
+def test_asof_join_tie_inclusive_and_unmatched():
+    left = rd.from_arrow(pa.table({
+        "k": ["a", "a", "a", "b"],
+        "ts": _ts([5, 10, 20, 5]),
+        "lid": [1, 2, 3, 4],
+    }))
+    # right: a@10 ties left a@10 (inclusive match), a@15 matches a@20;
+    # key b has NO right rows at all -> NULL
+    right = rd.from_arrow(pa.table({
+        "k": ["a", "a"],
+        "ts": _ts([10, 15]),
+        "rid": [100, 150],
+    }))
+    out = asof_join(left, right, key="k", ts_col="ts", num_partitions=4).to_pandas()
+    by_lid = {int(r.lid): r.rid for r in out.itertuples()}
+    assert len(out) == 4  # every left row survives (ASOF LEFT)
+    assert np.isnan(by_lid[1])        # a@5: nothing at-or-before
+    assert by_lid[2] == 100           # a@10: ts tie is inclusive
+    assert by_lid[3] == 150           # a@20: latest, not first
+    assert np.isnan(by_lid[4])        # key with empty right side
+
+
+def test_asof_join_never_crosses_keys():
+    # right row for key a must not leak into key b even when b's left ts is later
+    left = rd.from_arrow(pa.table({"k": ["b"], "ts": _ts([100]), "lid": [1]}))
+    right = rd.from_arrow(pa.table({"k": ["a"], "ts": _ts([50]), "rid": [9]}))
+    out = asof_join(left, right, key="k", ts_col="ts", num_partitions=2).to_pandas()
+    assert len(out) == 1 and np.isnan(out["rid"][0])
+
+
+def test_asof_join_column_collision_raises():
+    left = rd.from_arrow(pa.table({"k": ["a"], "ts": _ts([1]), "v": [1]}))
+    right = rd.from_arrow(pa.table({"k": ["a"], "ts": _ts([1]), "v": [2]}))
+    try:
+        asof_join(left, right, key="k", ts_col="ts")
+        assert False, "collision must raise"
+    except ValueError as e:
+        assert "collision" in str(e)
+
+
+def test_grouped_topk_sub_n_groups_and_ties():
+    ds = rd.from_arrow(pa.table({
+        "g": ["x", "x", "x", "x", "y"],
+        "v": [5.0, 9.0, 9.0, 1.0, 3.0],
+        "id": [1, 2, 3, 4, 5],
+    }))
+    out = grouped_topk(ds, "g", [("v", "descending"), ("id", "ascending")], n=2).to_pandas()
+    rows = _sorted_rows(out, ["g", "rank", "id"])
+    # tie at v=9 broken by id asc; y has only one row (rank 1, no padding)
+    assert rows == [("x", 1, 2), ("x", 2, 3), ("y", 1, 5)]
+
+
+def test_grouped_topk_partial_stage_prunes():
+    # 1 key, 100 rows in one block: the shuffle input must carry <= n rows
+    ds = rd.from_arrow(pa.table({
+        "g": ["k"] * 100, "v": list(range(100)), "id": list(range(100))
+    }))
+    out = grouped_topk(ds, "g", [("v", "descending"), ("id", "ascending")], n=3).to_pandas()
+    assert list(out.sort_values("rank")["v"]) == [99, 98, 97]
+
+
+def test_hopping_window_membership_on_boundary():
+    # size 2h hop 1h: an event exactly ON a window start belongs to that
+    # window and the previous one; each event appears in exactly size/hop
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a"],
+        "ts": _ts([3600, 3600 + 1800]),  # 01:00:00 and 01:30:00
+        "v": [1.0, 2.0],
+    }))
+    out = hopping_window(ds, "k", "ts", 2 * HOUR_US, HOUR_US,
+                         [("v", "count", "n"), ("v", "sum", "s")]).to_pandas()
+    got = {(w.hour, int(r.n), float(r.s)) for r, w in zip(out.itertuples(), out["window"])}
+    # window 00:00 covers [00:00,02:00): both events; window 01:00 covers both too
+    assert (0, 2, 3.0) in got and (1, 2, 3.0) in got
+    assert len(out) == 2
+
+
+def test_hopping_window_size_must_divide():
+    ds = rd.from_arrow(pa.table({"k": ["a"], "ts": _ts([0]), "v": [1.0]}))
+    try:
+        hopping_window(ds, "k", "ts", 3 * HOUR_US, 2 * HOUR_US, [("v", "count", "n")])
+        assert False
+    except ValueError as e:
+        assert "multiple" in str(e)
+
+
+def test_window_scan_per_key_resets():
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a", "a", "b"],
+        "o": [10, 20, 30, 5],
+        "v": [1, 2, 3, 7],
+    }))
+    out = window_scan(ds, "k", "o", lag_cols=["v"], sum_cols=["v"],
+                      num_partitions=4).to_pandas()
+    out = out.sort_values(["k", "o"]).reset_index(drop=True)
+    assert list(out["rn"]) == [1, 2, 3, 1]
+    assert list(out["run_v"]) == [1, 3, 6, 7]          # resets at key b
+    prev = out["prev_v"]
+    assert np.isnan(prev[0]) and list(prev[1:3]) == [1, 2] and np.isnan(prev[3])
+
+
+def test_window_scan_key_in_one_partition_despite_many_blocks():
+    # one key spread over many input blocks still yields one dense ordered scan
+    n = 500
+    ds = rd.from_arrow(pa.table({
+        "k": ["k"] * n, "o": list(range(n)), "v": [1] * n
+    })).repartition(8)
+    out = window_scan(ds, "k", "o", sum_cols=["v"], num_partitions=4).to_pandas()
+    out = out.sort_values("o")
+    assert list(out["rn"]) == list(range(1, n + 1))
+    assert list(out["run_v"]) == list(range(1, n + 1))
+
+
+def test_rollup_levels_and_null_markers():
+    ds = rd.from_arrow(pa.table({
+        "a": ["r1", "r1", "r2"],
+        "b": ["n1", "n2", "n3"],
+        "v": [1, 2, 4],
+    }))
+    out = rollup_aggregate(ds, ["a", "b"],
+                           [("v", "sum", "s"), ("v", "count", "c"),
+                            ("v", "max", "mx")]).to_pandas()
+    rows = {(r.a if isinstance(r.a, str) else None,
+             r.b if isinstance(r.b, str) else None): (int(r.s), int(r.c), int(r.mx))
+            for r in out.itertuples()}
+    assert rows[("r1", "n1")] == (1, 1, 1)
+    assert rows[("r1", None)] == (3, 2, 2)     # count rolls up as SUM of counts
+    assert rows[("r2", None)] == (4, 1, 4)
+    assert rows[(None, None)] == (7, 3, 4)     # grand total; max of maxes
+    assert len(rows) == 3 + 2 + 1
