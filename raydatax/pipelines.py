@@ -842,6 +842,49 @@ def asof_latest_purchase(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "value", "purchase_id", "purchase_value"])
 
 
+def purchase_attribution(sf_dir: str):
+    """Range (interval) join — every click/view attributed to each purchase
+    whose 2-hour attribution window ``[ts, ts + 2h]`` contains it, for the
+    same user (relational.range_join: union + one hash exchange + per-
+    partition probe-counting scan), then a pre-aggregated rollup per
+    purchase.  Integer-cents sums for order-exact SQL parity."""
+    from .relational import preagg_groupby, range_join
+
+    TWO_H_US = 2 * 3_600_000_000
+    left = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "value"],
+        filter=pc.field("event_type").isin(["click", "view"]),
+    ).map_batches(
+        lambda t: t.append_column(
+            "cents",
+            pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64()),
+        ).drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+    right = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id"],
+        filter=pc.field("event_type") == "purchase",
+    ).map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "lo": t["ts"],
+            "hi": pc.add(t["ts"].cast(pa.int64()), TWO_H_US).cast(t["ts"].type),
+            "purchase_id": t["event_id"],
+        }),
+        batch_format="pyarrow",
+    )
+    pairs = range_join(
+        left, right, key="user_id", ts_col="ts", lo_col="lo", hi_col="hi",
+        num_partitions=16,
+    )
+    return preagg_groupby(
+        pairs, ["purchase_id"],
+        [("event_id", "count", "n_attributed"), ("cents", "sum", "value_cents")],
+    )
+
+
 def top_events_per_type(sf_dir: str):
     """Grouped top-N (row_number() <= n per key): per-batch partial top-n,
     shuffle ≤ n rows per key per batch, final re-rank per key."""
@@ -1106,6 +1149,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "user_sessions": user_sessions,
     "asof_latest_purchase": asof_latest_purchase,
+    "purchase_attribution": purchase_attribution,
     "top_events_per_type": top_events_per_type,
     "events_hopping": events_hopping,
     "user_running_totals": user_running_totals,
@@ -1481,6 +1525,22 @@ ORACLE_SQL = {
         FROM (SELECT * FROM events WHERE event_type IN ('click', 'view')) l
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
           ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "purchase_attribution": """
+        WITH l AS (
+          SELECT event_id, ts, user_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events WHERE event_type IN ('click', 'view')),
+        r AS (
+          SELECT event_id AS purchase_id, user_id, ts
+          FROM events WHERE event_type = 'purchase')
+        SELECT r.purchase_id,
+               count(l.event_id) AS n_attributed,
+               CAST(sum(l.cents) AS BIGINT) AS value_cents
+        FROM r JOIN l
+          ON l.user_id = r.user_id
+         AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 2 HOUR
+        GROUP BY r.purchase_id
     """,
     "top_events_per_type": """
         SELECT event_type, rn AS rank, event_id, value FROM (

@@ -608,6 +608,131 @@ def asof_join(
     return parted.groupby("__part").map_groups(merge, batch_format="pyarrow")
 
 
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Range (interval) join: every left row paired with every right
+    interval ``[lo, hi]`` (inclusive) of the same key that contains
+    ``left.ts`` — INNER join emitting left columns + right's value columns.
+
+    Ray Data has no range join; same composition as :func:`asof_join`: pad
+    both sides to one schema, tag, union, hash-partition on the key, then a
+    per-partition vectorized probe scan.  Within a partition, two probe
+    rows per left row (at ``ts - L`` and ``ts``, where L is the partition's
+    longest interval) are sorted together with the right rows by
+    ``(key, t, tag)``; a cumulative count of right rows at each probe gives
+    the exact candidate rank range, fanned out with ``repeat`` + cumsum
+    offsets and filtered by the ``hi`` bound.  No composite sort keys (no
+    overflow risk), no per-row Python.
+
+    Partitioning assumption this relies on: output fan-out per left row is
+    bounded by the number of intervals within L of it — keep interval
+    length bounded (e.g. capped attribution/session windows) or the join
+    explodes regardless of engine.  ``lo``/``hi``/``ts`` must share one
+    orderable type (timestamps or ints); non-key column names must not
+    collide between the sides."""
+    l_names, l_types = left.schema().names, left.schema().types
+    r_names, r_types = right.schema().names, right.schema().types
+    l_other = [(c, t) for c, t in zip(l_names, l_types) if c != key]
+    r_other = [(c, t) for c, t in zip(r_names, r_types) if c not in (key, lo_col, hi_col)]
+    clash = {c for c, _ in l_other} & ({c for c, _ in r_other} | {lo_col, hi_col})
+    if clash:
+        raise ValueError(f"range_join: column collision {sorted(clash)}")
+    r_value_names = [c for c, _ in r_other]
+    out_names = [key] + [c for c, _ in l_other] + r_value_names
+    ordered = [key, lo_col, hi_col] + [c for c, _ in l_other] + r_value_names + ["__side"]
+
+    def pad(side_tag: int, other_fields):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {c: t[c] for c in t.column_names}
+            for name, typ in other_fields:
+                cols[name] = pa.nulls(n, typ)
+            cols["__side"] = pa.array(np.full(n, side_tag, np.int8))
+            return pa.table({c: cols[c] for c in ordered})
+
+        return f
+
+    lo_type = right.schema().types[r_names.index(lo_col)]
+    hi_type = right.schema().types[r_names.index(hi_col)]
+    unioned = right.map_batches(pad(0, l_other), batch_format="pyarrow").union(
+        left.map_batches(pad(1, r_other + [(lo_col, lo_type), (hi_col, hi_type)]),
+                         batch_format="pyarrow")
+    )
+    parted = unioned.map_batches(
+        lambda t: _hash_partition_col(t, [key], num_partitions), batch_format="pyarrow"
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__part"])
+        side = g["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 1))
+        rt = g.filter(pa.array(side == 0))
+        empty = pa.table(
+            {c: pa.chunked_array([], g.schema.field(c).type) for c in out_names}
+        )
+        nl, nr = lt.num_rows, rt.num_rows
+        if nl == 0 or nr == 0:
+            return empty
+        as_i64 = lambda col: col.cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        ts_l = as_i64(lt[ts_col])
+        lo_r, hi_r = as_i64(rt[lo_col]), as_i64(rt[hi_col])
+        span = int(max(0, (hi_r - lo_r).max()))
+        # probe union: tag 0 = window start (counts right rows with lo < ts-L),
+        # tag 1 = right row, tag 2 = window end (counts lo <= ts) — tie order
+        # start < right < end makes both bounds inclusive-correct.
+        u = pa.table({
+            key: pa.concat_arrays(
+                [lt[key].combine_chunks(), lt[key].combine_chunks(),
+                 rt[key].combine_chunks()]
+            ),
+            "__t": pa.array(np.concatenate([ts_l - span, ts_l, lo_r])),
+            "__tag": pa.array(np.concatenate(
+                [np.zeros(nl, np.int8), np.full(nl, 2, np.int8), np.ones(nr, np.int8)]
+            )),
+            "__idx": pa.array(np.concatenate(
+                [np.arange(nl, dtype=np.int64), np.arange(nl, dtype=np.int64),
+                 np.arange(nr, dtype=np.int64)]
+            )),
+        }).sort_by([(key, "ascending"), ("__t", "ascending"), ("__tag", "ascending")])
+        tag_u = u["__tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx_u = u["__idx"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_right = tag_u == 1
+        cnt_before = np.cumsum(is_right) - is_right  # right rows strictly before
+        start_count = np.empty(nl, np.int64)
+        end_count = np.empty(nl, np.int64)
+        start_count[idx_u[tag_u == 0]] = cnt_before[tag_u == 0]
+        end_count[idx_u[tag_u == 2]] = cnt_before[tag_u == 2]
+        right_rank_to_orig = idx_u[is_right]  # rank in (key, lo) order → rt row
+        n = end_count - start_count
+        total = int(n.sum())
+        if total == 0:
+            return empty
+        li = np.repeat(np.arange(nl, dtype=np.int64), n)
+        offs = np.cumsum(n) - n
+        ri = right_rank_to_orig[
+            np.arange(total, dtype=np.int64) - np.repeat(offs, n)
+            + np.repeat(start_count, n)
+        ]
+        keep = hi_r[ri] >= ts_l[li]
+        li, ri = li[keep], ri[keep]
+        out = lt.take(pa.array(li)).select([key, ts_col] + [c for c, _ in l_other if c != ts_col])
+        rsel = rt.take(pa.array(ri))
+        for c in r_value_names:
+            out = out.append_column(c, rsel[c])
+        return out.select(out_names)
+
+    return parted.groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
 def grouped_topk(
     ds: "ray.data.Dataset",
     key: str,

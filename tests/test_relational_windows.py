@@ -16,6 +16,7 @@ from raydatax.relational import (
     asof_join,
     grouped_topk,
     hopping_window,
+    range_join,
     rollup_aggregate,
     window_scan,
 )
@@ -144,6 +145,66 @@ def test_window_scan_key_in_one_partition_despite_many_blocks():
     out = out.sort_values("o")
     assert list(out["rn"]) == list(range(1, n + 1))
     assert list(out["run_v"]) == list(range(1, n + 1))
+
+
+def test_range_join_inclusive_bounds_overlaps_and_keys():
+    # intervals overlap arbitrarily; bounds inclusive BOTH ends; no key leak
+    left = rd.from_arrow(pa.table({
+        "k": ["u", "u", "u", "u", "w"],
+        "ts": _ts([5, 10, 20, 30, 10]),
+        "lid": [1, 2, 3, 4, 5],
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": ["u", "u", "u"],
+        "lo": _ts([5, 8, 25]),
+        "hi": _ts([10, 20, 30]),
+        "rid": [100, 200, 300],
+    }))
+    out = range_join(left, right, key="k", ts_col="ts",
+                     lo_col="lo", hi_col="hi", num_partitions=4).to_pandas()
+    pairs = _sorted_rows(out, ["lid", "rid"])
+    # lid1@5: in [5,10] (lo tie inclusive); lid2@10: in [5,10] (hi tie) AND [8,20]
+    # lid3@20: [8,20] only; lid4@30: [25,30]; lid5 key w: inner join -> dropped
+    assert pairs == [(1, 100), (2, 100), (2, 200), (3, 200), (4, 300)]
+
+
+def test_range_join_short_interval_among_long_ones():
+    # the probe window is sized by the LONGEST interval in the partition;
+    # a short interval between long ones must still match exactly
+    left = rd.from_arrow(pa.table({
+        "k": ["u", "u"], "ts": _ts([100, 51]), "lid": [1, 2]
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": ["u", "u"],
+        "lo": _ts([0, 99]),
+        "hi": _ts([50, 101]),   # long [0,50], short [99,101]
+        "rid": [10, 20],
+    }))
+    out = range_join(left, right, key="k", ts_col="ts",
+                     lo_col="lo", hi_col="hi", num_partitions=2).to_pandas()
+    # lid1@100 matches only the short one; lid2@51 matches nothing
+    assert _sorted_rows(out, ["lid", "rid"]) == [(1, 20)]
+
+
+def test_range_join_empty_sides_and_collision():
+    left = rd.from_arrow(pa.table({"k": ["u"], "ts": _ts([1]), "lid": [1]}))
+    right_empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.string()),
+        "lo": pa.chunked_array([], pa.timestamp("us")),
+        "hi": pa.chunked_array([], pa.timestamp("us")),
+        "rid": pa.array([], pa.int64()),
+    }))
+    out = range_join(left, right_empty, key="k", ts_col="ts",
+                     lo_col="lo", hi_col="hi", num_partitions=2)
+    assert out.count() == 0
+    bad = rd.from_arrow(pa.table({
+        "k": ["u"], "lo": _ts([0]), "hi": _ts([2]), "lid": [9]
+    }))
+    try:
+        range_join(left, bad, key="k", ts_col="ts", lo_col="lo", hi_col="hi")
+        assert False, "collision must raise"
+    except ValueError as e:
+        assert "collision" in str(e)
 
 
 def test_rollup_levels_and_null_markers():
