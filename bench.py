@@ -151,6 +151,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "dedup_minhash",
         "ann_cosine_topk",
         "events_hourly",
+        "user_running_totals",
+        "asof_latest_purchase",
     ]
     for name in secondary:
         t0 = time.monotonic()
