@@ -52,6 +52,14 @@ def _round(batch: pa.Table, cols: dict[str, int]) -> pa.Table:
     return batch
 
 
+def _cents(col) -> pa.Array:
+    """Exact integer cents: floor(x*100 + 0.5) as int64 — same scale-floor
+    convention as :func:`_round`; the SQL side is the literally identical
+    `CAST(floor(value * 100 + 0.5) AS BIGINT)` (integer sums are
+    accumulation-order-exact where float sums are not)."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
 # --------------------------------------------------------------- CDC family
 
 
@@ -577,13 +585,12 @@ def cast_roundtrip(sf_dir: str):
         # arrow %S always appends the fractional part for sub-second types →
         # format then slice to seconds precision (matches DuckDB strftime)
         full = pc.strftime(t["ts"], format="%Y-%m-%d %H:%M:%S")
-        cents = pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(100.0)), 0.5))
         return pa.table(
             {
                 "event_id": t["event_id"],
                 "ts_str": pc.utf8_slice_codeunits(full, 0, 19),
                 "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
-                "value_cents": pc.cast(cents, pa.int64()),
+                "value_cents": _cents(t["value"]),
             }
         )
 
@@ -856,10 +863,7 @@ def purchase_attribution(sf_dir: str):
         columns=["event_id", "ts", "user_id", "value"],
         filter=pc.field("event_type").isin(["click", "view"]),
     ).map_batches(
-        lambda t: t.append_column(
-            "cents",
-            pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64()),
-        ).drop_columns(["value"]),
+        lambda t: t.append_column("cents", _cents(t["value"])).drop_columns(["value"]),
         batch_format="pyarrow",
     )
     right = rd.read_parquet(
@@ -921,10 +925,7 @@ def user_running_totals(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "value"])
 
     def add_cents(t: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64()
-        )
-        return t.append_column("cents", cents)
+        return t.append_column("cents", _cents(t["value"]))
 
     out = window_scan(
         ds.map_batches(add_cents, batch_format="pyarrow"),
@@ -951,10 +952,7 @@ def revenue_rollup_region(sf_dir: str):
     joined = broadcast_join(joined, region, "r_regionkey")
 
     def add_cents(t: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.floor(pc.add(pc.multiply(t["c_acctbal"], 100.0), 0.5)), pa.int64()
-        )
-        return t.append_column("cents", cents)
+        return t.append_column("cents", _cents(t["c_acctbal"]))
 
     out = rollup_aggregate(
         joined.map_batches(add_cents, batch_format="pyarrow"),

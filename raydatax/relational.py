@@ -528,6 +528,22 @@ def _segment_starts(s: pa.Table, keys: list[str]) -> tuple[np.ndarray, np.ndarra
     return seg_start, newkey
 
 
+def _pad_to(ordered: list[str], side_tag: int, other_fields):
+    """Batch fn that pads a side to the unified join schema: missing
+    columns as typed nulls, ``__side`` tag appended, columns reordered to
+    ``ordered`` (shared by :func:`asof_join` and :func:`range_join`)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {c: t[c] for c in t.column_names}
+        for name, typ in other_fields:
+            cols[name] = pa.nulls(n, typ)
+        cols["__side"] = pa.array(np.full(n, side_tag, np.int8))
+        return pa.table({c: cols[c] for c in ordered})
+
+    return f
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -559,19 +575,8 @@ def asof_join(
         raise ValueError(f"asof_join: column collision {sorted(clash)}")
     ordered = [key, ts_col] + [c for c, _ in l_other] + [c for c, _ in r_other] + ["__side"]
 
-    def pad(side_tag: int, other_fields):
-        def f(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            cols = {c: t[c] for c in t.column_names}
-            for name, typ in other_fields:
-                cols[name] = pa.nulls(n, typ)
-            cols["__side"] = pa.array(np.full(n, side_tag, np.int8))
-            return pa.table({c: cols[c] for c in ordered})
-
-        return f
-
-    unioned = right.map_batches(pad(0, l_other), batch_format="pyarrow").union(
-        left.map_batches(pad(1, r_other), batch_format="pyarrow")
+    unioned = right.map_batches(_pad_to(ordered, 0, l_other), batch_format="pyarrow").union(
+        left.map_batches(_pad_to(ordered, 1, r_other), batch_format="pyarrow")
     )
     parted = unioned.map_batches(
         lambda t: _hash_partition_col(t, [key], num_partitions), batch_format="pyarrow"
@@ -648,22 +653,13 @@ def range_join(
     out_names = [key] + [c for c, _ in l_other] + r_value_names
     ordered = [key, lo_col, hi_col] + [c for c, _ in l_other] + r_value_names + ["__side"]
 
-    def pad(side_tag: int, other_fields):
-        def f(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            cols = {c: t[c] for c in t.column_names}
-            for name, typ in other_fields:
-                cols[name] = pa.nulls(n, typ)
-            cols["__side"] = pa.array(np.full(n, side_tag, np.int8))
-            return pa.table({c: cols[c] for c in ordered})
-
-        return f
-
     lo_type = right.schema().types[r_names.index(lo_col)]
     hi_type = right.schema().types[r_names.index(hi_col)]
-    unioned = right.map_batches(pad(0, l_other), batch_format="pyarrow").union(
-        left.map_batches(pad(1, r_other + [(lo_col, lo_type), (hi_col, hi_type)]),
-                         batch_format="pyarrow")
+    unioned = right.map_batches(_pad_to(ordered, 0, l_other), batch_format="pyarrow").union(
+        left.map_batches(
+            _pad_to(ordered, 1, r_other + [(lo_col, lo_type), (hi_col, hi_type)]),
+            batch_format="pyarrow",
+        )
     )
     parted = unioned.map_batches(
         lambda t: _hash_partition_col(t, [key], num_partitions), batch_format="pyarrow"
@@ -788,7 +784,7 @@ def hopping_window(
     def expand(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
-            return t.append_column("window", pa.nulls(0, pa.timestamp("us")))
+            return t.append_column("window", pa.nulls(0, t[ts_col].type))
         ts_type = t[ts_col].type
         ts = t[ts_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
         w0 = (ts // hop_us) * hop_us

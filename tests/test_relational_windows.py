@@ -87,12 +87,27 @@ def test_grouped_topk_sub_n_groups_and_ties():
 
 
 def test_grouped_topk_partial_stage_prunes():
-    # 1 key, 100 rows in one block: the shuffle input must carry <= n rows
+    # 1 key spread over 4 blocks of 25 rows: the shuffle input must carry
+    # <= n rows per key per batch (here <= 3*4 = 12 of the 100), and the
+    # final re-rank must still find the global top-3
     ds = rd.from_arrow(pa.table({
         "g": ["k"] * 100, "v": list(range(100)), "id": list(range(100))
-    }))
+    })).repartition(4)
     out = grouped_topk(ds, "g", [("v", "descending"), ("id", "ascending")], n=3).to_pandas()
     assert list(out.sort_values("rank")["v"]) == [99, 98, 97]
+
+    # pin the pruning property itself, not just the final answer: run the
+    # partial stage exactly as grouped_topk builds it and count its rows
+    from raydatax.relational import _segment_starts
+
+    def keep_topn(t):
+        s = t.sort_by([("g", "ascending"), ("v", "descending"), ("id", "ascending")])
+        seg_start, _ = _segment_starts(s, ["g"])
+        rank = np.arange(s.num_rows, dtype=np.int64) - seg_start
+        return s.filter(pa.array(rank < 3))
+
+    partial_rows = ds.map_batches(keep_topn, batch_format="pyarrow").count()
+    assert partial_rows <= 12, partial_rows  # not the raw 100
 
 
 def test_hopping_window_membership_on_boundary():
@@ -109,6 +124,25 @@ def test_hopping_window_membership_on_boundary():
     # window 00:00 covers [00:00,02:00): both events; window 01:00 covers both too
     assert (0, 2, 3.0) in got and (1, 2, 3.0) in got
     assert len(out) == 2
+
+
+def test_hopping_window_int64_ts_with_empty_blocks():
+    # regression: the empty-batch path must emit the INPUT ts type for the
+    # window column (it hardcoded timestamp[us], producing mixed block
+    # schemas for int64 ts columns whenever a block filtered to empty)
+    t = pa.table({
+        "k": ["a", "a", "b"],
+        "ts": pa.array([10, 25, 10], pa.int64()),
+        "v": [1.0, 2.0, 4.0],
+    })
+    ds = rd.from_arrow(t).repartition(4)  # some blocks are empty
+    out = hopping_window(ds, "k", "ts", size_us=20, hop_us=10,
+                         aggs=[("v", "sum", "s")])
+    assert out.schema().types[out.schema().names.index("window")] == pa.int64()
+    rows = {(r["k"], r["window"]): r["s"] for r in out.take_all()}
+    # ts=10 → windows {0, 10}; ts=25 → windows {10, 20}
+    assert rows[("a", 0)] == 1.0 and rows[("a", 10)] == 3.0
+    assert rows[("a", 20)] == 2.0 and rows[("b", 10)] == 4.0 and rows[("b", 0)] == 4.0
 
 
 def test_hopping_window_size_must_divide():
