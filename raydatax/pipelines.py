@@ -849,6 +849,45 @@ def asof_latest_purchase(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "value", "purchase_id", "purchase_value"])
 
 
+def lineitem_measures_melt(sf_dir: str):
+    """Unpivot (melt) the four lineitem measures to long form, then roll
+    up per measure — relational.melt is batch-local (no shuffle); only the
+    tiny per-measure partials move.  Integer-cents sums for order-exact
+    SQL parity (oracle: UNION ALL unpivot)."""
+    from .relational import melt, preagg_groupby
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey"] + cols)
+    long = melt(ds, ["l_orderkey"], cols, var_name="measure", value_name="v")
+    with_cents = long.map_batches(
+        lambda t: t.append_column("cents", _cents(t["v"])), batch_format="pyarrow"
+    )
+    return preagg_groupby(
+        with_cents, ["measure"],
+        [("v", "count", "n_rows"), ("cents", "sum", "sum_cents")],
+    )
+
+
+def events_value_pivot(sf_dir: str):
+    """Pivot (long → wide): per user, the summed event value by event type
+    as one column per type — conditional aggregation inside map_batches,
+    then ONE pre-aggregated groupby of partials (relational.pivot)."""
+    from .relational import pivot
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "value"])
+    with_cents = ds.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "cents": _cents(t["value"]),
+        }),
+        batch_format="pyarrow",
+    )
+    return pivot(
+        with_cents, key="user_id", pivot_col="event_type", value_col="cents",
+        values=["click", "view", "purchase"], agg="sum",
+    )
+
+
 def purchase_attribution(sf_dir: str):
     """Range (interval) join — every click/view attributed to each purchase
     whose 2-hour attribution window ``[ts, ts + 2h]`` contains it, for the
@@ -1148,6 +1187,8 @@ QUERIES = {
     "user_sessions": user_sessions,
     "asof_latest_purchase": asof_latest_purchase,
     "purchase_attribution": purchase_attribution,
+    "lineitem_measures_melt": lineitem_measures_melt,
+    "events_value_pivot": events_value_pivot,
     "top_events_per_type": top_events_per_type,
     "events_hopping": events_hopping,
     "user_running_totals": user_running_totals,
@@ -1523,6 +1564,35 @@ ORACLE_SQL = {
         FROM (SELECT * FROM events WHERE event_type IN ('click', 'view')) l
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
           ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "lineitem_measures_melt": """
+        WITH long AS (
+          SELECT l_orderkey, 'l_quantity' AS measure,
+                 CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS cents,
+                 l_quantity AS v FROM lineitem
+          UNION ALL SELECT l_orderkey, 'l_extendedprice',
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+                 l_extendedprice FROM lineitem
+          UNION ALL SELECT l_orderkey, 'l_discount',
+                 CAST(floor(l_discount * 100 + 0.5) AS BIGINT),
+                 l_discount FROM lineitem
+          UNION ALL SELECT l_orderkey, 'l_tax',
+                 CAST(floor(l_tax * 100 + 0.5) AS BIGINT),
+                 l_tax FROM lineitem)
+        SELECT measure, count(v) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM long GROUP BY measure
+    """,
+    "events_value_pivot": """
+        WITH src AS (
+          SELECT user_id, event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN cents END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'view' THEN cents END) AS BIGINT) AS view,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN cents END) AS BIGINT) AS purchase
+        FROM src GROUP BY user_id
     """,
     "purchase_attribution": """
         WITH l AS (

@@ -111,6 +111,70 @@ def preagg_groupby(
     return out
 
 
+def melt(
+    ds: "ray.data.Dataset",
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> "ray.data.Dataset":
+    """Unpivot (wide → long): each row becomes ``len(value_cols)`` rows of
+    ``id_cols + (var_name, value_name)`` — SQL ``UNPIVOT`` / pandas
+    ``melt``.  Purely batch-local (one vertical concat of column slices per
+    batch, value columns cast to a common type); no shuffle, so it
+    parallelizes like any map stage at 100-TB scale."""
+    if not value_cols:
+        raise ValueError("melt: value_cols must be non-empty")
+
+    def f(t: pa.Table) -> pa.Table:
+        types = [t.schema.field(c).type for c in value_cols]
+        target = types[0]
+        for typ in types[1:]:
+            target = pa.unify_schemas(
+                [pa.schema([("v", target)]), pa.schema([("v", typ)])],
+                promote_options="permissive",
+            ).field("v").type
+        parts = []
+        for c in value_cols:
+            part = t.select(id_cols)
+            part = part.append_column(var_name, pa.array([c] * t.num_rows))
+            part = part.append_column(value_name, t[c].cast(target))
+            parts.append(part)
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pivot(
+    ds: "ray.data.Dataset",
+    key: str,
+    pivot_col: str,
+    value_col: str,
+    values: list[str],
+    agg: str = "sum",
+) -> "ray.data.Dataset":
+    """Pivot (long → wide): one output column per entry in ``values``,
+    aggregated with ``agg`` (sum|count) — SQL conditional aggregation
+    (``SUM(CASE WHEN pivot = v THEN value END)``).
+
+    The pivot values must be enumerated (same contract as SQL PIVOT ... IN
+    (...)): each batch emits the conditional columns locally, then ONE
+    pre-aggregated groupby on ``key`` shuffles partials only — never the
+    raw rows."""
+    if agg not in ("sum", "count"):
+        raise ValueError(f"pivot: agg must be sum|count, got {agg}")
+
+    def widen(t: pa.Table) -> pa.Table:
+        out = {key: t[key]}
+        for v in values:
+            mask = pc.equal(t[pivot_col], v)
+            out[v] = pc.if_else(mask, t[value_col], pa.nulls(t.num_rows, t[value_col].type))
+        return pa.table(out)
+
+    wide = ds.map_batches(widen, batch_format="pyarrow")
+    return preagg_groupby(wide, [key], [(v, agg, v) for v in values])
+
+
 # -------------------------------------------------------------- joins
 
 

@@ -258,3 +258,52 @@ def test_rollup_levels_and_null_markers():
     assert rows[("r2", None)] == (4, 1, 4)
     assert rows[(None, None)] == (7, 3, 4)     # grand total; max of maxes
     assert len(rows) == 3 + 2 + 1
+
+
+def test_melt_wide_to_long_with_type_unification():
+    from raydatax.relational import melt
+    ds = rd.from_arrow(pa.table({
+        "id": ["a", "b"],
+        "x": pa.array([1, 2], pa.int32()),      # int32 + float64 -> float64
+        "y": [1.5, None],
+    }))
+    out = melt(ds, ["id"], ["x", "y"], var_name="m", value_name="v")
+    t = out.to_pandas()
+    assert len(t) == 4
+    rows = {(r.id, r.m): r.v for r in t.itertuples()}
+    assert rows[("a", "x")] == 1.0 and rows[("b", "x")] == 2.0
+    assert rows[("a", "y")] == 1.5
+    assert rows[("b", "y")] != rows[("b", "y")]  # NaN (null passes through)
+    try:
+        melt(ds, ["id"], [])
+        assert False, "empty value_cols must raise"
+    except ValueError as e:
+        assert "value_cols" in str(e)
+
+
+def test_pivot_long_to_wide_sum_count_and_missing_value():
+    from raydatax.relational import pivot
+    ds = rd.from_arrow(pa.table({
+        "k": ["u1", "u1", "u1", "u2"],
+        "p": ["a", "a", "b", "a"],
+        "v": [10, 20, 5, 7],
+    })).repartition(3)
+    out = pivot(ds, key="k", pivot_col="p", value_col="v",
+                values=["a", "b", "zzz"], agg="sum").to_pandas()
+    rows = {r.k: (r.a, r.b) for r in out.itertuples()}
+    assert rows["u1"] == (30, 5)
+    assert rows["u2"][0] == 7
+    # value never present in the data -> all-null column, and u2 has no 'b'
+    assert out.set_index("k").loc["u2", "b"] != out.set_index("k").loc["u2", "b"] or \
+        out.set_index("k").loc["u2", "b"] is None or \
+        str(out.set_index("k").loc["u2", "b"]) in ("nan", "<NA>", "None")
+    cnt = pivot(ds, key="k", pivot_col="p", value_col="v",
+                values=["a", "b"], agg="count").to_pandas()
+    crows = {r.k: (int(r.a), int(r.b)) for r in cnt.itertuples()}
+    assert crows["u1"] == (2, 1)
+    assert crows["u2"] == (1, 0)
+    try:
+        pivot(ds, key="k", pivot_col="p", value_col="v", values=["a"], agg="avg")
+        assert False, "bad agg must raise"
+    except ValueError as e:
+        assert "sum|count" in str(e)
