@@ -888,6 +888,26 @@ def events_value_pivot(sf_dir: str):
     )
 
 
+def events_value_stats(sf_dir: str):
+    """Distributed moments — per event type: count, exact-cents sum, mean,
+    sample variance and stddev, all from one pass of mergeable
+    (count, sum, sum-of-squares) partials (relational.grouped_stats).
+    Integer partials make the derived IEEE expression reproducible
+    bit-for-bit against SQL computing the same formula."""
+    from .relational import grouped_stats
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    with_cents = ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"], "cents": _cents(t["value"])}),
+        batch_format="pyarrow",
+    )
+    return grouped_stats(
+        with_cents, ["event_type"], "cents",
+        n_name="n_rows", sum_name="sum_cents", mean_name="mean_cents",
+        var_name="var_cents", std_name="std_cents",
+    )
+
+
 def purchase_attribution(sf_dir: str):
     """Range (interval) join — every click/view attributed to each purchase
     whose 2-hour attribution window ``[ts, ts + 2h]`` contains it, for the
@@ -1189,6 +1209,7 @@ QUERIES = {
     "purchase_attribution": purchase_attribution,
     "lineitem_measures_melt": lineitem_measures_melt,
     "events_value_pivot": events_value_pivot,
+    "events_value_stats": events_value_stats,
     "top_events_per_type": top_events_per_type,
     "events_hopping": events_hopping,
     "user_running_totals": user_running_totals,
@@ -1593,6 +1614,31 @@ ORACLE_SQL = {
                CAST(sum(CASE WHEN event_type = 'view' THEN cents END) AS BIGINT) AS view,
                CAST(sum(CASE WHEN event_type = 'purchase' THEN cents END) AS BIGINT) AS purchase
         FROM src GROUP BY user_id
+    """,
+    "events_value_stats": """
+        WITH src AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        p AS (
+          SELECT event_type, count(cents) AS n_rows,
+                 CAST(sum(cents) AS BIGINT) AS sum_cents,
+                 CAST(sum(cents * cents) AS BIGINT) AS ssq
+          FROM src GROUP BY event_type)
+        SELECT event_type, n_rows, sum_cents,
+               CAST(sum_cents AS DOUBLE) / CAST(n_rows AS DOUBLE) AS mean_cents,
+               CASE WHEN n_rows > 1 THEN
+                 (CAST(ssq AS DOUBLE)
+                    - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE)
+                      / CAST(n_rows AS DOUBLE))
+                 / (CAST(n_rows AS DOUBLE) - 1.0) END AS var_cents,
+               CASE WHEN n_rows > 1 THEN
+                 sqrt(greatest(
+                   (CAST(ssq AS DOUBLE)
+                      - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE)
+                        / CAST(n_rows AS DOUBLE))
+                   / (CAST(n_rows AS DOUBLE) - 1.0), 0.0)) END AS std_cents
+        FROM p
     """,
     "purchase_attribution": """
         WITH l AS (

@@ -175,6 +175,68 @@ def pivot(
     return preagg_groupby(wide, [key], [(v, agg, v) for v in values])
 
 
+def grouped_stats(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    col: str,
+    n_name: str = "n_rows",
+    sum_name: str | None = None,
+    mean_name: str | None = None,
+    var_name: str | None = None,
+    std_name: str | None = None,
+) -> "ray.data.Dataset":
+    """Per-key count / sum / mean / sample variance / sample stddev from ONE
+    pass of mergeable partials — the distributed-variance combiner: each
+    batch contributes (count, sum, sum-of-squares), the groupby merges sums,
+    and the moments are derived after the merge.  Raw rows never shuffle.
+
+    ``col`` should be an integer column (e.g. exact cents) so the merged
+    partials are accumulation-order-exact; the derived moments are then a
+    fixed IEEE expression over exact integers — reproducible bit-for-bit
+    against SQL computing the same expression.  Squares are overflow-checked
+    (at 100-TB scale route sums through decimal/float partials instead of
+    letting int64 wrap).  Keys with a single row get null var/std
+    (``var_samp`` semantics)."""
+    sum_name = sum_name or f"sum_{col}"
+    mean_name = mean_name or f"mean_{col}"
+    var_name = var_name or f"var_{col}"
+    std_name = std_name or f"std_{col}"
+    sq = f"__{col}_sq"
+
+    def add_sq(t: pa.Table) -> pa.Table:
+        return t.append_column(sq, pc.multiply_checked(t[col], t[col]))
+
+    agg = preagg_groupby(
+        ds.map_batches(add_sq, batch_format="pyarrow"),
+        keys,
+        [(col, "count", n_name), (col, "sum", sum_name), (sq, "sum", "__ssq")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t[n_name], pa.float64())
+        s = pc.cast(t[sum_name], pa.float64())
+        ssq = pc.cast(t["__ssq"], pa.float64())
+        mean = pc.divide(s, n)
+        var = pc.divide(
+            pc.subtract(ssq, pc.divide(pc.multiply(s, s), n)),
+            pc.subtract(n, 1.0),
+        )
+        multi = pc.greater(n, 1.0)
+        var = pc.if_else(multi, var, pa.nulls(t.num_rows, pa.float64()))
+        # clamp to 0 before sqrt: float cancellation can leave a tiny
+        # negative variance when all values are equal (SQL side mirrors
+        # this with sqrt(greatest(var, 0)))
+        std = pc.sqrt(pc.max_element_wise(var, 0.0, skip_nulls=False))
+        return (
+            t.drop_columns(["__ssq"])
+            .append_column(mean_name, mean)
+            .append_column(var_name, var)
+            .append_column(std_name, std)
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # -------------------------------------------------------------- joins
 
 

@@ -307,3 +307,27 @@ def test_pivot_long_to_wide_sum_count_and_missing_value():
         assert False, "bad agg must raise"
     except ValueError as e:
         assert "sum|count" in str(e)
+
+
+def test_grouped_stats_moments_and_single_row_nulls():
+    from raydatax.relational import grouped_stats
+    import math
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a", "a", "b", "c", "c"],
+        "v": [2, 4, 6, 10, 5, 5],
+    })).repartition(3)
+    out = grouped_stats(ds, ["k"], "v").to_pandas().set_index("k")
+    assert int(out.loc["a", "n_rows"]) == 3 and int(out.loc["a", "sum_v"]) == 12
+    assert out.loc["a", "mean_v"] == 4.0
+    assert out.loc["a", "var_v"] == 4.0          # sample var of 2,4,6
+    assert out.loc["a", "std_v"] == 2.0
+    assert math.isnan(out.loc["b", "var_v"])     # single row -> null var/std
+    assert math.isnan(out.loc["b", "std_v"])
+    assert out.loc["c", "var_v"] == 0.0 and out.loc["c", "std_v"] == 0.0
+    # squares are overflow-checked, not silently wrapped
+    big = rd.from_arrow(pa.table({"k": ["x"], "v": [2**33]}))
+    try:
+        grouped_stats(big, ["k"], "v").to_pandas()
+        assert False, "int64 square overflow must raise"
+    except Exception as e:
+        assert "overflow" in str(e).lower()
