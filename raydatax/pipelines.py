@@ -908,6 +908,41 @@ def events_value_stats(sf_dir: str):
     )
 
 
+def user_event_paths(sf_dir: str):
+    """Grouped ordered concatenation (SQL ``string_agg(... ORDER BY ...)``
+    / collect_list) — each user's event-type journey in (ts, event_id)
+    order as one path string, via relational.grouped_concat's vectorized
+    segment join (one sort + one binary_join kernel per partition)."""
+    from .relational import grouped_concat
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    return grouped_concat(
+        ds, ["user_id"], "event_type", ["ts", "event_id"],
+        sep=">", out_name="path", count_name="n_events",
+    )
+
+
+def transcript_reassembly(sf_dir: str):
+    """Flagship extension — the engine-replayed lake reassembled into ONE
+    row per conversation: role-prefixed turns joined in turn order
+    (collect_list over the LWW winners).  Exercises the full chain
+    WAL → exchange → LWW merge → manifest commit → lake read →
+    grouped ordered concat, end-to-end under the SQL gate."""
+    from .relational import grouped_concat
+
+    lk = transcript_cdc_replay(sf_dir)
+    line = pc.binary_join_element_wise(lk["role"], lk["text"], ": ")
+    turns = pa.table(
+        {"conv_id": lk["conv_id"], "turn_idx": lk["turn_idx"], "line": line}
+    )
+    return grouped_concat(
+        rd.from_arrow(turns), ["conv_id"], "line", ["turn_idx"],
+        sep=" | ", out_name="transcript", count_name="n_turns",
+    )
+
+
 def purchase_attribution(sf_dir: str):
     """Range (interval) join — every click/view attributed to each purchase
     whose 2-hour attribution window ``[ts, ts + 2h]`` contains it, for the
@@ -1210,6 +1245,8 @@ QUERIES = {
     "lineitem_measures_melt": lineitem_measures_melt,
     "events_value_pivot": events_value_pivot,
     "events_value_stats": events_value_stats,
+    "user_event_paths": user_event_paths,
+    "transcript_reassembly": transcript_reassembly,
     "top_events_per_type": top_events_per_type,
     "events_hopping": events_hopping,
     "user_running_totals": user_running_totals,
@@ -1614,6 +1651,35 @@ ORACLE_SQL = {
                CAST(sum(CASE WHEN event_type = 'view' THEN cents END) AS BIGINT) AS view,
                CAST(sum(CASE WHEN event_type = 'purchase' THEN cents END) AS BIGINT) AS purchase
         FROM src GROUP BY user_id
+    """,
+    "user_event_paths": """
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+               count(event_type) AS n_events
+        FROM events GROUP BY user_id
+    """,
+    "transcript_reassembly": """
+        WITH src AS (
+          SELECT event_id AS seq,
+                 CASE WHEN event_id % 10 < 6 THEN 'I'
+                      WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+                 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                 CAST(event_id % 37 AS INTEGER) AS turn_idx,
+                 CASE WHEN (event_id % 37) % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 event_type || ' v' || CAST(event_id AS VARCHAR) AS text
+          FROM events),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY seq DESC) AS rn
+          FROM src),
+        winners AS (
+          SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+        SELECT conv_id,
+               string_agg(role || ': ' || text, ' | ' ORDER BY turn_idx)
+                 AS transcript,
+               count(text) AS n_turns
+        FROM winners GROUP BY conv_id
     """,
     "events_value_stats": """
         WITH src AS (

@@ -980,6 +980,65 @@ def window_scan(
     return parted.groupby("__part").map_groups(scan, batch_format="pyarrow")
 
 
+def grouped_concat(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    order_cols: list[str],
+    sep: str = ",",
+    out_name: str | None = None,
+    count_name: str = "n_items",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key ordered string aggregation — SQL
+    ``string_agg(value, sep ORDER BY order_cols)`` / collect_list: one row
+    per key holding the values joined in order, plus the item count.
+
+    Hash-partition on the keys (a key never splits), ONE sort per
+    partition, then a vectorized segment join: the sorted value column is
+    wrapped as a ListArray at the segment offsets and joined with a single
+    ``binary_join`` kernel — no Python loop over rows or groups.  Null
+    values are dropped before joining (string_agg semantics).  Pass
+    ``order_cols`` that are unique per key for a deterministic result (the
+    same caveat SQL's ORDER BY ties carry).  Memory bound: one key's joined
+    string must fit in a task's heap — inherent to the operator's output,
+    not the implementation."""
+    out_name = out_name or f"concat_{value_col}"
+    parted = ds.map_batches(
+        lambda t: _hash_partition_col(
+            t.filter(pc.is_valid(t[value_col])), keys, num_partitions
+        ),
+        batch_format="pyarrow",
+    )
+    sort_spec = [(k, "ascending") for k in keys] + [(o, "ascending") for o in order_cols]
+
+    def join_group(group: pa.Table) -> pa.Table:
+        s = group.drop_columns(["__part"]).sort_by(sort_spec)
+        n = s.num_rows
+        vals = s.column(value_col).combine_chunks() if n else pa.array([], pa.string())
+        if n == 0:
+            cols = {k: s.column(k) for k in keys}
+            cols[out_name] = pa.array([], vals.type)
+            cols[count_name] = pa.array([], pa.int64())
+            return pa.table(cols)
+        _, newkey = _segment_starts(s, keys)
+        starts = np.flatnonzero(newkey)
+        offsets = np.append(starts, n)
+        if pa.types.is_large_string(vals.type):
+            lst = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), vals)
+            sep_scalar = pa.scalar(sep, pa.large_string())
+        else:
+            lst = pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32)), vals)
+            sep_scalar = pa.scalar(sep, pa.string())
+        head = pa.array(starts)
+        cols = {k: s.column(k).take(head) for k in keys}
+        cols[out_name] = pc.binary_join(lst, sep_scalar)
+        cols[count_name] = pa.array(np.diff(offsets))
+        return pa.table(cols)
+
+    return parted.groupby("__part").map_groups(join_group, batch_format="pyarrow")
+
+
 def rollup_aggregate(
     ds: "ray.data.Dataset",
     keys: list[str],

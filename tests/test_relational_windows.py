@@ -331,3 +331,25 @@ def test_grouped_stats_moments_and_single_row_nulls():
         assert False, "int64 square overflow must raise"
     except Exception as e:
         assert "overflow" in str(e).lower()
+
+
+def test_grouped_concat_order_nulls_and_large_string():
+    from raydatax.relational import grouped_concat
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a", "b", "a", "b"],
+        "o": [3, 1, 1, 2, 2],
+        "v": ["z", "x", None, "y", "q"],   # null dropped (string_agg rule)
+    })).repartition(2)
+    out = grouped_concat(ds, ["k"], "v", ["o"], sep="-",
+                         out_name="s", count_name="n").to_pandas().set_index("k")
+    assert out.loc["a", "s"] == "x-y-z" and int(out.loc["a", "n"]) == 3
+    assert out.loc["b", "s"] == "q" and int(out.loc["b", "n"]) == 1
+    # large_string values go through the int64-offset list path
+    big = pa.table({
+        "k": ["g", "g"],
+        "o": [2, 1],
+        "v": pa.array(["B", "A"], pa.large_string()),
+    })
+    out2 = grouped_concat(rd.from_arrow(big), ["k"], "v", ["o"],
+                          sep="+", out_name="s").to_pandas()
+    assert out2.loc[0, "s"] == "A+B"
