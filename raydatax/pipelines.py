@@ -943,6 +943,39 @@ def transcript_reassembly(sf_dir: str):
     )
 
 
+def _user_day_side(sf_dir: str, event_type: str):
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], event_type))
+        return pa.table(
+            {"user_id": t["user_id"], "day": pc.strftime(t["ts"], format="%Y-%m-%d")}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def view_purchase_day_intersect(sf_dir: str):
+    """Set op INTERSECT (distinct, multi-column): (user, day) pairs with a
+    view AND a purchase — relational.set_distinct: presence flags + one
+    pre-aggregated groupby over the row; only distinct partials shuffle."""
+    from .relational import set_distinct
+
+    return set_distinct(
+        _user_day_side(sf_dir, "view"), _user_day_side(sf_dir, "purchase"), "intersect"
+    )
+
+
+def click_except_purchase_days(sf_dir: str):
+    """Set op EXCEPT (distinct): (user, day) pairs with a click but no
+    purchase that day — same flag-merge discipline as the intersect."""
+    from .relational import set_distinct
+
+    return set_distinct(
+        _user_day_side(sf_dir, "click"), _user_day_side(sf_dir, "purchase"), "except"
+    )
+
+
 def purchase_attribution(sf_dir: str):
     """Range (interval) join — every click/view attributed to each purchase
     whose 2-hour attribution window ``[ts, ts + 2h]`` contains it, for the
@@ -1247,6 +1280,8 @@ QUERIES = {
     "events_value_stats": events_value_stats,
     "user_event_paths": user_event_paths,
     "transcript_reassembly": transcript_reassembly,
+    "view_purchase_day_intersect": view_purchase_day_intersect,
+    "click_except_purchase_days": click_except_purchase_days,
     "top_events_per_type": top_events_per_type,
     "events_hopping": events_hopping,
     "user_running_totals": user_running_totals,
@@ -1651,6 +1686,20 @@ ORACLE_SQL = {
                CAST(sum(CASE WHEN event_type = 'view' THEN cents END) AS BIGINT) AS view,
                CAST(sum(CASE WHEN event_type = 'purchase' THEN cents END) AS BIGINT) AS purchase
         FROM src GROUP BY user_id
+    """,
+    "view_purchase_day_intersect": """
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "click_except_purchase_days": """
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'purchase'
     """,
     "user_event_paths": """
         SELECT user_id,

@@ -175,6 +175,47 @@ def pivot(
     return preagg_groupby(wide, [key], [(v, agg, v) for v in values])
 
 
+def set_distinct(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    op: str,
+) -> "ray.data.Dataset":
+    """Distinct set operations — SQL ``INTERSECT`` / ``EXCEPT`` over whole
+    rows: tag each side with presence flags, union, then ONE pre-aggregated
+    groupby on all columns (per-batch combining first, so only distinct
+    (row, flags) partials shuffle), and filter on the merged flags.  NULLs
+    compare equal, as in SQL set ops (Arrow group_by groups nulls)."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"set_distinct: op must be intersect|except, got {op}")
+    lcols, rcols = left.schema().names, right.schema().names
+    if lcols != rcols:
+        raise ValueError(f"set_distinct: column mismatch {lcols} vs {rcols}")
+
+    def tag(l_flag: int, r_flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__l", pa.array(np.full(t.num_rows, l_flag, np.int8))
+            ).append_column("__r", pa.array(np.full(t.num_rows, r_flag, np.int8)))
+
+        return f
+
+    both = left.map_batches(tag(1, 0), batch_format="pyarrow").union(
+        right.map_batches(tag(0, 1), batch_format="pyarrow")
+    )
+    flagged = preagg_groupby(
+        both, lcols, [("__l", "max", "__l"), ("__r", "max", "__r")]
+    )
+    keep = (
+        (lambda t: pc.and_(pc.equal(t["__l"], 1), pc.equal(t["__r"], 1)))
+        if op == "intersect"
+        else (lambda t: pc.and_(pc.equal(t["__l"], 1), pc.equal(t["__r"], 0)))
+    )
+    return flagged.map_batches(
+        lambda t: t.filter(keep(t)).drop_columns(["__l", "__r"]),
+        batch_format="pyarrow",
+    )
+
+
 def grouped_stats(
     ds: "ray.data.Dataset",
     keys: list[str],

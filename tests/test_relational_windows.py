@@ -353,3 +353,38 @@ def test_grouped_concat_order_nulls_and_large_string():
     out2 = grouped_concat(rd.from_arrow(big), ["k"], "v", ["o"],
                           sep="+", out_name="s").to_pandas()
     assert out2.loc[0, "s"] == "A+B"
+
+
+def test_set_distinct_intersect_except_nulls_and_dupes():
+    from raydatax.relational import set_distinct
+    left = rd.from_arrow(pa.table({
+        "a": ["x", "x", "y", None, "z"],
+        "b": [1, 1, 2, 3, 4],
+    }))
+    right = rd.from_arrow(pa.table({
+        "a": ["x", None, "q"],
+        "b": [1, 3, 9],
+    }))
+    def rows(ds):
+        t = ds.to_pandas()
+        out = []
+        for a, b in t[["a", "b"]].itertuples(index=False, name=None):
+            out.append((None if a is None or a != a else a, int(b)))
+        return sorted(out, key=str)
+
+    inter = rows(set_distinct(left, right, "intersect"))
+    # duplicates collapse; NULL keys compare equal (SQL set-op rule)
+    assert (None, 3) in inter
+    assert ("x", 1) in inter and len(inter) == 2
+    exc = rows(set_distinct(left, right, "except"))
+    assert sorted(exc, key=str) == sorted([("y", 2), ("z", 4)], key=str)
+    try:
+        set_distinct(left, rd.from_arrow(pa.table({"a": ["x"]})), "intersect")
+        assert False, "column mismatch must raise"
+    except ValueError as e:
+        assert "column mismatch" in str(e)
+    try:
+        set_distinct(left, right, "union")
+        assert False, "bad op must raise"
+    except ValueError as e:
+        assert "intersect|except" in str(e)
