@@ -428,6 +428,26 @@ def customers_without_orders(sf_dir: str):
     return semi_join(cust, ords, "c_custkey", "o_custkey", anti=True)
 
 
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER join kept to the end: every customer with their
+    fulfilled-order count, customers with none kept at 0 —
+    relational.hash_join(join_type="left_outer") then a null-skipping
+    grouped count (count(o_orderkey) ignores the unmatched rows' nulls,
+    exactly the SQL rule)."""
+    from .relational import hash_join, preagg_groupby
+
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"])
+    ords = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderkey"],
+        filter=pc.field("o_orderstatus") == "F",
+    ).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(cust, ords, on="c_custkey", join_type="left_outer")
+    return preagg_groupby(joined, ["c_custkey"], [("o_orderkey", "count", "n_orders")])
+
+
 def sql_split_read(sf_dir: str):
     """JDBC-family source parity: splitPk range-sliced parallel read out of
     a DuckDB database file (built once from the orders table), with
@@ -943,6 +963,39 @@ def transcript_reassembly(sf_dir: str):
     )
 
 
+def events_sample(sf_dir: str):
+    """Deterministic (engine-independent) 5% sample of the event stream by
+    key hash — relational.deterministic_sample: pure integer arithmetic
+    both engines evaluate identically, so the sampled row set is exactly
+    reproducible (no RNG, no partitioning dependence)."""
+    from .relational import deterministic_sample
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    return deterministic_sample(ds, "event_id", permille=50)
+
+
+def event_value_ranks(sf_dir: str):
+    """SQL rank()/dense_rank() tie semantics — every event ranked by value
+    within its event type, in the same single hash-partitioned sorted scan
+    as the other window functions (relational.window_scan ranks=True);
+    ties share a rank, dense_rank has no gaps, so the output is
+    deterministic even with duplicate values."""
+    from .relational import window_scan
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    with_cents = ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"], "cents": _cents(t["value"])}),
+        batch_format="pyarrow",
+    )
+    out = window_scan(with_cents, key="event_type", order_col="cents", ranks=True)
+    return out.select_columns(["event_type", "cents", "rank", "dense_rank"]).map_batches(
+        lambda t: t.rename_columns(["event_type", "cents", "rnk", "drnk"]),
+        batch_format="pyarrow",
+    )
+
+
 def _user_day_side(sf_dir: str, event_type: str):
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
 
@@ -1280,6 +1333,9 @@ QUERIES = {
     "events_value_stats": events_value_stats,
     "user_event_paths": user_event_paths,
     "transcript_reassembly": transcript_reassembly,
+    "customer_order_counts": customer_order_counts,
+    "event_value_ranks": event_value_ranks,
+    "events_sample": events_sample,
     "view_purchase_day_intersect": view_purchase_day_intersect,
     "click_except_purchase_days": click_except_purchase_days,
     "top_events_per_type": top_events_per_type,
@@ -1686,6 +1742,29 @@ ORACLE_SQL = {
                CAST(sum(CASE WHEN event_type = 'view' THEN cents END) AS BIGINT) AS view,
                CAST(sum(CASE WHEN event_type = 'purchase' THEN cents END) AS BIGINT) AS purchase
         FROM src GROUP BY user_id
+    """,
+    "events_sample": """
+        SELECT event_id, user_id, event_type
+        FROM events
+        WHERE ((event_id % 1000003) * 2654435761) % 1000 < 50
+    """,
+    "event_value_ranks": """
+        WITH src AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+        SELECT event_type, cents,
+               rank() OVER (PARTITION BY event_type ORDER BY cents) AS rnk,
+               dense_rank() OVER (PARTITION BY event_type ORDER BY cents) AS drnk
+        FROM src
+    """,
+    "customer_order_counts": """
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer
+        LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                   WHERE o_orderstatus = 'F') o
+          ON o.o_custkey = c_custkey
+        GROUP BY c_custkey
     """,
     "view_purchase_day_intersect": """
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day

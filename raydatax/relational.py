@@ -175,6 +175,34 @@ def pivot(
     return preagg_groupby(wide, [key], [(v, agg, v) for v in values])
 
 
+def deterministic_sample(
+    ds: "ray.data.Dataset",
+    key: str,
+    permille: int,
+    modulus: int = 1_000_003,
+    multiplier: int = 2654435761,
+) -> "ray.data.Dataset":
+    """Reproducible hash sampling: keep a row iff
+    ``((key % modulus) * multiplier) % 1000 < permille`` — plain integer
+    arithmetic any engine can evaluate identically (the ``% modulus`` keeps
+    the product inside int64), so the sample is stable across runs,
+    engines, and partitionings — unlike RNG-based sampling.  The exact
+    version of the reference's sample-based split estimation
+    (/root/reference/plugin-rdbms-util/.../reader/util/
+    SingleTableSplitUtil.java:293-388, Oracle SAMPLE split).  Batch-local
+    filter: no shuffle, no state.  ``key`` must be a non-negative integer
+    column (negative dividends differ between C-style and floored mod)."""
+    if not 0 <= permille <= 1000:
+        raise ValueError(f"deterministic_sample: permille must be 0..1000, got {permille}")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        mask = ((v % modulus) * multiplier) % 1000 < permille
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def set_distinct(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -359,7 +387,9 @@ def hash_join(
     def join_bucket(group: pa.Table) -> pa.Table:
         lt = group.filter(pc.equal(group["__side"], "l")).select(list(on_t) + [c for c in l_cols if c not in on_t])
         rt = group.filter(pc.equal(group["__side"], "r")).select(list(on_t) + r_cols)
-        return lt.join(rt, keys=list(on_t), join_type=join_type)
+        # Arrow spells join types with spaces ("left outer") where the
+        # Dataset API uses underscores ("left_outer") — accept both here
+        return lt.join(rt, keys=list(on_t), join_type=join_type.replace("_", " "))
 
     return lb.union(rb).groupby("__b").map_groups(join_bucket, batch_format="pyarrow")
 
@@ -971,11 +1001,15 @@ def window_scan(
     lag_cols: list[str] | None = None,
     sum_cols: list[str] | None = None,
     num_partitions: int = 32,
+    ranks: bool = False,
 ) -> "ray.data.Dataset":
     """Per-key ordered window functions in one vectorized scan:
     ``rn`` (row_number), ``prev_<c>`` (lag 1) for ``lag_cols`` and
     ``run_<c>`` (running sum, UNBOUNDED PRECEDING .. CURRENT ROW) for
-    ``sum_cols`` — PARTITION BY key ORDER BY order_col.
+    ``sum_cols`` — PARTITION BY key ORDER BY order_col.  With
+    ``ranks=True`` also ``rank`` / ``dense_rank`` (SQL tie semantics:
+    equal order values share a rank; dense_rank has no gaps) — derived
+    from the equal-value run starts, no extra sort.
 
     Hash-partition on the key (a key never splits), then per partition:
     one sort + segment-start arithmetic; lag is a shifted ``take`` masked
@@ -1000,10 +1034,18 @@ def window_scan(
                 out = out.append_column(f"prev_{c}", pa.nulls(0, s.schema.field(c).type))
             for c in sum_cols:
                 out = out.append_column(f"run_{c}", pa.nulls(0, s.schema.field(c).type))
+            if ranks:
+                out = out.append_column("rank", pa.nulls(0, pa.int64()))
+                out = out.append_column("dense_rank", pa.nulls(0, pa.int64()))
             return out
         seg_start, newkey = _segment_starts(s, [key])
         idx = np.arange(n, dtype=np.int64)
         out = s.append_column("rn", pa.array(idx - seg_start + 1))
+        if ranks:
+            val_start, newval = _segment_starts(s, [key, order_col])
+            out = out.append_column("rank", pa.array(val_start - seg_start + 1))
+            cs = np.cumsum(newval.astype(np.int64))
+            out = out.append_column("dense_rank", pa.array(cs - cs[seg_start] + 1))
         not_first = pa.array(~newkey)
         for c in lag_cols:
             src = s.column(c).combine_chunks()

@@ -388,3 +388,38 @@ def test_set_distinct_intersect_except_nulls_and_dupes():
         assert False, "bad op must raise"
     except ValueError as e:
         assert "intersect|except" in str(e)
+
+
+def test_window_scan_rank_dense_rank_ties():
+    from raydatax.relational import window_scan
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a", "a", "a", "b"],
+        "o": [10, 10, 20, 30, 7],
+    }))
+    out = window_scan(ds, key="k", order_col="o", ranks=True).to_pandas()
+    got = sorted(
+        (r.k, int(r.o), int(r.rank), int(r.dense_rank)) for r in out.itertuples()
+    )
+    assert got == [
+        ("a", 10, 1, 1), ("a", 10, 1, 1),   # tie shares rank
+        ("a", 20, 3, 2),                     # rank gaps, dense_rank doesn't
+        ("a", 30, 4, 3),
+        ("b", 7, 1, 1),                      # resets per key
+    ]
+
+
+def test_deterministic_sample_reproducible_and_validated():
+    from raydatax.relational import deterministic_sample
+    t = pa.table({"id": list(range(1000)), "v": [float(i) for i in range(1000)]})
+    a = deterministic_sample(rd.from_arrow(t), "id", 100).to_pandas()
+    b = deterministic_sample(rd.from_arrow(t).repartition(7), "id", 100).to_pandas()
+    # partitioning-independent and deterministic
+    assert sorted(a["id"]) == sorted(b["id"])
+    assert 50 <= len(a) <= 150                     # ~10% of 1000
+    assert sorted(deterministic_sample(rd.from_arrow(t), "id", 0).to_pandas().index) == []
+    assert len(deterministic_sample(rd.from_arrow(t), "id", 1000).to_pandas()) == 1000
+    try:
+        deterministic_sample(rd.from_arrow(t), "id", 1001)
+        assert False, "permille range must be validated"
+    except ValueError as e:
+        assert "permille" in str(e)
