@@ -963,6 +963,18 @@ def transcript_reassembly(sf_dir: str):
     )
 
 
+def approx_users_hll(sf_dir: str):
+    """HyperLogLog approximate count-distinct (mergeable sketch): distinct
+    event users estimated from per-batch 16 KB sketches — no key ever
+    shuffles.  Approximate by design → rows-only under the gate; accuracy
+    (~0.8% standard error) is pinned by pytest against the exact count."""
+    from .relational import approx_count_distinct
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+    n = approx_count_distinct(ds, "user_id")
+    return pa.table({"approx_users": pa.array([n], pa.int64())})
+
+
 def events_sample(sf_dir: str):
     """Deterministic (engine-independent) 5% sample of the event stream by
     key hash — relational.deterministic_sample: pure integer arithmetic
@@ -1336,6 +1348,7 @@ QUERIES = {
     "customer_order_counts": customer_order_counts,
     "event_value_ranks": event_value_ranks,
     "events_sample": events_sample,
+    "approx_users_hll": approx_users_hll,
     "view_purchase_day_intersect": view_purchase_day_intersect,
     "click_except_purchase_days": click_except_purchase_days,
     "top_events_per_type": top_events_per_type,

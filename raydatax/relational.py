@@ -175,6 +175,71 @@ def pivot(
     return preagg_groupby(wide, [key], [(v, agg, v) for v in values])
 
 
+def approx_count_distinct(
+    ds: "ray.data.Dataset",
+    col: str,
+    p: int = 14,
+) -> int:
+    """HyperLogLog approximate count-distinct — the mergeable-sketch
+    pattern for "how many distinct users in 100 TB" without shuffling a
+    single key: every batch reduces to a 2^p-register sketch (one row),
+    registers max-merge associatively, and only the tiny sketches reach the
+    driver (blocks × 2^p bytes — bounded, documented).  Standard-error
+    ≈ 1.04/sqrt(2^p) (~0.8% at the default p=14) away from the crossover;
+    classic corrections only (linear counting under 2.5·m — NO HLL++ bias
+    table), so in the crossover zone n ≈ 2.5·2^p expect up to ~5% positive
+    bias (measured +0.2..3.8% at n=40k, p=14).  Hashing is the engine's buffer-level kernel
+    (:mod:`raydatax.partition`) — zero Python objects per value."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"approx_count_distinct: p must be 4..18, got {p}")
+    from .partition import hash_ints, hash_string_column
+
+    m = 1 << p
+    tail_bits = np.uint64(64 - p)
+
+    def _finalize(h: np.ndarray) -> np.ndarray:
+        # full splitmix64 avalanche ON TOP of the engine hash: HLL needs
+        # every bit uniform (register index = top bits, rank = low-bit
+        # zeros) and the partitioner's single-round mix measurably biases
+        # sequential integers (est 66k for 40k distinct).  Local to the
+        # sketch — the lake partition hash is frozen state and stays as-is.
+        with np.errstate(over="ignore"):
+            h = h + np.uint64(0x9E3779B97F4A7C15)
+            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return h ^ (h >> np.uint64(31))
+
+    def sketch(t: pa.Table) -> pa.Table:
+        a = t[col].combine_chunks() if t.num_rows else None
+        regs = np.zeros(m, np.uint8)
+        if a is not None and len(a):
+            if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+                h = hash_string_column(a)
+            else:
+                h = hash_ints(a.to_numpy(zero_copy_only=False))
+            h = _finalize(h)
+            idx = (h >> tail_bits).astype(np.int64)
+            w = h & np.uint64((1 << (64 - p)) - 1)
+            # bit length via frexp: exact for w < 2^53 (here w < 2^(64-p),
+            # p >= 11 keeps it inside the float53 window; smaller p only
+            # loses the rank of astronomically-rare deep-zero tails)
+            bl = np.frexp(w.astype(np.float64))[1]
+            rank = np.where(w == 0, 64 - p + 1, 64 - p - bl + 1).astype(np.uint8)
+            np.maximum.at(regs, idx, rank)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    regs = np.zeros(m, np.uint8)
+    for r in rows:
+        regs = np.maximum(regs, np.frombuffer(r["regs"], np.uint8))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting (small-range bias)
+    return int(round(est))
+
+
 def deterministic_sample(
     ds: "ray.data.Dataset",
     key: str,

@@ -423,3 +423,29 @@ def test_deterministic_sample_reproducible_and_validated():
         assert False, "permille range must be validated"
     except ValueError as e:
         assert "permille" in str(e)
+
+
+def test_approx_count_distinct_accuracy_and_merge():
+    from raydatax.relational import approx_count_distinct
+    # 40k distinct ints with duplicates, spread over many blocks: the
+    # per-batch sketches must max-merge to the same answer regardless of
+    # partitioning (associativity), within HLL's ~0.8% standard error
+    ids = np.concatenate([np.arange(40_000), np.arange(10_000)])
+    rng = np.random.default_rng(7)
+    rng.shuffle(ids)
+    t = pa.table({"u": ids})
+    est1 = approx_count_distinct(rd.from_arrow(t), "u")
+    est2 = approx_count_distinct(rd.from_arrow(t).repartition(13), "u")
+    # n=40k at p=14 sits in the classic-HLL crossover zone: ~5% bound
+    assert abs(est1 - 40_000) / 40_000 < 0.05
+    assert abs(est2 - 40_000) / 40_000 < 0.05
+    assert est1 == est2                      # merge is partitioning-invariant
+    # string path + exact small-range regime (linear counting)
+    s = pa.table({"u": [f"user-{i % 500}" for i in range(5000)]})
+    est_s = approx_count_distinct(rd.from_arrow(s), "u")
+    assert abs(est_s - 500) / 500 < 0.05
+    try:
+        approx_count_distinct(rd.from_arrow(t), "u", p=3)
+        assert False, "p range must be validated"
+    except ValueError as e:
+        assert "p must be" in str(e)
