@@ -1008,6 +1008,50 @@ def event_value_ranks(sf_dir: str):
     )
 
 
+def event_value_distribution(sf_dir: str):
+    """percent_rank / cume_dist over the value ordering — tie-safe under a
+    hash gate because tied rows receive identical ranks and run ends (the
+    derived doubles are the same fixed IEEE expression both engines
+    evaluate over exact integers)."""
+    from .relational import window_scan
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    with_cents = ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"], "cents": _cents(t["value"])}),
+        batch_format="pyarrow",
+    )
+    out = window_scan(with_cents, key="event_type", order_col="cents", pct=True)
+    return out.select_columns(
+        ["event_type", "cents", "percent_rank", "cume_dist"]
+    ).map_batches(
+        lambda t: t.rename_columns(["event_type", "cents", "pct_rank", "cume"]),
+        batch_format="pyarrow",
+    )
+
+
+def event_stream_lead_tiles(sf_dir: str):
+    """lead() and ntile() over a UNIQUE ordering (event_id) so the joint
+    per-row assignment is deterministic — window_scan lead_cols + ntile_n
+    in the same single sorted scan as everything else."""
+    from .relational import window_scan
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_type", "event_id", "value"]
+    )
+    with_cents = ds.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"], "event_id": t["event_id"],
+            "cents": _cents(t["value"]),
+        }),
+        batch_format="pyarrow",
+    )
+    out = window_scan(
+        with_cents, key="event_type", order_col="event_id",
+        lead_cols=["cents"], ntile_n=4,
+    )
+    return out.select_columns(["event_type", "event_id", "cents", "next_cents", "tile"])
+
+
 def _user_day_side(sf_dir: str, event_type: str):
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
 
@@ -1347,6 +1391,8 @@ QUERIES = {
     "transcript_reassembly": transcript_reassembly,
     "customer_order_counts": customer_order_counts,
     "event_value_ranks": event_value_ranks,
+    "event_value_distribution": event_value_distribution,
+    "event_stream_lead_tiles": event_stream_lead_tiles,
     "events_sample": events_sample,
     "approx_users_hll": approx_users_hll,
     "view_purchase_day_intersect": view_purchase_day_intersect,
@@ -1755,6 +1801,28 @@ ORACLE_SQL = {
                CAST(sum(CASE WHEN event_type = 'view' THEN cents END) AS BIGINT) AS view,
                CAST(sum(CASE WHEN event_type = 'purchase' THEN cents END) AS BIGINT) AS purchase
         FROM src GROUP BY user_id
+    """,
+    "event_value_distribution": """
+        WITH src AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+        SELECT event_type, cents,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM src
+        WINDOW w AS (PARTITION BY event_type ORDER BY cents)
+    """,
+    "event_stream_lead_tiles": """
+        WITH src AS (
+          SELECT event_type, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+        SELECT event_type, event_id, cents,
+               lead(cents) OVER w AS next_cents,
+               ntile(4) OVER w AS tile
+        FROM src
+        WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
     """,
     "events_sample": """
         SELECT event_id, user_id, event_type

@@ -1067,14 +1067,24 @@ def window_scan(
     sum_cols: list[str] | None = None,
     num_partitions: int = 32,
     ranks: bool = False,
+    lead_cols: list[str] | None = None,
+    pct: bool = False,
+    ntile_n: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-key ordered window functions in one vectorized scan:
-    ``rn`` (row_number), ``prev_<c>`` (lag 1) for ``lag_cols`` and
-    ``run_<c>`` (running sum, UNBOUNDED PRECEDING .. CURRENT ROW) for
-    ``sum_cols`` — PARTITION BY key ORDER BY order_col.  With
-    ``ranks=True`` also ``rank`` / ``dense_rank`` (SQL tie semantics:
-    equal order values share a rank; dense_rank has no gaps) — derived
-    from the equal-value run starts, no extra sort.
+    ``rn`` (row_number), ``prev_<c>`` (lag 1) for ``lag_cols``,
+    ``next_<c>`` (lead 1) for ``lead_cols`` and ``run_<c>`` (running sum,
+    UNBOUNDED PRECEDING .. CURRENT ROW) for ``sum_cols`` — PARTITION BY
+    key ORDER BY order_col.  With ``ranks=True`` also ``rank`` /
+    ``dense_rank`` (SQL tie semantics: equal order values share a rank;
+    dense_rank has no gaps) — derived from the equal-value run starts, no
+    extra sort.  ``pct=True`` adds ``percent_rank`` ((rank-1)/(rows-1),
+    0 for single-row partitions) and ``cume_dist`` (rows at-or-below the
+    current value / partition rows); ``ntile_n=k`` adds ``tile`` with the
+    standard first-(rows % k)-tiles-get-the-extra-row split.  With ties,
+    per-row outputs are deterministic as a multiset (tied rows are
+    identical), which is exactly what an order-insensitive comparison —
+    or SQL itself — guarantees.
 
     Hash-partition on the key (a key never splits), then per partition:
     one sort + segment-start arithmetic; lag is a shifted ``take`` masked
@@ -1084,6 +1094,9 @@ def window_scan(
     floats carry the usual accumulation-order caveat."""
     lag_cols = lag_cols or []
     sum_cols = sum_cols or []
+    lead_cols = lead_cols or []
+    if ntile_n is not None and ntile_n < 1:
+        raise ValueError(f"window_scan: ntile_n must be >= 1, got {ntile_n}")
     parted = ds.map_batches(
         lambda t: _hash_partition_col(t, [key], num_partitions), batch_format="pyarrow"
     )
@@ -1102,15 +1115,50 @@ def window_scan(
             if ranks:
                 out = out.append_column("rank", pa.nulls(0, pa.int64()))
                 out = out.append_column("dense_rank", pa.nulls(0, pa.int64()))
+            for c in lead_cols:
+                out = out.append_column(f"next_{c}", pa.nulls(0, s.schema.field(c).type))
+            if pct:
+                out = out.append_column("percent_rank", pa.nulls(0, pa.float64()))
+                out = out.append_column("cume_dist", pa.nulls(0, pa.float64()))
+            if ntile_n is not None:
+                out = out.append_column("tile", pa.nulls(0, pa.int64()))
             return out
         seg_start, newkey = _segment_starts(s, [key])
         idx = np.arange(n, dtype=np.int64)
-        out = s.append_column("rn", pa.array(idx - seg_start + 1))
-        if ranks:
+        rn0 = idx - seg_start
+        out = s.append_column("rn", pa.array(rn0 + 1))
+        need_val_runs = ranks or pct
+        if need_val_runs:
             val_start, newval = _segment_starts(s, [key, order_col])
+        if ranks:
             out = out.append_column("rank", pa.array(val_start - seg_start + 1))
             cs = np.cumsum(newval.astype(np.int64))
             out = out.append_column("dense_rank", pa.array(cs - cs[seg_start] + 1))
+        need_seg_end = pct or ntile_n is not None
+        if need_seg_end:
+            seg_bounds = np.append(np.flatnonzero(newkey), n)
+            seg_end = np.repeat(seg_bounds[1:], np.diff(seg_bounds))
+            seg_len = seg_end - seg_start
+        if pct:
+            denom = np.maximum(seg_len - 1, 1).astype(np.float64)
+            out = out.append_column(
+                "percent_rank",
+                pa.array(np.where(seg_len > 1, (val_start - seg_start) / denom, 0.0)),
+            )
+            val_bounds = np.append(np.flatnonzero(newval), n)
+            run_end = np.repeat(val_bounds[1:], np.diff(val_bounds))
+            out = out.append_column(
+                "cume_dist", pa.array((run_end - seg_start) / seg_len.astype(np.float64))
+            )
+        if ntile_n is not None:
+            q, r = seg_len // ntile_n, seg_len % ntile_n
+            big_span = r * (q + 1)
+            tile = np.where(
+                rn0 < big_span,
+                rn0 // (q + 1) + 1,
+                r + (rn0 - big_span) // np.maximum(q, 1) + 1,
+            )
+            out = out.append_column("tile", pa.array(tile.astype(np.int64)))
         not_first = pa.array(~newkey)
         for c in lag_cols:
             src = s.column(c).combine_chunks()
@@ -1118,6 +1166,17 @@ def window_scan(
             out = out.append_column(
                 f"prev_{c}", pc.if_else(not_first, shifted, pa.nulls(n, src.type))
             )
+        if lead_cols:
+            last_in_seg = np.zeros(n, dtype=bool)
+            last_in_seg[:-1] = newkey[1:]
+            last_in_seg[-1] = True
+            not_last = pa.array(~last_in_seg)
+            for c in lead_cols:
+                src = s.column(c).combine_chunks()
+                shifted = src.take(pa.array(np.minimum(idx + 1, n - 1)))
+                out = out.append_column(
+                    f"next_{c}", pc.if_else(not_last, shifted, pa.nulls(n, src.type))
+                )
         for c in sum_cols:
             v = s.column(c).combine_chunks().to_numpy(zero_copy_only=False)
             cs = np.cumsum(v)

@@ -449,3 +449,35 @@ def test_approx_count_distinct_accuracy_and_merge():
         assert False, "p range must be validated"
     except ValueError as e:
         assert "p must be" in str(e)
+
+
+def test_window_scan_lead_pct_cume_ntile():
+    from raydatax.relational import window_scan
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a", "a", "a", "a", "b"],
+        "o": [1, 2, 3, 4, 5, 1],
+        "v": [10, 20, 30, 40, 50, 7],
+    }))
+    out = window_scan(ds, key="k", order_col="o", lead_cols=["v"],
+                      pct=True, ntile_n=2).to_pandas()
+    out = out.sort_values(["k", "o"]).reset_index(drop=True)
+    a = out[out.k == "a"]
+    assert list(a["next_v"])[:4] == [20, 30, 40, 50]
+    assert np.isnan(list(a["next_v"])[4])            # lead at segment end
+    assert list(a["percent_rank"]) == [0.0, 0.25, 0.5, 0.75, 1.0]
+    assert list(a["cume_dist"]) == [0.2, 0.4, 0.6, 0.8, 1.0]
+    assert list(a["tile"]) == [1, 1, 1, 2, 2]        # 5 rows, 2 tiles: 3+2
+    b = out[out.k == "b"]
+    assert np.isnan(b["next_v"].iloc[0])             # single-row key
+    assert b["percent_rank"].iloc[0] == 0.0 and b["cume_dist"].iloc[0] == 1.0
+    assert int(b["tile"].iloc[0]) == 1
+    # ties: equal order values share percent_rank and cume_dist
+    t2 = rd.from_arrow(pa.table({"k": ["x"] * 4, "o": [5, 5, 7, 7], "v": [1, 1, 1, 1]}))
+    o2 = window_scan(t2, key="k", order_col="o", pct=True).to_pandas()
+    got = sorted((int(r.o), r.percent_rank, r.cume_dist) for r in o2.itertuples())
+    assert got == [(5, 0.0, 0.5), (5, 0.0, 0.5), (7, 2/3, 1.0), (7, 2/3, 1.0)]
+    try:
+        window_scan(t2, key="k", order_col="o", ntile_n=0)
+        assert False, "ntile_n must be validated"
+    except ValueError as e:
+        assert "ntile_n" in str(e)
