@@ -975,6 +975,25 @@ def approx_users_hll(sf_dir: str):
     return pa.table({"approx_users": pa.array([n], pa.int64())})
 
 
+def daily_users_hll(sf_dir: str):
+    """Per-key HLL (grouped mergeable sketch): approximate distinct users
+    per day — one 4 KB sketch row per (day, batch) shuffles, never a user
+    id.  Approximate by design → rows-only; per-group accuracy is
+    pytest-pinned and the exact twin is the oracled events_daily_users."""
+    from .relational import grouped_approx_count_distinct
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    with_day = ds.map_batches(
+        lambda t: pa.table({
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"), "user_id": t["user_id"],
+        }),
+        batch_format="pyarrow",
+    )
+    return grouped_approx_count_distinct(
+        with_day, ["day"], "user_id", out_name="approx_users"
+    )
+
+
 def events_sample(sf_dir: str):
     """Deterministic (engine-independent) 5% sample of the event stream by
     key hash — relational.deterministic_sample: pure integer arithmetic
@@ -1395,6 +1414,7 @@ QUERIES = {
     "event_stream_lead_tiles": event_stream_lead_tiles,
     "events_sample": events_sample,
     "approx_users_hll": approx_users_hll,
+    "daily_users_hll": daily_users_hll,
     "view_purchase_day_intersect": view_purchase_day_intersect,
     "click_except_purchase_days": click_except_purchase_days,
     "top_events_per_type": top_events_per_type,

@@ -175,6 +175,50 @@ def pivot(
     return preagg_groupby(wide, [key], [(v, agg, v) for v in values])
 
 
+def _hll_finalize(h: np.ndarray) -> np.ndarray:
+    # full splitmix64 avalanche ON TOP of the engine hash: HLL needs
+    # every bit uniform (register index = top bits, rank = low-bit
+    # zeros) and the partitioner's single-round mix measurably biases
+    # sequential integers (est 66k for 40k distinct).  Local to the
+    # sketch — the lake partition hash is frozen state and stays as-is.
+    with np.errstate(over="ignore"):
+        h = h + np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+
+def _hll_hash(a: "pa.Array") -> np.ndarray:
+    from .partition import hash_ints, hash_string_column
+
+    if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+        h = hash_string_column(a)
+    else:
+        h = hash_ints(a.to_numpy(zero_copy_only=False))
+    return _hll_finalize(h)
+
+
+def _hll_idx_rank(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    # bit length via frexp: exact for w < 2^53 (here w < 2^(64-p),
+    # p >= 11 keeps it inside the float53 window; smaller p only
+    # loses the rank of astronomically-rare deep-zero tails)
+    bl = np.frexp(w.astype(np.float64))[1]
+    rank = np.where(w == 0, 64 - p + 1, 64 - p - bl + 1).astype(np.uint8)
+    return idx, rank
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting (small-range bias)
+    return int(round(est))
+
+
 def approx_count_distinct(
     ds: "ray.data.Dataset",
     col: str,
@@ -188,43 +232,17 @@ def approx_count_distinct(
     ≈ 1.04/sqrt(2^p) (~0.8% at the default p=14) away from the crossover;
     classic corrections only (linear counting under 2.5·m — NO HLL++ bias
     table), so in the crossover zone n ≈ 2.5·2^p expect up to ~5% positive
-    bias (measured +0.2..3.8% at n=40k, p=14).  Hashing is the engine's buffer-level kernel
-    (:mod:`raydatax.partition`) — zero Python objects per value."""
+    bias (measured +0.2..3.8% at n=40k, p=14).  Hashing is the engine's
+    buffer-level kernel (:mod:`raydatax.partition`) plus a full splitmix64
+    avalanche — zero Python objects per value."""
     if not 4 <= p <= 18:
         raise ValueError(f"approx_count_distinct: p must be 4..18, got {p}")
-    from .partition import hash_ints, hash_string_column
-
     m = 1 << p
-    tail_bits = np.uint64(64 - p)
-
-    def _finalize(h: np.ndarray) -> np.ndarray:
-        # full splitmix64 avalanche ON TOP of the engine hash: HLL needs
-        # every bit uniform (register index = top bits, rank = low-bit
-        # zeros) and the partitioner's single-round mix measurably biases
-        # sequential integers (est 66k for 40k distinct).  Local to the
-        # sketch — the lake partition hash is frozen state and stays as-is.
-        with np.errstate(over="ignore"):
-            h = h + np.uint64(0x9E3779B97F4A7C15)
-            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            return h ^ (h >> np.uint64(31))
 
     def sketch(t: pa.Table) -> pa.Table:
-        a = t[col].combine_chunks() if t.num_rows else None
         regs = np.zeros(m, np.uint8)
-        if a is not None and len(a):
-            if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
-                h = hash_string_column(a)
-            else:
-                h = hash_ints(a.to_numpy(zero_copy_only=False))
-            h = _finalize(h)
-            idx = (h >> tail_bits).astype(np.int64)
-            w = h & np.uint64((1 << (64 - p)) - 1)
-            # bit length via frexp: exact for w < 2^53 (here w < 2^(64-p),
-            # p >= 11 keeps it inside the float53 window; smaller p only
-            # loses the rank of astronomically-rare deep-zero tails)
-            bl = np.frexp(w.astype(np.float64))[1]
-            rank = np.where(w == 0, 64 - p + 1, 64 - p - bl + 1).astype(np.uint8)
+        if t.num_rows:
+            idx, rank = _hll_idx_rank(_hll_hash(t[col].combine_chunks()), p)
             np.maximum.at(regs, idx, rank)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
@@ -232,12 +250,63 @@ def approx_count_distinct(
     regs = np.zeros(m, np.uint8)
     for r in rows:
         regs = np.maximum(regs, np.frombuffer(r["regs"], np.uint8))
-    alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-    zeros = int(np.count_nonzero(regs == 0))
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # linear counting (small-range bias)
-    return int(round(est))
+    return _hll_estimate(regs)
+
+
+def grouped_approx_count_distinct(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    col: str,
+    p: int = 12,
+    out_name: str = "approx_distinct",
+) -> "ray.data.Dataset":
+    """Per-key HLL — approximate distinct ``col`` per ``keys`` group
+    ("distinct users per day over 100 TB") without ever shuffling a value:
+    each batch emits ONE sketch row per key present (a 2^p-byte register
+    blob built with a single flat ``maximum.at`` over key-offset register
+    indices), and the groupby merges blobs with an elementwise max.  What
+    shuffles is keys × batches sketch rows — independent of the number of
+    distinct values.  Sized for moderate key counts with large per-key
+    cardinalities (each sketch row is 2^p bytes; the default p=12 = 4 KB
+    → ~1.6% standard error); for millions of groups use exact grouped
+    count-distinct instead, the sketch no longer pays."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"grouped_approx_count_distinct: p must be 4..16, got {p}")
+    m = 1 << p
+
+    def sketch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {k: t[k] for k in keys}
+            cols["regs"] = pa.array([], pa.binary())
+            return pa.table(cols)
+        # integer-encode the (possibly composite) key per batch
+        s = t.sort_by([(k, "ascending") for k in keys])
+        _, newkey = _segment_starts(s, keys)
+        key_idx = np.cumsum(newkey.astype(np.int64)) - 1
+        heads = np.flatnonzero(newkey)
+        n_keys = len(heads)
+        idx, rank = _hll_idx_rank(_hll_hash(s[col].combine_chunks()), p)
+        flat = np.zeros(n_keys * m, np.uint8)
+        np.maximum.at(flat, key_idx * m + idx, rank)
+        blobs = flat.reshape(n_keys, m).tobytes()
+        head_arr = pa.array(heads)
+        cols = {k: s.column(k).take(head_arr) for k in keys}
+        cols["regs"] = pa.array(
+            [blobs[i * m:(i + 1) * m] for i in range(n_keys)], pa.binary()
+        )
+        return pa.table(cols)
+
+    partials = ds.map_batches(sketch, batch_format="pyarrow")
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        regs = np.zeros(m, np.uint8)
+        for b in group["regs"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(b, np.uint8))
+        cols = {k: group.column(k).slice(0, 1) for k in keys}
+        cols[out_name] = pa.array([_hll_estimate(regs)], pa.int64())
+        return pa.table(cols)
+
+    return partials.groupby(keys).map_groups(merge_group, batch_format="pyarrow")
 
 
 def deterministic_sample(

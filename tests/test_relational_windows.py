@@ -481,3 +481,26 @@ def test_window_scan_lead_pct_cume_ntile():
         assert False, "ntile_n must be validated"
     except ValueError as e:
         assert "ntile_n" in str(e)
+
+
+def test_grouped_approx_count_distinct_per_key_accuracy():
+    from raydatax.relational import grouped_approx_count_distinct
+    rng = np.random.default_rng(3)
+    # key a: 3000 distinct of 9000 rows; key b: 10 distinct; key c: 1
+    ka = rng.integers(0, 3000, 9000)
+    t = pa.table({
+        "k": ["a"] * 9000 + ["b"] * 100 + ["c"],
+        "u": np.concatenate([ka, np.arange(10).repeat(10), [99]]),
+    })
+    out = grouped_approx_count_distinct(
+        rd.from_arrow(t).repartition(5), ["k"], "u"
+    ).to_pandas().set_index("k")["approx_distinct"]
+    exact_a = len(np.unique(ka))
+    assert abs(int(out["a"]) - exact_a) / exact_a < 0.05
+    assert int(out["b"]) == 10          # linear-counting regime is near-exact
+    assert int(out["c"]) == 1
+    try:
+        grouped_approx_count_distinct(rd.from_arrow(t), ["k"], "u", p=17)
+        assert False, "p range must be validated"
+    except ValueError as e:
+        assert "p must be" in str(e)
