@@ -928,6 +928,30 @@ def events_value_stats(sf_dir: str):
     )
 
 
+def lineitem_qty_price_corr(sf_dir: str):
+    """Per-flag covariance + Pearson correlation of quantity vs extended
+    price — relational.grouped_corr's one-pass mergeable bivariate partials
+    (count, Σx, Σy, Σx², Σy², Σxy); integer inputs keep the merged sums
+    exact so the derived doubles match SQL computing the same formula."""
+    from .relational import grouped_corr
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def ints(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "x": pc.cast(pc.floor(pc.add(t["l_quantity"], 0.5)), pa.int64()),
+            "y": pc.cast(pc.floor(pc.add(t["l_extendedprice"], 0.5)), pa.int64()),
+        })
+
+    return grouped_corr(
+        ds.map_batches(ints, batch_format="pyarrow"), ["l_returnflag"], "x", "y"
+    )
+
+
 def user_event_paths(sf_dir: str):
     """Grouped ordered concatenation (SQL ``string_agg(... ORDER BY ...)``
     / collect_list) — each user's event-type journey in (ts, event_id)
@@ -1406,6 +1430,7 @@ QUERIES = {
     "lineitem_measures_melt": lineitem_measures_melt,
     "events_value_pivot": events_value_pivot,
     "events_value_stats": events_value_stats,
+    "lineitem_qty_price_corr": lineitem_qty_price_corr,
     "user_event_paths": user_event_paths,
     "transcript_reassembly": transcript_reassembly,
     "customer_order_counts": customer_order_counts,
@@ -1880,6 +1905,40 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
         FROM events WHERE event_type = 'purchase'
+    """,
+    "lineitem_qty_price_corr": """
+        WITH src AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                 CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+          FROM lineitem),
+        p AS (
+          SELECT l_returnflag, count(x) AS n_rows,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM src GROUP BY l_returnflag)
+        SELECT l_returnflag, n_rows,
+               CASE WHEN n_rows > 1 THEN
+                 (CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                      / CAST(n_rows AS DOUBLE))
+                 / (CAST(n_rows AS DOUBLE) - 1.0) END AS covar_samp,
+               CASE WHEN n_rows > 1
+                     AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE)) > 0
+                     AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                          * CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE)) > 0
+                THEN (CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                          / CAST(n_rows AS DOUBLE))
+                   / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                           * CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                           * CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE)))
+                END AS corr
+        FROM p
     """,
     "user_event_paths": """
         SELECT user_id,

@@ -309,6 +309,68 @@ def grouped_approx_count_distinct(
     return partials.groupby(keys).map_groups(merge_group, batch_format="pyarrow")
 
 
+def grouped_corr(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    x: str,
+    y: str,
+    cov_name: str = "covar_samp",
+    corr_name: str = "corr",
+    n_name: str = "n_rows",
+) -> "ray.data.Dataset":
+    """Per-key sample covariance and Pearson correlation from ONE pass of
+    mergeable partials (count, Σx, Σy, Σx², Σy², Σxy) — the bivariate
+    sibling of :func:`grouped_stats`; raw rows never shuffle.  Integer
+    inputs keep every merged sum exact, so the derived IEEE expressions
+    reproduce bit-for-bit against SQL computing the same formulas
+    (cov = (Σxy − ΣxΣy/n)/(n−1); corr = cov·(n−1) / sqrt((Σx²−Σx²/n)
+    ·(Σy²−Σy²/n)) with null when either variance is 0 or n < 2).
+    Products are overflow-checked."""
+    sq_x, sq_y, xy = f"__{x}_sq", f"__{y}_sq", f"__{x}_{y}"
+
+    def add_products(t: pa.Table) -> pa.Table:
+        return (
+            t.append_column(sq_x, pc.multiply_checked(t[x], t[x]))
+            .append_column(sq_y, pc.multiply_checked(t[y], t[y]))
+            .append_column(xy, pc.multiply_checked(t[x], t[y]))
+        )
+
+    agg = preagg_groupby(
+        ds.map_batches(add_products, batch_format="pyarrow"),
+        keys,
+        [
+            (x, "count", n_name),
+            (x, "sum", "__sx"), (y, "sum", "__sy"),
+            (sq_x, "sum", "__sxx"), (sq_y, "sum", "__syy"), (xy, "sum", "__sxy"),
+        ],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t[n_name], pa.float64())
+        sx = pc.cast(t["__sx"], pa.float64())
+        sy = pc.cast(t["__sy"], pa.float64())
+        sxx = pc.cast(t["__sxx"], pa.float64())
+        syy = pc.cast(t["__syy"], pa.float64())
+        sxy = pc.cast(t["__sxy"], pa.float64())
+        nulls = pa.nulls(t.num_rows, pa.float64())
+        multi = pc.greater(n, 1.0)
+        num = pc.subtract(sxy, pc.divide(pc.multiply(sx, sy), n))
+        cov = pc.if_else(multi, pc.divide(num, pc.subtract(n, 1.0)), nulls)
+        ssx = pc.subtract(sxx, pc.divide(pc.multiply(sx, sx), n))
+        ssy = pc.subtract(syy, pc.divide(pc.multiply(sy, sy), n))
+        denom_ok = pc.and_(multi, pc.and_(pc.greater(ssx, 0.0), pc.greater(ssy, 0.0)))
+        corr = pc.if_else(
+            denom_ok, pc.divide(num, pc.sqrt(pc.multiply(ssx, ssy))), nulls
+        )
+        cols = {k: t[k] for k in keys}
+        cols[n_name] = t[n_name]
+        cols[cov_name] = cov
+        cols[corr_name] = corr
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def deterministic_sample(
     ds: "ray.data.Dataset",
     key: str,

@@ -504,3 +504,21 @@ def test_grouped_approx_count_distinct_per_key_accuracy():
         assert False, "p range must be validated"
     except ValueError as e:
         assert "p must be" in str(e)
+
+
+def test_grouped_corr_perfect_anti_constant_single():
+    from raydatax.relational import grouped_corr
+    import math
+    ds = rd.from_arrow(pa.table({
+        "k": ["p", "p", "p", "a", "a", "c", "c", "s"],
+        "x": [1,   2,   3,   1,   2,   5,   9,   4],
+        "y": [10,  20,  30,  8,   4,   7,   7,   1],
+    })).repartition(3)
+    out = grouped_corr(ds, ["k"], "x", "y").to_pandas().set_index("k")
+    assert out.loc["p", "corr"] == 1.0           # perfectly linear
+    assert out.loc["a", "corr"] == -1.0          # perfectly anti-linear
+    assert out.loc["a", "covar_samp"] == -2.0    # cov of (1,8),(2,4)
+    assert math.isnan(out.loc["c", "corr"])      # constant y -> zero variance
+    assert out.loc["c", "covar_samp"] == 0.0
+    assert math.isnan(out.loc["s", "corr"])      # single row
+    assert math.isnan(out.loc["s", "covar_samp"])
