@@ -928,6 +928,17 @@ def events_value_stats(sf_dir: str):
     )
 
 
+def tfidf_terms(sf_dir: str):
+    """Corpus TF-IDF top-5 terms per document (text.tfidf_top_terms):
+    tokenize → pre-aggregated (doc, term) counts → document frequency →
+    term join → tf·ln(N/df) → per-doc top-k with a total order.  The
+    whole chain is SQL-expressible, so it runs under the exact gate."""
+    from .text import tfidf_top_terms
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=5)
+
+
 def lineitem_qty_price_corr(sf_dir: str):
     """Per-flag covariance + Pearson correlation of quantity vs extended
     price — relational.grouped_corr's one-pass mergeable bivariate partials
@@ -1430,6 +1441,7 @@ QUERIES = {
     "lineitem_measures_melt": lineitem_measures_melt,
     "events_value_pivot": events_value_pivot,
     "events_value_stats": events_value_stats,
+    "tfidf_terms": tfidf_terms,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
     "user_event_paths": user_event_paths,
     "transcript_reassembly": transcript_reassembly,
@@ -1905,6 +1917,26 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
         FROM events WHERE event_type = 'purchase'
+    """,
+    "tfidf_terms": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          FROM documents),
+        toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        tf AS (SELECT doc_id, term, count(term) AS tf
+               FROM toks2 GROUP BY doc_id, term),
+        df AS (SELECT term, count(term) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 CAST(tf.tf AS DOUBLE)
+                   * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored)
+        SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5
     """,
     "lineitem_qty_price_corr": """
         WITH src AS (

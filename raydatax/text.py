@@ -292,3 +292,74 @@ def search_scroll(
     if page.num_rows == page_size:
         nxt = (page["score"][-1].as_py(), page[id_col][-1].as_py())
     return page, nxt
+
+
+def tokenize_batch(
+    batch: pa.Table,
+    column: str = "text",
+    id_col: str = "doc_id",
+    lower: bool = True,
+) -> pa.Table:
+    """Flatten each document into (id, term) rows: lowercase, split on the
+    literal single space, drop empty tokens — one vectorized split +
+    list_flatten per batch (the same contract as SQL
+    ``unnest(string_split(lower(text), ' '))``, so results are
+    cross-engine exact).  Purely batch-local; no shuffle."""
+    col = batch[column].combine_chunks()
+    if lower:
+        col = pc.utf8_lower(col)
+    lists = pc.split_pattern(col, " ")
+    n_per = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+        zero_copy_only=False
+    )
+    flat = pc.list_flatten(lists)
+    ids = batch[id_col].combine_chunks().take(
+        pa.array(np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_per))
+    )
+    out = pa.table({id_col: ids, "term": flat})
+    return out.filter(pc.not_equal(out["term"], ""))
+
+
+def tfidf_top_terms(
+    ds,
+    k: int = 5,
+    column: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus TF-IDF, distributed end-to-end, exact: tokenize batch-local
+    → (doc, term) counts via the pre-aggregated groupby (only per-key
+    partials shuffle) → document frequency as a second tiny groupby over
+    the TF result → one hash join on term → score tf·ln(N/df) → top-k
+    terms per document with a (score DESC, term ASC) total order.
+
+    Every stage is the engine's own operator surface (preagg_groupby /
+    hash_join / grouped_topk), so the scale story is theirs; the
+    log-weighting is a fixed IEEE expression over exact integers —
+    reproducible bit-for-bit against SQL.  Assumes ``id_col`` values are
+    unique per document (N = corpus row count)."""
+    from .relational import grouped_topk, hash_join, preagg_groupby
+
+    n_docs = ds.count()
+    pairs = ds.map_batches(
+        lambda t: tokenize_batch(t, column, id_col), batch_format="pyarrow"
+    )
+    tf = preagg_groupby(pairs, [id_col, "term"], [("term", "count", "tf")]).materialize()
+    df = preagg_groupby(tf, ["term"], [("term", "count", "df")])
+    scored = hash_join(tf, df, on="term")
+
+    def score(t: pa.Table) -> pa.Table:
+        idf = pc.ln(
+            pc.divide(
+                pa.scalar(float(n_docs), pa.float64()),
+                pc.cast(t["df"], pa.float64()),
+            )
+        )
+        return t.append_column(
+            "tfidf", pc.multiply(pc.cast(t["tf"], pa.float64()), idf)
+        )
+
+    with_score = scored.map_batches(score, batch_format="pyarrow")
+    out = grouped_topk(
+        with_score, id_col, [("tfidf", "descending"), ("term", "ascending")], k
+    )
+    return out.select_columns([id_col, "term", "tf", "df", "tfidf", "rank"])

@@ -300,3 +300,34 @@ def test_search_scroll_string_ids(ray_session):
     empty, cur = search_scroll(ds, ["zebra"], 2)
     assert empty.num_rows == 0 and cur is None
     assert empty.schema.field("doc_id").type == pa.string()
+
+
+def test_tokenize_batch_empties_nulls_case():
+    import pyarrow as pa
+    from raydatax.text import tokenize_batch
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["Hello  world", None, "a"],   # double space -> empty token dropped
+    })
+    out = tokenize_batch(t)
+    rows = sorted(zip(out["doc_id"].to_pylist(), out["term"].to_pylist()))
+    assert rows == [(1, "hello"), (1, "world"), (3, "a")]
+
+
+def test_tfidf_top_terms_small_corpus():
+    import math
+    import pyarrow as pa
+    import ray.data as rd
+    from raydatax.text import tfidf_top_terms
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["cat cat dog", "dog fish"],
+    }))
+    out = tfidf_top_terms(ds, k=2).to_pandas()
+    d1 = out[out.doc_id == 1].sort_values("rank")
+    # 'cat' df=1 tf=2 -> 2*ln(2); 'dog' df=2 -> idf 0
+    assert list(d1["term"]) == ["cat", "dog"]
+    assert abs(d1.iloc[0]["tfidf"] - 2 * math.log(2)) < 1e-12
+    assert d1.iloc[1]["tfidf"] == 0.0
+    d2 = out[out.doc_id == 2].sort_values("rank")
+    assert list(d2["term"]) == ["fish", "dog"]
