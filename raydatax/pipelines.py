@@ -928,6 +928,35 @@ def events_value_stats(sf_dir: str):
     )
 
 
+def bloom_filtered_revenue(sf_dir: str):
+    """EXACT semi join with a Bloom pre-filter (relational.bloom_semi_join):
+    fulfilled-order line items kept by testing a broadcast ~1.5-byte/key
+    bitmap per batch BEFORE any exchange, false positives removed by the
+    adaptive exact semi join on the survivors — identical output to the
+    plain semi join, probe volume into the shuffle cut at the source."""
+    from .relational import bloom_semi_join, preagg_groupby
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice"],
+    ).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"], "l_returnflag": t["l_returnflag"],
+            "cents": _cents(t["l_extendedprice"]),
+        }),
+        batch_format="pyarrow",
+    )
+    fulfilled = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey"],
+        filter=pc.field("o_orderstatus") == "F",
+    )
+    kept = bloom_semi_join(li, fulfilled, "l_orderkey", "o_orderkey")
+    return preagg_groupby(
+        kept, ["l_returnflag"],
+        [("cents", "count", "n_items"), ("cents", "sum", "revenue_cents")],
+    )
+
+
 def tfidf_terms(sf_dir: str):
     """Corpus TF-IDF top-5 terms per document (text.tfidf_top_terms):
     tokenize → pre-aggregated (doc, term) counts → document frequency →
@@ -1101,9 +1130,12 @@ def event_stream_lead_tiles(sf_dir: str):
     )
     out = window_scan(
         with_cents, key="event_type", order_col="event_id",
-        lead_cols=["cents"], ntile_n=4,
+        lead_cols=["cents"], ntile_n=4, first_last_cols=["cents"],
     )
-    return out.select_columns(["event_type", "event_id", "cents", "next_cents", "tile"])
+    return out.select_columns(
+        ["event_type", "event_id", "cents", "next_cents", "tile",
+         "first_cents", "last_cents"]
+    )
 
 
 def _user_day_side(sf_dir: str, event_type: str):
@@ -1441,6 +1473,7 @@ QUERIES = {
     "lineitem_measures_melt": lineitem_measures_melt,
     "events_value_pivot": events_value_pivot,
     "events_value_stats": events_value_stats,
+    "bloom_filtered_revenue": bloom_filtered_revenue,
     "tfidf_terms": tfidf_terms,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
     "user_event_paths": user_event_paths,
@@ -1877,7 +1910,12 @@ ORACLE_SQL = {
           FROM events)
         SELECT event_type, event_id, cents,
                lead(cents) OVER w AS next_cents,
-               ntile(4) OVER w AS tile
+               ntile(4) OVER w AS tile,
+               first_value(cents) OVER w AS first_cents,
+               last_value(cents) OVER (PARTITION BY event_type
+                                       ORDER BY event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS last_cents
         FROM src
         WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
     """,
@@ -1917,6 +1955,17 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
         FROM events WHERE event_type = 'purchase'
+    """,
+    "bloom_filtered_revenue": """
+        WITH kept AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                               WHERE o_orderstatus = 'F'))
+        SELECT l_returnflag, count(cents) AS n_items,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM kept GROUP BY l_returnflag
     """,
     "tfidf_terms": """
         WITH toks AS (

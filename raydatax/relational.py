@@ -654,6 +654,113 @@ def semi_join(
     )
 
 
+def build_bloom(
+    keys: "ray.data.Dataset",
+    col: str,
+    bits_per_key: int = 12,
+) -> tuple[bytes, int, int]:
+    """Distributed Bloom-filter build over a key Dataset: every block
+    reduces to one m-bit partial bitmap, partials OR-merge associatively
+    through a remote task tree (the driver touches only the final bitmap).
+    Returns ``(bitmap, m_bits, n_hashes)``; m ≈ bits_per_key · n keys
+    (rounded up to a power of two) → FP rate ≈ 0.6185^bits_per_key
+    (~0.3% at the default 12).  Double hashing (h1 + i·h2) gives the k
+    probe positions from two 64-bit hashes — no k independent hash
+    functions needed."""
+    n = keys.count()
+    m_bits = 1 << max(10, int(np.ceil(np.log2(max(1, n) * bits_per_key))))
+    n_hashes = max(1, int(round(0.693 * m_bits / max(1, n))))
+    mask = np.uint64(m_bits - 1)
+
+    def block_bitmap(t: pa.Table) -> pa.Table:
+        bm = np.zeros(m_bits // 8, np.uint8)
+        if t.num_rows:
+            h1 = _hll_hash(t[col].combine_chunks())
+            h2 = _hll_finalize(h1) | np.uint64(1)
+            for i in range(n_hashes):
+                with np.errstate(over="ignore"):
+                    pos = (h1 + np.uint64(i) * h2) & mask
+                np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
+                                 np.left_shift(1, (pos & np.uint64(7)).astype(np.int64)).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    @ray.remote
+    def or_merge(*blobs: bytes) -> bytes:
+        acc = np.frombuffer(blobs[0], np.uint8).copy()
+        for b in blobs[1:]:
+            acc |= np.frombuffer(b, np.uint8)
+        return acc.tobytes()
+
+    parts = keys.map_batches(block_bitmap, batch_format="pyarrow").materialize()
+    # per-block blob refs extracted remotely — blobs never queue up on the
+    # driver; the OR tree reduces them 8 at a time
+    blob_refs = [
+        _extract_bloom_blob.remote(block_ref) for block_ref in parts.to_arrow_refs()
+    ]
+    while len(blob_refs) > 1:
+        blob_refs = [
+            or_merge.remote(*blob_refs[i:i + 8])
+            for i in range(0, len(blob_refs), 8)
+        ]
+    return ray.get(blob_refs[0]), m_bits, n_hashes
+
+
+@ray.remote
+def _extract_bloom_blob(block: pa.Table) -> bytes:
+    import numpy as _np
+
+    blobs = block["bm"].to_pylist()
+    acc = _np.frombuffer(blobs[0], _np.uint8).copy()
+    for b in blobs[1:]:
+        acc |= _np.frombuffer(b, _np.uint8)
+    return acc.tobytes()
+
+
+def bloom_semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str | None = None,
+    bits_per_key: int = 12,
+    broadcast_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """EXACT semi join with a Bloom pre-filter: the build side's distinct
+    keys become one compact bitmap (ray.put once, ~1.5 bytes/key) that
+    every probe batch tests locally, discarding non-matching rows BEFORE
+    the exchange; the ~0.3% false positives are then removed by the
+    adaptive exact :func:`semi_join` over the (now tiny) survivor stream.
+    No false negatives — a Bloom filter never drops a present key — so
+    the result is identical to the plain semi join; what changes at 100 TB
+    is the probe volume entering the shuffle."""
+    right_on = right_on or left_on
+    keys = preagg_groupby(
+        right, [right_on], [(right_on, "count", "__c")]
+    ).select_columns([right_on]).materialize()
+    bitmap, m_bits, n_hashes = build_bloom(keys, right_on, bits_per_key)
+    bm_ref = ray.put(np.frombuffer(bitmap, np.uint8))
+    mask = np.uint64(m_bits - 1)
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        bm = ray.get(bm_ref)
+        h1 = _hll_hash(t[left_on].combine_chunks())
+        h2 = _hll_finalize(h1) | np.uint64(1)
+        hit = np.ones(t.num_rows, bool)
+        for i in range(n_hashes):
+            with np.errstate(over="ignore"):
+                pos = (h1 + np.uint64(i) * h2) & mask
+            bits = bm[(pos >> np.uint64(3)).astype(np.int64)]
+            hit &= (bits >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return t.filter(pa.array(hit))
+
+    survivors = left.map_batches(probe, batch_format="pyarrow")
+    return semi_join(
+        survivors, keys, left_on, right_on,
+        broadcast_threshold=broadcast_threshold,
+    )
+
+
 # -------------------------------------------------------------- top-k
 
 
@@ -1201,6 +1308,7 @@ def window_scan(
     lead_cols: list[str] | None = None,
     pct: bool = False,
     ntile_n: int | None = None,
+    first_last_cols: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Per-key ordered window functions in one vectorized scan:
     ``rn`` (row_number), ``prev_<c>`` (lag 1) for ``lag_cols``,
@@ -1212,7 +1320,10 @@ def window_scan(
     extra sort.  ``pct=True`` adds ``percent_rank`` ((rank-1)/(rows-1),
     0 for single-row partitions) and ``cume_dist`` (rows at-or-below the
     current value / partition rows); ``ntile_n=k`` adds ``tile`` with the
-    standard first-(rows % k)-tiles-get-the-extra-row split.  With ties,
+    standard first-(rows % k)-tiles-get-the-extra-row split;
+    ``first_last_cols`` adds ``first_<c>`` / ``last_<c>`` (first_value /
+    last_value over the WHOLE partition — rows UNBOUNDED PRECEDING ..
+    UNBOUNDED FOLLOWING, the per-key constant form).  With ties,
     per-row outputs are deterministic as a multiset (tied rows are
     identical), which is exactly what an order-insensitive comparison —
     or SQL itself — guarantees.
@@ -1226,6 +1337,7 @@ def window_scan(
     lag_cols = lag_cols or []
     sum_cols = sum_cols or []
     lead_cols = lead_cols or []
+    first_last_cols = first_last_cols or []
     if ntile_n is not None and ntile_n < 1:
         raise ValueError(f"window_scan: ntile_n must be >= 1, got {ntile_n}")
     parted = ds.map_batches(
@@ -1253,6 +1365,9 @@ def window_scan(
                 out = out.append_column("cume_dist", pa.nulls(0, pa.float64()))
             if ntile_n is not None:
                 out = out.append_column("tile", pa.nulls(0, pa.int64()))
+            for c in first_last_cols:
+                out = out.append_column(f"first_{c}", pa.nulls(0, s.schema.field(c).type))
+                out = out.append_column(f"last_{c}", pa.nulls(0, s.schema.field(c).type))
             return out
         seg_start, newkey = _segment_starts(s, [key])
         idx = np.arange(n, dtype=np.int64)
@@ -1265,7 +1380,7 @@ def window_scan(
             out = out.append_column("rank", pa.array(val_start - seg_start + 1))
             cs = np.cumsum(newval.astype(np.int64))
             out = out.append_column("dense_rank", pa.array(cs - cs[seg_start] + 1))
-        need_seg_end = pct or ntile_n is not None
+        need_seg_end = pct or ntile_n is not None or bool(first_last_cols)
         if need_seg_end:
             seg_bounds = np.append(np.flatnonzero(newkey), n)
             seg_end = np.repeat(seg_bounds[1:], np.diff(seg_bounds))
@@ -1297,6 +1412,10 @@ def window_scan(
             out = out.append_column(
                 f"prev_{c}", pc.if_else(not_first, shifted, pa.nulls(n, src.type))
             )
+        for c in first_last_cols:
+            src = s.column(c).combine_chunks()
+            out = out.append_column(f"first_{c}", src.take(pa.array(seg_start)))
+            out = out.append_column(f"last_{c}", src.take(pa.array(seg_end - 1)))
         if lead_cols:
             last_in_seg = np.zeros(n, dtype=bool)
             last_in_seg[:-1] = newkey[1:]

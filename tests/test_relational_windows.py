@@ -522,3 +522,46 @@ def test_grouped_corr_perfect_anti_constant_single():
     assert out.loc["c", "covar_samp"] == 0.0
     assert math.isnan(out.loc["s", "corr"])      # single row
     assert math.isnan(out.loc["s", "covar_samp"])
+
+
+def test_window_scan_first_last_values():
+    from raydatax.relational import window_scan
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a", "a", "b"],
+        "o": [2, 1, 3, 9],
+        "v": [20, 10, 30, 7],
+    }))
+    out = window_scan(ds, key="k", order_col="o",
+                      first_last_cols=["v"]).to_pandas()
+    out = out.sort_values(["k", "o"]).reset_index(drop=True)
+    assert list(out["first_v"]) == [10, 10, 10, 7]
+    assert list(out["last_v"]) == [30, 30, 30, 7]
+
+
+def test_bloom_build_probe_no_false_negatives_and_fp_rate():
+    from raydatax.relational import bloom_semi_join, build_bloom, _hll_hash, _hll_finalize
+    present = pa.table({"k": np.arange(0, 20_000, 2)})        # evens
+    bitmap, m_bits, n_hashes = build_bloom(rd.from_arrow(present), "k")
+    bm = np.frombuffer(bitmap, np.uint8)
+    mask = np.uint64(m_bits - 1)
+
+    def hits(vals):
+        t = pa.table({"k": vals})
+        h1 = _hll_hash(t["k"].combine_chunks())
+        h2 = _hll_finalize(h1) | np.uint64(1)
+        ok = np.ones(len(vals), bool)
+        for i in range(n_hashes):
+            with np.errstate(over="ignore"):
+                pos = (h1 + np.uint64(i) * h2) & mask
+            ok &= ((bm[(pos >> np.uint64(3)).astype(np.int64)]
+                    >> (pos & np.uint64(7)).astype(np.uint8)) & 1) > 0
+        return ok
+
+    assert hits(np.arange(0, 20_000, 2)).all()                # NO false negatives
+    fp = hits(np.arange(1, 20_000, 2)).mean()                 # odds are absent
+    assert fp < 0.02, fp                                      # ~0.3% expected at 12 bits/key
+    # end-to-end exactness: bloom path == plain key-set semantics
+    left = rd.from_arrow(pa.table({"k": np.arange(100), "v": np.arange(100)}))
+    right = rd.from_arrow(pa.table({"k": np.array([3, 5, 5, 97, 1000])}))
+    out = bloom_semi_join(left, right, "k").to_pandas()
+    assert sorted(out["k"]) == [3, 5, 97]
