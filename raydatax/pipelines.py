@@ -928,6 +928,23 @@ def events_value_stats(sf_dir: str):
     )
 
 
+def favorite_event_type(sf_dir: str):
+    """Per-group mode with a deterministic tie-break: each user's most
+    frequent event type (count DESC, type ASC) — composed entirely from
+    existing operators: pre-aggregated (user, type) counts, then
+    grouped_topk n=1 over the tiny count table."""
+    from .relational import grouped_topk, preagg_groupby
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+    counts = preagg_groupby(
+        ds, ["user_id", "event_type"], [("event_type", "count", "n")]
+    )
+    top = grouped_topk(
+        counts, "user_id", [("n", "descending"), ("event_type", "ascending")], 1
+    )
+    return top.select_columns(["user_id", "event_type", "n"])
+
+
 def bloom_filtered_revenue(sf_dir: str):
     """EXACT semi join with a Bloom pre-filter (relational.bloom_semi_join):
     fulfilled-order line items kept by testing a broadcast ~1.5-byte/key
@@ -1473,6 +1490,7 @@ QUERIES = {
     "lineitem_measures_melt": lineitem_measures_melt,
     "events_value_pivot": events_value_pivot,
     "events_value_stats": events_value_stats,
+    "favorite_event_type": favorite_event_type,
     "bloom_filtered_revenue": bloom_filtered_revenue,
     "tfidf_terms": tfidf_terms,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
@@ -1955,6 +1973,15 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
         FROM events WHERE event_type = 'purchase'
+    """,
+    "favorite_event_type": """
+        WITH counts AS (
+          SELECT user_id, event_type, count(event_type) AS n
+          FROM events GROUP BY user_id, event_type)
+        SELECT user_id, event_type, n
+        FROM counts
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type ASC) = 1
     """,
     "bloom_filtered_revenue": """
         WITH kept AS (

@@ -80,3 +80,75 @@ def test_asof_join_matches_duckdb(seed):
     )
     con.close()
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_window_scan_rank_pct_matches_duckdb(seed):
+    """rank/dense_rank/percent_rank/cume_dist on tie-heavy random data:
+    a tiny value range (0..8) forces dense tie runs in every partition —
+    the outputs must match DuckDB's window functions as multisets
+    (tied rows are identical, so multiset equality is full equality)."""
+    from raydatax.relational import window_scan
+    rng = np.random.default_rng(100 + seed)
+    n, nk = 500, 7
+    t = pa.table({
+        "k": pa.array([f"g{i}" for i in rng.integers(0, nk, n)]),
+        "v": pa.array(rng.integers(0, 8, n).astype(np.int64)),
+    })
+    out = window_scan(
+        rd.from_arrow(t).repartition(5), key="k", order_col="v",
+        ranks=True, pct=True, num_partitions=3,
+    ).to_pandas()
+    got = sorted(
+        (r.k, int(r.v), int(r.rank), int(r.dense_rank),
+         round(r.percent_rank, 12), round(r.cume_dist, 12))
+        for r in out.itertuples()
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = sorted(
+        (k, int(v), int(rk), int(dr), round(pr, 12), round(cd, 12))
+        for k, v, rk, dr, pr, cd in con.execute("""
+            SELECT k, v,
+                   rank() OVER w, dense_rank() OVER w,
+                   percent_rank() OVER w, cume_dist() OVER w
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY v)
+        """).fetchall()
+    )
+    assert got == exp
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_window_scan_ntile_lead_unique_order_matches_duckdb(seed):
+    from raydatax.relational import window_scan
+    rng = np.random.default_rng(200 + seed)
+    n, nk = 300, 5
+    t = pa.table({
+        "k": pa.array([f"g{i}" for i in rng.integers(0, nk, n)]),
+        "o": pa.array(np.arange(n, dtype=np.int64)),   # unique ordering
+        "v": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+    })
+    out = window_scan(
+        rd.from_arrow(t).repartition(4), key="k", order_col="o",
+        lead_cols=["v"], ntile_n=3, first_last_cols=["v"], num_partitions=2,
+    ).to_pandas()
+    got = sorted(
+        (r.k, int(r.o),
+         None if r.next_v != r.next_v else int(r.next_v),
+         int(r.tile), int(r.first_v), int(r.last_v))
+        for r in out.itertuples()
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = sorted(
+        (k, int(o), None if nv is None else int(nv), int(tl), int(fv), int(lv))
+        for k, o, nv, tl, fv, lv in con.execute("""
+            SELECT k, o, lead(v) OVER w, ntile(3) OVER w,
+                   first_value(v) OVER w,
+                   last_value(v) OVER (PARTITION BY k ORDER BY o
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING)
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY o)
+        """).fetchall()
+    )
+    assert got == exp
