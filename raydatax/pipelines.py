@@ -928,6 +928,23 @@ def events_value_stats(sf_dir: str):
     )
 
 
+def top_terms_heavy_hitters(sf_dir: str):
+    """Heavy-hitters summary over the tokenized corpus
+    (relational.heavy_hitters): per-batch top-capacity exact counts,
+    groupby-sum merge, bounded global top-k.  The corpus vocabulary fits
+    the summary capacity, so counts here are exact and the SQL gate
+    certifies them; the truncated regime's undercount bound is
+    pytest-pinned separately."""
+    from .relational import heavy_hitters
+    from .text import tokenize_batch
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    terms = ds.map_batches(
+        lambda t: tokenize_batch(t), batch_format="pyarrow"
+    ).select_columns(["term"])
+    return heavy_hitters(terms, "term", k=10, capacity=64)
+
+
 def favorite_event_type(sf_dir: str):
     """Per-group mode with a deterministic tie-break: each user's most
     frequent event type (count DESC, type ASC) — composed entirely from
@@ -1490,6 +1507,7 @@ QUERIES = {
     "lineitem_measures_melt": lineitem_measures_melt,
     "events_value_pivot": events_value_pivot,
     "events_value_stats": events_value_stats,
+    "top_terms_heavy_hitters": top_terms_heavy_hitters,
     "favorite_event_type": favorite_event_type,
     "bloom_filtered_revenue": bloom_filtered_revenue,
     "tfidf_terms": tfidf_terms,
@@ -1973,6 +1991,16 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
         FROM events WHERE event_type = 'purchase'
+    """,
+    "top_terms_heavy_hitters": """
+        WITH toks AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS term
+          FROM documents),
+        counts AS (
+          SELECT term, count(term) AS cnt
+          FROM toks WHERE term <> '' GROUP BY term)
+        SELECT term, cnt FROM counts
+        ORDER BY cnt DESC, term ASC LIMIT 10
     """,
     "favorite_event_type": """
         WITH counts AS (

@@ -654,6 +654,51 @@ def semi_join(
     )
 
 
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: int = 10,
+    capacity: int | None = None,
+) -> pa.Table:
+    """Misra-Gries-style heavy hitters: every batch reduces to its top
+    ``capacity`` (value, count) pairs by exact in-batch counts (one
+    ``value_counts`` + sort per batch), partials merge with a pre-aggregated
+    groupby-sum, and the global top-``k`` comes from the bounded
+    block-partial top-k (no global sort).  Deterministic tie-break
+    (count DESC, value ASC).
+
+    Exactness regime: when a batch's distinct values fit ``capacity``
+    (default max(8k, 64)) nothing is truncated and the counts are EXACT —
+    that regime is what the SQL gate certifies.  Above it, a value's merged
+    count is an undercount by at most Σ_b n_b/capacity over the batches
+    that dropped it (per-batch dropped count ≤ the capacity-th kept count
+    ≤ n_b/capacity) — the classic summary trade-off, pinned by test."""
+    capacity = capacity or max(8 * k, 64)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({col: pa.array([], t.schema.field(col).type),
+                             "cnt": pa.array([], pa.int64())})
+        vc = pc.value_counts(t[col].combine_chunks())
+        part = pa.table({col: vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+        if part.num_rows > capacity:
+            part = part.sort_by(
+                [("cnt", "descending"), (col, "ascending")]
+            ).slice(0, capacity)
+        return part
+
+    merged = preagg_groupby(
+        ds.map_batches(summarize, batch_format="pyarrow"), [col],
+        [("cnt", "sum", "cnt")],
+    )
+    out = topk(merged, [("cnt", "descending"), (col, "ascending")], k)
+    if out is None:
+        return pa.table({col: pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    return out
+
+
 def build_bloom(
     keys: "ray.data.Dataset",
     col: str,

@@ -565,3 +565,30 @@ def test_bloom_build_probe_no_false_negatives_and_fp_rate():
     right = rd.from_arrow(pa.table({"k": np.array([3, 5, 5, 97, 1000])}))
     out = bloom_semi_join(left, right, "k").to_pandas()
     assert sorted(out["k"]) == [3, 5, 97]
+
+
+def test_heavy_hitters_exact_and_truncated_regimes():
+    from raydatax.relational import heavy_hitters
+    rng = np.random.default_rng(11)
+    # exact regime: distinct fits capacity -> counts identical to value_counts
+    small = pa.array(rng.integers(0, 20, 5000).astype(np.int64))
+    t = pa.table({"v": small})
+    out = heavy_hitters(rd.from_arrow(t).repartition(6), "v", k=5, capacity=64)
+    import collections
+    exact = collections.Counter(small.to_pylist())
+    expect = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = list(zip(out["v"].to_pylist(), out["cnt"].to_pylist()))
+    assert got == expect
+    # truncated regime: zipf-ish skew, capacity 8 << 200 distinct values;
+    # merged counts are undercounts within sum_b(n_b)/capacity and the true
+    # heavy hitter is still ranked first
+    vals = np.concatenate([
+        np.zeros(3000, np.int64),                 # one dominant value
+        rng.integers(1, 200, 3000).astype(np.int64),
+    ])
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(10)
+    out2 = heavy_hitters(ds, "v", k=3, capacity=8)
+    assert out2["v"][0].as_py() == 0
+    cnt0 = out2["cnt"][0].as_py()
+    assert cnt0 <= 3000 and 3000 - cnt0 <= len(vals) / 8
