@@ -928,6 +928,26 @@ def events_value_stats(sf_dir: str):
     )
 
 
+def busy_users(sf_dir: str):
+    """GROUP BY ... HAVING: users with more than 60 events and their event
+    count + exact-cents total — a post-aggregation filter on the (tiny)
+    grouped result, so the predicate costs nothing at scale."""
+    from .relational import preagg_groupby
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "value"])
+    with_cents = ds.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"], "cents": _cents(t["value"])}),
+        batch_format="pyarrow",
+    )
+    agg = preagg_groupby(
+        with_cents, ["user_id"],
+        [("cents", "count", "n_events"), ("cents", "sum", "total_cents")],
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n_events"], 60)), batch_format="pyarrow"
+    )
+
+
 def top_terms_heavy_hitters(sf_dir: str):
     """Heavy-hitters summary over the tokenized corpus
     (relational.heavy_hitters): per-batch top-capacity exact counts,
@@ -1507,6 +1527,7 @@ QUERIES = {
     "lineitem_measures_melt": lineitem_measures_melt,
     "events_value_pivot": events_value_pivot,
     "events_value_stats": events_value_stats,
+    "busy_users": busy_users,
     "top_terms_heavy_hitters": top_terms_heavy_hitters,
     "favorite_event_type": favorite_event_type,
     "bloom_filtered_revenue": bloom_filtered_revenue,
@@ -1991,6 +2012,16 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
         FROM events WHERE event_type = 'purchase'
+    """,
+    "busy_users": """
+        WITH src AS (
+          SELECT user_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+        SELECT user_id, count(cents) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM src GROUP BY user_id
+        HAVING count(cents) > 60
     """,
     "top_terms_heavy_hitters": """
         WITH toks AS (
