@@ -153,6 +153,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "events_hourly",
         "user_running_totals",
         "asof_latest_purchase",
+        "tfidf_terms",
+        "user_event_paths",
+        "bloom_filtered_revenue",
     ]
     for name in secondary:
         t0 = time.monotonic()
