@@ -152,3 +152,51 @@ def test_window_scan_ntile_lead_unique_order_matches_duckdb(seed):
         """).fetchall()
     )
     assert got == exp
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_set_distinct_matches_duckdb(seed):
+    from raydatax.relational import set_distinct
+    rng = np.random.default_rng(300 + seed)
+    mk = lambda n: pa.table({
+        "a": pa.array([f"v{i}" for i in rng.integers(0, 25, n)]),
+        "b": pa.array(rng.integers(0, 4, n).astype(np.int64)),
+    })
+    left, right = mk(300), mk(120)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for op, sql in [("intersect", "INTERSECT"), ("except", "EXCEPT")]:
+        got = sorted(map(tuple, set_distinct(
+            rd.from_arrow(left), rd.from_arrow(right), op
+        ).to_pandas()[["a", "b"]].itertuples(index=False, name=None)))
+        exp = sorted(con.execute(
+            f"SELECT a, b FROM l {sql} SELECT a, b FROM r"
+        ).fetchall())
+        assert got == exp, op
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_grouped_concat_matches_duckdb(seed):
+    from raydatax.relational import grouped_concat
+    rng = np.random.default_rng(400 + seed)
+    n = 250
+    t = pa.table({
+        "k": pa.array([f"g{i}" for i in rng.integers(0, 9, n)]),
+        "o": pa.array(np.arange(n, dtype=np.int64)),       # unique order
+        "v": pa.array([f"w{i}" for i in rng.integers(0, 50, n)]),
+    })
+    out = grouped_concat(
+        rd.from_arrow(t).repartition(4), ["k"], "v", ["o"], sep=",",
+        out_name="s", count_name="n", num_partitions=3,
+    ).to_pandas()
+    got = sorted(map(tuple, out[["k", "s", "n"]].itertuples(index=False, name=None)))
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = sorted(
+        (k, s, int(c)) for k, s, c in con.execute("""
+            SELECT k, string_agg(v, ',' ORDER BY o), count(v)
+            FROM t GROUP BY k
+        """).fetchall()
+    )
+    assert got == exp
