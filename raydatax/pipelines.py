@@ -928,6 +928,33 @@ def events_value_stats(sf_dir: str):
     )
 
 
+def value_bucket_counts(sf_dir: str):
+    """Theta join via broadcast cross join + filter
+    (relational.cross_join_broadcast): every event matched against a small
+    bucket-bounds table (lo ≤ cents < hi), counted per bucket — the
+    non-equi-join pattern hash joins can't express, with zero shuffle for
+    the join itself."""
+    from .relational import cross_join_broadcast, preagg_groupby
+
+    buckets = pa.table({
+        "bucket": ["low", "mid", "high"],
+        "lo": pa.array([0, 1000, 10000], pa.int64()),
+        "hi": pa.array([1000, 10000, 1_000_000_000], pa.int64()),
+    })
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["value"])
+    with_cents = ds.map_batches(
+        lambda t: pa.table({"cents": _cents(t["value"])}), batch_format="pyarrow"
+    )
+    crossed = cross_join_broadcast(with_cents, buckets)
+    matched = crossed.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["cents"], t["lo"]), pc.less(t["cents"], t["hi"])
+        )),
+        batch_format="pyarrow",
+    )
+    return preagg_groupby(matched, ["bucket"], [("cents", "count", "n")])
+
+
 def busy_users(sf_dir: str):
     """GROUP BY ... HAVING: users with more than 60 events and their event
     count + exact-cents total — a post-aggregation filter on the (tiny)
@@ -1528,6 +1555,7 @@ QUERIES = {
     "events_value_pivot": events_value_pivot,
     "events_value_stats": events_value_stats,
     "busy_users": busy_users,
+    "value_bucket_counts": value_bucket_counts,
     "top_terms_heavy_hitters": top_terms_heavy_hitters,
     "favorite_event_type": favorite_event_type,
     "bloom_filtered_revenue": bloom_filtered_revenue,
@@ -2012,6 +2040,18 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
         FROM events WHERE event_type = 'purchase'
+    """,
+    "value_bucket_counts": """
+        WITH b(bucket, lo, hi) AS (VALUES
+          ('low', 0, 1000), ('mid', 1000, 10000),
+          ('high', 10000, 1000000000)),
+        src AS (
+          SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+        SELECT bucket, count(cents) AS n
+        FROM src CROSS JOIN b
+        WHERE cents >= lo AND cents < hi
+        GROUP BY bucket
     """,
     "busy_users": """
         WITH src AS (

@@ -590,6 +590,43 @@ def hash_join(
     return lb.union(rb).groupby("__b").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def cross_join_broadcast(
+    left: "ray.data.Dataset",
+    right: pa.Table,
+) -> "ray.data.Dataset":
+    """Cross (cartesian) join against a SMALL broadcast side: the right
+    table is ``ray.put`` once and every batch expands locally with one
+    repeat/tile take pair — no shuffle at all.  Output is |batch|·|right|
+    rows per batch, so the right side must be genuinely small (dimension
+    grids, bucket bounds, parameter sets); this is the theta-join building
+    block (cross join + filter) for non-equi predicates that the hash
+    joins can't express."""
+    if right.num_rows == 0 or left is None:
+        raise ValueError("cross_join_broadcast: right side must be non-empty")
+    overlap = set(right.column_names)
+    ref = ray.put(right)
+
+    def f(t: pa.Table) -> pa.Table:
+        bad = overlap & set(t.column_names)
+        if bad:
+            raise ValueError(f"cross_join_broadcast: column collision {sorted(bad)}")
+        r = ray.get(ref)
+        n, m = t.num_rows, r.num_rows
+        if n == 0:
+            return pa.table(
+                {**{c: t[c] for c in t.column_names},
+                 **{c: pa.array([], r.schema.field(c).type) for c in r.column_names}}
+            )
+        lrep = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), m)))
+        rrep = r.take(pa.array(np.tile(np.arange(m, dtype=np.int64), n)))
+        out = lrep
+        for c in r.column_names:
+            out = out.append_column(c, rrep[c])
+        return out
+
+    return left.map_batches(f, batch_format="pyarrow")
+
+
 def semi_join_filter(ds, key_values, column: str, anti: bool = False):
     """Semi/anti join by broadcasting an in-memory key set/array and masking
     per batch.  For a build side that is itself a Dataset use

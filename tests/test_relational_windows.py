@@ -592,3 +592,23 @@ def test_heavy_hitters_exact_and_truncated_regimes():
     assert out2["v"][0].as_py() == 0
     cnt0 = out2["cnt"][0].as_py()
     assert cnt0 <= 3000 and 3000 - cnt0 <= len(vals) / 8
+
+
+def test_cross_join_broadcast_product_and_collision():
+    from raydatax.relational import cross_join_broadcast
+    left = rd.from_arrow(pa.table({"x": [1, 2, 3]})).repartition(2)
+    right = pa.table({"y": ["a", "b"]})
+    out = cross_join_broadcast(left, right).to_pandas()
+    assert sorted(map(tuple, out[["x", "y"]].itertuples(index=False, name=None))) == [
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b")
+    ]
+    try:
+        cross_join_broadcast(left, pa.table({"x": [9]})).to_pandas()
+        assert False, "column collision must raise"
+    except Exception as e:
+        assert "collision" in str(e)
+    try:
+        cross_join_broadcast(left, pa.table({"y": pa.array([], pa.string())}))
+        assert False, "empty right must raise"
+    except ValueError as e:
+        assert "non-empty" in str(e)
