@@ -337,15 +337,29 @@ def tfidf_top_terms(
     log-weighting is a fixed IEEE expression over exact integers —
     reproducible bit-for-bit against SQL.  Assumes ``id_col`` values are
     unique per document (N = corpus row count)."""
-    from .relational import grouped_topk, hash_join, preagg_groupby
+    from .relational import (
+        _fetch_partials,
+        broadcast_join,
+        grouped_topk,
+        hash_join,
+        preagg_groupby,
+    )
 
     n_docs = ds.count()
     pairs = ds.map_batches(
         lambda t: tokenize_batch(t, column, id_col), batch_format="pyarrow"
     )
     tf = preagg_groupby(pairs, [id_col, "term"], [("term", "count", "tf")]).materialize()
-    df = preagg_groupby(tf, ["term"], [("term", "count", "df")])
-    scored = hash_join(tf, df, on="term")
+    df = preagg_groupby(tf, ["term"], [("term", "count", "df")]).materialize()
+    # the vocabulary is almost always ≪ the (doc, term) table: decide from
+    # block METADATA and broadcast it instead of shuffling tf through a
+    # hash join (same adaptive discipline as semi_join)
+    if df.count() <= 2_000_000:
+        tables = [t for t in _fetch_partials(df.to_arrow_refs()) if t.num_rows]
+        df_tab = pa.concat_tables(tables) if tables else None
+        scored = broadcast_join(tf, df_tab, "term") if df_tab is not None else tf
+    else:
+        scored = hash_join(tf, df, on="term")
 
     def score(t: pa.Table) -> pa.Table:
         idf = pc.ln(
