@@ -399,6 +399,39 @@ def deterministic_sample(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def hash_split(
+    ds: "ray.data.Dataset",
+    key: str,
+    test_permille: int,
+    modulus: int = 1_000_003,
+    multiplier: int = 2654435761,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Deterministic train/test split: (train, test) datasets partitioned
+    by the same engine-independent integer arithmetic as
+    :func:`deterministic_sample` — the two sides are exact complements, a
+    row's side never changes across runs/partitionings, and keeping the
+    KEY (not the row) as the split unit means all rows of one key land on
+    one side (no leakage between splits when ``key`` identifies the
+    entity).  Batch-local; no shuffle."""
+    if not 0 <= test_permille <= 1000:
+        raise ValueError(
+            f"hash_split: test_permille must be 0..1000, got {test_permille}"
+        )
+
+    def side(test: bool):
+        def f(t: pa.Table) -> pa.Table:
+            v = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            mask = ((v % modulus) * multiplier) % 1000 < test_permille
+            return t.filter(pa.array(mask if test else ~mask))
+
+        return f
+
+    return (
+        ds.map_batches(side(False), batch_format="pyarrow"),
+        ds.map_batches(side(True), batch_format="pyarrow"),
+    )
+
+
 def set_distinct(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -612,3 +612,18 @@ def test_cross_join_broadcast_product_and_collision():
         assert False, "empty right must raise"
     except ValueError as e:
         assert "non-empty" in str(e)
+
+
+def test_hash_split_complement_and_stability():
+    from raydatax.relational import hash_split
+    t = pa.table({"id": list(range(2000)), "v": list(range(2000))})
+    train, test = hash_split(rd.from_arrow(t), "id", 200)
+    tr, te = train.to_pandas(), test.to_pandas()
+    assert len(tr) + len(te) == 2000
+    assert set(tr["id"]).isdisjoint(set(te["id"]))          # exact complements
+    # the multiplicative hash is equidistributed mod 1000, so sequential
+    # keys split almost exactly proportionally (here exactly 20%)
+    assert 300 <= len(te) <= 500
+    # partitioning-invariant: same rows land on the same side
+    train2, test2 = hash_split(rd.from_arrow(t).repartition(7), "id", 200)
+    assert sorted(test2.to_pandas()["id"]) == sorted(te["id"])
