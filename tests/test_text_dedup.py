@@ -331,3 +331,23 @@ def test_tfidf_top_terms_small_corpus():
     assert d1.iloc[1]["tfidf"] == 0.0
     d2 = out[out.doc_id == 2].sort_values("rank")
     assert list(d2["term"]) == ["fish", "dog"]
+
+
+def test_training_data_pipeline_example():
+    """The examples/ showcase composes dedup -> quality gate -> lang-id
+    actor pool -> token stats -> hash_split; smoke it end-to-end at
+    sf0.001 and check the split invariants."""
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "training_data_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "training_data_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    train, test = mod.build("/root/testdata/sf0.001")
+    tr, te = train.to_pandas(), test.to_pandas()
+    assert len(tr) + len(te) > 0
+    assert set(tr["doc_id"]).isdisjoint(set(te["doc_id"]))
+    for col in ("lang_pred", "n_tokens", "text"):
+        assert col in tr.columns
