@@ -473,6 +473,36 @@ def set_distinct(
     )
 
 
+def pivot_auto(
+    ds: "ray.data.Dataset",
+    key: str,
+    pivot_col: str,
+    value_col: str,
+    agg: str = "sum",
+    max_values: int = 1000,
+) -> "ray.data.Dataset":
+    """:func:`pivot` with the pivot values DISCOVERED from the data (the
+    pandas-pivot convenience): one tiny distinct pass over ``pivot_col``
+    (pre-aggregated, counted from metadata), sorted for a deterministic
+    column order, then the enumerated pivot.  Capped at ``max_values`` —
+    a pivot is a schema, and a schema with thousands of data-derived
+    columns is an error, not a feature."""
+    distinct = preagg_groupby(
+        ds.select_columns([pivot_col]), [pivot_col], [(pivot_col, "count", "__c")]
+    ).select_columns([pivot_col]).materialize()
+    n = distinct.count()
+    if n > max_values:
+        raise ValueError(
+            f"pivot_auto: {n} distinct pivot values exceeds max_values="
+            f"{max_values}; enumerate explicitly with pivot() if intended"
+        )
+    tables = [t for t in _fetch_partials(distinct.to_arrow_refs()) if t.num_rows]
+    values = sorted(
+        v for t in tables for v in t[pivot_col].to_pylist() if v is not None
+    )
+    return pivot(ds, key, pivot_col, value_col, values, agg)
+
+
 def grouped_stats(
     ds: "ray.data.Dataset",
     keys: list[str],

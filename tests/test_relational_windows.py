@@ -627,3 +627,22 @@ def test_hash_split_complement_and_stability():
     # partitioning-invariant: same rows land on the same side
     train2, test2 = hash_split(rd.from_arrow(t).repartition(7), "id", 200)
     assert sorted(test2.to_pandas()["id"]) == sorted(te["id"])
+
+
+def test_pivot_auto_discovers_values_and_caps():
+    from raydatax.relational import pivot_auto
+    ds = rd.from_arrow(pa.table({
+        "k": ["u1", "u1", "u2"],
+        "p": ["b", "a", "a"],
+        "v": [5, 10, 7],
+    }))
+    out = pivot_auto(ds, key="k", pivot_col="p", value_col="v").to_pandas()
+    assert list(out.columns) == ["k", "a", "b"]       # sorted, deterministic
+    rows = {r.k: (r.a, r.b) for r in out.itertuples()}
+    assert rows["u1"] == (10, 5)
+    assert rows["u2"][0] == 7
+    try:
+        pivot_auto(ds, key="k", pivot_col="p", value_col="v", max_values=1)
+        assert False, "cap must raise"
+    except ValueError as e:
+        assert "max_values" in str(e)
