@@ -432,6 +432,38 @@ def hash_split(
     )
 
 
+def mix_corpora(
+    sources: list[tuple["ray.data.Dataset", str, int]],
+    tag_name: str = "source",
+) -> "ray.data.Dataset":
+    """Weighted corpus mixing for training-data assembly: each source is
+    ``(dataset, label, permille)`` — the deterministic hash-sampled
+    fraction of each corpus, tagged with its label, unioned into one
+    stream.  Sampling needs a stable key, so every source dataset must
+    carry an integer column named ``_mix_key`` (document id, event id);
+    a row is kept iff its key hash falls under the source's permille
+    (:func:`deterministic_sample` arithmetic), making the mix
+    reproducible run-to-run and resumable mid-stream — membership never
+    depends on ordering or partitioning."""
+    if not sources:
+        raise ValueError("mix_corpora: at least one source required")
+    parts = []
+    for ds, label, permille in sources:
+        sampled = deterministic_sample(ds, "_mix_key", permille)
+        parts.append(
+            sampled.map_batches(
+                lambda t, label=label: t.append_column(
+                    tag_name, pa.array([label] * t.num_rows)
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def set_distinct(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -646,3 +646,28 @@ def test_pivot_auto_discovers_values_and_caps():
         assert False, "cap must raise"
     except ValueError as e:
         assert "max_values" in str(e)
+
+
+def test_mix_corpora_weighted_tagged_reproducible():
+    from raydatax.relational import mix_corpora
+    a = pa.table({"_mix_key": list(range(1000)), "text": ["a"] * 1000})
+    b = pa.table({"_mix_key": list(range(1000)), "text": ["b"] * 1000})
+    mixed = mix_corpora([
+        (rd.from_arrow(a), "web", 800),
+        (rd.from_arrow(b), "code", 200),
+    ]).to_pandas()
+    by_src = mixed.groupby("source").size()
+    assert by_src["web"] == 800 and by_src["code"] == 200   # exact (equidistributed hash)
+    # reproducible under different partitioning
+    mixed2 = mix_corpora([
+        (rd.from_arrow(a).repartition(7), "web", 800),
+        (rd.from_arrow(b).repartition(3), "code", 200),
+    ]).to_pandas()
+    k1 = sorted(map(tuple, mixed[["source", "_mix_key"]].itertuples(index=False, name=None)))
+    k2 = sorted(map(tuple, mixed2[["source", "_mix_key"]].itertuples(index=False, name=None)))
+    assert k1 == k2
+    try:
+        mix_corpora([])
+        assert False, "empty sources must raise"
+    except ValueError as e:
+        assert "at least one" in str(e)
