@@ -674,6 +674,106 @@ def lang_id(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred"])
 
 
+def text_normalize(sf_dir: str):
+    """Canonical corpus normalization (text.normalize_text): NFC + lower +
+    whitespace collapse + trim, all RE2/Arrow kernels with an exact DuckDB
+    twin — the preprocessing step that makes exact dedup comparable."""
+    from .text import normalize_text
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def apply(t: pa.Table) -> pa.Table:
+        t = normalize_text(t)
+        return pa.table({"doc_id": t["doc_id"], "norm": t["norm"],
+                         "n_chars_norm": pc.cast(pc.utf8_length(t["norm"]), pa.int64())})
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def pii_redact(sf_dir: str):
+    """PII scrubbing (text.RedactPii actor stage).  The corpus has no PII,
+    so each doc is deterministically augmented with an email / IPv4 / phone
+    derived from doc_id — the SQL oracle builds the identical string and
+    applies the identical RE2 rules in the identical order, so redacted
+    output is byte-identical.  Redaction order is part of the contract."""
+    from .text import RedactPii
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        idn = ids.to_numpy(zero_copy_only=False)
+        aug = pc.binary_join_element_wise(
+            t["text"], " reach user", pc.cast(ids, pa.string()),
+            "@example.com or 10.2.", pc.cast(pa.array(idn % 250), pa.string()),
+            ".99 call +1-555-",
+            pc.utf8_lpad(pc.cast(pa.array(idn % 10000), pa.string()), 4, "0"),
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": aug})
+
+    out = ds.map_batches(augment, batch_format="pyarrow").map_batches(
+        RedactPii, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return out.select_columns(["doc_id", "redacted"])
+
+
+def token_positions(sf_dir: str):
+    """Ordinal explode (text.explode_tokens): every document flattened to
+    (doc_id, pos, tok) with 1-based in-document positions — the exact
+    multiset of SQL's zipped unnest(string_split) + unnest(range)."""
+    from .text import explode_tokens
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: explode_tokens(t), batch_format="pyarrow")
+
+
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (text.repetition_stats):
+    two-level pre-aggregated groupby; ratios are exact-integer divisions."""
+    from .text import repetition_stats
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return repetition_stats(ds)
+
+
+def decontaminate_3gram(sf_dir: str):
+    """Benchmark decontamination (text.ngram_contamination): benchmark =
+    docs with doc_id % 13 == 0, training = the rest; a training doc is
+    contaminated iff it shares a word 3-gram with any benchmark doc.
+    Adaptive semi join on the n-gram — neither corpus hits the driver."""
+    from .text import ngram_contamination
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def side(bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 13 == 0) if bench else (ids % 13 != 0)
+            return t.filter(pa.array(mask))
+        return f
+
+    train = ds.map_batches(side(False), batch_format="pyarrow")
+    bench = ds.map_batches(side(True), batch_format="pyarrow")
+    return ngram_contamination(train, bench, n=3)
+
+
+def sequence_packing(sf_dir: str):
+    """Greedy sequential packing (relational.pack_sequences over the
+    distributed prefix sum): documents laid end-to-end in doc_id order,
+    chunked every 4096 chars; per-sequence doc counts and sizes.  The SQL
+    twin is a window cumsum — which DuckDB runs in one partition, and the
+    engine runs as sort + O(blocks) driver ints."""
+    from .relational import pack_sequences
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    packed = pack_sequences(ds, budget=4096, order_key="doc_id", size_col="n_chars")
+    return preagg_groupby(
+        packed, ["seq_id"],
+        [("doc_id", "count", "n_docs"), ("n_chars", "sum", "total_chars")],
+    )
+
+
 def jsonl_doc_roundtrip(sf_dir: str):
     """Document-store family end-to-end (mongodbwriter → mongodbreader over
     an export dump): documents → ``sinks.write_jsonl`` assembling DEPTH-2
@@ -1542,6 +1642,12 @@ QUERIES = {
     "fingerprint": fingerprint,
     "dedup_exact_prefix": dedup_exact_prefix,
     "lang_id": lang_id,
+    "text_normalize": text_normalize,
+    "pii_redact": pii_redact,
+    "token_positions": token_positions,
+    "doc_repetition": doc_repetition,
+    "decontaminate_3gram": decontaminate_3gram,
+    "sequence_packing": sequence_packing,
     "jsonl_doc_roundtrip": jsonl_doc_roundtrip,
     "dedup_minhash": dedup_minhash,
     "ngram_jaccard": ngram_jaccard,
@@ -1809,6 +1915,64 @@ ORACLE_SQL = {
         FROM documents
     """,
     "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "text_normalize": r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm,
+               CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        FROM documents
+    """,
+    "pii_redact": r"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                 text || ' reach user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 10.2.' || CAST(doc_id % 250 AS VARCHAR)
+                      || '.99 call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\+\d[\d-]{7,}\d', '<PHONE>', 'g') AS redacted
+        FROM documents
+    """,
+    "token_positions": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        SELECT doc_id, unnest(range(1, len(ts)+1)) AS pos, unnest(ts) AS tok
+        FROM toks
+    """,
+    "doc_repetition": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        counts AS (
+          SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tok,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS top_count,
+               CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac,
+               CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS distinct_frac
+        FROM counts GROUP BY doc_id
+    """,
+    "decontaminate_3gram": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        pos AS (SELECT doc_id, unnest(range(1, greatest(len(ts)-2, 0)+1)) AS i FROM toks),
+        ngr AS (
+          SELECT p.doc_id, array_to_string(list_slice(t.ts, p.i, p.i+2), ' ') AS ng
+          FROM pos p JOIN toks t ON p.doc_id = t.doc_id),
+        bench AS (SELECT DISTINCT ng FROM ngr WHERE doc_id % 13 = 0),
+        train AS (SELECT DISTINCT doc_id, ng FROM ngr WHERE doc_id % 13 <> 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM train WHERE ng IN (SELECT ng FROM bench)
+        GROUP BY doc_id
+    """,
+    "sequence_packing": """
+        WITH c AS (
+          SELECT doc_id, n_chars,
+                 CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+          FROM documents)
+        SELECT cum_before // 4096 AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM c GROUP BY seq_id
+    """,
     # heuristic lang-id IS SQL-expressible: marker-hit ratios are divisions
     # of identical integers (bit-identical doubles in both engines), and the
     # CASE cascade reproduces numpy argmax's first-max tie-break over the

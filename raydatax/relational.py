@@ -1739,3 +1739,83 @@ def sessionize(
                          "n_events": pa.array([len(ts)], pa.int64())})
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ distributed prefix sum
+
+
+@ray.remote
+def _block_col_sum(t: pa.Table, col: str) -> int:
+    s = pc.sum(t[col])
+    return int(s.as_py() or 0)
+
+
+@ray.remote
+def _block_cumsum(t: pa.Table, order_key: str, col: str, offset: int,
+                  out: str, exclusive: bool) -> pa.Table:
+    t = t.sort_by([(order_key, "ascending")])
+    v = t[col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    c = np.cumsum(v, dtype=np.int64) + offset
+    if exclusive:
+        c = c - v
+    return t.append_column(out, pa.array(c))
+
+
+def ordered_prefix_sum(
+    ds: "ray.data.Dataset",
+    order_key: str,
+    col: str,
+    out: str = "running",
+    exclusive: bool = False,
+) -> "ray.data.Dataset":
+    """Global ordered cumulative sum — the distributed prefix-sum primitive
+    ``window_scan`` cannot provide (its running sums are per-KEY; a global
+    ``sum() OVER (ORDER BY ...)`` would put the whole dataset in one
+    partition).  Three steps: ONE range sort on ``order_key`` (the only
+    wide op), a metadata-sized reduction of per-block sums (one int per
+    block to the driver — O(blocks), never rows), then each block adds its
+    exclusive block-prefix offset and cumsums locally.  Raw Ray tasks are
+    justified here: the Dataset API has no ordered scan with cross-block
+    carry.  ``order_key`` must be unique for a deterministic total order
+    (ties within a block are broken by the in-block sort; ties ACROSS
+    blocks would be placement-dependent).  ``col`` must be integral —
+    integer prefix sums are accumulation-order-exact, float ones are not."""
+    refs = ds.sort(order_key).to_arrow_refs()
+    if not refs:
+        return ds
+    sums = ray.get([_block_col_sum.remote(r, col) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(sums, dtype=np.int64)))[:-1]
+    out_refs = [
+        _block_cumsum.remote(r, order_key, col, int(o), out, exclusive)
+        for r, o in zip(refs, offsets)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    budget: int,
+    order_key: str,
+    size_col: str,
+    seq_col: str = "seq_id",
+) -> "ray.data.Dataset":
+    """Greedy sequential sequence packing for training-data assembly: lay
+    documents end-to-end in ``order_key`` order and chunk the concatenated
+    stream every ``budget`` size units — each document's sequence id is
+    ``floor(exclusive_running_size / budget)``, exactly the SQL
+    ``sum(size) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING) // budget``.  Deterministic (independent of partitioning),
+    one sort + O(blocks) driver state via :func:`ordered_prefix_sum`.  A
+    document longer than ``budget`` simply spans sequences, as in
+    concat-then-chunk pre-training pipelines."""
+    if budget <= 0:
+        raise ValueError(f"pack_sequences: budget must be positive, got {budget}")
+    run = ordered_prefix_sum(ds, order_key, size_col, out="__cum", exclusive=True)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = t["__cum"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["__cum"]).append_column(
+            seq_col, pa.array(c // budget)
+        )
+
+    return run.map_batches(assign, batch_format="pyarrow")

@@ -320,6 +320,211 @@ def tokenize_batch(
     return out.filter(pc.not_equal(out["term"], ""))
 
 
+def normalize_text(
+    batch: pa.Table,
+    column: str = "text",
+    out: str = "norm",
+) -> pa.Table:
+    """Canonical text normalization for training corpora: unicode NFC,
+    lowercase, whitespace runs collapsed to one space, ends trimmed — four
+    vectorized Arrow kernels, batch-local, no shuffle.  The exact contract
+    of SQL ``trim(regexp_replace(lower(nfc_normalize(t)), '\\s+', ' ',
+    'g'))`` (both engines run RE2), so normalized output is cross-engine
+    identical — which is what makes downstream exact dedup / fingerprints
+    comparable across pipelines."""
+    x = pc.utf8_normalize(batch[column], form="NFC")
+    x = pc.utf8_lower(x)
+    x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+    x = pc.utf8_trim_whitespace(x)
+    return batch.append_column(out, x)
+
+
+# default PII redaction rules, applied IN ORDER (order is part of the
+# contract: an email is consumed before the IP rule can see its digits)
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d[\d-]{7,}\d", "<PHONE>"),
+]
+
+
+class RedactPii:
+    """PII scrubbing as an actor-pool stage: rule list fixed per actor in
+    ``__init__``, per-batch work is one vectorized
+    ``replace_substring_regex`` sweep per rule (RE2; patterns are strings
+    so DuckDB ``regexp_replace(..., 'g')`` with the same rules in the same
+    order produces byte-identical output).  Use
+    ``ds.map_batches(RedactPii, concurrency=N, batch_format="pyarrow")``."""
+
+    def __init__(self, column: str = "text", out: str = "redacted",
+                 rules: list[tuple[str, str]] | None = None):
+        self.column = column
+        self.out = out
+        self.rules = list(rules or PII_RULES)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch[self.column]
+        for pattern, replacement in self.rules:
+            x = pc.replace_substring_regex(x, pattern=pattern,
+                                           replacement=replacement)
+        return batch.append_column(self.out, x)
+
+
+def explode_tokens(
+    batch: pa.Table,
+    column: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    pos_col: str | None = "pos",
+) -> pa.Table:
+    """Explode each document into (id, pos, token) rows — the exact
+    multiset of SQL ``unnest(string_split(text, sep))`` zipped with
+    ``unnest(range(1, len+1))``: empty tokens KEPT, case preserved,
+    ``pos`` 1-based within the document.  One vectorized split +
+    list_flatten per batch (no per-row Python, no shuffle); position is
+    arithmetic over the list offsets.  Distinct from :func:`tokenize_batch`
+    (which lowercases and drops empties for TF-IDF)."""
+    col = batch[column].combine_chunks()
+    lists = pc.split_pattern(col, sep)
+    lens = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    ids = batch[id_col].combine_chunks().take(
+        pa.array(np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens))
+    )
+    cols = {id_col: ids}
+    if pos_col is not None:
+        total = int(lens.sum())
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens) + 1
+        cols[pos_col] = pa.array(pos)
+    cols["tok"] = flat
+    return pa.table(cols)
+
+
+def ngram_table(
+    batch: pa.Table,
+    n: int,
+    column: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    pos_col: str | None = None,
+) -> pa.Table:
+    """Word n-grams per document as (id[, pos], ng) rows, fully vectorized:
+    split once, then the n-gram strings come from ONE
+    ``binary_join_element_wise`` over n shifted takes of the flat token
+    array — candidate start positions are the within-document indices
+    ``<= len - n`` (so no n-gram ever crosses a document boundary).
+    Batch-local; no shuffle.  SQL twin:
+    ``array_to_string(list_slice(ts, i, i+n-1), sep)`` for
+    ``i in 1 .. len-n+1``."""
+    if n < 1:
+        raise ValueError(f"ngram_table: n must be >= 1, got {n}")
+    col = batch[column].combine_chunks()
+    lists = pc.split_pattern(col, sep)
+    lens = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if isinstance(flat, pa.ChunkedArray):  # pyarrow<17 may still return chunked
+        flat = flat.chunk(0) if flat.num_chunks else pa.array([], pa.string())
+    total = int(lens.sum())
+    per_doc = np.maximum(lens - n + 1, 0)
+    if total == 0 or int(per_doc.sum()) == 0:
+        out = {id_col: pa.array([], batch[id_col].type)}
+        if pos_col is not None:
+            out[pos_col] = pa.array([], pa.int64())
+        out["ng"] = pa.array([], pa.string())
+        return pa.table(out)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    idx = np.nonzero(within <= np.repeat(lens, lens) - n)[0]
+    parts = [flat.take(pa.array(idx + k)) for k in range(n)]
+    ng = parts[0] if n == 1 else pc.binary_join_element_wise(*parts, sep)
+    ids = batch[id_col].combine_chunks().take(
+        pa.array(np.repeat(np.arange(batch.num_rows, dtype=np.int64), per_doc))
+    )
+    out = {id_col: ids}
+    if pos_col is not None:
+        out[pos_col] = pa.array(within[idx] + 1)
+    out["ng"] = ng
+    return pa.table(out)
+
+
+def repetition_stats(
+    ds,
+    column: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+):
+    """Gopher-style within-document repetition signals, distributed:
+    explode to (doc, token) → per-(doc, token) counts via the
+    pre-aggregated groupby (partials shuffle, never raw tokens×docs) → a
+    second tiny groupby per doc folds them into n_tok / n_distinct /
+    top_count, and the ratio columns (top-token fraction, distinct-token
+    fraction) are exact-integer divisions — bit-identical to SQL.  High
+    ``top_frac`` / low ``distinct_frac`` = boilerplate or degenerate
+    repetition, the standard pre-training quality filter."""
+    from .relational import preagg_groupby
+
+    toks = ds.map_batches(
+        lambda t: explode_tokens(t, column, id_col, sep, pos_col=None),
+        batch_format="pyarrow",
+    )
+    counts = preagg_groupby(toks, [id_col, "tok"], [("tok", "count", "c")])
+    per_doc = preagg_groupby(
+        counts,
+        [id_col],
+        [("c", "sum", "n_tok"), ("c", "count", "n_distinct"), ("c", "max", "top_count")],
+    )
+
+    def ratios(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_tok"], pa.float64())
+        t = t.append_column(
+            "top_frac", pc.divide(pc.cast(t["top_count"], pa.float64()), n)
+        )
+        return t.append_column(
+            "distinct_frac", pc.divide(pc.cast(t["n_distinct"], pa.float64()), n)
+        )
+
+    return per_doc.map_batches(ratios, batch_format="pyarrow")
+
+
+def ngram_contamination(
+    train,
+    bench,
+    n: int = 3,
+    column: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+):
+    """Benchmark decontamination (the GPT-3 n-gram overlap check): flag
+    every training document sharing at least one word n-gram with the
+    benchmark set, with the count of DISTINCT contaminated n-grams per
+    document.  Both sides explode to n-grams batch-local; the benchmark's
+    distinct n-gram set is built distributed and the semi join is adaptive
+    (broadcast under a metadata-counted threshold, hash-partitioned join
+    above — ``relational.semi_join``), so neither corpus is ever collected
+    on the driver.  The semi join runs BEFORE the distinct-count, so only
+    contaminated pairs reach the shuffle."""
+    from .relational import preagg_groupby, semi_join
+
+    train_ng = train.map_batches(
+        lambda t: ngram_table(t, n, column, id_col, sep), batch_format="pyarrow"
+    )
+    bench_ng = bench.map_batches(
+        lambda t: ngram_table(t, n, column, id_col, sep), batch_format="pyarrow"
+    ).select_columns(["ng"])
+    hits = semi_join(train_ng, bench_ng, left_on="ng")
+    pairs = preagg_groupby(
+        hits, [id_col, "ng"], [("ng", "count", "__c")]
+    ).select_columns([id_col, "ng"])
+    return preagg_groupby(pairs, [id_col], [("ng", "count", "n_hits")])
+
+
 def tfidf_top_terms(
     ds,
     k: int = 5,
