@@ -1440,6 +1440,38 @@ def user_running_totals(sf_dir: str):
     )
 
 
+def user_moving_avg(sf_dir: str):
+    """Bounded-frame window aggregate (ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW) — window_scan's moving_sum, derived from the same single
+    cumsum as the running total.  The 5-event moving average is the
+    exact-integer moving sum divided by the in-frame row count
+    (least(rn, 5)) — bit-identical to SQL avg() over the frame applied to
+    integer cents, scaled back to dollars."""
+    from .relational import window_scan
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "value"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        return t.append_column("cents", _cents(t["value"]))
+
+    out = window_scan(
+        ds.map_batches(add_cents, batch_format="pyarrow"),
+        key="user_id", order_col="event_id",
+        moving_sum=[("cents", 5)], num_partitions=16,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_win = pc.min_element_wise(t["rn"], pa.scalar(5, pa.int64()))
+        avg = pc.divide(
+            pc.cast(t["mov_cents_5"], pa.float64()),
+            pc.multiply(pc.cast(n_win, pa.float64()), 100.0),
+        )
+        return pa.table({"user_id": t["user_id"], "event_id": t["event_id"],
+                         "mov_sum_cents": t["mov_cents_5"], "mov_avg": avg})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def revenue_rollup_region(sf_dir: str):
     """GROUP BY ROLLUP(region, nation): aggregate the raw table once at the
     finest level, roll coarser levels up from the RESULT (integer-cents sums
@@ -1681,6 +1713,7 @@ QUERIES = {
     "top_events_per_type": top_events_per_type,
     "events_hopping": events_hopping,
     "user_running_totals": user_running_totals,
+    "user_moving_avg": user_moving_avg,
     "revenue_rollup_region": revenue_rollup_region,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf": ann_ivf,
@@ -2407,6 +2440,21 @@ ORACLE_SQL = {
                CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY event_id
                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
         FROM src WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    "user_moving_avg": """
+        WITH src AS (
+          SELECT user_id, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        w AS (
+          SELECT user_id, event_id,
+                 CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum_cents,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+          FROM src)
+        SELECT user_id, event_id, mov_sum_cents,
+               CAST(mov_sum_cents AS DOUBLE) / (CAST(least(rn, 5) AS DOUBLE) * 100.0) AS mov_avg
+        FROM w
     """,
     "revenue_rollup_region": """
         WITH src AS (

@@ -1486,6 +1486,7 @@ def window_scan(
     pct: bool = False,
     ntile_n: int | None = None,
     first_last_cols: list[str] | None = None,
+    moving_sum: list[tuple[str, int]] | None = None,
 ) -> "ray.data.Dataset":
     """Per-key ordered window functions in one vectorized scan:
     ``rn`` (row_number), ``prev_<c>`` (lag 1) for ``lag_cols``,
@@ -1500,7 +1501,11 @@ def window_scan(
     standard first-(rows % k)-tiles-get-the-extra-row split;
     ``first_last_cols`` adds ``first_<c>`` / ``last_<c>`` (first_value /
     last_value over the WHOLE partition — rows UNBOUNDED PRECEDING ..
-    UNBOUNDED FOLLOWING, the per-key constant form).  With ties,
+    UNBOUNDED FOLLOWING, the per-key constant form);
+    ``moving_sum=[(c, k)]`` adds ``mov_<c>_<k>`` — the bounded frame
+    ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` sum, derived from the
+    same single cumsum (``cs[i] - cs[w] + v[w]`` with the window start
+    clamped at the segment start — no second pass).  With ties,
     per-row outputs are deterministic as a multiset (tied rows are
     identical), which is exactly what an order-insensitive comparison —
     or SQL itself — guarantees.
@@ -1515,8 +1520,11 @@ def window_scan(
     sum_cols = sum_cols or []
     lead_cols = lead_cols or []
     first_last_cols = first_last_cols or []
+    moving_sum = moving_sum or []
     if ntile_n is not None and ntile_n < 1:
         raise ValueError(f"window_scan: ntile_n must be >= 1, got {ntile_n}")
+    if any(k < 1 for _, k in moving_sum):
+        raise ValueError("window_scan: moving_sum window k must be >= 1")
     parted = ds.map_batches(
         lambda t: _hash_partition_col(t, [key], num_partitions), batch_format="pyarrow"
     )
@@ -1545,6 +1553,8 @@ def window_scan(
             for c in first_last_cols:
                 out = out.append_column(f"first_{c}", pa.nulls(0, s.schema.field(c).type))
                 out = out.append_column(f"last_{c}", pa.nulls(0, s.schema.field(c).type))
+            for c, k in moving_sum:
+                out = out.append_column(f"mov_{c}_{k}", pa.nulls(0, s.schema.field(c).type))
             return out
         seg_start, newkey = _segment_starts(s, [key])
         idx = np.arange(n, dtype=np.int64)
@@ -1609,6 +1619,13 @@ def window_scan(
             cs = np.cumsum(v)
             base = cs[seg_start] - v[seg_start]
             out = out.append_column(f"run_{c}", pa.array(cs - base, s.schema.field(c).type))
+        for c, k in moving_sum:
+            v = s.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+            cs = np.cumsum(v)
+            w = np.maximum(seg_start, idx - k + 1)
+            out = out.append_column(
+                f"mov_{c}_{k}", pa.array(cs - cs[w] + v[w], s.schema.field(c).type)
+            )
         return out
 
     return parted.groupby("__part").map_groups(scan, batch_format="pyarrow")

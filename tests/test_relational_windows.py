@@ -671,3 +671,22 @@ def test_mix_corpora_weighted_tagged_reproducible():
         assert False, "empty sources must raise"
     except ValueError as e:
         assert "at least one" in str(e)
+
+
+def test_window_scan_moving_sum_bounded_frame(ray_session):
+    """ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW: clamps at the segment
+    start, never crosses keys, exact ints."""
+    import numpy as np
+
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + ["b"] * 3),
+        "o": pa.array([1, 2, 3, 4, 5, 1, 2, 3], pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50, 7, 8, 9], pa.int64()),
+    })
+    out = (window_scan(rd.from_arrow(t).repartition(3), key="k", order_col="o",
+                       moving_sum=[("v", 3)], num_partitions=4)
+           .to_pandas().sort_values(["k", "o"]))
+    assert out["mov_v_3"].tolist() == [10, 30, 60, 90, 120, 7, 15, 24]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        window_scan(rd.from_arrow(t), key="k", order_col="o", moving_sum=[("v", 0)])

@@ -551,3 +551,26 @@ def test_read_tsdb_interval_splits_exact(ray_session, tmp_path):
                      metric_col="metric", metrics=["mem"],
                      columns=["v"]).take_all()
     assert len(proj) == 30 and set(proj[0]) == {"v"}
+
+
+def test_csv_non_utf8_encodings(tmp_path, ray_session):
+    """Charset handling (UnstructuredStorageReaderUtil encoding knob,
+    /root/reference/plugin-unstructured-storage-util/.../UnstructuredStorageReaderUtil.java):
+    GBK and latin-1 CSVs decode to identical UTF-8 Arrow strings, both on
+    the block-split path and the whole-file codec path."""
+    import gzip
+
+    spec = [ColumnEntry(index=0, type="long", name="id"),
+            ColumnEntry(index=1, type="string", name="w")]
+    p1 = str(tmp_path / "gbk.csv")
+    with open(p1, "wb") as f:
+        f.write("1,中文测试\n2,北京\n".encode("gbk"))
+    out = read_csv_datax(p1, column_spec=spec, encoding="gbk").take_all()
+    assert sorted(r["w"] for r in out) == ["中文测试", "北京"]
+
+    p2 = str(tmp_path / "lat.csv.bz2")
+    import bz2
+    with open(p2, "wb") as f:
+        f.write(bz2.compress("3,café\n".encode("latin-1")))
+    out2 = read_csv_datax(p2, column_spec=spec, encoding="latin-1").take_all()
+    assert out2[0]["w"] == "café"
