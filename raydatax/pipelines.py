@@ -180,6 +180,37 @@ def transcript_cdc_replay(sf_dir: str):
     )
 
 
+def conversation_summary_view(sf_dir: str):
+    """Incremental materialized view under the SQL gate (view.refresh_view):
+    the flagship's derived CDC stream is ingested through the full engine,
+    then the per-conversation summary view refreshes partition-locally
+    (O(changed partitions), shuffle-free) and the salted-hot-key merge is
+    folded at read.  The oracle recomputes the same aggregates over the
+    SQL LWW replay — so the view machinery (two-phase refresh commit,
+    mergeable-agg discipline) is value-verified end to end."""
+    import shutil
+
+    from .driver import run_job
+    from .gen import write_wal
+    from .view import refresh_view, view_table
+
+    wal_table = _derived_cdc_wal_table(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = f"/tmp/raydatax_view_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    write_wal(wal_table, os.path.join(root, "wal"), seg_rows=20_000)
+    run_job(os.path.join(root, "wal"), os.path.join(root, "lake"), partitions=8)
+    refresh_view(os.path.join(root, "lake"), os.path.join(root, "view"))
+    v = view_table(os.path.join(root, "view"))
+    full = pc.strftime(v["last_ts"], format="%Y-%m-%d %H:%M:%S")
+    return pa.table({
+        "conv_id": v["conv_id"],
+        "n_turns": v["n_turns"],
+        "last_seq": v["last_seq"],
+        "last_ts_str": pc.utf8_slice_codeunits(full, 0, 19),
+    })
+
+
 def cdc_changelog_export(sf_dir: str):
     """The engine's multi-version output mode under the SQL gate
     (otsstreamreader MultiVerModeRecordSender parity): the same derived CDC
@@ -1649,6 +1680,7 @@ QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "transcript_cdc_replay": transcript_cdc_replay,
     "cdc_changelog_export": cdc_changelog_export,
+    "conversation_summary_view": conversation_summary_view,
     "transcript_window_replay": transcript_window_replay,
     "q1_pricing_summary": q1_pricing_summary,
     "top_orders": top_orders,
@@ -1761,6 +1793,26 @@ ORACLE_SQL = {
         SELECT conv_id, turn_idx, role, text, tool,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, seq
         FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    "conversation_summary_view": """
+        WITH src AS (
+          SELECT event_id AS seq,
+                 CASE WHEN event_id % 10 < 6 THEN 'I'
+                      WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+                 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                 CAST(event_id % 37 AS INTEGER) AS turn_idx,
+                 ts
+          FROM events),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY seq DESC) AS rn
+          FROM src),
+        live AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(max(seq) AS BIGINT) AS last_seq,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts_str
+        FROM live GROUP BY conv_id
     """,
     # multi-version mode: the FULL derived change log survives — every op
     # (deletes included, payload-masked like the engine's tombstones)

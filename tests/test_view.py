@@ -1,0 +1,115 @@
+"""Incremental materialized views over the lake (raydatax.view)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from raydatax.driver import lake_table, run_job
+from raydatax.gen import gen_events, write_wal
+from raydatax.view import DEFAULT_AGGS, read_view, refresh_view, view_table
+
+
+def _expected(lake):
+    g = lake.group_by(["conv_id"]).aggregate(
+        [("turn_idx", "count"), ("seq", "max"), ("ts", "max")]
+    )
+    return g.select(
+        ["conv_id", "turn_idx_count", "seq_max", "ts_max"]
+    ).rename_columns(["conv_id", "n_turns", "last_seq", "last_ts"]).sort_by(
+        [("conv_id", "ascending")]
+    )
+
+
+def test_refresh_matches_full_recompute(tmp_wal, tmp_lake, tmp_path, ray_session):
+    ev = gen_events(12_000, seed=91)
+    write_wal(ev, tmp_wal, seg_rows=4000)
+    run_job(tmp_wal, tmp_lake, partitions=8, salt=4)
+    vdir = str(tmp_path / "view")
+
+    rep = refresh_view(tmp_lake, vdir)
+    assert rep["refreshed"] == 8 and rep["skipped"] == 0
+    got = view_table(vdir)
+    want = _expected(lake_table(tmp_lake))
+    assert got.equals(want)
+    # Dataset read path agrees
+    ds = read_view(vdir).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert ds["n_turns"].tolist() == want["n_turns"].to_pylist()
+
+
+def test_refresh_is_incremental_and_idempotent(tmp_wal, tmp_lake, tmp_path, ray_session):
+    ev = gen_events(12_000, seed=92)
+    write_wal(ev, tmp_wal, seg_rows=4000)
+    run_job(tmp_wal, tmp_lake, partitions=8, salt=4)
+    vdir = str(tmp_path / "view")
+    refresh_view(tmp_lake, vdir)
+
+    # no lake change -> no work
+    rep = refresh_view(tmp_lake, vdir)
+    assert rep["refreshed"] == 0 and rep["skipped"] == 8
+
+    # a small delta touching ~2 conversations -> only their partitions redo
+    delta = gen_events(60, seed=93, n_convs=2, conv_offset=50_000_000,
+                       start_seq=int(ev["seq"][-1].as_py()) + 1, insert_only=True)
+    import pyarrow.parquet as pq
+    pq.write_table(delta, os.path.join(tmp_wal, "seg-99999.parquet"))
+    run_job(tmp_wal, tmp_lake, partitions=8, salt=4)
+
+    before = {p: os.path.getmtime(os.path.join(vdir, "data", p))
+              for p in os.listdir(os.path.join(vdir, "data"))}
+    rep2 = refresh_view(tmp_lake, vdir)
+    assert 1 <= rep2["refreshed"] <= 2
+    assert rep2["skipped"] == 8 - rep2["refreshed"]
+    after = {p: os.path.getmtime(os.path.join(vdir, "data", p))
+             for p in os.listdir(os.path.join(vdir, "data"))}
+    unchanged = [p for p in before if before[p] == after[p]]
+    assert len(unchanged) == rep2["skipped"]
+    assert view_table(vdir).equals(_expected(lake_table(tmp_lake)))
+
+
+def test_refresh_repairs_missing_file_and_state(tmp_wal, tmp_lake, tmp_path, ray_session):
+    ev = gen_events(6_000, seed=94)
+    write_wal(ev, tmp_wal, seg_rows=3000)
+    run_job(tmp_wal, tmp_lake, partitions=4, salt=2)
+    vdir = str(tmp_path / "view")
+    refresh_view(tmp_lake, vdir)
+    want = view_table(vdir)
+
+    # crash simulations: lost summary file / lost state json
+    os.remove(os.path.join(vdir, "data", "part-00000.parquet"))
+    os.remove(os.path.join(vdir, "_state", "part-00002.json"))
+    rep = refresh_view(tmp_lake, vdir)
+    assert rep["refreshed"] == 2
+    assert view_table(vdir).equals(want)
+
+
+def test_hot_key_summaries_merge_across_salted_partitions(
+    tmp_wal, tmp_lake, tmp_path, ray_session
+):
+    ev = gen_events(20_000, seed=95, skew_hot_convs=1, skew_hot_frac=0.35)
+    write_wal(ev, tmp_wal, seg_rows=5000)
+    run_job(tmp_wal, tmp_lake, partitions=8, salt=4)
+    vdir = str(tmp_path / "view")
+    refresh_view(tmp_lake, vdir)
+
+    raw = view_table(vdir, merged=False)
+    hot = raw.filter(pc.equal(raw["conv_id"], "conv-00000000"))
+    assert hot.num_rows > 1  # the hot conv really is split across partitions
+    merged = view_table(vdir)
+    assert merged.filter(
+        pc.equal(merged["conv_id"], "conv-00000000")
+    ).num_rows == 1
+    assert merged.equals(_expected(lake_table(tmp_lake)))
+
+
+def test_view_guards(tmp_wal, tmp_lake, tmp_path, ray_session):
+    ev = gen_events(3_000, seed=96)
+    write_wal(ev, tmp_wal, seg_rows=2000)
+    run_job(tmp_wal, tmp_lake, partitions=4, salt=2)
+    vdir = str(tmp_path / "view")
+    with pytest.raises(ValueError):
+        refresh_view(tmp_lake, vdir, aggs=[("text", "mean", "m")])
+    refresh_view(tmp_lake, vdir)
+    with pytest.raises(RuntimeError):
+        refresh_view(tmp_lake, vdir, aggs=[("seq", "max", "only_seq")])
