@@ -178,6 +178,26 @@ def snapshot_manifests(lake_dir: str, at_epoch: int) -> dict[int, dict]:
     return best
 
 
+def changelog_records(lake_dir: str) -> dict[int, tuple[list[dict], int | None]]:
+    """Per-partition commit history records of a changelog lake:
+    ``{pid: (records epoch-ascending, compaction horizon or None)}``.
+    Records below a partition's horizon are superseded by its compacted
+    record (which holds the full history ≤ horizon)."""
+    by_part: dict[int, list[dict]] = {}
+    for p in glob.glob(os.path.join(lake_dir, "_manifests", "history", "part-*.json")):
+        m = _read_json(p)
+        if m is not None:
+            by_part.setdefault(m["partition"], []).append(m)
+    out: dict[int, tuple[list[dict], int | None]] = {}
+    for pid, recs in by_part.items():
+        recs = sorted(recs, key=lambda m: m["epoch"])
+        horizon = max(
+            (m["epoch"] for m in recs if m.get("compacted_upto")), default=None
+        )
+        out[pid] = (recs, horizon)
+    return out
+
+
 def changelog_files(lake_dir: str, at_epoch: int | None = None) -> list[str]:
     """ALL committed epoch files, partition-major then epoch-ascending — the
     read side of a ``output="changelog"`` lake, where every epoch file is
@@ -191,17 +211,8 @@ def changelog_files(lake_dir: str, at_epoch: int | None = None) -> list[str]:
     leaves a readable lake and a re-run finishes the cleanup.  Reading AT
     an epoch below a partition's compaction horizon raises loudly (that
     history no longer exists file-by-file)."""
-    by_part: dict[int, list[dict]] = {}
-    for p in glob.glob(os.path.join(lake_dir, "_manifests", "history", "part-*.json")):
-        m = _read_json(p)
-        if m is not None:
-            by_part.setdefault(m["partition"], []).append(m)
     out = []
-    for pid in sorted(by_part):
-        recs = sorted(by_part[pid], key=lambda m: m["epoch"])
-        horizon = max(
-            (m["epoch"] for m in recs if m.get("compacted_upto")), default=None
-        )
+    for pid, (recs, horizon) in sorted(changelog_records(lake_dir).items()):
         if horizon is not None and at_epoch is not None and at_epoch < horizon:
             raise RuntimeError(
                 f"partition {pid}: changelog history ≤ epoch {horizon} was "

@@ -73,6 +73,41 @@ def _spec_path(view_dir: str) -> str:
 
 
 @ray.remote
+def _fold_partition_delta(
+    delta_files: list[str],
+    prior_file: str | None,
+    key: str,
+    aggs: list[tuple[str, str, str]],
+    staged: str,
+) -> int:
+    """Changelog-mode refresh for one partition: aggregate ONLY the new
+    epoch files (the delta since the view's last folded epoch) and merge
+    the partials into the prior summary with the spec's merge functions —
+    work ∝ delta events, never partition history.  Worker-side staged
+    write, deterministic bytes (key-sorted, fixed parquet opts)."""
+    cols = sorted({key} | {c for c, _, _ in aggs})
+    parts = []
+    for f in delta_files:
+        t = pq.read_table(f, columns=cols)
+        g = t.group_by([key]).aggregate([(c, fn) for c, fn, _ in aggs])
+        names = [key] + [f"{c}_{fn}" for c, fn, _ in aggs]
+        parts.append(g.select(names).rename_columns([key] + [o for _, _, o in aggs]))
+    if prior_file is not None:
+        parts.append(pq.read_table(prior_file))
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    g = merged.group_by([key]).aggregate(
+        [(out, _MERGE_FN[fn]) for _, fn, out in aggs]
+    )
+    names = [key] + [f"{out}_{_MERGE_FN[fn]}" for _, fn, out in aggs]
+    g = g.select(names).rename_columns([key] + [out for _, _, out in aggs])
+    g = g.sort_by([(key, "ascending")])
+    tmp = staged + ".tmp"
+    pq.write_table(g.replace_schema_metadata(None), tmp, **PARQUET_OPTS)
+    os.replace(tmp, staged)
+    return g.num_rows
+
+
+@ray.remote
 def _summarize_partition(
     lake_file: str, key: str, aggs: list[tuple[str, str, str]], staged: str
 ) -> int:
@@ -103,10 +138,19 @@ def refresh_view(
     """Bring the materialized view up to the lake's committed state,
     recomputing ONLY partitions whose manifest epoch advanced (or whose
     summary file is missing — the crash-repair path).  Idempotent; safe to
-    kill at any point.  Raises on a changelog lake (its manifests are
-    per-epoch deltas, not images — aggregate ``read_changelog`` instead)
-    and on a spec change (a view's spec is fixed at creation, like the
-    lake's partition mapping)."""
+    kill at any point.  Raises on a spec change (a view's spec is fixed at
+    creation, like the lake's partition mapping).
+
+    On a **changelog lake** the refresh is a pure DELTA FOLD: only epoch
+    files newer than the view's last folded epoch are aggregated and
+    merged into the prior summary (work ∝ delta events — the view never
+    re-reads history).  The summary then describes the EVENT STREAM
+    (counts skip tombstones' null payload columns), not collapsed table
+    state.  A partition compacted past the view's fold point rebuilds from
+    its live files.  Crash-safety differs from image mode — a fold is not
+    idempotent against its own output, so final files are epoch-qualified
+    and the fold always derives from the PRIOR state's file; orphans are
+    collected on the next refresh."""
     aggs = list(aggs or DEFAULT_AGGS)
     bad = [fn for _, fn, _ in aggs if fn not in _MERGE_FN]
     if bad:
@@ -115,11 +159,7 @@ def refresh_view(
             f"key spans partitions, so view aggs must be in {sorted(_MERGE_FN)}"
         )
     cfg = mf.load_lake_config(lake_dir)
-    if cfg is not None and cfg.get("output", "image") == "changelog":
-        raise RuntimeError(
-            f"{lake_dir} is a changelog lake — a view needs image manifests; "
-            f"aggregate read_changelog() instead"
-        )
+    changelog = cfg is not None and cfg.get("output", "image") == "changelog"
     os.makedirs(_state_dir(view_dir), exist_ok=True)
     os.makedirs(os.path.join(view_dir, "data"), exist_ok=True)
     os.makedirs(os.path.join(view_dir, "_staging"), exist_ok=True)
@@ -131,6 +171,9 @@ def refresh_view(
         raise RuntimeError(
             f"view spec changed (was {prior}, now {spec}) — create a new view"
         )
+
+    if changelog:
+        return _refresh_changelog(lake_dir, view_dir, key, aggs)
 
     manifests = mf.load_manifests(lake_dir)
     if not manifests:
@@ -170,6 +213,78 @@ def refresh_view(
         "refreshed": len(stale),
         "skipped": len(manifests) - len(stale),
         "rows_recomputed": rows,
+    }
+
+
+def _refresh_changelog(
+    lake_dir: str, view_dir: str, key: str, aggs: list[tuple[str, str, str]]
+) -> dict:
+    """Delta-fold refresh for changelog lakes (see :func:`refresh_view`).
+
+    Two-phase per partition, fold-twice-safe: the staged fold (keyed by
+    target epoch) always derives from the file the STATE points at plus
+    the epochs after the state's fold point, so recomputing after a crash
+    at any step — staged written, final renamed, state flipped, old file
+    not yet collected — yields identical bytes and no double counting."""
+    records = mf.changelog_records(lake_dir)
+    if not records:
+        raise FileNotFoundError(f"no committed lake partitions under {lake_dir}")
+    state = _load_state(view_dir)
+
+    work = []  # (pid, target_epoch, delta_files, prior_file, staged)
+    for pid, (recs, horizon) in sorted(records.items()):
+        live = [r for r in recs if horizon is None or r["epoch"] >= horizon]
+        latest = max(r["epoch"] for r in recs)
+        st = state.get(pid)
+        prior_file = (
+            os.path.join(view_dir, st["file"])
+            if st is not None and os.path.exists(os.path.join(view_dir, st["file"]))
+            else None
+        )
+        folded = st["epoch"] if st is not None and prior_file is not None else -1
+        if horizon is not None and folded < horizon and folded >= 0:
+            # history below the fold point was compacted away: rebuild
+            prior_file, folded = None, -1
+        delta = [r for r in live if r["epoch"] > folded]
+        if not delta:
+            continue
+        staged = os.path.join(
+            view_dir, "_staging", f"part-{pid:05d}-fold-{latest:06d}.parquet"
+        )
+        files = [os.path.join(lake_dir, r["file"]) for r in delta]
+        work.append((pid, latest, files, prior_file, staged))
+
+    refs = [
+        (pid, epoch, staged,
+         _fold_partition_delta.remote(files, prior, key, aggs, staged))
+        for pid, epoch, files, prior, staged in work
+    ]
+    rows = 0
+    for pid, epoch, staged, ref in refs:
+        n = ray.get(ref)
+        rows += n
+        final = os.path.join(
+            view_dir, "data", f"part-{pid:05d}-fold-{epoch:06d}.parquet"
+        )
+        os.replace(staged, final)
+        _atomic_write_json(
+            _state_path(view_dir, pid),
+            {"partition": pid, "epoch": epoch, "rows": n,
+             "file": os.path.relpath(final, view_dir)},
+        )
+    # collect files no longer referenced by any state entry (superseded
+    # folds, or leftovers from a crash between state flip and cleanup)
+    live_files = {s["file"] for s in _load_state(view_dir).values()}
+    dropped = 0
+    for f in glob.glob(os.path.join(view_dir, "data", "part-*.parquet")):
+        if os.path.relpath(f, view_dir) not in live_files:
+            os.remove(f)
+            dropped += 1
+    return {
+        "refreshed": len(work),
+        "skipped": len(records) - len(work),
+        "rows_recomputed": rows,
+        "orphans_collected": dropped,
     }
 
 

@@ -113,3 +113,75 @@ def test_view_guards(tmp_wal, tmp_lake, tmp_path, ray_session):
     refresh_view(tmp_lake, vdir)
     with pytest.raises(RuntimeError):
         refresh_view(tmp_lake, vdir, aggs=[("seq", "max", "only_seq")])
+
+
+_expected_stream = _expected  # same aggregate, over the event stream
+
+
+def test_changelog_view_delta_fold(tmp_wal, tmp_lake, tmp_path, ray_session):
+    from raydatax.driver import changelog_table
+
+    ev = gen_events(9_000, seed=97)
+    third = ev.num_rows // 3
+    write_wal(ev.slice(0, 2 * third), tmp_wal, seg_rows=3000)
+    run_job(tmp_wal, tmp_lake, partitions=4, salt=2, output="changelog")
+    vdir = str(tmp_path / "view")
+    rep = refresh_view(tmp_lake, vdir)
+    assert rep["refreshed"] == 4
+
+    # fold is a noop with no new epochs
+    rep = refresh_view(tmp_lake, vdir)
+    assert rep["refreshed"] == 0 and rep["skipped"] == 4
+
+    # append the rest -> every touched partition folds ONLY the delta
+    import pyarrow.parquet as pq
+    pq.write_table(ev.slice(2 * third), os.path.join(tmp_wal, "seg-99999.parquet"))
+    run_job(tmp_wal, tmp_lake, partitions=4, salt=2, output="changelog")
+    rep2 = refresh_view(tmp_lake, vdir)
+    assert rep2["refreshed"] >= 1
+    assert view_table(vdir).equals(_expected_stream(changelog_table(tmp_lake)))
+
+
+def test_changelog_view_rebuilds_after_compaction_past_fold(
+    tmp_wal, tmp_lake, tmp_path, ray_session
+):
+    from raydatax.driver import changelog_table, compact_changelog
+
+    ev = gen_events(9_000, seed=98)
+    half = ev.num_rows // 2
+    write_wal(ev.slice(0, half), tmp_wal, seg_rows=1500)
+    run_job(tmp_wal, tmp_lake, partitions=4, salt=2, output="changelog")
+    vdir = str(tmp_path / "view")
+    refresh_view(tmp_lake, vdir)
+
+    import pyarrow.parquet as pq
+    pq.write_table(ev.slice(half), os.path.join(tmp_wal, "seg-99999.parquet"))
+    run_job(tmp_wal, tmp_lake, partitions=4, salt=2, output="changelog")
+    compact_changelog(tmp_lake)  # horizon moves past the view's fold point
+
+    rep = refresh_view(tmp_lake, vdir)
+    assert rep["refreshed"] == 4  # every partition rebuilt, no double count
+    assert view_table(vdir).equals(_expected_stream(changelog_table(tmp_lake)))
+
+    # orphan collection: a stray data file not referenced by state
+    stray = os.path.join(vdir, "data", "part-00000-fold-999999.parquet")
+    open(stray, "wb").close()
+    rep2 = refresh_view(tmp_lake, vdir)
+    assert rep2["orphans_collected"] == 1 and not os.path.exists(stray)
+
+
+def test_changelog_view_crash_repair(tmp_wal, tmp_lake, tmp_path, ray_session):
+    from raydatax.driver import changelog_table
+
+    ev = gen_events(5_000, seed=99)
+    write_wal(ev, tmp_wal, seg_rows=2500)
+    run_job(tmp_wal, tmp_lake, partitions=4, salt=2, output="changelog")
+    vdir = str(tmp_path / "view")
+    refresh_view(tmp_lake, vdir)
+    want = view_table(vdir)
+
+    # lost state json -> that partition rebuilds from the full live log
+    os.remove(os.path.join(vdir, "_state", "part-00001.json"))
+    rep = refresh_view(tmp_lake, vdir)
+    assert rep["refreshed"] == 1
+    assert view_table(vdir).equals(want)
