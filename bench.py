@@ -136,13 +136,39 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     incremental = time.monotonic() - t0
     assert rep_inc["events_replayed"] == n_delta, (rep_inc["events_replayed"], n_delta)
 
+    # materialized view: full build over every partition, then a second 2%
+    # delta is ingested and the refresh re-summarizes ONLY the partitions
+    # that delta touched (the O(changed partitions) claim, measured)
+    from raydatax.view import refresh_view
+
+    vdir = lake + "_view"
+    shutil.rmtree(vdir, ignore_errors=True)
+    t0 = time.monotonic()
+    refresh_view(lake, vdir)
+    view_full = time.monotonic() - t0
+    # localized delta: a handful of (new) conversations → lands in a few
+    # partitions, so the refresh demonstrates work ∝ changed partitions
+    delta_wal2, n_delta2 = ensure_wal(
+        sf, seed=47, frac=0.005, tag="delta2", n_convs=8, insert_only=True,
+        conv_offset=900_000_000, start_seq=2_000_000_000_000,
+    )
+    run_job(delta_wal2, lake, partitions=max(32, num_cpus * 2),
+            merge_concurrency=num_cpus)
+    t0 = time.monotonic()
+    rep_v = refresh_view(lake, vdir)
+    view_inc = time.monotonic() - t0
+
     # representative secondary pipelines on the sf tables (skipped in
     # --scaling subprocesses: only the headline matters there)
     from raydatax import pipelines as pl
 
     queries = {"cdc_replay": round(headline, 3),
                "cdc_replay_walls": walls,
-               "cdc_incremental_2pct": round(incremental, 3)}
+               "cdc_incremental_2pct": round(incremental, 3),
+               "view_build_full": round(view_full, 3),
+               "view_refresh_localized_delta": round(view_inc, 3),
+               "view_partitions_refreshed":
+                   [rep_v["refreshed"], rep_v["refreshed"] + rep_v["skipped"]]}
     secondary = [] if os.environ.get("BENCH_HEADLINE_ONLY") else [
         "q1_pricing_summary",
         "revenue_by_segment",
