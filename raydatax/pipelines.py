@@ -1570,6 +1570,28 @@ def multimodal_features(sf_dir: str):
     )
 
 
+def embedding_components(sf_dir: str):
+    """Generic list-column unnest (relational.explode_list) over the
+    embeddings table: one row per (vec_id, pos, component), with the
+    component scale-floored to an exact integer — float32→float64 widening
+    is exact in both engines, so the int is cross-engine identical (raw
+    float32 strings are NOT: pandas prints the float32, DuckDB the
+    widened float64)."""
+    from .relational import explode_list
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def apply(t: pa.Table) -> pa.Table:
+        e = explode_list(t, "embedding", pos_col="pos", out="comp")
+        milli = pc.cast(
+            pc.floor(pc.add(pc.multiply(pc.cast(e["comp"], pa.float64()), 1000.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"vec_id": e["vec_id"], "pos": e["pos"], "comp_milli": milli})
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 def revenue_by_segment(sf_dir: str):
     """Both-sides-large distributed hash join chain (lineitem ⋈ orders ⋈
     customer — the join the reference cannot express at all), then a
@@ -1750,6 +1772,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf": ann_ivf,
     "multimodal_features": multimodal_features,
+    "embedding_components": embedding_components,
     "revenue_by_segment": revenue_by_segment,
     "orders_by_status": orders_by_status,
     "part_type_stats": part_type_stats,
@@ -2529,6 +2552,15 @@ ORACLE_SQL = {
                                            ORDER BY sim DESC, neighbor_id) AS rank
               FROM s)
         SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 10
+    """,
+    "embedding_components": """
+        WITH e AS (
+          SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS comp
+          FROM embeddings)
+        SELECT vec_id, pos,
+               CAST(floor(comp * 1000 + 0.5) AS BIGINT) AS comp_milli
+        FROM e
     """,
     "revenue_by_segment": """
         SELECT c.c_mktsegment,

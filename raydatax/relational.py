@@ -1836,3 +1836,41 @@ def pack_sequences(
         )
 
     return run.map_batches(assign, batch_format="pyarrow")
+
+
+def explode_list(
+    batch: pa.Table,
+    column: str,
+    pos_col: str | None = "pos",
+    out: str | None = None,
+) -> pa.Table:
+    """Explode (unnest) a list column: one output row per element, all
+    other columns repeated — the exact multiset of SQL ``unnest(col)``
+    (zipped with ``unnest(range(1, len+1))`` when ``pos_col`` is set;
+    positions are 1-based).  Null/empty lists produce no rows (SQL unnest
+    rule).  Batch-local: one ``list_flatten`` + one ``take`` per other
+    column, no per-row Python, no shuffle."""
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = pc.list_flatten(col)
+    take = pa.array(np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens))
+    cols, names = [], []
+    for name in batch.column_names:
+        if name == column:
+            continue
+        names.append(name)
+        cols.append(batch[name].combine_chunks().take(take))
+    if pos_col is not None:
+        total = int(lens.sum())
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        names.append(pos_col)
+        cols.append(pa.array(
+            np.arange(total, dtype=np.int64) - np.repeat(starts, lens) + 1
+        ))
+    names.append(out or column)
+    cols.append(flat)
+    return pa.table(dict(zip(names, cols)))

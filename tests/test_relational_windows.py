@@ -690,3 +690,20 @@ def test_window_scan_moving_sum_bounded_frame(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError):
         window_scan(rd.from_arrow(t), key="k", order_col="o", moving_sum=[("v", 0)])
+
+
+def test_explode_list_multiset_and_positions(ray_session):
+    from raydatax.relational import explode_list
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([[10, 20], [], None, [30]], pa.list_(pa.int64())),
+        "tag": pa.array(["a", "b", "c", "d"]),
+    })
+    out = explode_list(t, "v")
+    assert out["id"].to_pylist() == [1, 1, 4]
+    assert out["pos"].to_pylist() == [1, 2, 1]
+    assert out["v"].to_pylist() == [10, 20, 30]
+    assert out["tag"].to_pylist() == ["a", "a", "d"]
+    out2 = explode_list(t, "v", pos_col=None, out="elem")
+    assert out2.column_names == ["id", "tag", "elem"]
