@@ -1762,7 +1762,11 @@ def sessionize(
 
 
 @ray.remote
-def _block_col_sum(t: pa.Table, col: str) -> int:
+def _block_col_sum(t: pa.Table, col: str) -> int | None:
+    # a sort can emit empty blocks with an EMPTY schema — flag them (None)
+    # so the caller drops them from the output entirely
+    if t.num_rows == 0 or col not in t.column_names:
+        return None
     s = pc.sum(t[col])
     return int(s.as_py() or 0)
 
@@ -1798,10 +1802,14 @@ def ordered_prefix_sum(
     blocks would be placement-dependent).  ``col`` must be integral —
     integer prefix sums are accumulation-order-exact, float ones are not."""
     refs = ds.sort(order_key).to_arrow_refs()
-    if not refs:
-        return ds
     sums = ray.get([_block_col_sum.remote(r, col) for r in refs])
-    offsets = np.concatenate(([0], np.cumsum(sums, dtype=np.int64)))[:-1]
+    kept = [(r, s) for r, s in zip(refs, sums) if s is not None]
+    if not kept:
+        return ds  # nothing to scan (empty input)
+    refs = [r for r, _ in kept]
+    offsets = np.concatenate(
+        ([0], np.cumsum([s for _, s in kept], dtype=np.int64))
+    )[:-1]
     out_refs = [
         _block_cumsum.remote(r, order_key, col, int(o), out, exclusive)
         for r, o in zip(refs, offsets)
