@@ -467,30 +467,33 @@ def repetition_stats(
     top_count, and the ratio columns (top-token fraction, distinct-token
     fraction) are exact-integer divisions — bit-identical to SQL.  High
     ``top_frac`` / low ``distinct_frac`` = boilerplate or degenerate
-    repetition, the standard pre-training quality filter."""
-    from .relational import preagg_groupby
+    repetition, the standard pre-training quality filter.
 
-    toks = ds.map_batches(
-        lambda t: explode_tokens(t, column, id_col, sep, pos_col=None),
-        batch_format="pyarrow",
-    )
-    counts = preagg_groupby(toks, [id_col, "tok"], [("tok", "count", "c")])
-    per_doc = preagg_groupby(
-        counts,
-        [id_col],
-        [("c", "sum", "n_tok"), ("c", "count", "n_distinct"), ("c", "max", "top_count")],
-    )
+    Entirely BATCH-LOCAL — a document is one row, so its token statistics
+    never leave the batch: explode, one in-batch Arrow hash aggregation per
+    level, zero shuffles (the two-level groupby an engine would run if
+    tokens were spread across rows is unnecessary here)."""
 
-    def ratios(t: pa.Table) -> pa.Table:
-        n = pc.cast(t["n_tok"], pa.float64())
-        t = t.append_column(
-            "top_frac", pc.divide(pc.cast(t["top_count"], pa.float64()), n)
+    def per_batch(t: pa.Table) -> pa.Table:
+        toks = explode_tokens(t, column, id_col, sep, pos_col=None)
+        counts = toks.group_by([id_col, "tok"]).aggregate([("tok", "count")])
+        per_doc = counts.group_by([id_col]).aggregate(
+            [("tok_count", "sum"), ("tok_count", "count"), ("tok_count", "max")]
         )
-        return t.append_column(
-            "distinct_frac", pc.divide(pc.cast(t["n_distinct"], pa.float64()), n)
-        )
+        n_tok = pc.cast(per_doc["tok_count_sum"], pa.int64())
+        n_distinct = pc.cast(per_doc["tok_count_count"], pa.int64())
+        top = pc.cast(per_doc["tok_count_max"], pa.int64())
+        nf = pc.cast(n_tok, pa.float64())
+        return pa.table({
+            id_col: per_doc[id_col],
+            "n_tok": n_tok,
+            "n_distinct": n_distinct,
+            "top_count": top,
+            "top_frac": pc.divide(pc.cast(top, pa.float64()), nf),
+            "distinct_frac": pc.divide(pc.cast(n_distinct, pa.float64()), nf),
+        })
 
-    return per_doc.map_batches(ratios, batch_format="pyarrow")
+    return ds.map_batches(per_batch, batch_format="pyarrow")
 
 
 def ngram_contamination(
