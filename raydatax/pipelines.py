@@ -1570,6 +1570,21 @@ def multimodal_features(sf_dir: str):
     )
 
 
+def events_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sampling (relational.stratified_sample):
+    keep all purchases, 20% of clicks, 5% of views, drop the rest — the
+    corpus-mixing keep-rule, reproducible in SQL via a CASE over the same
+    integer formula."""
+    from .relational import stratified_sample
+
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_id", "event_type", "user_id"])
+    return stratified_sample(
+        ds, key="event_id", strata_col="event_type",
+        permille={"purchase": 1000, "click": 200, "view": 50},
+    )
+
+
 def embedding_components(sf_dir: str):
     """Generic list-column unnest (relational.explode_list) over the
     embeddings table: one row per (vec_id, pos, component), with the
@@ -1772,6 +1787,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf": ann_ivf,
     "multimodal_features": multimodal_features,
+    "events_stratified_sample": events_stratified_sample,
     "embedding_components": embedding_components,
     "revenue_by_segment": revenue_by_segment,
     "orders_by_status": orders_by_status,
@@ -2552,6 +2568,15 @@ ORACLE_SQL = {
                                            ORDER BY sim DESC, neighbor_id) AS rank
               FROM s)
         SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 10
+    """,
+    "events_stratified_sample": """
+        SELECT event_id, event_type, user_id
+        FROM events
+        WHERE ((event_id % 1000003) * 2654435761) % 1000 <
+              CASE event_type WHEN 'purchase' THEN 1000
+                              WHEN 'click' THEN 200
+                              WHEN 'view' THEN 50
+                              ELSE 0 END
     """,
     "embedding_components": """
         WITH e AS (

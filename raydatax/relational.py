@@ -1882,3 +1882,37 @@ def explode_list(
     names.append(out or column)
     cols.append(flat)
     return pa.table(dict(zip(names, cols)))
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    key: str,
+    strata_col: str,
+    permille: dict[str, int],
+    default_permille: int = 0,
+    modulus: int = 1_000_003,
+    multiplier: int = 2654435761,
+) -> "ray.data.Dataset":
+    """Per-stratum deterministic sampling — :func:`deterministic_sample`
+    with the keep-rate chosen by each row's stratum (the corpus-assembly
+    primitive: "3% of web, 40% of books, all of wiki").  Same pure integer
+    arithmetic, so membership is stable across runs / engines /
+    partitionings and exactly reproducible in SQL with a CASE over the
+    identical formula.  Batch-local; no shuffle, no state."""
+    for s, p in permille.items():
+        if not 0 <= p <= 1000:
+            raise ValueError(f"stratified_sample: permille must be 0..1000, got {p} for {s!r}")
+    if not 0 <= default_permille <= 1000:
+        raise ValueError(f"stratified_sample: default permille must be 0..1000, got {default_permille}")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        strata = t[strata_col]
+        rate = np.full(t.num_rows, default_permille, dtype=np.int64)
+        for s, p in permille.items():
+            m = pc.fill_null(pc.equal(strata, s), False).to_numpy(zero_copy_only=False)
+            rate[np.asarray(m, dtype=bool)] = p
+        mask = ((v % modulus) * multiplier) % 1000 < rate
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")

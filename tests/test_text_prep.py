@@ -109,3 +109,25 @@ def test_pack_sequences_matches_serial_packing(ray_session):
     assert (out["seq_id"].to_numpy() == cum // 300).all()
     with pytest.raises(ValueError):
         pack_sequences(ds, budget=0, order_key="doc_id", size_col="n")
+
+
+def test_stratified_sample_rates_and_guards(ray_session):
+    from raydatax.relational import deterministic_sample, stratified_sample
+
+    n = 6000
+    t = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "s": pa.array((["a", "b", "c"] * (n // 3))),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    out = stratified_sample(ds, "k", "s", {"a": 1000, "b": 100}).to_pandas()
+    # stratum a: kept entirely; c: default 0 -> dropped
+    assert (out[out.s == "a"].shape[0]) == n // 3
+    assert (out[out.s == "c"].shape[0]) == 0
+    # stratum b matches the single-rate operator exactly (same formula)
+    only_b = ds.filter(lambda r: r["s"] == "b")
+    want_b = sorted(deterministic_sample(only_b, "k", 100).to_pandas()["k"])
+    got_b = sorted(out[out.s == "b"]["k"])
+    assert got_b == want_b
+    with pytest.raises(ValueError):
+        stratified_sample(ds, "k", "s", {"a": 1001})
