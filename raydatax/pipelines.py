@@ -652,12 +652,17 @@ def cast_roundtrip(sf_dir: str):
 
 
 def token_stats(sf_dir: str):
+    """Whitespace + BPE-ish pre-tokenizer token counts (text.token_count /
+    text.bpe_token_count) and character length, all vectorized."""
+    from .text import bpe_token_count
+
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def apply(t: pa.Table) -> pa.Table:
         t = token_count(t)
+        t = bpe_token_count(t)
         t = t.append_column("n_chars_calc", pc.cast(pc.utf8_length(t["text"]), pa.int64()))
-        return t.select(["doc_id", "n_chars_calc", "n_tokens"])
+        return t.select(["doc_id", "n_chars_calc", "n_tokens", "n_bpe_tokens"])
 
     return ds.map_batches(apply, batch_format="pyarrow")
 
@@ -2027,7 +2032,8 @@ ORACLE_SQL = {
     """,
     "token_stats": """
         SELECT doc_id, length(text) AS n_chars_calc,
-               len(regexp_extract_all(text, '\\S+')) AS n_tokens
+               len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe_tokens
         FROM documents
     """,
     "quality_ratios": """
@@ -2041,8 +2047,8 @@ ORACLE_SQL = {
     "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
     "text_normalize": r"""
         SELECT doc_id,
-               trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm,
-               CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+               nfc_normalize(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm,
+               CAST(length(nfc_normalize(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS n_chars_norm
         FROM documents
     """,
     "pii_redact": r"""

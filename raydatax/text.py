@@ -24,6 +24,20 @@ def token_count(batch: pa.Table, column: str = "text", out: str = "n_tokens") ->
     return batch.append_column(out, pc.cast(n, pa.int64()))
 
 
+#: BPE-style pre-tokenizer unit: letter runs / digit runs / punctuation
+#: runs (the GPT-2 pre-tokenizer's shape, RE2-safe so SQL
+#: ``regexp_extract_all`` counts the identical segments)
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(batch: pa.Table, column: str = "text", out: str = "n_bpe_tokens") -> pa.Table:
+    """Pre-tokenizer segment count — a closer proxy for LLM token budgets
+    than whitespace runs ("a-b!" is 3 segments, 1 whitespace token).  One
+    vectorized regex count per batch."""
+    n = pc.count_substring_regex(batch[column], BPE_TOKEN_PATTERN)
+    return batch.append_column(out, pc.cast(n, pa.int64()))
+
+
 def quality_stats(batch: pa.Table, column: str = "text") -> pa.Table:
     """Cheap quality-scoring features: length, token count, punctuation /
     digit / uppercase ratios, mean token length.  All pyarrow kernels."""
@@ -320,22 +334,50 @@ def tokenize_batch(
     return out.filter(pc.not_equal(out["term"], ""))
 
 
+# Some pyarrow builds (16.1 here) ship a utf8_normalize whose every form
+# emits DECOMPOSED output (compose flag never set) — probe it, because
+# silently-decomposed "NFC" breaks cross-engine dedup/fingerprint equality.
+_ARROW_NFC_OK = (
+    pc.utf8_normalize(pa.array(["é"]), form="NFC")[0].as_py() == "é"
+)
+
+
 def normalize_text(
     batch: pa.Table,
     column: str = "text",
     out: str = "norm",
 ) -> pa.Table:
-    """Canonical text normalization for training corpora: unicode NFC,
-    lowercase, whitespace runs collapsed to one space, ends trimmed — four
-    vectorized Arrow kernels, batch-local, no shuffle.  The exact contract
-    of SQL ``trim(regexp_replace(lower(nfc_normalize(t)), '\\s+', ' ',
-    'g'))`` (both engines run RE2), so normalized output is cross-engine
-    identical — which is what makes downstream exact dedup / fingerprints
-    comparable across pipelines."""
-    x = pc.utf8_normalize(batch[column], form="NFC")
-    x = pc.utf8_lower(x)
+    """Canonical text normalization for training corpora: lowercase,
+    whitespace runs collapsed to one space, ends trimmed, then unicode NFC
+    — the exact contract of SQL
+    ``nfc_normalize(trim(regexp_replace(lower(t), '\\s+', ' ', 'g')))``
+    (both engines run RE2), so normalized output is cross-engine identical
+    — which is what makes downstream exact dedup / fingerprints comparable
+    across pipelines.
+
+    The first three steps are vectorized Arrow kernels.  NFC composition
+    is vectorized too when the build's ``utf8_normalize`` actually
+    composes; on builds where it does not (probed above — pyarrow 16.1
+    decomposes under every form), ASCII batches (already NFC) stay on the
+    vectorized path and only batches containing non-ASCII rows pay a
+    per-row ``unicodedata`` pass."""
+    x = pc.utf8_lower(batch[column])
     x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
     x = pc.utf8_trim_whitespace(x)
+    if _ARROW_NFC_OK:
+        x = pc.utf8_normalize(x, form="NFC")
+    else:
+        import unicodedata
+
+        non_ascii = pc.greater(pc.count_substring_regex(x, r"[^\x00-\x7F]"), 0)
+        if pc.any(non_ascii).as_py():
+            x = pa.array(
+                [
+                    unicodedata.normalize("NFC", v) if v is not None else None
+                    for v in x.to_pylist()
+                ],
+                pa.string(),
+            )
     return batch.append_column(out, x)
 
 

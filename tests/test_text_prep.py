@@ -131,3 +131,51 @@ def test_stratified_sample_rates_and_guards(ray_session):
     assert got_b == want_b
     with pytest.raises(ValueError):
         stratified_sample(ds, "k", "s", {"a": 1001})
+
+
+def test_text_kernels_differential_vs_duckdb(ray_session):
+    """Random adversarial corpus (unicode, doubled spaces, empties,
+    punctuation runs): explode / ngram / normalize / BPE-count must equal
+    DuckDB's formulation as exact multisets."""
+    import duckdb
+
+    from raydatax.text import bpe_token_count, normalize_text
+
+    rng = np.random.default_rng(11)
+    pieces = ["héllo", "a", "", "x-y!", "42", "München", "  ", "b\tc", ".."]
+    texts = [
+        " ".join(rng.choice(pieces, size=rng.integers(0, 9)).tolist())
+        for _ in range(300)
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    con = duckdb.connect()
+    con.register("docs", t)
+
+    got = explode_tokens(t).to_pandas().sort_values(["doc_id", "pos"])
+    want = con.execute("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM docs)
+        SELECT doc_id, unnest(range(1, len(ts)+1)) AS pos, unnest(ts) AS tok
+        FROM toks ORDER BY doc_id, pos""").df()
+    assert got["tok"].tolist() == want["tok"].tolist()
+    assert got["pos"].tolist() == want["pos"].tolist()
+
+    got_ng = ngram_table(t, 2, pos_col="pos").to_pandas().sort_values(["doc_id", "pos"])
+    want_ng = con.execute("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM docs),
+        pos AS (SELECT doc_id, unnest(range(1, greatest(len(ts)-1, 0)+1)) AS i FROM toks)
+        SELECT p.doc_id, p.i, array_to_string(list_slice(t.ts, p.i, p.i+1), ' ') AS ng
+        FROM pos p JOIN toks t ON p.doc_id = t.doc_id ORDER BY p.doc_id, p.i""").df()
+    assert got_ng["ng"].tolist() == want_ng["ng"].tolist()
+
+    got_n = normalize_text(t)["norm"].to_pylist()
+    want_n = [r[0] for r in con.execute(
+        r"SELECT nfc_normalize(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+        " FROM docs ORDER BY doc_id").fetchall()]
+    assert got_n == want_n
+
+    got_b = bpe_token_count(t)["n_bpe_tokens"].to_pylist()
+    want_b = [r[0] for r in con.execute(
+        r"SELECT len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))"
+        " FROM docs ORDER BY doc_id").fetchall()]
+    assert got_b == want_b
