@@ -148,12 +148,35 @@ def dx_url(batch: pa.Table, column: str, parts: tuple[str, ...] = _URL_PARTS,
 
 # ------------------------------------------------------ registry + chaining
 
+def _normalize_transformer(batch: pa.Table, column: str = "text") -> pa.Table:
+    """normalize_text as a chainable transformer: REPLACES the column in
+    place (chain semantics), instead of appending ``norm``."""
+    from .text import normalize_text
+
+    out = normalize_text(batch, column, out="__norm")
+    i = out.schema.get_field_index(column)
+    return out.set_column(i, column, out["__norm"]).drop_columns(["__norm"])
+
+
+def _redact_transformer(batch: pa.Table, column: str = "text") -> pa.Table:
+    """PII redaction as a chainable transformer (in-place column)."""
+    from .text import RedactPii
+
+    out = RedactPii(column=column, out="__red")(batch)
+    i = out.schema.get_field_index(column)
+    return out.set_column(i, column, out["__red"]).drop_columns(["__red"])
+
+
 REGISTRY: dict[str, Callable[..., pa.Table]] = {
     "dx_substr": dx_substr,
     "dx_pad": dx_pad,
     "dx_replace": dx_replace,
     "dx_filter": dx_filter,
     "dx_url": dx_url,
+    # engine-provided externals (non-dx_ namespace, like user plugins):
+    # the text-prep stages usable from job JSON transformer chains
+    "normalize_text": _normalize_transformer,
+    "redact_pii": _redact_transformer,
 }
 
 

@@ -96,3 +96,17 @@ def test_chain_and_registry(batch):
 def test_unknown_column(batch):
     with pytest.raises(KeyError):
         dx_substr(batch, "zz", 0, 1)
+
+
+def test_text_prep_transformers_in_chain():
+    """normalize_text / redact_pii are registry transformers usable from a
+    job-JSON chain; they replace the column in place (chain semantics)."""
+    import pyarrow as pa
+
+    from raydatax.transforms import chain
+
+    t = pa.table({"text": pa.array(["  Mail ME: bob@x.org  NOW ", "plain"])})
+    fn = chain([("normalize_text", "text"), ("redact_pii", "text")])
+    out = fn(t)
+    assert out.column_names == ["text"]
+    assert out["text"].to_pylist() == ["mail me: <EMAIL> now", "plain"]
