@@ -730,6 +730,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--start-ts", default=None, help="window start (ISO or µs)")
     ap.add_argument("--end-ts", default=None, help="window end (ISO or µs)")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--refresh-view", default=None, metavar="VIEW_DIR",
+                    help="after the apply, refresh the materialized "
+                         "conversation-summary view at this path")
     args = ap.parse_args(argv)
 
     import ray
@@ -756,6 +759,10 @@ def main(argv: list[str] | None = None) -> int:
             quiet=False,
         )
         print(json.dumps({k: v for k, v in report.items() if k != "per_partition"}))
+        if args.refresh_view:
+            from .view import refresh_view
+
+            print(json.dumps({"view": refresh_view(args.lake, args.refresh_view)}))
         return 0
     finally:
         if owned:
