@@ -695,6 +695,7 @@ def tail_wal(
     lake_dir: str,
     poll_interval_s: float = 1.0,
     idle_polls_to_stop: int = 2,
+    view_dir: str | None = None,
     **job_kwargs,
 ) -> list[dict]:
     """Kafka-reader-style tail loop (``/root/reference/kafkareader/.../
@@ -702,12 +703,21 @@ def tail_wal(
     apply newly appended WAL segments; each applied epoch commits its
     watermark (the offset-commit analogue).  Stops after
     ``idle_polls_to_stop`` consecutive empty polls (the reference runs to a
-    midnight deadline; a library can't block forever)."""
+    midnight deadline; a library can't block forever).
+
+    ``view_dir`` keeps a materialized summary view continuously fresh:
+    after every applied epoch the view refreshes incrementally (only the
+    partitions that epoch touched — ``view.refresh_view``), the streaming
+    IVM loop; each report gains a ``view`` sub-dict."""
     reports = []
     idle = 0
     while idle < idle_polls_to_stop:
         rep = run_job(wal_dir, lake_dir, **job_kwargs)
         if rep["action"] == "applied":
+            if view_dir is not None:
+                from .view import refresh_view
+
+                rep["view"] = refresh_view(lake_dir, view_dir)
             reports.append(rep)
             idle = 0
         else:

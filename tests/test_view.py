@@ -185,3 +185,23 @@ def test_changelog_view_crash_repair(tmp_wal, tmp_lake, tmp_path, ray_session):
     rep = refresh_view(tmp_lake, vdir)
     assert rep["refreshed"] == 1
     assert view_table(vdir).equals(want)
+
+
+def test_tail_wal_keeps_view_fresh(tmp_wal, tmp_lake, tmp_path, ray_session):
+    """Streaming IVM: each applied epoch refreshes the view incrementally."""
+    from raydatax.driver import tail_wal
+
+    ev = gen_events(9000, seed=89)
+    third = ev.num_rows // 3
+    write_wal(ev.slice(0, third), tmp_wal, seg_rows=1500)
+    vdir = str(tmp_path / "view")
+    reports = tail_wal(tmp_wal, tmp_lake, poll_interval_s=0.05,
+                       idle_polls_to_stop=1, view_dir=vdir,
+                       partitions=4, salt=2)
+    assert reports and all("view" in r for r in reports)
+    import pyarrow.parquet as pq
+    pq.write_table(ev.slice(third), os.path.join(tmp_wal, "seg-99999.parquet"))
+    reports += tail_wal(tmp_wal, tmp_lake, poll_interval_s=0.05,
+                        idle_polls_to_stop=1, view_dir=vdir,
+                        partitions=4, salt=2)
+    assert view_table(vdir).equals(_expected(lake_table(tmp_lake)))
