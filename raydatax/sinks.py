@@ -215,3 +215,78 @@ def write_files(
     else:
         raise ValueError(f"unknown format {fmt!r}")
     return path
+
+
+def write_sorted(
+    ds,
+    path: str,
+    key: str,
+    write_mode: str = "truncate",
+) -> dict:
+    """Globally ORDER-BY-``key`` export: ONE range sort, then each sorted
+    block writes its own ``part-{i:05d}.parquet`` (worker-side write, no
+    driver data), and a ``_sorted.json`` manifest records the per-file
+    key ranges — file order IS global order, so a reader streams the
+    corpus in key order (time-ordered training shards, merge-joinable
+    extracts) and can binary-search the manifest for a key range instead
+    of scanning.  Deterministic names ⇒ an interrupted export re-runs
+    idempotently; the manifest, written last, is the commit marker.
+    Returns the manifest dict."""
+    import json
+
+    import ray
+
+    import pyarrow.parquet as _pq
+
+    from .merge import PARQUET_OPTS
+
+    _prepare_dir(path, write_mode)
+
+    @ray.remote
+    def _write_block(t, i: int) -> dict | None:
+        if t.num_rows == 0 or key not in t.column_names:
+            return None  # sorts can emit empty zero-schema blocks
+        t = t.sort_by([(key, "ascending")])
+        f = os.path.join(path, f"part-{i:05d}.parquet")
+        tmp = f + ".tmp"
+        _pq.write_table(t.replace_schema_metadata(None), tmp, **PARQUET_OPTS)
+        os.replace(tmp, f)
+        return {"file": os.path.basename(f), "rows": t.num_rows,
+                "min": t[key][0].as_py(), "max": t[key][-1].as_py()}
+
+    refs = ds.sort(key).to_arrow_refs()
+    entries = [e for e in ray.get([_write_block.remote(r, i)
+                                   for i, r in enumerate(refs)]) if e]
+    for a, b in zip(entries, entries[1:]):
+        if b["min"] < a["max"]:
+            raise AssertionError(
+                f"write_sorted: overlapping block ranges {a} / {b}"
+            )
+    manifest = {"key": key, "files": entries,
+                "rows": sum(e["rows"] for e in entries)}
+    tmp = os.path.join(path, "_sorted.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(path, "_sorted.json"))
+    return manifest
+
+
+def read_sorted(path: str, key_range: tuple | None = None, columns=None):
+    """Read a :func:`write_sorted` export in global key order; with
+    ``key_range=(lo, hi)`` only the files whose recorded [min, max]
+    intersects the half-open range [lo, hi) are even listed — manifest
+    pruning, no footer reads."""
+    import json
+
+    import ray.data as rd
+
+    with open(os.path.join(path, "_sorted.json")) as fh:
+        manifest = json.load(fh)
+    files = manifest["files"]
+    if key_range is not None:
+        lo, hi = key_range
+        files = [e for e in files if e["max"] >= lo and e["min"] < hi]
+    if not files:
+        raise FileNotFoundError(f"no files in range under {path}")
+    return rd.read_parquet([os.path.join(path, e["file"]) for e in files],
+                           columns=columns)

@@ -574,3 +574,33 @@ def test_csv_non_utf8_encodings(tmp_path, ray_session):
         f.write(bz2.compress("3,café\n".encode("latin-1")))
     out2 = read_csv_datax(p2, column_spec=spec, encoding="latin-1").take_all()
     assert out2[0]["w"] == "café"
+
+
+def test_write_sorted_global_order_and_range_read(tmp_path, ray_session):
+    import json
+
+    import numpy as np
+    import ray.data as rd
+
+    from raydatax.sinks import read_sorted, write_sorted
+
+    rng = np.random.default_rng(21)
+    keys = rng.permutation(20_000)
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "v": pa.array(keys * 2, pa.int64())})
+    out = str(tmp_path / "sorted")
+    man = write_sorted(rd.from_arrow(t).repartition(6), out, "k")
+    assert man["rows"] == 20_000
+    # file order is global order: ranges strictly non-overlapping
+    files = man["files"]
+    assert all(a["max"] <= b["min"] for a, b in zip(files, files[1:]))
+    # full read-back in order
+    got = read_sorted(out).to_pandas()["k"].to_numpy()
+    assert (got == np.sort(keys)).all()
+    # manifest-pruned range read
+    sub = read_sorted(out, key_range=(5000, 6000)).to_pandas()
+    assert set(range(5000, 6000)) <= set(sub["k"])
+    assert len(json.load(open(f"{out}/_sorted.json"))["files"]) >= 2
+    # idempotent re-run over the same dir (truncate default)
+    man2 = write_sorted(rd.from_arrow(t).repartition(6), out, "k")
+    assert man2["rows"] == man["rows"]
