@@ -542,6 +542,22 @@ def compact_changelog(lake_dir: str, upto_epoch: int | None = None) -> dict:
                 rec_paths[(m["partition"], m["epoch"])] = p
         compacted, files_removed = 0, 0
         manifests = mf.load_manifests(lake_dir)
+
+        # per-partition merge work (read → concat → sort → write) runs as
+        # Ray tasks — a 100-TB lake has thousands of partitions and the
+        # driver must only sequence commits, never hold partition data
+        @ray.remote
+        def _merge_partition(paths: list[str], final: str) -> tuple[int, int]:
+            merged = pa.concat_tables(
+                [pq.read_table(f) for f in paths], promote_options="permissive"
+            )
+            merged, _ = sort_key_seq(merged)
+            tmp = final + ".tmp"
+            pq.write_table(merged.replace_schema_metadata(None), tmp, **PARQUET_OPTS)
+            os.replace(tmp, final)
+            return int(merged.num_rows), os.path.getsize(final)
+
+        plans = []  # (pid, live, target, final, merge_ref)
         for pid in sorted(by_part):
             recs = sorted(by_part[pid], key=lambda m: m["epoch"])
             horizon = max((m["epoch"] for m in recs if m.get("compacted_upto")),
@@ -565,10 +581,6 @@ def compact_changelog(lake_dir: str, upto_epoch: int | None = None) -> dict:
                 continue
             target = live[-1]
             paths = [os.path.join(lake_dir, m["file"]) for m in live]
-            merged = pa.concat_tables(
-                [pq.read_table(f) for f in paths], promote_options="permissive"
-            )
-            merged, _ = sort_key_seq(merged)
             # the merged file gets a NEW deterministic name; the single
             # atomic history-record write below is the commit point (a
             # crash before it leaves the old records authoritative, a crash
@@ -577,13 +589,15 @@ def compact_changelog(lake_dir: str, upto_epoch: int | None = None) -> dict:
                 lake_dir, "data", f"part-{pid:05d}",
                 f"epoch-{target['epoch']:06d}-c.parquet",
             )
-            tmp = final + ".tmp"
-            pq.write_table(merged.replace_schema_metadata(None), tmp, **PARQUET_OPTS)
-            os.replace(tmp, final)
+            plans.append((pid, live, target, final,
+                          _merge_partition.remote(paths, final)))
+
+        for pid, live, target, final, ref in plans:
+            rows, nbytes = ray.get(ref)
             new_rec = dict(target)
             new_rec["file"] = os.path.relpath(final, lake_dir)
-            new_rec["rows"] = int(merged.num_rows)
-            new_rec["bytes"] = os.path.getsize(final)
+            new_rec["rows"] = rows
+            new_rec["bytes"] = nbytes
             new_rec["compacted_upto"] = target["epoch"]
             mf._atomic_write_json(
                 mf.history_path(lake_dir, pid, target["epoch"]), new_rec
