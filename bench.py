@@ -182,6 +182,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "tfidf_terms",
         "user_event_paths",
         "bloom_filtered_revenue",
+        "text_normalize",
+        "decontaminate_3gram",
+        "sequence_packing",
     ]
     for name in secondary:
         t0 = time.monotonic()
