@@ -205,3 +205,56 @@ def test_tail_wal_keeps_view_fresh(tmp_wal, tmp_lake, tmp_path, ray_session):
                         idle_polls_to_stop=1, view_dir=vdir,
                         partitions=4, salt=2)
     assert view_table(vdir).equals(_expected(lake_table(tmp_lake)))
+
+
+def test_sigkill_mid_view_refresh_then_repair(tmp_wal, tmp_lake, tmp_path, ray_session):
+    """Real kill -9 during a view refresh (its own process + Ray session):
+    the survivor state — staged files, renamed finals, flipped state jsons,
+    uncollected orphans, in any combination — must repair to exactly the
+    clean-build result on the next refresh."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    from raydatax.gen import gen_events as _ge
+
+    ev = _ge(30_000, seed=88)
+    write_wal(ev, tmp_wal, seg_rows=3000)
+    run_job(tmp_wal, tmp_lake, partitions=8, salt=2)
+
+    clean = str(tmp_path / "clean_view")
+    refresh_view(tmp_lake, clean)
+    want = view_table(clean)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    vdir = str(tmp_path / "killed_view")
+    child = (
+        "import sys; sys.path.insert(0, {repo!r});"
+        "import ray; ray.init(address='local', num_cpus=2, include_dashboard=False, logging_level='ERROR');"
+        "from raydatax.view import refresh_view;"
+        "refresh_view({lake!r}, {vdir!r})"
+    ).format(repo=repo, lake=tmp_lake, vdir=vdir)
+    proc = subprocess.Popen([sys.executable, "-c", child],
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                            start_new_session=True)
+    deadline = _time.time() + 120
+    try:
+        while _time.time() < deadline:
+            import glob as _g
+            produced = (_g.glob(os.path.join(vdir, "_staging", "*.parquet"))
+                        + _g.glob(os.path.join(vdir, "data", "*.parquet")))
+            if produced:
+                os.killpg(proc.pid, signal.SIGKILL)
+                break
+            if proc.poll() is not None:
+                break
+            _time.sleep(0.02)
+    finally:
+        if proc.poll() is None:
+            os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+
+    rep = refresh_view(tmp_lake, vdir)  # repair + finish
+    assert rep["refreshed"] + rep["skipped"] == 8
+    assert view_table(vdir).equals(want)
