@@ -632,6 +632,92 @@ def compact_changelog(lake_dir: str, upto_epoch: int | None = None) -> dict:
         lock.close()
 
 
+def repartition_lake(
+    old_lake: str,
+    new_lake: str,
+    partitions: int,
+    salt: int = 4,
+    keep_bootstrap_wal: bool = False,
+    **job_kwargs,
+) -> dict:
+    """Offline re-partitioning maintenance job — the documented answer to
+    "P and salt are fixed at lake creation".  The committed table IS a
+    valid event log (rows retain their winning ``seq``), so repartitioning
+    is a bootstrap replay through the normal engine: export each committed
+    file as an insert-event WAL segment (one Ray task per file, driver
+    never holds rows), ``run_job`` it into the new lake with the new
+    partition count/salt (hot keys re-detected on the new mapping), then
+    carry the OLD job watermark forward — correct because every event in
+    (image max seq, old hw] is already reflected in the image (its key's
+    winner has a ≥ seq or was deleted), so a subsequent tail applies only
+    genuinely new events and replays of that range would be idempotent
+    anyway.  Changelog lakes re-bucket their FULL event history (ops and
+    seqs preserved); the epoch structure collapses to one bootstrap epoch,
+    which only renumbers history records — the event multiset and per-key
+    order are unchanged."""
+    cfg = mf.load_lake_config(old_lake)
+    if cfg is None:
+        raise FileNotFoundError(f"no lake at {old_lake}")
+    if mf.load_lake_config(new_lake) is not None:
+        raise RuntimeError(f"target lake already exists: {new_lake}")
+    old_state = mf._read_json(job_state_path(old_lake))
+    changelog = cfg.get("output", "image") == "changelog"
+    files = (mf.changelog_files(old_lake) if changelog
+             else mf.committed_files(old_lake))
+    if not files:
+        raise FileNotFoundError(f"no committed partitions under {old_lake}")
+
+    wal = os.path.join(new_lake, "_bootstrap_wal")
+    os.makedirs(wal, exist_ok=True)
+
+    @ray.remote
+    def _export_segment(src: str, dst: str, as_inserts: bool) -> int:
+        import pyarrow as pa
+
+        from .merge import PARQUET_OPTS
+        from .schema import EVENT_SCHEMA
+
+        t = pq.read_table(src)
+        if as_inserts:
+            t = t.append_column("op", pa.array(["I"] * t.num_rows, pa.string()))
+        names = [f.name for f in EVENT_SCHEMA if f.name in t.column_names]
+        t = t.select(names)
+        tmp = dst + ".tmp"
+        pq.write_table(t.replace_schema_metadata(None), tmp, **PARQUET_OPTS)
+        os.replace(tmp, dst)
+        return t.num_rows
+
+    refs = [
+        _export_segment.remote(
+            src, os.path.join(wal, f"seg-{i:05d}.parquet"), not changelog
+        )
+        for i, src in enumerate(files)
+    ]
+    exported = sum(ray.get(refs))
+
+    report = run_job(
+        wal, new_lake, partitions=partitions, salt=salt,
+        output=cfg.get("output"), sparse_updates=cfg.get("sparse_updates", False),
+        **job_kwargs,
+    )
+    # carry the old watermark (and window mode) so the next tail resumes
+    # exactly where the old lake stopped; keep the new lake's own epoch
+    if old_state is not None:
+        new_state = mf._read_json(job_state_path(new_lake)) or {}
+        carried = dict(old_state)
+        carried["epoch"] = new_state.get("epoch", carried.get("epoch", 0))
+        carried["wal_hw"] = max(
+            int(old_state.get("wal_hw", -1)), int(new_state.get("wal_hw", -1))
+        )
+        mf._atomic_write_json(job_state_path(new_lake), carried)
+    if not keep_bootstrap_wal:
+        import shutil
+
+        shutil.rmtree(wal, ignore_errors=True)
+    report["events_exported"] = exported
+    return report
+
+
 def lake_info(lake_dir: str) -> dict:
     """Lake inspection: config, per-partition rows/bytes/watermarks, totals
     — the operational 'describe table' surface."""
