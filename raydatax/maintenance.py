@@ -1,0 +1,85 @@
+"""``python -m raydatax.maintenance`` — offline lake maintenance CLI.
+
+Subcommands (each submittable via ``ray job submit``, like the driver):
+
+  info         <lake>                      describe config/partitions/totals
+  vacuum       <lake> [--keep N]          drop superseded epoch snapshots
+  compact      <lake> [--upto-epoch E]    merge changelog epoch files
+  refresh-view <lake> <view_dir>          bring a summary view up to date
+  repartition  <old> <new> --partitions P [--salt S]   migrate the mapping
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="raydatax lake maintenance")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("info")
+    p.add_argument("lake")
+
+    p = sub.add_parser("vacuum")
+    p.add_argument("lake")
+    p.add_argument("--keep", type=int, default=0,
+                   help="retain the newest N unreferenced snapshots")
+
+    p = sub.add_parser("compact")
+    p.add_argument("lake")
+    p.add_argument("--upto-epoch", type=int, default=None)
+
+    p = sub.add_parser("refresh-view")
+    p.add_argument("lake")
+    p.add_argument("view_dir")
+
+    p = sub.add_parser("repartition")
+    p.add_argument("old_lake")
+    p.add_argument("new_lake")
+    p.add_argument("--partitions", type=int, required=True)
+    p.add_argument("--salt", type=int, default=4)
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owned = False
+    if args.cmd != "info" and not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+        owned = True
+    try:
+        if args.cmd == "info":
+            from .driver import lake_info
+
+            out = lake_info(args.lake)
+        elif args.cmd == "vacuum":
+            from .manifest import vacuum
+
+            out = {"removed": vacuum(args.lake, keep_unreferenced=args.keep)}
+        elif args.cmd == "compact":
+            from .driver import compact_changelog
+
+            out = compact_changelog(args.lake, upto_epoch=args.upto_epoch)
+        elif args.cmd == "refresh-view":
+            from .view import refresh_view
+
+            out = refresh_view(args.lake, args.view_dir)
+        else:
+            from .driver import repartition_lake
+
+            rep = repartition_lake(args.old_lake, args.new_lake,
+                                   partitions=args.partitions, salt=args.salt)
+            out = {k: v for k, v in rep.items() if k != "per_partition"}
+        print(json.dumps(out, default=str))
+        return 0
+    finally:
+        if owned:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
