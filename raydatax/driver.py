@@ -668,6 +668,12 @@ def repartition_lake(
         raise FileNotFoundError(f"no committed partitions under {old_lake}")
 
     wal = os.path.join(new_lake, "_bootstrap_wal")
+    # a crashed earlier attempt may have left segments from a DIFFERENT
+    # old-lake state (e.g. pre-compaction file count) under deterministic
+    # names — stale leftovers would be replayed alongside the fresh export
+    import shutil
+
+    shutil.rmtree(wal, ignore_errors=True)
     os.makedirs(wal, exist_ok=True)
 
     @ray.remote
@@ -711,8 +717,6 @@ def repartition_lake(
         )
         mf._atomic_write_json(job_state_path(new_lake), carried)
     if not keep_bootstrap_wal:
-        import shutil
-
         shutil.rmtree(wal, ignore_errors=True)
     report["events_exported"] = exported
     return report

@@ -1775,7 +1775,12 @@ def _block_col_sum(t: pa.Table, col: str) -> int | None:
 def _block_cumsum(t: pa.Table, order_key: str, col: str, offset: int,
                   out: str, exclusive: bool) -> pa.Table:
     t = t.sort_by([(order_key, "ascending")])
-    v = t[col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # nulls contribute 0, matching SQL `sum() OVER` (which skips NULLs) and
+    # the pc.sum the block offsets were computed with — without the fill, a
+    # null became NaN → int64 garbage for every later row
+    v = pc.fill_null(pc.cast(t[col], pa.int64()), 0).to_numpy(
+        zero_copy_only=False
+    )
     c = np.cumsum(v, dtype=np.int64) + offset
     if exclusive:
         c = c - v
@@ -1805,7 +1810,15 @@ def ordered_prefix_sum(
     sums = ray.get([_block_col_sum.remote(r, col) for r in refs])
     kept = [(r, s) for r, s in zip(refs, sums) if s is not None]
     if not kept:
-        return ds  # nothing to scan (empty input)
+        # empty input: keep the schema contract (input columns + `out`)
+        # so downstream stages referencing `out` see an empty table, not
+        # a missing column
+        sch = ds.schema()
+        empty = pa.table(
+            {**{n: pa.array([], t) for n, t in zip(sch.names, sch.types)},
+             out: pa.array([], pa.int64())}
+        )
+        return ray.data.from_arrow(empty)
     refs = [r for r, _ in kept]
     offsets = np.concatenate(
         ([0], np.cumsum([s for _, s in kept], dtype=np.int64))

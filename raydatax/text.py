@@ -369,15 +369,23 @@ def normalize_text(
     else:
         import unicodedata
 
-        non_ascii = pc.greater(pc.count_substring_regex(x, r"[^\x00-\x7F]"), 0)
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        non_ascii = pc.fill_null(
+            pc.greater(pc.count_substring_regex(x, r"[^\x00-\x7F]"), 0), False
+        )
         if pc.any(non_ascii).as_py():
-            x = pa.array(
+            # O(non-ASCII rows) Python, scattered back in one kernel — the
+            # ASCII majority (already NFC) never materializes as objects
+            flagged = x.filter(non_ascii)
+            fixed = pa.array(
                 [
                     unicodedata.normalize("NFC", v) if v is not None else None
-                    for v in x.to_pylist()
+                    for v in flagged.to_pylist()
                 ],
                 pa.string(),
             )
+            x = pc.replace_with_mask(x, non_ascii, fixed)
     return batch.append_column(out, x)
 
 
@@ -422,27 +430,18 @@ def explode_tokens(
     """Explode each document into (id, pos, token) rows — the exact
     multiset of SQL ``unnest(string_split(text, sep))`` zipped with
     ``unnest(range(1, len+1))``: empty tokens KEPT, case preserved,
-    ``pos`` 1-based within the document.  One vectorized split +
-    list_flatten per batch (no per-row Python, no shuffle); position is
-    arithmetic over the list offsets.  Distinct from :func:`tokenize_batch`
-    (which lowercases and drops empties for TF-IDF)."""
-    col = batch[column].combine_chunks()
-    lists = pc.split_pattern(col, sep)
-    lens = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
-        zero_copy_only=False
-    ).astype(np.int64)
-    flat = pc.list_flatten(lists)
-    ids = batch[id_col].combine_chunks().take(
-        pa.array(np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens))
-    )
-    cols = {id_col: ids}
-    if pos_col is not None:
-        total = int(lens.sum())
-        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens) + 1
-        cols[pos_col] = pa.array(pos)
-    cols["tok"] = flat
-    return pa.table(cols)
+    ``pos`` 1-based within the document.  One vectorized split, then the
+    generic list explode (``relational.explode_list``) — flatten, repeat,
+    and position arithmetic live in one place.  Distinct from
+    :func:`tokenize_batch` (which lowercases and drops empties for
+    TF-IDF)."""
+    from .relational import explode_list
+
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pa.table({id_col: batch[id_col], "__toks": pc.split_pattern(col, sep)})
+    return explode_list(lists, "__toks", pos_col=pos_col, out="tok")
 
 
 def ngram_table(

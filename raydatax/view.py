@@ -107,28 +107,6 @@ def _fold_partition_delta(
     return g.num_rows
 
 
-@ray.remote
-def _summarize_partition(
-    lake_file: str, key: str, aggs: list[tuple[str, str, str]], staged: str
-) -> int:
-    """Recompute one partition's summary from its committed image file and
-    write the staged parquet (worker-side write, driver only renames —
-    the engine's sink discipline).  Returns the summary row count."""
-    cols = sorted({key} | {c for c, _, _ in aggs})
-    t = pq.read_table(lake_file, columns=cols)
-    grouped = t.group_by([key]).aggregate([(c, fn) for c, fn, _ in aggs])
-    # pyarrow names outputs "<col>_<fn>"; bind them to the spec's out names
-    names = [key] + [f"{c}_{fn}" for c, fn, _ in aggs]
-    grouped = grouped.select(names).rename_columns(
-        [key] + [out for _, _, out in aggs]
-    )
-    grouped = grouped.sort_by([(key, "ascending")])  # deterministic bytes
-    tmp = staged + ".tmp"
-    pq.write_table(grouped.replace_schema_metadata(None), tmp, **PARQUET_OPTS)
-    os.replace(tmp, staged)
-    return grouped.num_rows
-
-
 def refresh_view(
     lake_dir: str,
     view_dir: str,
@@ -193,9 +171,13 @@ def refresh_view(
             view_dir, "_staging", f"part-{pid:05d}-epoch-{man['epoch']:06d}.parquet"
         )
         lake_file = os.path.join(lake_dir, man["file"])
+        # image recompute IS the fold with one delta (the current image)
+        # and no prior — the merge re-aggregation is an identity on a
+        # single partial, so one staged-write/agg code path serves both
+        # view modes
         refs.append(
             (pid, man, staged,
-             _summarize_partition.remote(lake_file, key, aggs, staged))
+             _fold_partition_delta.remote([lake_file], None, key, aggs, staged))
         )
 
     rows = 0

@@ -179,3 +179,18 @@ def test_text_kernels_differential_vs_duckdb(ray_session):
         r"SELECT len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))"
         " FROM docs ORDER BY doc_id").fetchall()]
     assert got_b == want_b
+
+
+def test_prefix_sum_null_sizes_match_sql_skip_semantics(ray_session):
+    """Null size values contribute 0 (SQL sum-OVER skips NULLs) instead of
+    poisoning the cumsum with NaN-cast garbage."""
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([5, None, 7], pa.int64())})
+    out = ordered_prefix_sum(rd.from_arrow(t), "k", "v", out="run").to_pandas()
+    assert out.sort_values("k")["run"].tolist() == [5, 5, 12]
+
+
+def test_prefix_sum_empty_input_keeps_schema(ray_session):
+    t = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    out = ordered_prefix_sum(rd.from_arrow(t), "k", "v", out="run")
+    assert "run" in out.schema().names and out.count() == 0
