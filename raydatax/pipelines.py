@@ -1716,6 +1716,105 @@ def dedup_embedding(sf_dir: str):
     return pairs.select(["a", "b"])
 
 
+# --------------------------------------------------------------------- graph
+
+
+def graph_export_edges(sf_dir: str):
+    """Graph-DB export family (gdbreader/gdbwriter — Gremlin label export,
+    GdbReader.java:81-105 per-label split + mapping/DefaultGdbMapper):
+    orders become a bipartite ``placed`` edge set labeled by order status,
+    written as a parquet graph-export snapshot, read back through the
+    per-label split reader (only labels 'F' and 'O' — predicate-pruned)
+    with a column-spec mapping rule, then aggregated per label.  Money
+    moves as exact integer cents (scale-floor, accumulation-order-exact).
+    The oracle recomputes the aggregate directly from orders."""
+    from .graph import export_graph, read_graph
+    from .sources import ColumnEntry
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = f"/tmp/raydatax_graph_{tag}"
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderstatus", "o_custkey", "o_totalprice"],
+    )
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["o_orderkey"],
+                "label": t["o_orderstatus"],
+                "src": pc.cast(t["o_custkey"], pa.int64()),
+                "dst": t["o_orderkey"],
+                "weight_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow")
+    paths = export_graph(None, edges, root)
+    spec = [
+        ColumnEntry(index=1, type="string", name="label"),
+        ColumnEntry(index=2, type="long", name="src"),
+        ColumnEntry(index=4, type="long", name="weight_cents"),
+    ]
+    got = read_graph(paths["edges"], labels=["F", "O"], column_spec=spec)
+    return preagg_groupby(
+        got,
+        ["label"],
+        [("src", "count", "n_edges"), ("weight_cents", "sum", "total_cents")],
+    )
+
+
+def graph_khop(sf_dir: str):
+    """k-hop BFS (depth ≤ 3) over a deterministic interaction graph derived
+    from events — src=user_id, dst=(user_id*3 + event_id) mod U with
+    U = max(user_id)+1, distinct edges, seeds {0,1,2}.  The engine runs
+    :func:`raydatax.graph.k_hop` (adaptive semi-join frontier expansion);
+    the oracle is a recursive CTE taking min(depth) per reached node."""
+    from .graph import k_hop
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id"])
+    n_users = int(ev.max("user_id")) + 1
+
+    def to_edges(t: pa.Table, _u: int = n_users) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": u, "dst": (u * 3 + e) % _u})
+
+    edges = preagg_groupby(
+        ev.map_batches(to_edges, batch_format="pyarrow"),
+        ["src", "dst"],
+        [("src", "count", "__c")],
+    ).select_columns(["src", "dst"])
+    return k_hop(edges, seeds=[0, 1, 2], k=3)
+
+
+def graph_components(sf_dir: str):
+    """Undirected connected components over a SPARSE deterministic graph
+    (only events with event_id % 97 == 0 contribute an edge — several
+    nontrivial components at every sf).  Engine = distributed min-label
+    propagation (graph.connected_components → dedup.propagate_min_labels);
+    oracle = recursive CTE propagating self-labels over both edge
+    directions, min per node."""
+    from .graph import connected_components
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id"])
+    n_users = int(ev.max("user_id")) + 1
+
+    def to_edges(t: pa.Table, _u: int = n_users) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (e % 97) == 0
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        e = e[keep]
+        return pa.table({"src": u, "dst": (u * 5 + e) % _u})
+
+    edges = preagg_groupby(
+        ev.map_batches(to_edges, batch_format="pyarrow"),
+        ["src", "dst"],
+        [("src", "count", "__c")],
+    ).select_columns(["src", "dst"])
+    return connected_components(edges)
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1801,6 +1900,9 @@ QUERIES = {
     "value_percentiles": value_percentiles,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_exact": dedup_embedding_exact,
+    "graph_export_edges": graph_export_edges,
+    "graph_khop": graph_khop,
+    "graph_components": graph_components,
 }
 
 ORACLE_SQL = {
@@ -2623,6 +2725,52 @@ ORACLE_SQL = {
                floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95,
                count(value) AS n
         FROM events GROUP BY event_type
+    """,
+    "graph_export_edges": """
+        SELECT o_orderstatus AS label,
+               CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY o_orderstatus
+    """,
+    "graph_khop": """
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+                   (CAST(user_id AS BIGINT) * 3 + event_id)
+                       % (SELECT max(user_id) + 1 FROM events) AS dst
+            FROM events
+        ), reach(node, depth) AS (
+            SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+                                  (1, 0), (2, 0)) AS s(node, depth)
+            UNION
+            SELECT e.dst, r.depth + 1
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.depth < 3
+        )
+        SELECT node, min(depth) AS depth FROM reach GROUP BY node
+    """,
+    "graph_components": """
+        WITH RECURSIVE e0 AS (
+            SELECT DISTINCT CAST(user_id AS BIGINT) AS a,
+                   (CAST(user_id AS BIGINT) * 5 + event_id)
+                       % (SELECT max(user_id) + 1 FROM events) AS b
+            FROM events
+            WHERE event_id % 97 = 0
+        ), edges AS (
+            SELECT a AS src, b AS dst FROM e0
+            UNION
+            SELECT b, a FROM e0
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), reach(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, r.lbl
+            FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node, min(lbl) AS component FROM reach GROUP BY node
     """,
     # rows-only (non-SQL-expressible) entries intentionally omitted:
     # lang_id, dedup_minhash, dedup_simhash, ann_ivf,
