@@ -163,6 +163,66 @@ def exact_dedup(
     return out.select_columns([id_col, "n_copies"])
 
 
+def incremental_exact_dedup(
+    new_docs: "ray.data.Dataset",
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_fn=None,
+    update_index: bool = True,
+) -> "ray.data.Dataset":
+    """Steady-state dedup of a CONTINUOUSLY ingested corpus: drop new
+    documents whose content key is already in the persistent index (every
+    previous crawl's survivors), dedup within the new batch (min id wins,
+    copy count kept), then append the surviving keys to the index as a new
+    epoch of parquet part files — so the next ingest dedups against this
+    one's output.  This is the incremental form of :func:`exact_dedup`,
+    composed from the engine's adaptive primitives: the index membership
+    test is :func:`raydatax.relational.semi_join` (anti — broadcast under
+    a metadata-counted key-set threshold, hash-partitioned join above) and
+    the within-batch dedup is a pre-aggregated groupby; neither corpus nor
+    index is ever collected on the driver.
+
+    ``key_fn(batch) -> pa.Table[id_col, "__k"]`` defaults to the
+    vectorized 64-bit rolling fingerprint.  The index is append-only
+    (``epoch-N/`` subdirectories) — idempotent re-runs of a failed epoch
+    should pass ``update_index=False`` first and commit the index last,
+    or guard with the lake job lock for concurrent writers."""
+    import os
+
+    from .relational import semi_join
+    from .text import fingerprint_rolling
+
+    if key_fn is None:
+        def key_fn(batch: pa.Table) -> pa.Table:
+            b = fingerprint_rolling(batch, text_col, "__k")
+            return b.select([id_col, "__k"])
+
+    keyed = new_docs.map_batches(key_fn, batch_format="pyarrow")
+    epochs = sorted(
+        d for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
+        if d.startswith("epoch-")
+    )
+    if epochs:
+        import glob
+
+        files = sorted(
+            f
+            for e in epochs
+            for f in glob.glob(os.path.join(index_dir, e, "*.parquet"))
+        )
+        index = ray.data.read_parquet(files)
+        keyed = semi_join(keyed, index, left_on="__k", anti=True)
+    reps = preagg_groupby(
+        keyed, ["__k"], [(id_col, "min", id_col), (id_col, "count", "n_copies")]
+    ).materialize()
+    if update_index:
+        out = os.path.join(index_dir, f"epoch-{len(epochs)}")
+        os.makedirs(out, exist_ok=True)
+        reps.select_columns(["__k"]).write_parquet(out)
+    return reps.select_columns([id_col, "n_copies"])
+
+
 # ----------------------------------------------------------- minhash-lsh
 
 

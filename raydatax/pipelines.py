@@ -1716,6 +1716,41 @@ def dedup_embedding(sf_dir: str):
     return pairs.select(["a", "b"])
 
 
+def incremental_dedup(sf_dir: str):
+    """CROSS-CORPUS incremental dedup — the steady-state loop of a
+    continuously ingested crawl: the prior crawl (doc_id % 3 == 0) seeds a
+    persistent key index, the new crawl (the rest) is dedup'd against the
+    index (adaptive anti semi join) and within itself (min id wins).
+    Parity key = substr(lower(text), 1, 20), the same SQL-expressible
+    content key as dedup_exact_prefix (the operator's default key is the
+    64-bit rolling fingerprint — dedup.incremental_exact_dedup)."""
+    import shutil
+
+    from .dedup import incremental_exact_dedup
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/raydatax_dedup_idx_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+
+    def prefix_key(t: pa.Table) -> pa.Table:
+        k = pc.utf8_slice_codeunits(pc.utf8_lower(t["text"]), 0, 20)
+        return pa.table({"doc_id": t["doc_id"], "__k": k})
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def split(prior: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 3 == 0) == prior))
+
+        return f
+
+    prior = docs.map_batches(split(True), batch_format="pyarrow")
+    new = docs.map_batches(split(False), batch_format="pyarrow")
+    incremental_exact_dedup(prior, idx, key_fn=prefix_key)  # seeds epoch-0
+    return incremental_exact_dedup(new, idx, key_fn=prefix_key, update_index=False)
+
+
 # --------------------------------------------------------------------- graph
 
 
@@ -1903,6 +1938,7 @@ QUERIES = {
     "graph_export_edges": graph_export_edges,
     "graph_khop": graph_khop,
     "graph_components": graph_components,
+    "incremental_dedup": incremental_dedup,
 }
 
 ORACLE_SQL = {
@@ -2725,6 +2761,19 @@ ORACLE_SQL = {
                floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95,
                count(value) AS n
         FROM events GROUP BY event_type
+    """,
+    "incremental_dedup": """
+        WITH prior AS (
+            SELECT DISTINCT substr(lower(text), 1, 20) AS k
+            FROM documents WHERE doc_id % 3 = 0
+        ), novel AS (
+            SELECT doc_id, substr(lower(text), 1, 20) AS k
+            FROM documents WHERE doc_id % 3 <> 0
+        )
+        SELECT min(doc_id) AS doc_id, count(doc_id) AS n_copies
+        FROM novel
+        WHERE k NOT IN (SELECT k FROM prior)
+        GROUP BY k
     """,
     "graph_export_edges": """
         SELECT o_orderstatus AS label,

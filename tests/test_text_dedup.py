@@ -351,3 +351,41 @@ def test_training_data_pipeline_example():
     assert set(tr["doc_id"]).isdisjoint(set(te["doc_id"]))
     for col in ("lang_pred", "n_tokens", "text"):
         assert col in tr.columns
+
+
+def test_incremental_exact_dedup_index_lifecycle(tmp_path):
+    """Crawl 1 seeds the index; crawl 2 drops docs already seen (cross-corpus)
+    AND dups within itself; crawl 3 against the grown index drops crawl-2
+    survivors too.  Matches a serial python reference at every step."""
+    from raydatax.dedup import incremental_exact_dedup
+
+    idx = str(tmp_path / "idx")
+
+    def corpus(ids, texts):
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+        ).repartition(3)
+
+    c1 = corpus([1, 2, 3], ["aaa", "bbb", "aaa"])
+    out1 = {r["doc_id"]: r["n_copies"]
+            for r in incremental_exact_dedup(c1, idx).take_all()}
+    assert out1 == {1: 2, 2: 1}  # min-id reps, within-crawl copy counts
+
+    # crawl 2: 'aaa'/'bbb' already indexed; 'ccc' duplicated within
+    c2 = corpus([10, 11, 12, 13], ["aaa", "ccc", "ccc", "bbb"])
+    out2 = {r["doc_id"]: r["n_copies"]
+            for r in incremental_exact_dedup(c2, idx).take_all()}
+    assert out2 == {11: 2}
+
+    # crawl 3: 'ccc' (crawl-2 survivor) is now indexed; 'ddd' is novel
+    c3 = corpus([20, 21], ["ccc", "ddd"])
+    out3 = {r["doc_id"]: r["n_copies"]
+            for r in incremental_exact_dedup(c3, idx).take_all()}
+    assert out3 == {21: 1}
+
+    # update_index=False must leave the index untouched
+    c4 = corpus([30], ["eee"])
+    incremental_exact_dedup(c4, idx, update_index=False).materialize()
+    out5 = {r["doc_id"]: r["n_copies"]
+            for r in incremental_exact_dedup(corpus([40], ["eee"]), idx).take_all()}
+    assert out5 == {40: 1}
