@@ -255,18 +255,18 @@ def _pairs_from_groups(group: pa.Table, max_bucket: int = 64) -> pa.Table:
     )
 
 
-def minhash_candidate_pairs(
+def _explode_bands(
     ds: "ray.data.Dataset",
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_perm: int = 64,
-    bands: int = 16,
-    k: int = 5,
-    threshold: float = 0.5,
-    seed: int = 7,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    k: int,
+    seed: int,
 ) -> "ray.data.Dataset":
-    """doc → MinHash → LSH band explode → bucket groupby → estimated-Jaccard
-    pairs above threshold (deduplicated across bands)."""
+    """doc → MinHash → one row per (band, band_hash, doc_id, sig): the LSH
+    bucket rows shared by the batch and incremental paths (and the schema
+    the persistent LSH index stores)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         col = _string_col(batch, text_col)
@@ -284,7 +284,22 @@ def minhash_candidate_pairs(
             }
         )
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def minhash_candidate_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """doc → MinHash → LSH band explode → bucket groupby → estimated-Jaccard
+    pairs above threshold (deduplicated across bands)."""
+    exploded = _explode_bands(ds, text_col, id_col, num_perm, bands, k, seed)
     pairs = exploded.groupby(["band", "bh"]).map_groups(
         _pairs_from_groups, batch_format="pyarrow"
     )
@@ -467,6 +482,285 @@ def minhash_dedup(
         )
 
     return joined.map_batches(fin, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ incremental minhash
+
+
+def _lsh_index_files(index_dir: str) -> tuple[list[str], int]:
+    """(sorted parquet files across epoch-N subdirs, next epoch number)."""
+    import glob
+    import os
+
+    epochs = sorted(
+        d
+        for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
+        if d.startswith("epoch-")
+    )
+    files = sorted(
+        f
+        for e in epochs
+        for f in glob.glob(os.path.join(index_dir, e, "*.parquet"))
+    )
+    return files, len(epochs)
+
+
+def minhash_index_add(
+    docs: "ray.data.Dataset",
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    seed: int = 7,
+) -> int:
+    """Append every doc's LSH band rows (band, bh, doc_id, sig) to the
+    persistent index as a new epoch of parquet part files (distributed
+    write — the exploded rows never pass through the driver).  Returns the
+    epoch number written.  LSH parameters are a property of the index —
+    every add and probe must use the same (num_perm, bands, k, seed)."""
+    import os
+
+    _, next_epoch = _lsh_index_files(index_dir)
+    out = os.path.join(index_dir, f"epoch-{next_epoch}")
+    os.makedirs(out, exist_ok=True)
+    _explode_bands(docs, text_col, id_col, num_perm, bands, k, seed).write_parquet(out)
+    return next_epoch
+
+
+def _pairs_from_groups_mixed(group: pa.Table, max_bucket: int = 64) -> pa.Table:
+    """Candidate pairs within one probed bucket, SKIPPING old–old pairs:
+    only pairs touching at least one new doc matter — indexed docs were
+    paired against each other in their own ingest epochs.  Same truncation
+    discipline as :func:`_pairs_from_groups`; pairs are emitted (min id,
+    max id) regardless of which side is new."""
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "a_is_new": pa.array([], pa.bool_()), "b_is_new": pa.array([], pa.bool_()),
+         "est_jaccard": pa.array([], pa.float64()),
+         "truncated": pa.array([], pa.bool_())}
+    )
+    if group.num_rows < 2:
+        return empty
+    trunc = group.num_rows > max_bucket
+    # keep new rows preferentially under truncation — an old row can only
+    # pair against a new one, so new rows are the scarce resource
+    order0 = np.argsort(
+        ~group["is_new"].to_numpy(zero_copy_only=False), kind="stable"
+    )
+    g = group.take(pa.array(order0[:max_bucket]))
+    ids = g["doc_id"].to_numpy(zero_copy_only=False)
+    new = g["is_new"].to_numpy(zero_copy_only=False)
+    sig = np.stack(g["sig"].to_numpy(zero_copy_only=False))
+    order = np.argsort(ids)
+    ids, new, sig = ids[order], new[order], sig[order]
+    iu = np.triu_indices(len(ids), 1)
+    touch_new = new[iu[0]] | new[iu[1]]
+    lo, hi = iu[0][touch_new], iu[1][touch_new]
+    if not len(lo):
+        return empty
+    est = (sig[lo] == sig[hi]).mean(axis=1)
+    return pa.table(
+        {
+            "a": pa.array(ids[lo], pa.int64()),
+            "b": pa.array(ids[hi], pa.int64()),
+            "a_is_new": pa.array(new[lo]),
+            "b_is_new": pa.array(new[hi]),
+            "est_jaccard": pa.array(est, pa.float64()),
+            "truncated": pa.array(np.full(len(lo), trunc)),
+        }
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs: "ray.data.Dataset",
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """Candidate near-dup pairs touching at least one NEW doc: the new
+    crawl's band rows probe the PERSISTENT LSH index.  Index rows move
+    only where a new band hash lands (adaptive semi join on the bucket
+    key — at steady state the probed slice is ∝ the new crawl, not the
+    corpus), old–old pairs are never generated.  Pair rows carry
+    ``b_is_new`` (False ⇒ the partner is an indexed doc)."""
+    from .relational import semi_join
+
+    new_rows = _explode_bands(
+        new_docs, text_col, id_col, num_perm, bands, k, seed
+    ).map_batches(
+        lambda t: t.append_column("is_new", pa.array(np.ones(t.num_rows, bool))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    files, _ = _lsh_index_files(index_dir)
+    both = new_rows
+    if files:
+        # composite bucket key for the probe: band is 0..bands-1, bh is a
+        # 64-bit hash — mixing with XOR on shifted band keeps int64 exact
+        def bkey(t: pa.Table) -> pa.Table:
+            b = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = t["bh"].to_numpy(zero_copy_only=False)
+            return t.append_column("__bkey", pa.array(h ^ (b + 1), pa.int64()))
+
+        index = ray.data.read_parquet(files).map_batches(bkey, batch_format="pyarrow")
+        probed = semi_join(
+            index, new_rows.map_batches(bkey, batch_format="pyarrow"),
+            left_on="__bkey", right_on="__bkey",
+        ).map_batches(
+            lambda t: t.drop_columns(["__bkey"]).append_column(
+                "is_new", pa.array(np.zeros(t.num_rows, bool))
+            ),
+            batch_format="pyarrow",
+        )
+        both = new_rows.union(probed)
+    pairs = both.groupby(["band", "bh"]).map_groups(
+        _pairs_from_groups_mixed, batch_format="pyarrow"
+    )
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["est_jaccard"], threshold)),
+        batch_format="pyarrow",
+    )
+    # the flags are a pure function of (a, b) → fold them into the group
+    # key (no bool aggregation kernels needed, no duplicate groups)
+    return preagg_groupby(
+        pairs,
+        ["a", "b", "a_is_new", "b_is_new"],
+        [("est_jaccard", "max", "est_jaccard")],
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: "ray.data.Dataset",
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    update_index: bool = True,
+    pair_driver_threshold: int = PAIR_DRIVER_THRESHOLD,
+    **kw,
+) -> "ray.data.Dataset":
+    """Near-dup dedup of a new crawl against every previous crawl — the
+    steady-state web-scale loop (a 100-TB corpus is never re-dedup'd whole;
+    new documents probe the persisted LSH index).  Returns ``(doc_id,
+    dup_of, keep)`` for the NEW docs only:
+
+    - a new doc directly paired with an INDEXED doc is dropped
+      (``dup_of`` = smallest such indexed partner);
+    - remaining new docs are clustered over the new–new pairs (adaptive:
+      driver union-find under a metadata-counted pair threshold,
+      distributed min-label propagation above) and the min-id
+      representative of each cluster keeps;
+    - survivors' band rows are appended to the index (``update_index``),
+      so the next crawl dedups against this one's survivors.
+
+    Kept/dropped status is deterministic and partitioning-independent.
+    Note the documented asymmetry vs re-running the batch dedup on the
+    union: dropped docs are not re-indexed, so transitive chains resolve
+    through each epoch's survivor — standard incremental-LSH semantics."""
+    import os
+
+    pairs = incremental_minhash_pairs(
+        new_docs, index_dir, text_col, id_col, threshold=threshold, **kw
+    ).materialize()
+
+    ids = new_docs.select_columns([id_col])
+
+    # (1) new docs killed by an indexed partner: exactly one side is new
+    # (old–old pairs are never generated) — emit (new side, old partner)
+    def split_cross(t: pa.Table) -> pa.Table:
+        a_new = t["a_is_new"]
+        b_new = t["b_is_new"]
+        cross = t.filter(pc.xor(a_new, b_new))
+        nid = pc.if_else(cross["a_is_new"], cross["a"], cross["b"])
+        partner = pc.if_else(cross["a_is_new"], cross["b"], cross["a"])
+        return pa.table({"nid": nid, "partner": partner})
+
+    dropped_by_index = preagg_groupby(
+        pairs.map_batches(split_cross, batch_format="pyarrow"),
+        ["nid"],
+        [("partner", "min", "dup_of")],
+    ).materialize()
+
+    new_new = pairs.map_batches(
+        lambda t: t.filter(
+            pc.and_(t["a_is_new"], t["b_is_new"])
+        ).select(["a", "b"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # (2) cluster the new-new pairs (adaptive, same machinery as the graph
+    # component op) and keep each cluster's min id
+    from .graph import connected_components
+
+    comp = connected_components(
+        new_new, src_col="a", dst_col="b",
+        pair_driver_threshold=pair_driver_threshold,
+    )
+
+    from .relational import _join_partitions
+
+    # an EMPTY mapped Dataset reaching Dataset.join has no schema (acero
+    # "no match for key field") — branch on metadata counts instead
+    n_parts = _join_partitions(16)
+    out = ids
+    if dropped_by_index.count():
+        out = out.join(
+            dropped_by_index.map_batches(
+                lambda t: pa.table({id_col: t["nid"], "dup_of_idx": t["dup_of"]}),
+                batch_format="pyarrow",
+            ),
+            "left_outer", n_parts, on=(id_col,),
+        )
+    comp = comp.materialize()
+    if comp.count():
+        out = out.join(
+            comp.map_batches(
+                lambda t: pa.table({id_col: t["node"], "rep": t["component"]}),
+                batch_format="pyarrow",
+            ),
+            "left_outer", n_parts, on=(id_col,),
+        )
+
+    def fin(t: pa.Table) -> pa.Table:
+        idv = t[id_col]
+        rep = (
+            pc.coalesce(t["rep"], idv) if "rep" in t.column_names else idv
+        )
+        if "dup_of_idx" in t.column_names:
+            idx_kill = pc.is_valid(t["dup_of_idx"])
+            dup_of = pc.coalesce(t["dup_of_idx"], rep)
+        else:
+            idx_kill = pa.array(np.zeros(t.num_rows, bool))
+            dup_of = rep
+        keep = pc.and_(pc.invert(idx_kill), pc.equal(rep, idv))
+        return pa.table(
+            {
+                id_col: idv.combine_chunks() if isinstance(idv, pa.ChunkedArray) else idv,
+                "dup_of": dup_of.combine_chunks() if isinstance(dup_of, pa.ChunkedArray) else dup_of,
+                "keep": keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep,
+            }
+        )
+
+    marked = out.map_batches(fin, batch_format="pyarrow").materialize()
+    if update_index:
+        kept = marked.map_batches(
+            lambda t: t.filter(
+                t["keep"].combine_chunks()
+                if isinstance(t["keep"], pa.ChunkedArray) else t["keep"]
+            ).select([id_col]),
+            batch_format="pyarrow",
+        ).materialize()
+        if kept.count():  # an all-duplicate crawl adds nothing to the index
+            survivors = new_docs.join(kept, "inner", n_parts, on=(id_col,))
+            minhash_index_add(survivors, index_dir, text_col, id_col, **kw)
+    return marked
 
 
 # ----------------------------------------------------------------- simhash

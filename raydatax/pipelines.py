@@ -1716,6 +1716,46 @@ def dedup_embedding(sf_dir: str):
     return pairs.select(["a", "b"])
 
 
+def incremental_minhash_verified(sf_dir: str):
+    """The INCREMENTAL LSH path under the exact-SQL gate: the prior crawl
+    (doc_id % 3 == 0) is indexed (dedup.minhash_index_add), the new crawl
+    probes the persistent index (incremental_minhash_pairs — index band
+    rows move only where a new band hash lands, old–old pairs never
+    generated), and every candidate is exact-verified with char-5-gram
+    Jaccard at 0.6.  The oracle computes ALL cross/new pairs with exact
+    Jaccard ≥ 0.6 in DuckDB — green certifies precision exactly and, at
+    this corpus scale, recall of the probe path."""
+    import shutil
+
+    from .dedup import (
+        incremental_minhash_pairs,
+        minhash_index_add,
+        ngram_jaccard_verify,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/raydatax_lsh_idx_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def split(prior: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 3 == 0) == prior))
+
+        return f
+
+    minhash_index_add(docs.map_batches(split(True), batch_format="pyarrow"), idx)
+    cand = incremental_minhash_pairs(
+        docs.map_batches(split(False), batch_format="pyarrow"), idx, threshold=0.6
+    )
+    pair_list = sorted({(r["a"], r["b"]) for r in cand.take_all()})
+    ver = ngram_jaccard_verify(docs, pair_list, k=5)
+    kept = ver.filter(pc.greater_equal(ver["jaccard"], 0.6))
+    return kept.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
 def incremental_dedup(sf_dir: str):
     """CROSS-CORPUS incremental dedup — the steady-state loop of a
     continuously ingested crawl: the prior crawl (doc_id % 3 == 0) seeds a
@@ -1939,6 +1979,7 @@ QUERIES = {
     "graph_khop": graph_khop,
     "graph_components": graph_components,
     "incremental_dedup": incremental_dedup,
+    "incremental_minhash_verified": incremental_minhash_verified,
 }
 
 ORACLE_SQL = {
@@ -2761,6 +2802,25 @@ ORACLE_SQL = {
                floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95,
                count(value) AS n
         FROM events GROUP BY event_type
+    """,
+    "incremental_minhash_verified": """
+        WITH idx AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+          FROM documents),
+        g AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS gram FROM idx),
+        sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS ni
+          FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+          WHERE NOT (ga.doc_id % 3 = 0 AND gb.doc_id % 3 = 0)
+          GROUP BY 1, 2)
+        SELECT i.a, i.b,
+               CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.6
     """,
     "incremental_dedup": """
         WITH prior AS (

@@ -389,3 +389,48 @@ def test_incremental_exact_dedup_index_lifecycle(tmp_path):
     out5 = {r["doc_id"]: r["n_copies"]
             for r in incremental_exact_dedup(corpus([40], ["eee"]), idx).take_all()}
     assert out5 == {40: 1}
+
+
+def test_incremental_minhash_dedup_cross_crawl(tmp_path, docs):
+    """Crawl 1 (exact copies of docs 0-9 planted as 90k ids) is indexed;
+    crawl 2 re-sends copies of the SAME base docs plus novel docs: the
+    copies must be killed by the INDEX (dup_of = the indexed id), the
+    novel docs kept; a within-crawl-2 duplicate pair resolves to its min
+    id.  Third assertion: the index grew by crawl-2 survivors only."""
+    from raydatax.dedup import incremental_minhash_dedup, minhash_index_add
+
+    idx = str(tmp_path / "lsh")
+    base = docs.slice(0, 40)
+    minhash_index_add(rd.from_arrow(base), idx)
+
+    # crawl 2: copies of indexed docs 0..9 (ids 90k+), two copies of doc 50
+    # (not indexed — a new-new pair), novel docs 60..69
+    copies = base.slice(0, 10).set_column(
+        0, "doc_id", pa.array(np.arange(90_000, 90_010))
+    )
+    nn = pa.concat_tables([
+        docs.slice(50, 1).set_column(0, "doc_id", pa.array([70_000])),
+        docs.slice(50, 1).set_column(0, "doc_id", pa.array([70_001])),
+    ])
+    novel = docs.slice(60, 10)
+    crawl2 = pa.concat_tables([copies, nn, novel])
+    out = incremental_minhash_dedup(
+        rd.from_arrow(crawl2).repartition(3), idx, threshold=0.99
+    ).to_pandas().set_index("doc_id").sort_index()
+
+    planted = out.loc[90_000:90_009]
+    assert (~planted.keep).all()
+    assert (planted.dup_of == np.arange(10)).all()  # killed BY THE INDEX
+
+    assert bool(out.loc[70_000].keep) and not bool(out.loc[70_001].keep)
+    assert out.loc[70_001].dup_of == 70_000  # within-crawl cluster min
+
+    kept_novel = out.loc[60:69]
+    assert kept_novel.keep.all()
+
+    # crawl 3: a copy of novel doc 60 must now be killed by the grown index
+    crawl3 = docs.slice(60, 1).set_column(0, "doc_id", pa.array([95_000]))
+    out3 = incremental_minhash_dedup(
+        rd.from_arrow(crawl3), idx, threshold=0.99, update_index=False
+    ).to_pandas()
+    assert not bool(out3.keep.iloc[0]) and out3.dup_of.iloc[0] == 60
