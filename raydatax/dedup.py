@@ -610,9 +610,15 @@ def incremental_minhash_pairs(
             return t.append_column("__bkey", pa.array(h ^ (b + 1), pa.int64()))
 
         index = ray.data.read_parquet(files).map_batches(bkey, batch_format="pyarrow")
+        # mask-path membership (raised threshold): the probe side carries
+        # the sig list column, which acero hash joins cannot hold as a
+        # payload — the bucket-key set is bands×new_docs int64s, bounded by
+        # the crawl, broadcast once.  At larger crawls store the index
+        # hash-partitioned by bucket key and prune the read instead.
         probed = semi_join(
             index, new_rows.map_batches(bkey, batch_format="pyarrow"),
             left_on="__bkey", right_on="__bkey",
+            broadcast_threshold=50_000_000,
         ).map_batches(
             lambda t: t.drop_columns(["__bkey"]).append_column(
                 "is_new", pa.array(np.zeros(t.num_rows, bool))
@@ -636,48 +642,24 @@ def incremental_minhash_pairs(
     )
 
 
-def incremental_minhash_dedup(
-    new_docs: "ray.data.Dataset",
-    index_dir: str,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    threshold: float = 0.5,
-    update_index: bool = True,
+def _mark_new_docs(
+    pairs: "ray.data.Dataset",
+    ids: "ray.data.Dataset",
+    id_col: str,
     pair_driver_threshold: int = PAIR_DRIVER_THRESHOLD,
-    **kw,
 ) -> "ray.data.Dataset":
-    """Near-dup dedup of a new crawl against every previous crawl — the
-    steady-state web-scale loop (a 100-TB corpus is never re-dedup'd whole;
-    new documents probe the persisted LSH index).  Returns ``(doc_id,
-    dup_of, keep)`` for the NEW docs only:
+    """Shared keep/drop marking for the incremental dedup family.  Input:
+    a MATERIALIZED pair Dataset with (a, b, a_is_new, b_is_new) — old–old
+    pairs must already be excluded — and the new crawl's id column.
+    Output: (id_col, dup_of, keep) per new doc.
 
-    - a new doc directly paired with an INDEXED doc is dropped
-      (``dup_of`` = smallest such indexed partner);
-    - remaining new docs are clustered over the new–new pairs (adaptive:
-      driver union-find under a metadata-counted pair threshold,
-      distributed min-label propagation above) and the min-id
-      representative of each cluster keeps;
-    - survivors' band rows are appended to the index (``update_index``),
-      so the next crawl dedups against this one's survivors.
-
-    Kept/dropped status is deterministic and partitioning-independent.
-    Note the documented asymmetry vs re-running the batch dedup on the
-    union: dropped docs are not re-indexed, so transitive chains resolve
-    through each epoch's survivor — standard incremental-LSH semantics."""
-    import os
-
-    pairs = incremental_minhash_pairs(
-        new_docs, index_dir, text_col, id_col, threshold=threshold, **kw
-    ).materialize()
-
-    ids = new_docs.select_columns([id_col])
-
-    # (1) new docs killed by an indexed partner: exactly one side is new
-    # (old–old pairs are never generated) — emit (new side, old partner)
+    (1) a new doc paired with an INDEXED partner is dropped (``dup_of`` =
+    min such partner); (2) the remaining new docs cluster over the
+    new–new pairs (adaptive: driver union-find under a metadata-counted
+    threshold, distributed min-label propagation above) and each
+    cluster's min id keeps."""
     def split_cross(t: pa.Table) -> pa.Table:
-        a_new = t["a_is_new"]
-        b_new = t["b_is_new"]
-        cross = t.filter(pc.xor(a_new, b_new))
+        cross = t.filter(pc.xor(t["a_is_new"], t["b_is_new"]))
         nid = pc.if_else(cross["a_is_new"], cross["a"], cross["b"])
         partner = pc.if_else(cross["a_is_new"], cross["b"], cross["a"])
         return pa.table({"nid": nid, "partner": partner})
@@ -695,8 +677,6 @@ def incremental_minhash_dedup(
         batch_format="pyarrow",
     ).materialize()
 
-    # (2) cluster the new-new pairs (adaptive, same machinery as the graph
-    # component op) and keep each cluster's min id
     from .graph import connected_components
 
     comp = connected_components(
@@ -748,8 +728,47 @@ def incremental_minhash_dedup(
             }
         )
 
-    marked = out.map_batches(fin, batch_format="pyarrow").materialize()
+    return out.map_batches(fin, batch_format="pyarrow").materialize()
+
+
+def incremental_minhash_dedup(
+    new_docs: "ray.data.Dataset",
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    update_index: bool = True,
+    pair_driver_threshold: int = PAIR_DRIVER_THRESHOLD,
+    **kw,
+) -> "ray.data.Dataset":
+    """Near-dup dedup of a new crawl against every previous crawl — the
+    steady-state web-scale loop (a 100-TB corpus is never re-dedup'd whole;
+    new documents probe the persisted LSH index).  Returns ``(doc_id,
+    dup_of, keep)`` for the NEW docs only:
+
+    - a new doc directly paired with an INDEXED doc is dropped
+      (``dup_of`` = smallest such indexed partner);
+    - remaining new docs are clustered over the new–new pairs (adaptive:
+      driver union-find under a metadata-counted pair threshold,
+      distributed min-label propagation above) and the min-id
+      representative of each cluster keeps;
+    - survivors' band rows are appended to the index (``update_index``),
+      so the next crawl dedups against this one's survivors.
+
+    Kept/dropped status is deterministic and partitioning-independent.
+    Note the documented asymmetry vs re-running the batch dedup on the
+    union: dropped docs are not re-indexed, so transitive chains resolve
+    through each epoch's survivor — standard incremental-LSH semantics."""
+    pairs = incremental_minhash_pairs(
+        new_docs, index_dir, text_col, id_col, threshold=threshold, **kw
+    ).materialize()
+
+    ids = new_docs.select_columns([id_col])
+    marked = _mark_new_docs(pairs, ids, id_col, pair_driver_threshold)
     if update_index:
+        from .relational import _join_partitions
+
+        n_parts = _join_partitions(16)
         kept = marked.map_batches(
             lambda t: t.filter(
                 t["keep"].combine_chunks()
@@ -1019,6 +1038,303 @@ def embedding_allpairs_exact(
 
 
 # ------------------------------------------------------- exact n-gram jaccard
+
+
+# ---------------------------------------------- incremental embedding dedup
+
+
+def _embedding_index_meta(index_dir: str):
+    """(centroid matrix or None, epoch parquet files, next epoch)."""
+    import os
+
+    files, next_epoch = _lsh_index_files(index_dir)  # same epoch-N layout
+    cpath = os.path.join(index_dir, "_centroids.parquet")
+    cent = None
+    if os.path.exists(cpath):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(cpath)
+        cent = np.stack([np.asarray(v, np.float64) for v in t["centroid"].to_pylist()])
+    return cent, files, next_epoch
+
+
+def embedding_index_add(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    sample_rows: int = 4096,
+    seed: int = 5,
+    assign_probes: int = 2,
+) -> int:
+    """Append vectors to the persistent IVF near-dup index.  The FIRST add
+    fits deterministic k-means centroids on a sample and persists them
+    (``_centroids.parquet``) — the cluster partitioning is index-level
+    state, every later add and probe reuses it (same rule as the lake's
+    partition mapping).  Rows are stored multi-probe-assigned
+    (id, vector, __cluster) so probes only ever move matching clusters."""
+    import os
+
+    from .ann import _matrix, _normalize, kmeans_fit
+
+    cent, _, next_epoch = _embedding_index_meta(index_dir)
+    if cent is None:
+        sample = ds.limit(sample_rows).take_all()
+        smat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+        cent = kmeans_fit(smat, n_clusters, seed=seed)
+        os.makedirs(index_dir, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"centroid": pa.array([list(c) for c in cent])}),
+            os.path.join(index_dir, "_centroids.parquet"),
+        )
+    probes = max(1, min(assign_probes, len(cent)))
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_matrix(batch[vec_col]))
+        sims = m @ c.T
+        top = np.argsort(-sims, axis=1)[:, :probes].astype(np.int32)
+        idx = np.repeat(np.arange(batch.num_rows), probes)
+        out = pa.table({id_col: batch[id_col], vec_col: batch[vec_col]}).take(
+            pa.array(idx)
+        )
+        out = out.append_column("__cluster", pa.array(top.reshape(-1)))
+        # rank-0 probe flag: lets readers take exactly one row per id
+        # without a join (acero joins cannot carry list payloads)
+        primary = np.zeros(out.num_rows, bool)
+        primary[::probes] = True
+        return out.append_column("__primary", pa.array(primary))
+
+    out_dir = os.path.join(index_dir, f"epoch-{next_epoch}")
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(out_dir)
+    return next_epoch
+
+
+def incremental_embedding_pairs(
+    new_vecs: "ray.data.Dataset",
+    index_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 8192,
+) -> "ray.data.Dataset":
+    """Cosine near-dup candidate pairs touching at least one NEW vector:
+    new vectors are assigned with the INDEX's persisted centroids and
+    probe only the matching clusters (adaptive semi join — at steady
+    state the probed slice is ∝ the new crawl); within each cluster one
+    capped blocked matmul scores new×all, old–old pairs are skipped.
+    Approximation contract is the same as the batch IVF variant
+    (cross-cluster misses); :func:`incremental_embedding_exact_pairs` is
+    the exact baseline."""
+    from .ann import _matrix, _normalize
+    from .relational import semi_join
+
+    cent, files, _ = _embedding_index_meta(index_dir)
+    if cent is None:
+        raise ValueError(f"no embedding index at {index_dir} — add vectors first")
+    ref = ray.put(cent)
+    probes = min(2, len(cent))
+
+    def assign_new(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_matrix(batch[vec_col]))
+        sims = m @ c.T
+        top = np.argsort(-sims, axis=1)[:, :probes].astype(np.int32)
+        idx = np.repeat(np.arange(batch.num_rows), probes)
+        out = pa.table({id_col: batch[id_col], vec_col: batch[vec_col]}).take(
+            pa.array(idx)
+        )
+        out = out.append_column("__cluster", pa.array(top.reshape(-1)))
+        return out.append_column("is_new", pa.array(np.ones(out.num_rows, bool)))
+
+    new_rows = new_vecs.map_batches(assign_new, batch_format="pyarrow").materialize()
+    index = ray.data.read_parquet(files).map_batches(
+        lambda t: t.append_column("is_new", pa.array(np.zeros(t.num_rows, bool))),
+        batch_format="pyarrow",
+    )
+    probed = semi_join(index, new_rows, left_on="__cluster", right_on="__cluster")
+    both = new_rows.union(probed)
+
+    def pairs_in_cluster(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "a_is_new": pa.array([], pa.bool_()), "b_is_new": pa.array([], pa.bool_()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        if group.num_rows < 2:
+            return empty
+        # new rows preferentially under the cap (old rows only pair vs new)
+        order0 = np.argsort(
+            ~group["is_new"].to_numpy(zero_copy_only=False), kind="stable"
+        )
+        g = group.take(pa.array(order0[:max_cluster]))
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        new = g["is_new"].to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(g[vec_col]))
+        order = np.argsort(ids)
+        ids, new, m = ids[order], new[order], m[order]
+        chunk = 2048
+        pa_, pb_, pan, pbn, pcs = [], [], [], [], []
+        for s in range(0, len(ids), chunk):
+            sims = m[s : s + chunk] @ m.T
+            ii, jj = np.nonzero(sims >= threshold)
+            gi = ii + s
+            up = (jj > gi) & (new[gi] | new[jj])  # a<b, touch-new only
+            pa_.append(ids[gi[up]]); pb_.append(ids[jj[up]])
+            pan.append(new[gi[up]]); pbn.append(new[jj[up]])
+            pcs.append(sims[ii[up], jj[up]])
+        if not pa_ or not len(np.concatenate(pa_)):
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(pa_), pa.int64()),
+                "b": pa.array(np.concatenate(pb_), pa.int64()),
+                "a_is_new": pa.array(np.concatenate(pan)),
+                "b_is_new": pa.array(np.concatenate(pbn)),
+                "cosine": pa.array(np.concatenate(pcs), pa.float64()),
+            }
+        )
+
+    pairs = both.groupby("__cluster").map_groups(
+        pairs_in_cluster, batch_format="pyarrow"
+    )
+    # a pair can surface from several probes → dedup (flags are functions
+    # of the ids: fold into the key)
+    return preagg_groupby(
+        pairs, ["a", "b", "a_is_new", "b_is_new"], [("cosine", "max", "cosine")]
+    )
+
+
+def incremental_embedding_exact_pairs(
+    new_vecs: "ray.data.Dataset",
+    index_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 8192,
+) -> pa.Table:
+    """EXACT cosine pairs touching at least one new vector: blocked
+    block-pair Ray tasks — new×new (i ≤ j) plus new×index cross blocks.
+    Index blocks stay in the object store; old–old blocks are never
+    scored.  The verification baseline for the IVF-probed variant, and
+    itself SQL-verifiable (every pair is a plain exact cosine)."""
+    from .ann import _matrix, _normalize
+
+    _, files, _ = _embedding_index_meta(index_dir)
+
+    def prep(src):
+        return src.map_batches(
+            lambda t: pa.table({id_col: t[id_col], vec_col: t[vec_col]}),
+            batch_format="pyarrow",
+        )
+
+    n_new = new_vecs.count()
+    new_blocks = prep(new_vecs).repartition(max(1, -(-n_new // block_rows))).to_arrow_refs()
+    old_blocks = []
+    if files:
+        # the index stores multi-probe rows; __primary marks exactly one
+        # row per id (predicate-pruned read, no shuffle, no join — acero
+        # joins cannot carry list payloads)
+        old = ray.data.read_parquet(
+            files, filter=(pc.field("__primary") == True)  # noqa: E712
+        ).materialize()
+        n_old = old.count()
+        old_blocks = prep(old).repartition(max(1, -(-n_old // block_rows))).to_arrow_refs()
+
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "a_is_new": pa.array([], pa.bool_()), "b_is_new": pa.array([], pa.bool_()),
+         "cosine": pa.array([], pa.float64())}
+    )
+
+    @ray.remote(num_cpus=1)
+    def pair_task(ta: pa.Table, tb: pa.Table, same: bool, tb_is_new: bool) -> pa.Table:
+        if ta.num_rows == 0 or tb.num_rows == 0:
+            return empty
+        ia = ta[id_col].to_numpy(zero_copy_only=False)
+        ib = tb[id_col].to_numpy(zero_copy_only=False)
+        ma = _normalize(_matrix(ta[vec_col]))
+        mb = _normalize(_matrix(tb[vec_col]))
+        sims = ma @ mb.T
+        ii, jj = np.nonzero(sims >= threshold)
+        aa, bb = ia[ii], ib[jj]
+        lo, hi = np.minimum(aa, bb), np.maximum(aa, bb)
+        keep = lo < hi
+        if same:
+            keep &= aa < bb
+        # ta is always the NEW side; flags follow the (lo, hi) orientation
+        a_new = np.where(aa[keep] == lo[keep], True, tb_is_new)
+        b_new_arr = np.where(aa[keep] == lo[keep], tb_is_new, True)
+        return pa.table(
+            {"a": pa.array(lo[keep], pa.int64()), "b": pa.array(hi[keep], pa.int64()),
+             "a_is_new": pa.array(a_new), "b_is_new": pa.array(b_new_arr),
+             "cosine": pa.array(sims[ii[keep], jj[keep]], pa.float64())}
+        )
+
+    futs = [
+        pair_task.remote(new_blocks[i], new_blocks[j], i == j, True)
+        for i in range(len(new_blocks))
+        for j in range(i, len(new_blocks))
+    ] + [
+        pair_task.remote(nb, ob, False, False)
+        for nb in new_blocks
+        for ob in old_blocks
+    ]
+    tables = [t for t in ray.get(futs) if t.num_rows]
+    if not tables:
+        return empty
+    out = pa.concat_tables(tables, promote_options="permissive")
+    # dedup (a pair can only appear once here, but index multi-probe rows
+    # duplicated ids were already collapsed) — sort for determinism
+    order = np.lexsort(
+        (out["b"].to_numpy(zero_copy_only=False), out["a"].to_numpy(zero_copy_only=False))
+    )
+    return out.take(pa.array(order))
+
+
+def incremental_embedding_dedup(
+    new_vecs: "ray.data.Dataset",
+    index_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    update_index: bool = True,
+    pair_driver_threshold: int = PAIR_DRIVER_THRESHOLD,
+    **kw,
+) -> "ray.data.Dataset":
+    """Embedding near-dup dedup of a new crawl against the persistent IVF
+    index — the embedding-modality member of the incremental family
+    (exact: :func:`incremental_exact_dedup`, text LSH:
+    :func:`incremental_minhash_dedup`).  Marking semantics are shared
+    (:func:`_mark_new_docs`): index-killed vectors carry ``dup_of`` = the
+    indexed partner, survivors cluster and are appended to the index with
+    the index's persisted centroids."""
+    pairs = incremental_embedding_pairs(
+        new_vecs, index_dir, threshold, id_col, vec_col, **kw
+    ).materialize()
+    ids = new_vecs.select_columns([id_col])
+    marked = _mark_new_docs(pairs, ids, id_col, pair_driver_threshold)
+    if update_index:
+        kept = marked.map_batches(
+            lambda t: t.filter(
+                t["keep"].combine_chunks()
+                if isinstance(t["keep"], pa.ChunkedArray) else t["keep"]
+            ).select([id_col]),
+            batch_format="pyarrow",
+        ).materialize()
+        if kept.count():
+            # mask-based semi join: Dataset.join (acero) cannot carry the
+            # list<float> vector payload
+            from .relational import semi_join
+
+            survivors = semi_join(new_vecs, kept, left_on=id_col)
+            embedding_index_add(survivors, index_dir, id_col, vec_col)
+    return marked
 
 
 def ngram_jaccard_verify(

@@ -1716,6 +1716,39 @@ def dedup_embedding(sf_dir: str):
     return pairs.select(["a", "b"])
 
 
+def incremental_embedding_exact(sf_dir: str):
+    """Incremental embedding near-dup under the exact-SQL gate: the prior
+    crawl (vec_id % 3 == 0) seeds the persistent IVF index, the new
+    crawl's pairs against index ∪ itself are computed EXACTLY (blocked
+    block-pair Ray tasks — old–old blocks never scored;
+    dedup.incremental_embedding_exact_pairs, the verification baseline of
+    the IVF-probed incremental path).  Oracle: DuckDB
+    list_cosine_similarity over every pair not wholly in the prior crawl."""
+    import shutil
+
+    from .dedup import embedding_index_add, incremental_embedding_exact_pairs
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/raydatax_ivf_idx_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+
+    vecs = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def split(prior: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 3 == 0) == prior))
+
+        return f
+
+    embedding_index_add(vecs.map_batches(split(True), batch_format="pyarrow"), idx)
+    pairs = incremental_embedding_exact_pairs(
+        vecs.map_batches(split(False), batch_format="pyarrow"), idx,
+        threshold=0.35, block_rows=256,
+    )
+    return pairs.select(["a", "b"])
+
+
 def incremental_minhash_verified(sf_dir: str):
     """The INCREMENTAL LSH path under the exact-SQL gate: the prior crawl
     (doc_id % 3 == 0) is indexed (dedup.minhash_index_add), the new crawl
@@ -1980,6 +2013,7 @@ QUERIES = {
     "graph_components": graph_components,
     "incremental_dedup": incremental_dedup,
     "incremental_minhash_verified": incremental_minhash_verified,
+    "incremental_embedding_exact": incremental_embedding_exact,
 }
 
 ORACLE_SQL = {
@@ -2802,6 +2836,12 @@ ORACLE_SQL = {
                floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95,
                count(value) AS n
         FROM events GROUP BY event_type
+    """,
+    "incremental_embedding_exact": """
+        SELECT e1.vec_id AS a, e2.vec_id AS b
+        FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+        WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.35
+          AND NOT (e1.vec_id % 3 = 0 AND e2.vec_id % 3 = 0)
     """,
     "incremental_minhash_verified": """
         WITH idx AS (

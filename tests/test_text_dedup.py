@@ -434,3 +434,61 @@ def test_incremental_minhash_dedup_cross_crawl(tmp_path, docs):
         rd.from_arrow(crawl3), idx, threshold=0.99, update_index=False
     ).to_pandas()
     assert not bool(out3.keep.iloc[0]) and out3.dup_of.iloc[0] == 60
+
+
+def test_incremental_embedding_dedup_cross_crawl(tmp_path):
+    """IVF-probed embedding dedup against a persistent index: crawl-1
+    vectors are indexed (centroids fixed at creation); crawl 2's noisy
+    clones of indexed vectors are killed BY THE INDEX, its within-crawl
+    clone pair resolves to the min id, novel vectors keep; the exact
+    blocked baseline finds the same pair set; a crawl-3 clone of a crawl-2
+    survivor is killed by the grown index."""
+    from raydatax.dedup import (
+        embedding_index_add,
+        incremental_embedding_dedup,
+        incremental_embedding_exact_pairs,
+        incremental_embedding_pairs,
+    )
+
+    e = pq.read_table(f"{SF}/embeddings.parquet").select(["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf")
+    base = e.slice(0, 60)
+    embedding_index_add(rd.from_arrow(base), idx)
+
+    rng = np.random.default_rng(3)
+
+    def clones(src_rows, ids):
+        m = np.stack([np.asarray(v, np.float32) for v in src_rows["embedding"].to_pylist()])
+        noisy = m + rng.normal(0, 1e-3, m.shape).astype(np.float32)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(v) for v in noisy], pa.list_(pa.float32())),
+        })
+
+    crawl2 = pa.concat_tables([
+        clones(e.slice(0, 5), np.arange(90_000, 90_005)),      # indexed clones
+        clones(e.slice(70, 1), [70_000]),                       # vec 70 not indexed
+        clones(e.slice(70, 1), [70_001]),                       # its twin
+        e.slice(80, 10).cast(pa.schema([("vec_id", pa.int64()),
+                                        ("embedding", pa.list_(pa.float32()))])),
+    ])
+    c2 = rd.from_arrow(crawl2).repartition(3)
+
+    ivf = incremental_embedding_pairs(c2, idx, threshold=0.99).to_pandas()
+    exact = incremental_embedding_exact_pairs(c2, idx, threshold=0.99).to_pandas()
+    assert set(zip(ivf.a, ivf.b)) == set(zip(exact.a, exact.b))
+
+    out = incremental_embedding_dedup(c2, idx, threshold=0.99).to_pandas()
+    out = out.set_index("vec_id").sort_index()
+    planted = out.loc[90_000:90_004]
+    assert (~planted.keep).all()
+    assert (planted.dup_of == np.arange(5)).all()
+    assert bool(out.loc[70_000].keep) and not bool(out.loc[70_001].keep)
+    assert out.loc[70_001].dup_of == 70_000
+    assert out.loc[80:89].keep.all()
+
+    crawl3 = clones(e.slice(70, 1), [95_000])  # near crawl-2 survivor 70_000
+    out3 = incremental_embedding_dedup(
+        rd.from_arrow(crawl3), idx, threshold=0.99, update_index=False
+    ).to_pandas()
+    assert not bool(out3.keep.iloc[0]) and out3.dup_of.iloc[0] == 70_000
