@@ -185,6 +185,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "text_normalize",
         "decontaminate_3gram",
         "sequence_packing",
+        "incremental_dedup",
+        "incremental_minhash_verified",
+        "graph_khop",
     ]
     for name in secondary:
         t0 = time.monotonic()
