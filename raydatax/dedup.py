@@ -199,25 +199,15 @@ def incremental_exact_dedup(
             return b.select([id_col, "__k"])
 
     keyed = new_docs.map_batches(key_fn, batch_format="pyarrow")
-    epochs = sorted(
-        d for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
-        if d.startswith("epoch-")
-    )
-    if epochs:
-        import glob
-
-        files = sorted(
-            f
-            for e in epochs
-            for f in glob.glob(os.path.join(index_dir, e, "*.parquet"))
-        )
+    files, next_epoch = _lsh_index_files(index_dir)  # shared epoch-N layout
+    if files:
         index = ray.data.read_parquet(files)
         keyed = semi_join(keyed, index, left_on="__k", anti=True)
     reps = preagg_groupby(
         keyed, ["__k"], [(id_col, "min", id_col), (id_col, "count", "n_copies")]
     ).materialize()
     if update_index:
-        out = os.path.join(index_dir, f"epoch-{len(epochs)}")
+        out = os.path.join(index_dir, f"epoch-{next_epoch}")
         os.makedirs(out, exist_ok=True)
         reps.select_columns(["__k"]).write_parquet(out)
     return reps.select_columns([id_col, "n_copies"])
@@ -335,7 +325,10 @@ def cluster_pairs(pairs: list[tuple[int, int]], ids: list[int]) -> dict[int, int
 
 
 def propagate_min_labels(
-    pairs: "ray.data.Dataset", max_rounds: int = 64, num_partitions: int | None = None
+    pairs: "ray.data.Dataset",
+    max_rounds: int = 64,
+    num_partitions: int | None = None,
+    shortcut: bool = False,
 ) -> "ray.data.Dataset":
     """Distributed connected components over a pair Dataset by iterative
     min-label propagation: every node starts at min(self, neighbors), each
@@ -344,9 +337,16 @@ def propagate_min_labels(
     unchanged sum IS the fixpoint).  Rounds = cluster diameter; near-dup
     clusters are shallow — a pathological chain exceeding ``max_rounds``
     RAISES rather than silently returning unconverged (wrong) labels.
-    Returns (node, label) for every node that appears in a pair — nothing
-    is ever collected on the driver except the one convergence scalar per
-    round."""
+
+    ``shortcut=True`` adds pointer-doubling each round (lbl(n) ←
+    min(lbl(n), lbl(lbl(n))) — one extra label-table self-join): distance
+    to the component min HALVES per round, so convergence is O(log
+    diameter) instead of O(diameter).  Use it for general graphs
+    (:func:`raydatax.graph.connected_components` does); the near-dup
+    paths keep the plain variant — their clusters are shallow and the
+    extra join is pure overhead there.  Returns (node, label) for every
+    node that appears in a pair — nothing is ever collected on the driver
+    except the one convergence scalar per round."""
     from .relational import _join_partitions
 
     n_parts = _join_partitions(num_partitions or 16)
@@ -381,8 +381,22 @@ def propagate_min_labels(
             lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
             batch_format="pyarrow",
         )
+        merged = cand.union(labels)
+        if shortcut:
+            # pointer doubling: a node's label is itself a node id, so its
+            # own label is one lookup away — lbl(n) ← lbl(lbl(n))
+            lab_as_src = labels.map_batches(
+                lambda t: pa.table({"src": t["label"], "orig": t["node"]}),
+                batch_format="pyarrow",
+            )
+            hop = lab_as_src.join(lbl_src, "inner", n_parts, on=("src",))
+            cand2 = hop.map_batches(
+                lambda t: pa.table({"node": t["orig"], "label": t["label"]}),
+                batch_format="pyarrow",
+            )
+            merged = merged.union(cand2)
         labels = preagg_groupby(
-            cand.union(labels), ["node"], [("label", "min", "label")]
+            merged, ["node"], [("label", "min", "label")]
         ).materialize()
         s = labels.sum("label")
         if s == prev_sum:
@@ -578,18 +592,33 @@ def incremental_minhash_pairs(
     index_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    **kw,
+) -> "ray.data.Dataset":
+    """Candidate near-dup pairs touching at least one NEW doc — see
+    :func:`_incremental_minhash_probe` (this is the pair output alone)."""
+    _, pairs = _incremental_minhash_probe(new_docs, index_dir, text_col, id_col, **kw)
+    return pairs
+
+
+def _incremental_minhash_probe(
+    new_docs: "ray.data.Dataset",
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 16,
     k: int = 5,
     threshold: float = 0.5,
     seed: int = 7,
-) -> "ray.data.Dataset":
-    """Candidate near-dup pairs touching at least one NEW doc: the new
-    crawl's band rows probe the PERSISTENT LSH index.  Index rows move
-    only where a new band hash lands (adaptive semi join on the bucket
-    key — at steady state the probed slice is ∝ the new crawl, not the
-    corpus), old–old pairs are never generated.  Pair rows carry
-    ``b_is_new`` (False ⇒ the partner is an indexed doc)."""
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """(new band rows MATERIALIZED, candidate pairs): the new crawl's band
+    rows probe the PERSISTENT LSH index.  Index rows move only where a new
+    band hash lands (adaptive semi join on the bucket key — at steady
+    state the probed slice is ∝ the new crawl, not the corpus), old–old
+    pairs are never generated.  Pair rows carry ``a_is_new``/``b_is_new``
+    (False ⇒ that side is an indexed doc).  The returned band rows let the
+    dedup path append survivors WITHOUT recomputing signatures — at crawl
+    scale the shingle+minhash pass is the dominant CPU cost."""
     from .relational import semi_join
 
     new_rows = _explode_bands(
@@ -635,11 +664,12 @@ def incremental_minhash_pairs(
     )
     # the flags are a pure function of (a, b) → fold them into the group
     # key (no bool aggregation kernels needed, no duplicate groups)
-    return preagg_groupby(
+    pairs = preagg_groupby(
         pairs,
         ["a", "b", "a_is_new", "b_is_new"],
         [("est_jaccard", "max", "est_jaccard")],
     )
+    return new_rows, pairs
 
 
 def _mark_new_docs(
@@ -759,16 +789,16 @@ def incremental_minhash_dedup(
     Note the documented asymmetry vs re-running the batch dedup on the
     union: dropped docs are not re-indexed, so transitive chains resolve
     through each epoch's survivor — standard incremental-LSH semantics."""
-    pairs = incremental_minhash_pairs(
+    import os
+
+    new_rows, pairs = _incremental_minhash_probe(
         new_docs, index_dir, text_col, id_col, threshold=threshold, **kw
-    ).materialize()
+    )
+    pairs = pairs.materialize()
 
     ids = new_docs.select_columns([id_col])
     marked = _mark_new_docs(pairs, ids, id_col, pair_driver_threshold)
     if update_index:
-        from .relational import _join_partitions
-
-        n_parts = _join_partitions(16)
         kept = marked.map_batches(
             lambda t: t.filter(
                 t["keep"].combine_chunks()
@@ -777,8 +807,21 @@ def incremental_minhash_dedup(
             batch_format="pyarrow",
         ).materialize()
         if kept.count():  # an all-duplicate crawl adds nothing to the index
-            survivors = new_docs.join(kept, "inner", n_parts, on=(id_col,))
-            minhash_index_add(survivors, index_dir, text_col, id_col, **kw)
+            # append the survivors' ALREADY-COMPUTED band rows (mask-based
+            # semi join — the sig list payload must never reach an acero
+            # hash join, and signatures are not recomputed)
+            from .relational import semi_join
+
+            rows = semi_join(
+                new_rows, kept, left_on=id_col,
+                broadcast_threshold=50_000_000,
+            ).map_batches(
+                lambda t: t.drop_columns(["is_new"]), batch_format="pyarrow"
+            )
+            _, next_epoch = _lsh_index_files(index_dir)
+            out = os.path.join(index_dir, f"epoch-{next_epoch}")
+            os.makedirs(out, exist_ok=True)
+            rows.write_parquet(out)
     return marked
 
 
@@ -1044,18 +1087,23 @@ def embedding_allpairs_exact(
 
 
 def _embedding_index_meta(index_dir: str):
-    """(centroid matrix or None, epoch parquet files, next epoch)."""
+    """(centroid matrix or None, stored assign_probes, epoch files, next
+    epoch).  Centroids AND probe count are index-level state, fixed at
+    creation — every add and probe must use the same values or rows land
+    in incompatible cluster sets."""
     import os
 
     files, next_epoch = _lsh_index_files(index_dir)  # same epoch-N layout
     cpath = os.path.join(index_dir, "_centroids.parquet")
-    cent = None
+    cent, probes = None, None
     if os.path.exists(cpath):
         import pyarrow.parquet as pq
 
         t = pq.read_table(cpath)
         cent = np.stack([np.asarray(v, np.float64) for v in t["centroid"].to_pylist()])
-    return cent, files, next_epoch
+        meta = t.schema.metadata or {}
+        probes = int(meta.get(b"assign_probes", b"2"))
+    return cent, probes, files, next_epoch
 
 
 def embedding_index_add(
@@ -1078,19 +1126,22 @@ def embedding_index_add(
 
     from .ann import _matrix, _normalize, kmeans_fit
 
-    cent, _, next_epoch = _embedding_index_meta(index_dir)
+    cent, stored_probes, _, next_epoch = _embedding_index_meta(index_dir)
     if cent is None:
         sample = ds.limit(sample_rows).take_all()
         smat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
         cent = kmeans_fit(smat, n_clusters, seed=seed)
+        stored_probes = max(1, min(assign_probes, len(cent)))
         os.makedirs(index_dir, exist_ok=True)
         import pyarrow.parquet as pq
 
         pq.write_table(
-            pa.table({"centroid": pa.array([list(c) for c in cent])}),
+            pa.table({"centroid": pa.array([list(c) for c in cent])}).replace_schema_metadata(
+                {b"assign_probes": str(stored_probes).encode()}
+            ),
             os.path.join(index_dir, "_centroids.parquet"),
         )
-    probes = max(1, min(assign_probes, len(cent)))
+    probes = stored_probes
     ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -1123,22 +1174,39 @@ def incremental_embedding_pairs(
     vec_col: str = "embedding",
     max_cluster: int = 8192,
 ) -> "ray.data.Dataset":
-    """Cosine near-dup candidate pairs touching at least one NEW vector:
-    new vectors are assigned with the INDEX's persisted centroids and
-    probe only the matching clusters (adaptive semi join — at steady
-    state the probed slice is ∝ the new crawl); within each cluster one
-    capped blocked matmul scores new×all, old–old pairs are skipped.
-    Approximation contract is the same as the batch IVF variant
+    """Cosine near-dup candidate pairs touching at least one NEW vector —
+    see :func:`_incremental_embedding_probe` (pair output alone)."""
+    _, pairs = _incremental_embedding_probe(
+        new_vecs, index_dir, threshold, id_col, vec_col, max_cluster
+    )
+    return pairs
+
+
+def _incremental_embedding_probe(
+    new_vecs: "ray.data.Dataset",
+    index_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 8192,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """(assigned new rows MATERIALIZED, candidate pairs): new vectors are
+    assigned with the INDEX's persisted centroids (and its stored probe
+    count) and probe only the matching clusters (adaptive semi join — at
+    steady state the probed slice is ∝ the new crawl); within each
+    cluster one capped blocked matmul scores new×all, old–old pairs are
+    skipped.  Approximation contract is the same as the batch IVF variant
     (cross-cluster misses); :func:`incremental_embedding_exact_pairs` is
-    the exact baseline."""
+    the exact baseline.  The returned assigned rows (index row schema +
+    ``is_new``) let the dedup path append survivors without re-running
+    the assignment matmul."""
     from .ann import _matrix, _normalize
     from .relational import semi_join
 
-    cent, files, _ = _embedding_index_meta(index_dir)
+    cent, probes, files, _ = _embedding_index_meta(index_dir)
     if cent is None:
         raise ValueError(f"no embedding index at {index_dir} — add vectors first")
     ref = ray.put(cent)
-    probes = min(2, len(cent))
 
     def assign_new(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
@@ -1150,6 +1218,9 @@ def incremental_embedding_pairs(
             pa.array(idx)
         )
         out = out.append_column("__cluster", pa.array(top.reshape(-1)))
+        primary = np.zeros(out.num_rows, bool)
+        primary[::probes] = True  # index row schema, see embedding_index_add
+        out = out.append_column("__primary", pa.array(primary))
         return out.append_column("is_new", pa.array(np.ones(out.num_rows, bool)))
 
     new_rows = new_vecs.map_batches(assign_new, batch_format="pyarrow").materialize()
@@ -1205,9 +1276,10 @@ def incremental_embedding_pairs(
     )
     # a pair can surface from several probes → dedup (flags are functions
     # of the ids: fold into the key)
-    return preagg_groupby(
+    pairs = preagg_groupby(
         pairs, ["a", "b", "a_is_new", "b_is_new"], [("cosine", "max", "cosine")]
     )
+    return new_rows, pairs
 
 
 def incremental_embedding_exact_pairs(
@@ -1225,7 +1297,7 @@ def incremental_embedding_exact_pairs(
     itself SQL-verifiable (every pair is a plain exact cosine)."""
     from .ann import _matrix, _normalize
 
-    _, files, _ = _embedding_index_meta(index_dir)
+    _, _, files, _ = _embedding_index_meta(index_dir)
 
     def prep(src):
         return src.map_batches(
@@ -1312,11 +1384,14 @@ def incremental_embedding_dedup(
     (exact: :func:`incremental_exact_dedup`, text LSH:
     :func:`incremental_minhash_dedup`).  Marking semantics are shared
     (:func:`_mark_new_docs`): index-killed vectors carry ``dup_of`` = the
-    indexed partner, survivors cluster and are appended to the index with
-    the index's persisted centroids."""
-    pairs = incremental_embedding_pairs(
+    indexed partner, survivors cluster and their ALREADY-ASSIGNED rows
+    are appended to the index (the assignment matmul is not re-run)."""
+    import os
+
+    new_rows, pairs = _incremental_embedding_probe(
         new_vecs, index_dir, threshold, id_col, vec_col, **kw
-    ).materialize()
+    )
+    pairs = pairs.materialize()
     ids = new_vecs.select_columns([id_col])
     marked = _mark_new_docs(pairs, ids, id_col, pair_driver_threshold)
     if update_index:
@@ -1328,12 +1403,20 @@ def incremental_embedding_dedup(
             batch_format="pyarrow",
         ).materialize()
         if kept.count():
-            # mask-based semi join: Dataset.join (acero) cannot carry the
-            # list<float> vector payload
+            # mask-based semi join (raised threshold): Dataset.join (acero)
+            # cannot carry the list<float> vector payload, so the hash-join
+            # fallback must never trigger
             from .relational import semi_join
 
-            survivors = semi_join(new_vecs, kept, left_on=id_col)
-            embedding_index_add(survivors, index_dir, id_col, vec_col)
+            rows = semi_join(
+                new_rows, kept, left_on=id_col, broadcast_threshold=50_000_000
+            ).map_batches(
+                lambda t: t.drop_columns(["is_new"]), batch_format="pyarrow"
+            )
+            _, _, _, next_epoch = _embedding_index_meta(index_dir)
+            out = os.path.join(index_dir, f"epoch-{next_epoch}")
+            os.makedirs(out, exist_ok=True)
+            rows.write_parquet(out)
     return marked
 
 

@@ -214,7 +214,9 @@ def connected_components(
                 }
             )
         )
-    out = propagate_min_labels(pairs, max_rounds=max_rounds)
+    # general graphs can have long-diameter components (unlike the shallow
+    # near-dup clusters) — pointer-doubling converges in O(log diameter)
+    out = propagate_min_labels(pairs, max_rounds=max_rounds, shortcut=True)
     return out.map_batches(
         lambda t: pa.table({"node": t["node"], "component": t["label"]}),
         batch_format="pyarrow",

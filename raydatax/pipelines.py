@@ -1716,6 +1716,17 @@ def dedup_embedding(sf_dir: str):
     return pairs.select(["a", "b"])
 
 
+def _crawl_split(ds, id_name: str, prior: bool):
+    """The shared two-crawl convention of the incremental_* queries and
+    their SQL mirrors: prior crawl = id % 3 == 0, new crawl = the rest."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_name].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % 3 == 0) == prior))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def incremental_embedding_exact(sf_dir: str):
     """Incremental embedding near-dup under the exact-SQL gate: the prior
     crawl (vec_id % 3 == 0) seeds the persistent IVF index, the new
@@ -1733,18 +1744,9 @@ def incremental_embedding_exact(sf_dir: str):
     shutil.rmtree(idx, ignore_errors=True)
 
     vecs = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-
-    def split(prior: bool):
-        def f(t: pa.Table) -> pa.Table:
-            ids = t["vec_id"].to_numpy(zero_copy_only=False)
-            return t.filter(pa.array((ids % 3 == 0) == prior))
-
-        return f
-
-    embedding_index_add(vecs.map_batches(split(True), batch_format="pyarrow"), idx)
+    embedding_index_add(_crawl_split(vecs, "vec_id", True), idx)
     pairs = incremental_embedding_exact_pairs(
-        vecs.map_batches(split(False), batch_format="pyarrow"), idx,
-        threshold=0.35, block_rows=256,
+        _crawl_split(vecs, "vec_id", False), idx, threshold=0.35, block_rows=256
     )
     return pairs.select(["a", "b"])
 
@@ -1771,17 +1773,9 @@ def incremental_minhash_verified(sf_dir: str):
     shutil.rmtree(idx, ignore_errors=True)
 
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-
-    def split(prior: bool):
-        def f(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            return t.filter(pa.array((ids % 3 == 0) == prior))
-
-        return f
-
-    minhash_index_add(docs.map_batches(split(True), batch_format="pyarrow"), idx)
+    minhash_index_add(_crawl_split(docs, "doc_id", True), idx)
     cand = incremental_minhash_pairs(
-        docs.map_batches(split(False), batch_format="pyarrow"), idx, threshold=0.6
+        _crawl_split(docs, "doc_id", False), idx, threshold=0.6
     )
     pair_list = sorted({(r["a"], r["b"]) for r in cand.take_all()})
     ver = ngram_jaccard_verify(docs, pair_list, k=5)
@@ -1810,16 +1804,8 @@ def incremental_dedup(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"], "__k": k})
 
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-
-    def split(prior: bool):
-        def f(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            return t.filter(pa.array((ids % 3 == 0) == prior))
-
-        return f
-
-    prior = docs.map_batches(split(True), batch_format="pyarrow")
-    new = docs.map_batches(split(False), batch_format="pyarrow")
+    prior = _crawl_split(docs, "doc_id", True)
+    new = _crawl_split(docs, "doc_id", False)
     incremental_exact_dedup(prior, idx, key_fn=prefix_key)  # seeds epoch-0
     return incremental_exact_dedup(new, idx, key_fn=prefix_key, update_index=False)
 

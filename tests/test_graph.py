@@ -135,3 +135,16 @@ def test_connected_components_both_paths():
     big = {r["node"]: r["component"]
            for r in connected_components(edges, pair_driver_threshold=0).take_all()}
     assert big == want
+
+
+def test_connected_components_long_chain_pointer_doubling():
+    """A 300-node path (diameter 299) through the DISTRIBUTED path must
+    converge — pointer doubling makes rounds O(log diameter), far under
+    the default max_rounds; plain propagation would need 299 rounds."""
+    n = 300
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    out = connected_components(edges, pair_driver_threshold=0).take_all()
+    assert len(out) == n
+    assert all(r["component"] == 0 for r in out)
