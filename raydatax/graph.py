@@ -159,6 +159,119 @@ def k_hop(
     return visited
 
 
+def pagerank(
+    edges: "rd.Dataset",
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 16,
+    edge_driver_threshold: int = 2_000_000,
+) -> "rd.Dataset":
+    """Deterministic INTEGER PageRank: ranks in micro-units (every node
+    starts at 1_000_000), damping 17/20, per-edge contribution
+    ``(rank * 17) // (20 * outdeg)`` — all int64 floor arithmetic, so the
+    result is independent of partitioning, accumulation order, and engine
+    (float PageRank sums are order-sensitive and can never hash-match a
+    SQL oracle).  Dangling nodes keep the base rank (no redistribution —
+    the documented simplification, mirrored by the oracle).  Each
+    iteration is two hash joins + one pre-aggregated integer sum; edges
+    are deduplicated first."""
+    from .relational import _join_partitions, preagg_groupby
+
+    n_parts = _join_partitions(num_partitions)
+    e = preagg_groupby(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"src": pc.cast(t[src_col], pa.int64()),
+                 "dst": pc.cast(t[dst_col], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["src", "dst"],
+        [("src", "count", "__c")],
+    ).select_columns(["src", "dst"]).materialize()
+
+    # adaptive small-graph path (edge count from block metadata, same rule
+    # as the dedup clustering): the per-iteration joins have fixed shuffle
+    # latency that dwarfs a small graph — run the IDENTICAL integer
+    # arithmetic with numpy on the driver instead
+    if e.count() <= edge_driver_threshold:
+        tabs = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows]
+        et = pa.concat_tables(tabs, promote_options="permissive")
+        src = et["src"].to_numpy(zero_copy_only=False)
+        dst = et["dst"].to_numpy(zero_copy_only=False)
+        nodes_np = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(nodes_np, src)
+        di = np.searchsorted(nodes_np, dst)
+        odeg = np.zeros(len(nodes_np), np.int64)
+        np.add.at(odeg, si, 1)
+        rank = np.full(len(nodes_np), 1_000_000, np.int64)
+        for _ in range(iters):
+            contrib = (rank[si] * 17) // (20 * odeg[si])
+            inc = np.zeros(len(nodes_np), np.int64)
+            np.add.at(inc, di, contrib)  # int adds — order-independent
+            rank = inc + 150_000
+        return rd.from_arrow(
+            pa.table({"node": pa.array(nodes_np, pa.int64()),
+                      "rank": pa.array(rank, pa.int64())})
+        )
+
+    outdeg = preagg_groupby(e, ["src"], [("dst", "count", "odeg")]).materialize()
+    nodes = preagg_groupby(
+        e.map_batches(
+            lambda t: pa.table(
+                {"node": pa.concat_arrays([
+                    t["src"].combine_chunks() if isinstance(t["src"], pa.ChunkedArray) else t["src"],
+                    t["dst"].combine_chunks() if isinstance(t["dst"], pa.ChunkedArray) else t["dst"],
+                ])}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        [("node", "count", "__c")],
+    ).select_columns(["node"]).materialize()
+
+    ranks = nodes.map_batches(
+        lambda t: t.append_column(
+            "rank", pa.array(np.full(t.num_rows, 1_000_000, np.int64), pa.int64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        sender = ranks.map_batches(
+            lambda t: pa.table({"src": t["node"], "rank": t["rank"]}),
+            batch_format="pyarrow",
+        ).join(outdeg, "inner", n_parts, on=("src",))
+        contrib = sender.join(e, "inner", n_parts, on=("src",)).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["dst"],
+                    "contrib": pa.array(
+                        (t["rank"].to_numpy(zero_copy_only=False) * 17)
+                        // (20 * t["odeg"].to_numpy(zero_copy_only=False)),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        incoming = preagg_groupby(contrib, ["node"], [("contrib", "sum", "inc")])
+        ranks = nodes.join(incoming, "left_outer", n_parts, on=("node",)).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "rank": pc.add(
+                        pc.fill_null(pc.cast(t["inc"], pa.int64()), 0),
+                        pa.scalar(150_000, pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    return ranks
+
+
 def connected_components(
     edges: "rd.Dataset",
     src_col: str = "src",

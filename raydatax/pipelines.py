@@ -1882,6 +1882,26 @@ def graph_khop(sf_dir: str):
     return k_hop(edges, seeds=[0, 1, 2], k=3)
 
 
+def graph_pagerank(sf_dir: str):
+    """Deterministic integer PageRank (3 iterations) over the same derived
+    interaction graph as graph_khop — micro-unit ranks, damping 17/20,
+    floor division throughout, so engine and SQL produce bit-identical
+    integers (float PageRank could never hash-match).  Oracle = the three
+    iterations unrolled as chained CTEs."""
+    from .graph import pagerank
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id"])
+    n_users = int(ev.max("user_id")) + 1
+
+    def to_edges(t: pa.Table, _u: int = n_users) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": u, "dst": (u * 3 + e) % _u})
+
+    edges = ev.map_batches(to_edges, batch_format="pyarrow")
+    return pagerank(edges, iters=3)
+
+
 def graph_components(sf_dir: str):
     """Undirected connected components over a SPARSE deterministic graph
     (only events with event_id % 97 == 0 contribute an edge — several
@@ -1997,6 +2017,7 @@ QUERIES = {
     "graph_export_edges": graph_export_edges,
     "graph_khop": graph_khop,
     "graph_components": graph_components,
+    "graph_pagerank": graph_pagerank,
     "incremental_dedup": incremental_dedup,
     "incremental_minhash_verified": incremental_minhash_verified,
     "incremental_embedding_exact": incremental_embedding_exact,
@@ -2885,6 +2906,45 @@ ORACLE_SQL = {
             WHERE r.depth < 3
         )
         SELECT node, min(depth) AS depth FROM reach GROUP BY node
+    """,
+    "graph_pagerank": """
+        WITH e0 AS (
+            SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+                   (CAST(user_id AS BIGINT) * 3 + event_id)
+                       % (SELECT max(user_id) + 1 FROM events) AS dst
+            FROM events
+        ), outdeg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM e0 GROUP BY src
+        ), nodes AS (
+            SELECT src AS node FROM e0 UNION SELECT dst FROM e0
+        ), pr0 AS (
+            SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes
+        ), s1 AS (
+            SELECT e.dst AS node,
+                   CAST(sum((p.rank * 17) // (20 * o.odeg)) AS BIGINT) AS inc
+            FROM pr0 p JOIN outdeg o ON o.src = p.node JOIN e0 e ON e.src = p.node
+            GROUP BY e.dst
+        ), pr1 AS (
+            SELECT n.node, CAST(150000 + COALESCE(s.inc, 0) AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN s1 s ON s.node = n.node
+        ), s2 AS (
+            SELECT e.dst AS node,
+                   CAST(sum((p.rank * 17) // (20 * o.odeg)) AS BIGINT) AS inc
+            FROM pr1 p JOIN outdeg o ON o.src = p.node JOIN e0 e ON e.src = p.node
+            GROUP BY e.dst
+        ), pr2 AS (
+            SELECT n.node, CAST(150000 + COALESCE(s.inc, 0) AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN s2 s ON s.node = n.node
+        ), s3 AS (
+            SELECT e.dst AS node,
+                   CAST(sum((p.rank * 17) // (20 * o.odeg)) AS BIGINT) AS inc
+            FROM pr2 p JOIN outdeg o ON o.src = p.node JOIN e0 e ON e.src = p.node
+            GROUP BY e.dst
+        ), pr3 AS (
+            SELECT n.node, CAST(150000 + COALESCE(s.inc, 0) AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN s3 s ON s.node = n.node
+        )
+        SELECT node, rank FROM pr3
     """,
     "graph_components": """
         WITH RECURSIVE e0 AS (

@@ -148,3 +148,34 @@ def test_connected_components_long_chain_pointer_doubling():
     out = connected_components(edges, pair_driver_threshold=0).take_all()
     assert len(out) == n
     assert all(r["component"] == 0 for r in out)
+
+
+def test_pagerank_integer_paths_identical():
+    """Driver and distributed paths run the same int64 floor arithmetic —
+    results must be identical, partitioning-independent, and match a
+    serial python reference."""
+    from raydatax.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 50, 200).astype(np.int64)
+    dst = rng.integers(0, 50, 200).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+
+    a = {r["node"]: r["rank"] for r in pagerank(edges, iters=4).take_all()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(edges, iters=4, edge_driver_threshold=0).take_all()}
+    assert a == b
+
+    # serial reference with identical arithmetic
+    pairs = sorted(set(zip(src.tolist(), dst.tolist())))
+    nodes = sorted({x for p in pairs for x in p})
+    odeg = {n: 0 for n in nodes}
+    for s, d in pairs:
+        odeg[s] += 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(4):
+        inc = {n: 0 for n in nodes}
+        for s, d in pairs:
+            inc[d] += (rank[s] * 17) // (20 * odeg[s])
+        rank = {n: inc[n] + 150_000 for n in nodes}
+    assert a == rank
