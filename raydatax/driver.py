@@ -722,6 +722,91 @@ def repartition_lake(
     return report
 
 
+def bootstrap_lake(
+    snapshot_path: str,
+    lake_dir: str,
+    snapshot_seq: int,
+    partitions: int = 64,
+    salt: int = 4,
+    keep_bootstrap_wal: bool = False,
+    **job_kwargs,
+) -> dict:
+    """Initial FULL LOAD at a log position + incremental tail — the classic
+    CDC bootstrap (DataX full sync then otsstreamreader incremental;
+    MySQL 'consistent snapshot at binlog position X, replay from X').
+
+    ``snapshot_path`` is a parquet file or directory of transcript rows
+    (the lake row shape, ``seq`` optional) captured consistently at WAL
+    position ``snapshot_seq``.  Every row becomes an INSERT event — rows
+    that carry a ``seq`` keep it (higher fidelity LWW), rows without get
+    ``snapshot_seq`` (a consistent snapshot holds ONE row per key, so the
+    shared seq never competes within a key) — exported as WAL segments by
+    parallel Ray tasks (the driver never holds rows) and replayed through
+    the NORMAL engine into a fresh lake.  The job watermark lands at
+    ``snapshot_seq``, so a subsequent :func:`run_job` / :func:`tail_wal`
+    on the live WAL replays exactly the events after the snapshot
+    position (reference: full-sync job + ShardCheckpoint start position,
+    otsstreamreader/../StreamJob lifecycle)."""
+    import glob as _glob
+    import shutil
+
+    if mf.load_lake_config(lake_dir) is not None:
+        raise RuntimeError(f"target lake already exists: {lake_dir}")
+    files = (
+        sorted(_glob.glob(os.path.join(snapshot_path, "*.parquet")))
+        if os.path.isdir(snapshot_path)
+        else [snapshot_path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no snapshot parquet under {snapshot_path}")
+
+    wal = os.path.join(lake_dir, "_bootstrap_wal")
+    shutil.rmtree(wal, ignore_errors=True)  # stale crashed-attempt exports
+    os.makedirs(wal, exist_ok=True)
+
+    @ray.remote
+    def _export(src: str, dst: str, snap_seq: int) -> int:
+        import pyarrow as pa
+
+        from .merge import PARQUET_OPTS
+        from .schema import EVENT_SCHEMA
+
+        t = pq.read_table(src)
+        if "seq" not in t.column_names:
+            t = t.append_column(
+                "seq", pa.array([snap_seq] * t.num_rows, pa.int64())
+            )
+        t = t.append_column("op", pa.array(["I"] * t.num_rows, pa.string()))
+        names = [f.name for f in EVENT_SCHEMA if f.name in t.column_names]
+        tmp = dst + ".tmp"
+        pq.write_table(
+            t.select(names).replace_schema_metadata(None), tmp, **PARQUET_OPTS
+        )
+        os.replace(tmp, dst)
+        return t.num_rows
+
+    refs = [
+        _export.remote(src, os.path.join(wal, f"seg-{i:05d}.parquet"), snapshot_seq)
+        for i, src in enumerate(files)
+    ]
+    exported = sum(ray.get(refs))
+
+    report = run_job(wal, lake_dir, partitions=partitions, salt=salt, **job_kwargs)
+
+    # the watermark must sit exactly at the snapshot position: rows that
+    # carried their true (lower) seqs would otherwise leave wal_hw short
+    # and the first tail would re-apply pre-snapshot events
+    state = mf._read_json(job_state_path(lake_dir)) or {}
+    state["wal_hw"] = max(int(state.get("wal_hw", -1)), int(snapshot_seq))
+    mf._atomic_write_json(job_state_path(lake_dir), state)
+
+    if not keep_bootstrap_wal:
+        shutil.rmtree(wal, ignore_errors=True)
+    report["events_exported"] = exported
+    report["snapshot_seq"] = snapshot_seq
+    return report
+
+
 def lake_info(lake_dir: str) -> dict:
     """Lake inspection: config, per-partition rows/bytes/watermarks, totals
     — the operational 'describe table' surface."""
