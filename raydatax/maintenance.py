@@ -7,6 +7,8 @@ Subcommands (each submittable via ``ray job submit``, like the driver):
   compact      <lake> [--upto-epoch E]    merge changelog epoch files
   refresh-view <lake> <view_dir>          bring a summary view up to date
   repartition  <old> <new> --partitions P [--salt S]   migrate the mapping
+  bootstrap    <snapshot> <lake> --snapshot-seq S [--partitions P]
+               full load at a WAL position; the next tail is incremental
 """
 
 from __future__ import annotations
@@ -35,6 +37,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("refresh-view")
     p.add_argument("lake")
     p.add_argument("view_dir")
+
+    p = sub.add_parser("bootstrap")
+    p.add_argument("snapshot")
+    p.add_argument("lake")
+    p.add_argument("--snapshot-seq", type=int, required=True)
+    p.add_argument("--partitions", type=int, default=64)
+    p.add_argument("--salt", type=int, default=4)
 
     p = sub.add_parser("repartition")
     p.add_argument("old_lake")
@@ -68,6 +77,13 @@ def main(argv: list[str] | None = None) -> int:
             from .view import refresh_view
 
             out = refresh_view(args.lake, args.view_dir)
+        elif args.cmd == "bootstrap":
+            from .driver import bootstrap_lake
+
+            rep = bootstrap_lake(args.snapshot, args.lake,
+                                 snapshot_seq=args.snapshot_seq,
+                                 partitions=args.partitions, salt=args.salt)
+            out = {k: v for k, v in rep.items() if k != "per_partition"}
         else:
             from .driver import repartition_lake
 
