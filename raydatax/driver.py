@@ -750,7 +750,12 @@ def bootstrap_lake(
     import glob as _glob
     import shutil
 
-    if mf.load_lake_config(lake_dir) is not None:
+    wal = os.path.join(lake_dir, "_bootstrap_wal")
+    # the bootstrap-WAL dir is the in-progress marker: it is removed only
+    # after success, so lake-exists + marker = an interrupted bootstrap —
+    # resume it (export is deterministic, run_job is idempotent) instead
+    # of refusing
+    if mf.load_lake_config(lake_dir) is not None and not os.path.isdir(wal):
         raise RuntimeError(f"target lake already exists: {lake_dir}")
     files = (
         sorted(_glob.glob(os.path.join(snapshot_path, "*.parquet")))
@@ -760,7 +765,6 @@ def bootstrap_lake(
     if not files:
         raise FileNotFoundError(f"no snapshot parquet under {snapshot_path}")
 
-    wal = os.path.join(lake_dir, "_bootstrap_wal")
     shutil.rmtree(wal, ignore_errors=True)  # stale crashed-attempt exports
     os.makedirs(wal, exist_ok=True)
 

@@ -82,3 +82,38 @@ def test_bootstrap_guards(tmp_path):
     import os
 
     assert not os.path.exists(os.path.join(lake, "_bootstrap_wal"))
+
+
+def test_bootstrap_crash_resume(tmp_path):
+    """A bootstrap killed mid-replay leaves the lake half-built with the
+    _bootstrap_wal marker in place — re-running bootstrap_lake resumes
+    (deterministic re-export + idempotent replay) and converges to the
+    same state; a COMPLETED bootstrap still refuses a second run."""
+    import os
+
+    import pytest
+
+    wal = str(tmp_path / "wal")
+    gen_wal(wal, 8000)
+    events = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(glob.glob(f"{wal}/*.parquet"))],
+        promote_options="permissive",
+    )
+    S = pc.max(events["seq"]).as_py()
+    snapshot = replay_to_table(events)
+    snap = str(tmp_path / "snap.parquet")
+    pq.write_table(snapshot, snap)
+
+    lake = str(tmp_path / "lake")
+    with pytest.raises(KeyboardInterrupt):  # the simulated SIGKILL
+        bootstrap_lake(snap, lake, snapshot_seq=S, partitions=6,
+                       _crash_after_committing=2)
+    assert os.path.isdir(os.path.join(lake, "_bootstrap_wal"))  # marker kept
+
+    rep = bootstrap_lake(snap, lake, snapshot_seq=S, partitions=6)
+    assert rep["snapshot_seq"] == S
+    assert not os.path.isdir(os.path.join(lake, "_bootstrap_wal"))
+    assert _key(lake_table(lake)) == _key(snapshot)
+
+    with pytest.raises(RuntimeError):  # completed lake: refuse
+        bootstrap_lake(snap, lake, snapshot_seq=S, partitions=6)
