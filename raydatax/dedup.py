@@ -1106,6 +1106,42 @@ def _embedding_index_meta(index_dir: str):
     return cent, probes, files, next_epoch
 
 
+def _ensure_centroids(
+    index_dir: str,
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    n_clusters: int,
+    sample_rows: int,
+    seed: int,
+    assign_probes: int,
+):
+    """Load the index's persisted centroids, fitting + persisting them from
+    a sample of ``ds`` on FIRST use — the cluster partitioning and probe
+    count are index-level state (same rule as the lake's partition
+    mapping); every later add and probe reuses them."""
+    import os
+
+    from .ann import kmeans_fit
+
+    cent, probes, _, _ = _embedding_index_meta(index_dir)
+    if cent is not None:
+        return cent, probes
+    sample = ds.limit(sample_rows).take_all()
+    smat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    cent = kmeans_fit(smat, n_clusters, seed=seed)
+    probes = max(1, min(assign_probes, len(cent)))
+    os.makedirs(index_dir, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"centroid": pa.array([list(c) for c in cent])}).replace_schema_metadata(
+            {b"assign_probes": str(probes).encode()}
+        ),
+        os.path.join(index_dir, "_centroids.parquet"),
+    )
+    return cent, probes
+
+
 def embedding_index_add(
     ds: "ray.data.Dataset",
     index_dir: str,
@@ -1118,30 +1154,17 @@ def embedding_index_add(
 ) -> int:
     """Append vectors to the persistent IVF near-dup index.  The FIRST add
     fits deterministic k-means centroids on a sample and persists them
-    (``_centroids.parquet``) — the cluster partitioning is index-level
-    state, every later add and probe reuses it (same rule as the lake's
-    partition mapping).  Rows are stored multi-probe-assigned
-    (id, vector, __cluster) so probes only ever move matching clusters."""
+    (``_centroids.parquet``, see :func:`_ensure_centroids`).  Rows are
+    stored multi-probe-assigned (id, vector, __cluster) so probes only
+    ever move matching clusters."""
     import os
 
-    from .ann import _matrix, _normalize, kmeans_fit
+    from .ann import _matrix, _normalize
 
-    cent, stored_probes, _, next_epoch = _embedding_index_meta(index_dir)
-    if cent is None:
-        sample = ds.limit(sample_rows).take_all()
-        smat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
-        cent = kmeans_fit(smat, n_clusters, seed=seed)
-        stored_probes = max(1, min(assign_probes, len(cent)))
-        os.makedirs(index_dir, exist_ok=True)
-        import pyarrow.parquet as pq
-
-        pq.write_table(
-            pa.table({"centroid": pa.array([list(c) for c in cent])}).replace_schema_metadata(
-                {b"assign_probes": str(stored_probes).encode()}
-            ),
-            os.path.join(index_dir, "_centroids.parquet"),
-        )
-    probes = stored_probes
+    cent, probes = _ensure_centroids(
+        index_dir, ds, vec_col, n_clusters, sample_rows, seed, assign_probes
+    )
+    _, _, _, next_epoch = _embedding_index_meta(index_dir)
     ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -1203,9 +1226,13 @@ def _incremental_embedding_probe(
     from .ann import _matrix, _normalize
     from .relational import semi_join
 
-    cent, probes, files, _ = _embedding_index_meta(index_dir)
-    if cent is None:
-        raise ValueError(f"no embedding index at {index_dir} — add vectors first")
+    # first-crawl bootstrap: fit + persist centroids from the new vectors
+    # (an empty index then simply yields new-new pairs only)
+    cent, probes = _ensure_centroids(
+        index_dir, new_vecs, vec_col, n_clusters=16, sample_rows=4096,
+        seed=5, assign_probes=2,
+    )
+    _, _, files, _ = _embedding_index_meta(index_dir)
     ref = ray.put(cent)
 
     def assign_new(batch: pa.Table) -> pa.Table:
@@ -1224,12 +1251,14 @@ def _incremental_embedding_probe(
         return out.append_column("is_new", pa.array(np.ones(out.num_rows, bool)))
 
     new_rows = new_vecs.map_batches(assign_new, batch_format="pyarrow").materialize()
-    index = ray.data.read_parquet(files).map_batches(
-        lambda t: t.append_column("is_new", pa.array(np.zeros(t.num_rows, bool))),
-        batch_format="pyarrow",
-    )
-    probed = semi_join(index, new_rows, left_on="__cluster", right_on="__cluster")
-    both = new_rows.union(probed)
+    both = new_rows
+    if files:  # empty index (first crawl) → new-new pairs only
+        index = ray.data.read_parquet(files).map_batches(
+            lambda t: t.append_column("is_new", pa.array(np.zeros(t.num_rows, bool))),
+            batch_format="pyarrow",
+        )
+        probed = semi_join(index, new_rows, left_on="__cluster", right_on="__cluster")
+        both = new_rows.union(probed)
 
     def pairs_in_cluster(group: pa.Table) -> pa.Table:
         empty = pa.table(

@@ -492,3 +492,37 @@ def test_incremental_embedding_dedup_cross_crawl(tmp_path):
         rd.from_arrow(crawl3), idx, threshold=0.99, update_index=False
     ).to_pandas()
     assert not bool(out3.keep.iloc[0]) and out3.dup_of.iloc[0] == 70_000
+
+
+def test_incremental_embedding_first_crawl_bootstrap(tmp_path):
+    """incremental_embedding_dedup on a NONEXISTENT index fits + persists
+    the centroids itself (first crawl of the steady-state loop): within-
+    crawl clones resolve, and the created index kills a later clone."""
+    from raydatax.dedup import incremental_embedding_dedup
+
+    e = pq.read_table(f"{SF}/embeddings.parquet").select(["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf")
+    rng = np.random.default_rng(9)
+    m = np.stack([np.asarray(v, np.float32) for v in e["embedding"].to_pylist()[:1]])
+    clone = pa.table({
+        "vec_id": pa.array([50_000], pa.int64()),
+        "embedding": pa.array(
+            [list((m + rng.normal(0, 1e-3, m.shape).astype(np.float32))[0])],
+            pa.list_(pa.float32())),
+    })
+    crawl1 = pa.concat_tables([
+        e.slice(0, 30).cast(pa.schema([("vec_id", pa.int64()),
+                                       ("embedding", pa.list_(pa.float32()))])),
+        clone,
+    ])
+    out = incremental_embedding_dedup(
+        rd.from_arrow(crawl1), idx, threshold=0.99
+    ).to_pandas().set_index("vec_id")
+    assert not bool(out.loc[50_000].keep) and out.loc[50_000].dup_of == 0
+    assert out.loc[0:29].keep.all()
+
+    crawl2 = clone.set_column(0, "vec_id", pa.array([60_000], pa.int64()))
+    out2 = incremental_embedding_dedup(
+        rd.from_arrow(crawl2), idx, threshold=0.99, update_index=False
+    ).to_pandas()
+    assert not bool(out2.keep.iloc[0]) and out2.dup_of.iloc[0] == 0
