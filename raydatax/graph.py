@@ -272,6 +272,68 @@ def pagerank(
     return ranks
 
 
+def triangle_count(
+    edges: "rd.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 16,
+) -> "rd.Dataset":
+    """Per-vertex triangle counting (count keyed by the triangle's lowest
+    vertex): edges are canonicalized to a<b (self-loops dropped,
+    deduplicated), wedges built by ONE hash join (b of the first edge =
+    a of the second — canonical ordering makes every triangle a<b<c
+    appear exactly once), then closed with an adaptive semi join of the
+    wedge's (a, c) composite key against the edge set.  All integers —
+    exact on both engines.  Composite key packs (a, c) as a·2³¹ + c
+    (node ids must be < 2³¹ — raises otherwise)."""
+    from .relational import _join_partitions, preagg_groupby, semi_join
+
+    n_parts = _join_partitions(num_partitions)
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (max(a.max(), b.max()) >= 1 << 31 or min(a.min(), b.min()) < 0):
+            raise ValueError("triangle_count needs node ids in [0, 2^31)")
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo < hi
+        return pa.table({"a": lo[keep], "b": hi[keep]})
+
+    e0 = preagg_groupby(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"],
+        [("a", "count", "__c")],
+    ).select_columns(["a", "b"]).materialize()
+
+    right = e0.map_batches(
+        lambda t: pa.table({"b": t["a"], "c": t["b"]}), batch_format="pyarrow"
+    )
+    wedges = e0.join(right, "inner", n_parts, on=("b",))
+    keyed = wedges.map_batches(
+        lambda t: t.append_column(
+            "__k",
+            pa.array(
+                (t["a"].to_numpy(zero_copy_only=False) << 31)
+                + t["c"].to_numpy(zero_copy_only=False),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    ekeys = e0.map_batches(
+        lambda t: pa.table(
+            {"__k": pa.array(
+                (t["a"].to_numpy(zero_copy_only=False) << 31)
+                + t["b"].to_numpy(zero_copy_only=False),
+                pa.int64(),
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    closed = semi_join(keyed, ekeys, left_on="__k")
+    return preagg_groupby(closed, ["a"], [("a", "count", "n_triangles")])
+
+
 def connected_components(
     edges: "rd.Dataset",
     src_col: str = "src",

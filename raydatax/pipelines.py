@@ -1902,6 +1902,24 @@ def graph_pagerank(sf_dir: str):
     return pagerank(edges, iters=3)
 
 
+def graph_triangles(sf_dir: str):
+    """Per-vertex triangle counts over a sparse deterministic graph (events
+    with event_id % 13 == 0).  Canonical-orientation wedge join + adaptive
+    semi-join closure — exact integers both sides."""
+    from .graph import triangle_count
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id"])
+    n_users = int(ev.max("user_id")) + 1
+
+    def to_edges(t: pa.Table, _u: int = n_users) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (e % 13) == 0
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table({"src": u, "dst": (u * 7 + e[keep]) % _u})
+
+    return triangle_count(ev.map_batches(to_edges, batch_format="pyarrow"))
+
+
 def graph_components(sf_dir: str):
     """Undirected connected components over a SPARSE deterministic graph
     (only events with event_id % 97 == 0 contribute an edge — several
@@ -2018,6 +2036,7 @@ QUERIES = {
     "graph_khop": graph_khop,
     "graph_components": graph_components,
     "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
     "incremental_dedup": incremental_dedup,
     "incremental_minhash_verified": incremental_minhash_verified,
     "incremental_embedding_exact": incremental_embedding_exact,
@@ -2906,6 +2925,25 @@ ORACLE_SQL = {
             WHERE r.depth < 3
         )
         SELECT node, min(depth) AS depth FROM reach GROUP BY node
+    """,
+    "graph_triangles": """
+        WITH raw AS (
+            SELECT CAST(user_id AS BIGINT) AS u,
+                   (CAST(user_id AS BIGINT) * 7 + event_id)
+                       % (SELECT max(user_id) + 1 FROM events) AS v
+            FROM events
+            WHERE event_id % 13 = 0
+        ), e0 AS (
+            SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+            FROM raw WHERE u <> v
+        ), tri AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM e0 e1
+            JOIN e0 e2 ON e2.a = e1.b
+            JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT a, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM tri GROUP BY a
     """,
     "graph_pagerank": """
         WITH e0 AS (

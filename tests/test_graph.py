@@ -179,3 +179,21 @@ def test_pagerank_integer_paths_identical():
             inc[d] += (rank[s] * 17) // (20 * odeg[s])
         rank = {n: inc[n] + 150_000 for n in nodes}
     assert a == rank
+
+
+def test_triangle_count_matches_reference():
+    from raydatax.graph import triangle_count
+
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 40, 300).astype(np.int64)
+    dst = rng.integers(0, 40, 300).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    got = {r["a"]: r["n_triangles"] for r in triangle_count(edges).take_all()}
+
+    e = {(min(a, b), max(a, b)) for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+    want: dict[int, int] = {}
+    for a, b in e:
+        for c in range(b + 1, 40):
+            if (b, c) in e and (a, c) in e:
+                want[a] = want.get(a, 0) + 1
+    assert got == want
