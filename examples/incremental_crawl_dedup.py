@@ -35,16 +35,37 @@ from raydatax.dedup import (  # noqa: E402
 
 
 def crawl_slices(sf_dir: str, n_crawls: int = 3):
-    """Deterministic disjoint 'crawls' from the shared testdata (doc_id
-    mod n); each later crawl also re-sends a slice of the previous one —
-    the cross-crawl duplicates the indexes must catch."""
+    """Deterministic 'crawls' from the shared testdata (doc_id mod n);
+    each later crawl ALSO RE-SENDS ~1/8 of the previous slice under fresh
+    ids (an ID-based rule — batch/partitioning-independent) — the
+    constructed cross-crawl duplicates the persistent indexes must
+    catch."""
+    import numpy as np
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def part(ds, col, i):
         def f(t: pa.Table) -> pa.Table:
             ids = t[col].to_numpy(zero_copy_only=False)
-            return t.filter(pa.array(ids % n_crawls == i))
+            keep = ids % n_crawls == i
+            cur = t.filter(pa.array(keep))
+            if i == 0:
+                return cur
+            # re-send: copies of the PREVIOUS crawl's slice with new ids —
+            # the index built last crawl must kill these
+            prev = t.filter(
+                pa.array((ids % n_crawls == i - 1) & ((ids // n_crawls) % 8 == 0))
+            )
+            prev = prev.set_column(
+                prev.schema.get_field_index(col), col,
+                pa.array(
+                    1_000_000 * i
+                    + prev[col].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+            )
+            return pa.concat_tables([cur, prev])
 
         return ds.map_batches(f, batch_format="pyarrow")
 
@@ -80,7 +101,9 @@ def main(sf_dir: str, state_dir: str) -> dict:
                 "crawl": i,
                 "exact_survivors": exact.count(),
                 "neardup_kept": kept_near,
+                "neardup_dropped": near.count() - kept_near,
                 "embedding_kept": kept_emb,
+                "embedding_dropped": emb.count() - kept_emb,
             }
         )
     return {"crawls": report, "state_dir": state_dir}

@@ -1114,19 +1114,32 @@ def _ensure_centroids(
     sample_rows: int,
     seed: int,
     assign_probes: int,
+    create: bool = True,
 ):
-    """Load the index's persisted centroids, fitting + persisting them from
-    a sample of ``ds`` on FIRST use — the cluster partitioning and probe
-    count are index-level state (same rule as the lake's partition
-    mapping); every later add and probe reuses them."""
+    """Load the index's persisted centroids (returning the full
+    ``(cent, probes, files, next_epoch)`` meta tuple), fitting +
+    persisting them from a sample of ``ds`` on FIRST use when ``create``
+    — the cluster partitioning and probe count are index-level state
+    (same rule as the lake's partition mapping); every later add and
+    probe reuses them.  ``create=False`` (read-only probes) RAISES on a
+    missing index instead of silently creating one at a mistyped path."""
     import os
 
     from .ann import kmeans_fit
 
-    cent, probes, _, _ = _embedding_index_meta(index_dir)
+    cent, probes, files, next_epoch = _embedding_index_meta(index_dir)
     if cent is not None:
-        return cent, probes
+        return cent, probes, files, next_epoch
+    if not create:
+        raise ValueError(
+            f"no embedding index at {index_dir} — add vectors first "
+            "(read-only probes never create an index)"
+        )
     sample = ds.limit(sample_rows).take_all()
+    if not sample:
+        raise ValueError(
+            "cannot fit index centroids from an EMPTY vector dataset"
+        )
     smat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     cent = kmeans_fit(smat, n_clusters, seed=seed)
     probes = max(1, min(assign_probes, len(cent)))
@@ -1139,7 +1152,7 @@ def _ensure_centroids(
         ),
         os.path.join(index_dir, "_centroids.parquet"),
     )
-    return cent, probes
+    return cent, probes, files, next_epoch
 
 
 def embedding_index_add(
@@ -1161,10 +1174,9 @@ def embedding_index_add(
 
     from .ann import _matrix, _normalize
 
-    cent, probes = _ensure_centroids(
+    cent, probes, _, next_epoch = _ensure_centroids(
         index_dir, ds, vec_col, n_clusters, sample_rows, seed, assign_probes
     )
-    _, _, _, next_epoch = _embedding_index_meta(index_dir)
     ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -1212,6 +1224,7 @@ def _incremental_embedding_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int = 8192,
+    create_index: bool = False,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """(assigned new rows MATERIALIZED, candidate pairs): new vectors are
     assigned with the INDEX's persisted centroids (and its stored probe
@@ -1226,13 +1239,14 @@ def _incremental_embedding_probe(
     from .ann import _matrix, _normalize
     from .relational import semi_join
 
-    # first-crawl bootstrap: fit + persist centroids from the new vectors
-    # (an empty index then simply yields new-new pairs only)
-    cent, probes = _ensure_centroids(
+    # first-crawl bootstrap (only when the caller may WRITE the index):
+    # fit + persist centroids from the new vectors — an empty index then
+    # simply yields new-new pairs only.  Read-only probes raise on a
+    # missing index instead of creating one at a mistyped path.
+    cent, probes, files, _ = _ensure_centroids(
         index_dir, new_vecs, vec_col, n_clusters=16, sample_rows=4096,
-        seed=5, assign_probes=2,
+        seed=5, assign_probes=2, create=create_index,
     )
-    _, _, files, _ = _embedding_index_meta(index_dir)
     ref = ray.put(cent)
 
     def assign_new(batch: pa.Table) -> pa.Table:
@@ -1418,7 +1432,8 @@ def incremental_embedding_dedup(
     import os
 
     new_rows, pairs = _incremental_embedding_probe(
-        new_vecs, index_dir, threshold, id_col, vec_col, **kw
+        new_vecs, index_dir, threshold, id_col, vec_col,
+        create_index=update_index, **kw
     )
     pairs = pairs.materialize()
     ids = new_vecs.select_columns([id_col])

@@ -632,6 +632,34 @@ def compact_changelog(lake_dir: str, upto_epoch: int | None = None) -> dict:
         lock.close()
 
 
+@ray.remote
+def _export_wal_segment(
+    src: str, dst: str, add_op: bool, fill_seq: int | None = None
+) -> int:
+    """Shared insert-WAL export task (repartition + bootstrap): one
+    parquet file → one deterministic WAL segment.  ``add_op`` stamps every
+    row as an INSERT (dropping any pre-existing op column — a snapshot's
+    op is not an event op); ``fill_seq`` backfills a missing seq column
+    (the consistent-snapshot position)."""
+    import pyarrow as pa
+
+    from .merge import PARQUET_OPTS
+    from .schema import EVENT_SCHEMA
+
+    t = pq.read_table(src)
+    if fill_seq is not None and "seq" not in t.column_names:
+        t = t.append_column("seq", pa.array([fill_seq] * t.num_rows, pa.int64()))
+    if add_op:
+        if "op" in t.column_names:
+            t = t.drop_columns(["op"])
+        t = t.append_column("op", pa.array(["I"] * t.num_rows, pa.string()))
+    names = [f.name for f in EVENT_SCHEMA if f.name in t.column_names]
+    tmp = dst + ".tmp"
+    pq.write_table(t.select(names).replace_schema_metadata(None), tmp, **PARQUET_OPTS)
+    os.replace(tmp, dst)
+    return t.num_rows
+
+
 def repartition_lake(
     old_lake: str,
     new_lake: str,
@@ -676,25 +704,8 @@ def repartition_lake(
     shutil.rmtree(wal, ignore_errors=True)
     os.makedirs(wal, exist_ok=True)
 
-    @ray.remote
-    def _export_segment(src: str, dst: str, as_inserts: bool) -> int:
-        import pyarrow as pa
-
-        from .merge import PARQUET_OPTS
-        from .schema import EVENT_SCHEMA
-
-        t = pq.read_table(src)
-        if as_inserts:
-            t = t.append_column("op", pa.array(["I"] * t.num_rows, pa.string()))
-        names = [f.name for f in EVENT_SCHEMA if f.name in t.column_names]
-        t = t.select(names)
-        tmp = dst + ".tmp"
-        pq.write_table(t.replace_schema_metadata(None), tmp, **PARQUET_OPTS)
-        os.replace(tmp, dst)
-        return t.num_rows
-
     refs = [
-        _export_segment.remote(
+        _export_wal_segment.remote(
             src, os.path.join(wal, f"seg-{i:05d}.parquet"), not changelog
         )
         for i, src in enumerate(files)
@@ -751,11 +762,12 @@ def bootstrap_lake(
     import shutil
 
     wal = os.path.join(lake_dir, "_bootstrap_wal")
-    # the bootstrap-WAL dir is the in-progress marker: it is removed only
-    # after success, so lake-exists + marker = an interrupted bootstrap —
-    # resume it (export is deterministic, run_job is idempotent) instead
-    # of refusing
-    if mf.load_lake_config(lake_dir) is not None and not os.path.isdir(wal):
+    marker = os.path.join(lake_dir, "_bootstrap_in_progress")
+    # a dedicated in-progress marker (NOT the WAL dir, which the caller may
+    # keep): lake-exists + marker = an interrupted bootstrap — resume it
+    # (export is deterministic, run_job is idempotent); lake-exists without
+    # the marker = a completed lake, refuse
+    if mf.load_lake_config(lake_dir) is not None and not os.path.exists(marker):
         raise RuntimeError(f"target lake already exists: {lake_dir}")
     files = (
         sorted(_glob.glob(os.path.join(snapshot_path, "*.parquet")))
@@ -765,32 +777,17 @@ def bootstrap_lake(
     if not files:
         raise FileNotFoundError(f"no snapshot parquet under {snapshot_path}")
 
+    os.makedirs(lake_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(snapshot_path)
     shutil.rmtree(wal, ignore_errors=True)  # stale crashed-attempt exports
     os.makedirs(wal, exist_ok=True)
 
-    @ray.remote
-    def _export(src: str, dst: str, snap_seq: int) -> int:
-        import pyarrow as pa
-
-        from .merge import PARQUET_OPTS
-        from .schema import EVENT_SCHEMA
-
-        t = pq.read_table(src)
-        if "seq" not in t.column_names:
-            t = t.append_column(
-                "seq", pa.array([snap_seq] * t.num_rows, pa.int64())
-            )
-        t = t.append_column("op", pa.array(["I"] * t.num_rows, pa.string()))
-        names = [f.name for f in EVENT_SCHEMA if f.name in t.column_names]
-        tmp = dst + ".tmp"
-        pq.write_table(
-            t.select(names).replace_schema_metadata(None), tmp, **PARQUET_OPTS
-        )
-        os.replace(tmp, dst)
-        return t.num_rows
-
     refs = [
-        _export.remote(src, os.path.join(wal, f"seg-{i:05d}.parquet"), snapshot_seq)
+        _export_wal_segment.remote(
+            src, os.path.join(wal, f"seg-{i:05d}.parquet"),
+            add_op=True, fill_seq=snapshot_seq,
+        )
         for i, src in enumerate(files)
     ]
     exported = sum(ray.get(refs))
@@ -806,6 +803,7 @@ def bootstrap_lake(
 
     if not keep_bootstrap_wal:
         shutil.rmtree(wal, ignore_errors=True)
+    os.remove(marker)
     report["events_exported"] = exported
     report["snapshot_seq"] = snapshot_seq
     return report

@@ -197,6 +197,11 @@ def pagerank(
     # arithmetic with numpy on the driver instead
     if e.count() <= edge_driver_threshold:
         tabs = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return rd.from_arrow(
+                pa.table({"node": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64())})
+            )
         et = pa.concat_tables(tabs, promote_options="permissive")
         src = et["src"].to_numpy(zero_copy_only=False)
         dst = et["dst"].to_numpy(zero_copy_only=False)
@@ -304,6 +309,11 @@ def triangle_count(
         ["a", "b"],
         [("a", "count", "__c")],
     ).select_columns(["a", "b"]).materialize()
+    if e0.count() == 0:  # empty-side acero joins have no schema — guard
+        return rd.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()),
+                      "n_triangles": pa.array([], pa.int64())})
+        )
 
     right = e0.map_batches(
         lambda t: pa.table({"b": t["a"], "c": t["b"]}), batch_format="pyarrow"

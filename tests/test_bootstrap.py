@@ -117,3 +117,12 @@ def test_bootstrap_crash_resume(tmp_path):
 
     with pytest.raises(RuntimeError):  # completed lake: refuse
         bootstrap_lake(snap, lake, snapshot_seq=S, partitions=6)
+
+    # keep_bootstrap_wal=True must NOT weaken the completed-lake guard
+    # (the in-progress marker is a separate file, not the kept WAL dir)
+    lake3 = str(tmp_path / "lake3")
+    bootstrap_lake(snap, lake3, snapshot_seq=S, partitions=6,
+                   keep_bootstrap_wal=True)
+    assert os.path.isdir(os.path.join(lake3, "_bootstrap_wal"))
+    with pytest.raises(RuntimeError):
+        bootstrap_lake(snap, lake3, snapshot_seq=S, partitions=6)
