@@ -559,9 +559,15 @@ def _pairs_from_groups_mixed(group: pa.Table, max_bucket: int = 64) -> pa.Table:
         return empty
     trunc = group.num_rows > max_bucket
     # keep new rows preferentially under truncation — an old row can only
-    # pair against a new one, so new rows are the scarce resource
-    order0 = np.argsort(
-        ~group["is_new"].to_numpy(zero_copy_only=False), kind="stable"
+    # pair against a new one, so new rows are the scarce resource.  Within
+    # each class order by id so the kept subset is DETERMINISTIC (the
+    # shuffle's arrival order is not — the documented
+    # partitioning-independence of keep/dup_of depends on this)
+    order0 = np.lexsort(
+        (
+            group["doc_id"].to_numpy(zero_copy_only=False),
+            ~group["is_new"].to_numpy(zero_copy_only=False),
+        )
     )
     g = group.take(pa.array(order0[:max_bucket]))
     ids = g["doc_id"].to_numpy(zero_copy_only=False)
@@ -761,6 +767,44 @@ def _mark_new_docs(
     return out.map_batches(fin, batch_format="pyarrow").materialize()
 
 
+def _append_survivor_rows(
+    marked: "ray.data.Dataset",
+    new_rows: "ray.data.Dataset",
+    id_col: str,
+    index_dir: str,
+) -> int:
+    """Shared index-update epilogue of the incremental dedup family:
+    filter the ALREADY-COMPUTED index rows (band rows / IVF assignments)
+    to the kept docs — mask-based semi join with a raised threshold so a
+    list payload never reaches an acero hash join — drop the ``is_new``
+    probe flag, and append them as the next index epoch.  Signatures /
+    assignments are never recomputed.  Returns the kept-doc count (0 ⇒
+    nothing appended)."""
+    import os
+
+    from .relational import semi_join
+
+    kept = marked.map_batches(
+        lambda t: t.filter(
+            t["keep"].combine_chunks()
+            if isinstance(t["keep"], pa.ChunkedArray) else t["keep"]
+        ).select([id_col]),
+        batch_format="pyarrow",
+    ).materialize()
+    n = kept.count()
+    if n:  # an all-duplicate crawl adds nothing to the index
+        rows = semi_join(
+            new_rows, kept, left_on=id_col, broadcast_threshold=50_000_000
+        ).map_batches(
+            lambda t: t.drop_columns(["is_new"]), batch_format="pyarrow"
+        )
+        _, next_epoch = _lsh_index_files(index_dir)
+        out = os.path.join(index_dir, f"epoch-{next_epoch}")
+        os.makedirs(out, exist_ok=True)
+        rows.write_parquet(out)
+    return n
+
+
 def incremental_minhash_dedup(
     new_docs: "ray.data.Dataset",
     index_dir: str,
@@ -799,29 +843,7 @@ def incremental_minhash_dedup(
     ids = new_docs.select_columns([id_col])
     marked = _mark_new_docs(pairs, ids, id_col, pair_driver_threshold)
     if update_index:
-        kept = marked.map_batches(
-            lambda t: t.filter(
-                t["keep"].combine_chunks()
-                if isinstance(t["keep"], pa.ChunkedArray) else t["keep"]
-            ).select([id_col]),
-            batch_format="pyarrow",
-        ).materialize()
-        if kept.count():  # an all-duplicate crawl adds nothing to the index
-            # append the survivors' ALREADY-COMPUTED band rows (mask-based
-            # semi join — the sig list payload must never reach an acero
-            # hash join, and signatures are not recomputed)
-            from .relational import semi_join
-
-            rows = semi_join(
-                new_rows, kept, left_on=id_col,
-                broadcast_threshold=50_000_000,
-            ).map_batches(
-                lambda t: t.drop_columns(["is_new"]), batch_format="pyarrow"
-            )
-            _, next_epoch = _lsh_index_files(index_dir)
-            out = os.path.join(index_dir, f"epoch-{next_epoch}")
-            os.makedirs(out, exist_ok=True)
-            rows.write_parquet(out)
+        _append_survivor_rows(marked, new_rows, id_col, index_dir)
     return marked
 
 
@@ -1155,6 +1177,29 @@ def _ensure_centroids(
     return cent, probes, files, next_epoch
 
 
+def _assign_multiprobe(
+    batch: pa.Table, cent: np.ndarray, probes: int, id_col: str, vec_col: str
+) -> pa.Table:
+    """The index row kernel shared by index ADD and PROBE (they MUST stay
+    identical — probe rows of surviving vectors are appended verbatim):
+    each vector duplicated into its ``probes`` nearest clusters, with a
+    ``__primary`` flag on the rank-0 row so readers can take exactly one
+    row per id without a join."""
+    from .ann import _matrix, _normalize
+
+    m = _normalize(_matrix(batch[vec_col]))
+    sims = m @ cent.T
+    top = np.argsort(-sims, axis=1)[:, :probes].astype(np.int32)
+    idx = np.repeat(np.arange(batch.num_rows), probes)
+    out = pa.table({id_col: batch[id_col], vec_col: batch[vec_col]}).take(
+        pa.array(idx)
+    )
+    out = out.append_column("__cluster", pa.array(top.reshape(-1)))
+    primary = np.zeros(out.num_rows, bool)
+    primary[::probes] = True
+    return out.append_column("__primary", pa.array(primary))
+
+
 def embedding_index_add(
     ds: "ray.data.Dataset",
     index_dir: str,
@@ -1180,20 +1225,7 @@ def embedding_index_add(
     ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(ref)
-        m = _normalize(_matrix(batch[vec_col]))
-        sims = m @ c.T
-        top = np.argsort(-sims, axis=1)[:, :probes].astype(np.int32)
-        idx = np.repeat(np.arange(batch.num_rows), probes)
-        out = pa.table({id_col: batch[id_col], vec_col: batch[vec_col]}).take(
-            pa.array(idx)
-        )
-        out = out.append_column("__cluster", pa.array(top.reshape(-1)))
-        # rank-0 probe flag: lets readers take exactly one row per id
-        # without a join (acero joins cannot carry list payloads)
-        primary = np.zeros(out.num_rows, bool)
-        primary[::probes] = True
-        return out.append_column("__primary", pa.array(primary))
+        return _assign_multiprobe(batch, ray.get(ref), probes, id_col, vec_col)
 
     out_dir = os.path.join(index_dir, f"epoch-{next_epoch}")
     os.makedirs(out_dir, exist_ok=True)
@@ -1250,18 +1282,7 @@ def _incremental_embedding_probe(
     ref = ray.put(cent)
 
     def assign_new(batch: pa.Table) -> pa.Table:
-        c = ray.get(ref)
-        m = _normalize(_matrix(batch[vec_col]))
-        sims = m @ c.T
-        top = np.argsort(-sims, axis=1)[:, :probes].astype(np.int32)
-        idx = np.repeat(np.arange(batch.num_rows), probes)
-        out = pa.table({id_col: batch[id_col], vec_col: batch[vec_col]}).take(
-            pa.array(idx)
-        )
-        out = out.append_column("__cluster", pa.array(top.reshape(-1)))
-        primary = np.zeros(out.num_rows, bool)
-        primary[::probes] = True  # index row schema, see embedding_index_add
-        out = out.append_column("__primary", pa.array(primary))
+        out = _assign_multiprobe(batch, ray.get(ref), probes, id_col, vec_col)
         return out.append_column("is_new", pa.array(np.ones(out.num_rows, bool)))
 
     new_rows = new_vecs.map_batches(assign_new, batch_format="pyarrow").materialize()
@@ -1278,13 +1299,20 @@ def _incremental_embedding_probe(
         empty = pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
              "a_is_new": pa.array([], pa.bool_()), "b_is_new": pa.array([], pa.bool_()),
-             "cosine": pa.array([], pa.float64())}
+             "cosine": pa.array([], pa.float64()),
+             "truncated": pa.array([], pa.bool_())}
         )
         if group.num_rows < 2:
             return empty
-        # new rows preferentially under the cap (old rows only pair vs new)
-        order0 = np.argsort(
-            ~group["is_new"].to_numpy(zero_copy_only=False), kind="stable"
+        trunc = group.num_rows > max_cluster
+        # new rows preferentially under the cap (old rows only pair vs
+        # new), id-ordered within each class — deterministic truncation,
+        # same discipline + `truncated` flag as the LSH bucket caps
+        order0 = np.lexsort(
+            (
+                group[id_col].to_numpy(zero_copy_only=False),
+                ~group["is_new"].to_numpy(zero_copy_only=False),
+            )
         )
         g = group.take(pa.array(order0[:max_cluster]))
         ids = g[id_col].to_numpy(zero_copy_only=False)
@@ -1304,6 +1332,7 @@ def _incremental_embedding_probe(
             pcs.append(sims[ii[up], jj[up]])
         if not pa_ or not len(np.concatenate(pa_)):
             return empty
+        n_out = len(np.concatenate(pa_))
         return pa.table(
             {
                 "a": pa.array(np.concatenate(pa_), pa.int64()),
@@ -1311,6 +1340,7 @@ def _incremental_embedding_probe(
                 "a_is_new": pa.array(np.concatenate(pan)),
                 "b_is_new": pa.array(np.concatenate(pbn)),
                 "cosine": pa.array(np.concatenate(pcs), pa.float64()),
+                "truncated": pa.array(np.full(n_out, trunc)),
             }
         )
 
@@ -1429,8 +1459,6 @@ def incremental_embedding_dedup(
     (:func:`_mark_new_docs`): index-killed vectors carry ``dup_of`` = the
     indexed partner, survivors cluster and their ALREADY-ASSIGNED rows
     are appended to the index (the assignment matmul is not re-run)."""
-    import os
-
     new_rows, pairs = _incremental_embedding_probe(
         new_vecs, index_dir, threshold, id_col, vec_col,
         create_index=update_index, **kw
@@ -1439,28 +1467,7 @@ def incremental_embedding_dedup(
     ids = new_vecs.select_columns([id_col])
     marked = _mark_new_docs(pairs, ids, id_col, pair_driver_threshold)
     if update_index:
-        kept = marked.map_batches(
-            lambda t: t.filter(
-                t["keep"].combine_chunks()
-                if isinstance(t["keep"], pa.ChunkedArray) else t["keep"]
-            ).select([id_col]),
-            batch_format="pyarrow",
-        ).materialize()
-        if kept.count():
-            # mask-based semi join (raised threshold): Dataset.join (acero)
-            # cannot carry the list<float> vector payload, so the hash-join
-            # fallback must never trigger
-            from .relational import semi_join
-
-            rows = semi_join(
-                new_rows, kept, left_on=id_col, broadcast_threshold=50_000_000
-            ).map_batches(
-                lambda t: t.drop_columns(["is_new"]), batch_format="pyarrow"
-            )
-            _, _, _, next_epoch = _embedding_index_meta(index_dir)
-            out = os.path.join(index_dir, f"epoch-{next_epoch}")
-            os.makedirs(out, exist_ok=True)
-            rows.write_parquet(out)
+        _append_survivor_rows(marked, new_rows, id_col, index_dir)
     return marked
 
 

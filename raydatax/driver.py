@@ -763,12 +763,28 @@ def bootstrap_lake(
 
     wal = os.path.join(lake_dir, "_bootstrap_wal")
     marker = os.path.join(lake_dir, "_bootstrap_in_progress")
+    params = {
+        "snapshot_path": os.path.abspath(snapshot_path),
+        "snapshot_seq": int(snapshot_seq),
+        "partitions": int(partitions),
+        "salt": int(salt),
+    }
     # a dedicated in-progress marker (NOT the WAL dir, which the caller may
     # keep): lake-exists + marker = an interrupted bootstrap — resume it
     # (export is deterministic, run_job is idempotent); lake-exists without
-    # the marker = a completed lake, refuse
-    if mf.load_lake_config(lake_dir) is not None and not os.path.exists(marker):
-        raise RuntimeError(f"target lake already exists: {lake_dir}")
+    # the marker = a completed lake, refuse.  A resume must re-run with the
+    # SAME parameters — a different snapshot/seq/mapping replayed over the
+    # partially committed epoch would silently mix two bootstraps
+    if mf.load_lake_config(lake_dir) is not None:
+        prior = mf._read_json(marker)
+        if prior is None:
+            raise RuntimeError(f"target lake already exists: {lake_dir}")
+        if prior != params:
+            raise RuntimeError(
+                f"interrupted bootstrap at {lake_dir} used different "
+                f"parameters {prior} — resume with the same ones or remove "
+                f"the lake"
+            )
     files = (
         sorted(_glob.glob(os.path.join(snapshot_path, "*.parquet")))
         if os.path.isdir(snapshot_path)
@@ -778,8 +794,7 @@ def bootstrap_lake(
         raise FileNotFoundError(f"no snapshot parquet under {snapshot_path}")
 
     os.makedirs(lake_dir, exist_ok=True)
-    with open(marker, "w") as f:
-        f.write(snapshot_path)
+    mf._atomic_write_json(marker, params)
     shutil.rmtree(wal, ignore_errors=True)  # stale crashed-attempt exports
     os.makedirs(wal, exist_ok=True)
 
