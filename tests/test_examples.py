@@ -1,0 +1,21 @@
+"""End-to-end example smoke: the incremental crawl-ingest loop."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "examples"))
+
+
+def test_incremental_crawl_dedup_example(tmp_path):
+    import incremental_crawl_dedup as icd
+
+    rep = icd.main("/root/testdata/sf0.001", str(tmp_path / "state"))
+    crawls = rep["crawls"]
+    assert [c["crawl"] for c in crawls] == [0, 1, 2]
+    # every crawl keeps its own fresh slice
+    assert all(c["exact_survivors"] > 100 for c in crawls)
+    # later crawls drop their RE-SENT duplicates via the persistent indexes
+    assert crawls[1]["neardup_dropped"] >= 20
+    assert crawls[1]["embedding_dropped"] >= 20
+    assert crawls[2]["embedding_dropped"] >= 20
