@@ -207,9 +207,8 @@ def incremental_exact_dedup(
         keyed, ["__k"], [(id_col, "min", id_col), (id_col, "count", "n_copies")]
     ).materialize()
     if update_index:
-        out = os.path.join(index_dir, f"epoch-{next_epoch}")
-        os.makedirs(out, exist_ok=True)
-        reps.select_columns(["__k"]).write_parquet(out)
+        os.makedirs(index_dir, exist_ok=True)
+        _commit_index_epoch(index_dir, next_epoch, reps.select_columns(["__k"]))
     return reps.select_columns([id_col, "n_copies"])
 
 
@@ -502,7 +501,9 @@ def minhash_dedup(
 
 
 def _lsh_index_files(index_dir: str) -> tuple[list[str], int]:
-    """(sorted parquet files across epoch-N subdirs, next epoch number)."""
+    """(sorted parquet files across epoch-N subdirs, next epoch number).
+    ``.stage-*`` dirs (in-flight writes, see :func:`_commit_index_epoch`)
+    are invisible — a crashed add never contributes partial rows."""
     import glob
     import os
 
@@ -517,6 +518,25 @@ def _lsh_index_files(index_dir: str) -> tuple[list[str], int]:
         for f in glob.glob(os.path.join(index_dir, e, "*.parquet"))
     )
     return files, len(epochs)
+
+
+def _commit_index_epoch(index_dir: str, next_epoch: int, rows) -> str:
+    """Crash-atomic index epoch append: write the rows Dataset into a
+    ``.stage-epoch-N`` dir, then ``os.rename`` it to ``epoch-N`` — the
+    same stage-then-flip discipline as the lake sink.  A crash mid-write
+    leaves only an invisible stage dir; a retry overwrites it."""
+    import os
+    import shutil
+
+    final = os.path.join(index_dir, f"epoch-{next_epoch}")
+    stage = os.path.join(index_dir, f".stage-epoch-{next_epoch}")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    rows.write_parquet(stage)
+    # rename onto an existing committed epoch fails loudly (ENOTEMPTY) —
+    # concurrent adds to one index are not supported (use the job lock)
+    os.rename(stage, final)
+    return final
 
 
 def minhash_index_add(
@@ -537,9 +557,11 @@ def minhash_index_add(
     import os
 
     _, next_epoch = _lsh_index_files(index_dir)
-    out = os.path.join(index_dir, f"epoch-{next_epoch}")
-    os.makedirs(out, exist_ok=True)
-    _explode_bands(docs, text_col, id_col, num_perm, bands, k, seed).write_parquet(out)
+    os.makedirs(index_dir, exist_ok=True)
+    _commit_index_epoch(
+        index_dir, next_epoch,
+        _explode_bands(docs, text_col, id_col, num_perm, bands, k, seed),
+    )
     return next_epoch
 
 
@@ -799,9 +821,7 @@ def _append_survivor_rows(
             lambda t: t.drop_columns(["is_new"]), batch_format="pyarrow"
         )
         _, next_epoch = _lsh_index_files(index_dir)
-        out = os.path.join(index_dir, f"epoch-{next_epoch}")
-        os.makedirs(out, exist_ok=True)
-        rows.write_parquet(out)
+        _commit_index_epoch(index_dir, next_epoch, rows)
     return n
 
 
@@ -1227,9 +1247,9 @@ def embedding_index_add(
     def assign(batch: pa.Table) -> pa.Table:
         return _assign_multiprobe(batch, ray.get(ref), probes, id_col, vec_col)
 
-    out_dir = os.path.join(index_dir, f"epoch-{next_epoch}")
-    os.makedirs(out_dir, exist_ok=True)
-    ds.map_batches(assign, batch_format="pyarrow").write_parquet(out_dir)
+    _commit_index_epoch(
+        index_dir, next_epoch, ds.map_batches(assign, batch_format="pyarrow")
+    )
     return next_epoch
 
 

@@ -526,3 +526,38 @@ def test_incremental_embedding_first_crawl_bootstrap(tmp_path):
         rd.from_arrow(crawl2), idx, threshold=0.99, update_index=False
     ).to_pandas()
     assert not bool(out2.keep.iloc[0]) and out2.dup_of.iloc[0] == 0
+
+
+def test_index_epoch_commit_is_crash_atomic(tmp_path, docs):
+    """A crashed index add leaves only a .stage-epoch-N dir: probes must
+    not see its rows, and the retry commits the same epoch number."""
+    import os
+
+    from raydatax.dedup import (
+        _lsh_index_files,
+        incremental_exact_dedup,
+        minhash_index_add,
+    )
+
+    idx = str(tmp_path / "lsh")
+    minhash_index_add(rd.from_arrow(docs.slice(0, 20)), idx)
+
+    # simulate a crashed second add: stage dir written, rename never ran
+    stage = os.path.join(idx, ".stage-epoch-1")
+    os.makedirs(stage)
+    pq.write_table(pq.read_table(f"{idx}/epoch-0/" + os.listdir(f"{idx}/epoch-0")[0]),
+                   os.path.join(stage, "part-0.parquet"))
+
+    files, next_epoch = _lsh_index_files(idx)
+    assert next_epoch == 1  # the stage dir is invisible
+    assert all("/.stage-" not in f for f in files)
+
+    # retry lands as epoch-1, replacing the stage
+    minhash_index_add(rd.from_arrow(docs.slice(20, 10)), idx)
+    assert os.path.isdir(os.path.join(idx, "epoch-1"))
+    assert not os.path.exists(stage)
+
+    # the exact-dedup index uses the same commit: kill-safe by construction
+    eidx = str(tmp_path / "exact")
+    incremental_exact_dedup(rd.from_arrow(docs.slice(0, 5)), eidx)
+    assert sorted(os.listdir(eidx)) == ["epoch-0"]
