@@ -277,6 +277,93 @@ def pagerank(
     return ranks
 
 
+def shortest_paths(
+    edges: "rd.Dataset",
+    seeds: Iterable[int],
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    num_partitions: int = 16,
+    edge_driver_threshold: int = 2_000_000,
+) -> "rd.Dataset":
+    """Bounded-hop single/multi-source shortest paths (Bellman–Ford,
+    ``rounds`` relaxations): ``(node, dist)`` = the minimum total INTEGER
+    weight over paths of ≤ ``rounds`` edges from any seed; unreached
+    nodes are absent.  Integer weights + fixed round count make the
+    result engine/order-exact (the same discipline as the integer
+    PageRank — its SQL oracle is the rounds unrolled as chained CTEs).
+    Parallel edges collapse to their minimum weight first.  Adaptive:
+    numpy relaxation on the driver under a metadata-counted edge
+    threshold, per-round hash join + pre-aggregated integer min above."""
+    from .relational import _join_partitions, preagg_groupby
+
+    seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    if seed_arr.size == 0:
+        raise ValueError("shortest_paths needs at least one seed")
+    n_parts = _join_partitions(num_partitions)
+    e = preagg_groupby(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"src": pc.cast(t[src_col], pa.int64()),
+                 "dst": pc.cast(t[dst_col], pa.int64()),
+                 "w": pc.cast(t[weight_col], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["src", "dst"],
+        [("w", "min", "w")],
+    ).materialize()
+
+    if e.count() <= edge_driver_threshold:
+        tabs = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return rd.from_arrow(
+                pa.table({"node": pa.array(seed_arr, pa.int64()),
+                          "dist": pa.array(np.zeros(seed_arr.size, np.int64))})
+            )
+        et = pa.concat_tables(tabs, promote_options="permissive")
+        src = et["src"].to_numpy(zero_copy_only=False)
+        dst = et["dst"].to_numpy(zero_copy_only=False)
+        w = et["w"].to_numpy(zero_copy_only=False)
+        nodes_np = np.unique(np.concatenate([src, dst, seed_arr]))
+        si = np.searchsorted(nodes_np, src)
+        di = np.searchsorted(nodes_np, dst)
+        INF = np.iinfo(np.int64).max // 4
+        dist = np.full(len(nodes_np), INF, np.int64)
+        dist[np.searchsorted(nodes_np, seed_arr)] = 0
+        for _ in range(rounds):
+            cand = dist[si] + w  # INF/4 headroom — no overflow
+            nxt = dist.copy()
+            np.minimum.at(nxt, di, cand)
+            dist = nxt
+        reached = dist < INF
+        return rd.from_arrow(
+            pa.table({"node": pa.array(nodes_np[reached], pa.int64()),
+                      "dist": pa.array(dist[reached], pa.int64())})
+        )
+
+    dists = rd.from_arrow(
+        pa.table({"node": pa.array(seed_arr, pa.int64()),
+                  "dist": pa.array(np.zeros(seed_arr.size, np.int64))})
+    ).materialize()
+    for _ in range(rounds):
+        sender = dists.map_batches(
+            lambda t: pa.table({"src": t["node"], "dist": t["dist"]}),
+            batch_format="pyarrow",
+        )
+        cand = sender.join(e, "inner", n_parts, on=("src",)).map_batches(
+            lambda t: pa.table(
+                {"node": t["dst"], "dist": pc.add(t["dist"], t["w"])}
+            ),
+            batch_format="pyarrow",
+        )
+        dists = preagg_groupby(
+            cand.union(dists), ["node"], [("dist", "min", "dist")]
+        ).materialize()
+    return dists
+
+
 def triangle_count(
     edges: "rd.Dataset",
     src_col: str = "src",

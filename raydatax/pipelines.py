@@ -1902,6 +1902,25 @@ def graph_pagerank(sf_dir: str):
     return pagerank(edges, iters=3)
 
 
+def graph_shortest_paths(sf_dir: str):
+    """3-hop-bounded shortest paths from seeds {0,1,2} over the derived
+    interaction graph with integer weights w = event_id % 97 + 1 (parallel
+    edges collapse to min w).  Deterministic integer relaxation — exact on
+    both engines; oracle = the three rounds unrolled as chained CTEs."""
+    from .graph import shortest_paths
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id"])
+    n_users = int(ev.max("user_id")) + 1
+
+    def to_edges(t: pa.Table, _u: int = n_users) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": u, "dst": (u * 3 + e) % _u, "w": e % 97 + 1})
+
+    edges = ev.map_batches(to_edges, batch_format="pyarrow")
+    return shortest_paths(edges, seeds=[0, 1, 2], rounds=3)
+
+
 def graph_triangles(sf_dir: str):
     """Per-vertex triangle counts over a sparse deterministic graph (events
     with event_id % 13 == 0).  Canonical-orientation wedge join + adaptive
@@ -2037,6 +2056,7 @@ QUERIES = {
     "graph_components": graph_components,
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
+    "graph_shortest_paths": graph_shortest_paths,
     "incremental_dedup": incremental_dedup,
     "incremental_minhash_verified": incremental_minhash_verified,
     "incremental_embedding_exact": incremental_embedding_exact,
@@ -2925,6 +2945,38 @@ ORACLE_SQL = {
             WHERE r.depth < 3
         )
         SELECT node, min(depth) AS depth FROM reach GROUP BY node
+    """,
+    "graph_shortest_paths": """
+        WITH e0 AS (
+            SELECT CAST(user_id AS BIGINT) AS src,
+                   (CAST(user_id AS BIGINT) * 3 + event_id)
+                       % (SELECT max(user_id) + 1 FROM events) AS dst,
+                   CAST(min(event_id % 97 + 1) AS BIGINT) AS w
+            FROM events
+            GROUP BY 1, 2
+        ), d0 AS (
+            SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+                                  (1, 0), (2, 0)) AS s(node, dist)
+        ), d1 AS (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT * FROM d0
+                UNION ALL
+                SELECT e.dst, d.dist + e.w FROM d0 d JOIN e0 e ON e.src = d.node
+            ) GROUP BY node
+        ), d2 AS (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT * FROM d1
+                UNION ALL
+                SELECT e.dst, d.dist + e.w FROM d1 d JOIN e0 e ON e.src = d.node
+            ) GROUP BY node
+        ), d3 AS (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT * FROM d2
+                UNION ALL
+                SELECT e.dst, d.dist + e.w FROM d2 d JOIN e0 e ON e.src = d.node
+            ) GROUP BY node
+        )
+        SELECT node, dist FROM d3
     """,
     "graph_triangles": """
         WITH raw AS (

@@ -197,3 +197,36 @@ def test_triangle_count_matches_reference():
             if (b, c) in e and (a, c) in e:
                 want[a] = want.get(a, 0) + 1
     assert got == want
+
+
+def test_shortest_paths_paths_identical_and_match_reference():
+    from raydatax.graph import shortest_paths
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 60, 250).astype(np.int64)
+    dst = rng.integers(0, 60, 250).astype(np.int64)
+    w = rng.integers(1, 50, 250).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst, "w": w})).repartition(4)
+    seeds = [5, 40]
+
+    a = {r["node"]: r["dist"]
+         for r in shortest_paths(edges, seeds, rounds=4).take_all()}
+    b = {r["node"]: r["dist"]
+         for r in shortest_paths(edges, seeds, rounds=4,
+                                 edge_driver_threshold=0).take_all()}
+    assert a == b
+
+    # serial reference: 4 Bellman-Ford relaxations over min-weight edges
+    emin: dict[tuple[int, int], int] = {}
+    for s, d, wt in zip(src.tolist(), dst.tolist(), w.tolist()):
+        k = (s, d)
+        emin[k] = min(emin.get(k, wt), wt)
+    INF = 1 << 60
+    dist = {s: 0 for s in seeds}
+    for _ in range(4):
+        nxt = dict(dist)
+        for (s, d), wt in emin.items():
+            if s in dist and dist[s] + wt < nxt.get(d, INF):
+                nxt[d] = dist[s] + wt
+        dist = nxt
+    assert a == dist
