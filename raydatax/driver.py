@@ -129,6 +129,10 @@ def run_job(
                 f"mode; cannot mix with {mode!r} replay"
             )
         cfg_early = mf.load_lake_config(lake_dir)
+        if cfg_early is not None:
+            # partition-hash mismatch would silently split LWW keys across
+            # partitions — hard-stop before any planning (manifest.py)
+            mf.check_hash_version(cfg_early, lake_dir)
         if (output is not None and cfg_early is not None
                 and output != cfg_early.get("output", "image")):
             raise RuntimeError(
@@ -867,6 +871,9 @@ def lookup_conversation(lake_dir: str, conv_id: str):
     cfg = mf.load_lake_config(lake_dir)
     if cfg is None:
         raise FileNotFoundError(f"no lake at {lake_dir}")
+    # pruning below recomputes the ingest-time hash — a mismatched build
+    # would read the wrong partition and miss the conversation entirely
+    mf.check_hash_version(cfg, lake_dir)
     manifests = mf.load_manifests(lake_dir)
     P, S, hot = cfg["partitions"], cfg["salt"], cfg["hot_keys"]
     if conv_id in hot:

@@ -302,15 +302,26 @@ def shortest_paths(
     if seed_arr.size == 0:
         raise ValueError("shortest_paths needs at least one seed")
     n_parts = _join_partitions(num_partitions)
+
+    def _edge_batch(t: pa.Table) -> pa.Table:
+        w = pc.cast(t[weight_col], pa.int64())
+        # negative weights would let the relaxation step walk out of
+        # unreached nodes (INF + w < INF) and mark them reached with
+        # ~2e18 distances; Bellman–Ford with bounded rounds is only
+        # defined here for non-negative integer weights
+        mn = pc.min(w).as_py()
+        if mn is not None and mn < 0:
+            raise ValueError(
+                f"shortest_paths requires non-negative weights; saw {mn}"
+            )
+        return pa.table(
+            {"src": pc.cast(t[src_col], pa.int64()),
+             "dst": pc.cast(t[dst_col], pa.int64()),
+             "w": w}
+        )
+
     e = preagg_groupby(
-        edges.map_batches(
-            lambda t: pa.table(
-                {"src": pc.cast(t[src_col], pa.int64()),
-                 "dst": pc.cast(t[dst_col], pa.int64()),
-                 "w": pc.cast(t[weight_col], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        ),
+        edges.map_batches(_edge_batch, batch_format="pyarrow"),
         ["src", "dst"],
         [("w", "min", "w")],
     ).materialize()
@@ -333,7 +344,11 @@ def shortest_paths(
         dist = np.full(len(nodes_np), INF, np.int64)
         dist[np.searchsorted(nodes_np, seed_arr)] = 0
         for _ in range(rounds):
-            cand = dist[si] + w  # INF/4 headroom — no overflow
+            # never relax FROM an unreached node (belt-and-braces with the
+            # non-negative weight check: keeps INF nodes inert even if a
+            # pathological weight approaches the INF/4 headroom)
+            reached_src = dist[si] < INF
+            cand = np.where(reached_src, dist[si] + w, INF)
             nxt = dist.copy()
             np.minimum.at(nxt, di, cand)
             dist = nxt

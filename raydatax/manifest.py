@@ -88,9 +88,34 @@ def init_lake(lake_dir: str, partitions: int, salt: int, hot_keys: list[str],
         "time_travel_epochs": int(time_travel_epochs),
         "output": output,
         "format": "raydatax-lake-v1",
+        "hash_version": _hash_version(),
     }
     _atomic_write_json(lake_config_path(lake_dir), cfg)
     return cfg
+
+
+def _hash_version() -> str:
+    from .partition import HASH_VERSION
+
+    return HASH_VERSION
+
+
+def check_hash_version(cfg: dict, lake_dir: str) -> None:
+    """Refuse to touch a lake whose key→partition hash differs from this
+    build's.  Without this guard a hash change silently remaps conv_ids to
+    different partitions: LWW keys split across partitions (stale/duplicate
+    rows survive), lookup pruning reads the wrong partition, and resume is
+    no longer byte-identical.  Lakes written before the tag existed are
+    treated as mismatched too — their mapping is unknown.  Migration path:
+    ``driver.repartition_lake`` (full export re-bucket, no hash pruning)."""
+    found = cfg.get("hash_version", "<untagged pre-v2 lake>")
+    want = _hash_version()
+    if found != want:
+        raise RuntimeError(
+            f"lake {lake_dir} was partitioned with hash {found!r} but this "
+            f"build uses {want!r}; ingesting or key-pruned lookups would "
+            f"mis-map keys. Migrate with driver.repartition_lake()."
+        )
 
 
 def total_partitions(cfg: dict) -> int:
@@ -292,10 +317,17 @@ def vacuum(lake_dir: str, keep_unreferenced: int = 0) -> list[str]:
     epochs accumulate forever — a real leak at scale).  Safe after commit:
     manifests already point at the new files.  ``keep_unreferenced`` retains
     the N newest unreferenced epochs per partition — the TIME-TRAVEL window
-    for ``committed_files(at_epoch=)`` / ``read_lake(at_epoch=)``.  History
-    records are kept even when their file is vacuumed (tiny JSONs) so a
-    time travel past the window fails LOUDLY instead of silently returning
-    partial state."""
+    for ``committed_files(at_epoch=)`` / ``read_lake(at_epoch=)``.
+
+    History JSONs are trimmed too — at a micro-batch cadence (1440
+    epochs/day × P partitions) unbounded per-epoch records are a real
+    small-file leak.  Per partition we keep: records whose data file still
+    exists (inside the window), any ``compacted_upto`` marker (a changelog
+    lake's compaction horizon lives in these), and two TOMBSTONES — the
+    partition's oldest record plus the newest vacuumed one — so a time
+    travel anywhere past the window still resolves to a record whose file
+    is gone and fails LOUDLY (``snapshot_manifests``) instead of silently
+    returning partial state."""
     referenced = {os.path.join(lake_dir, m["file"]) for m in load_manifests(lake_dir).values()}
     removed = []
     for pdir in sorted(glob.glob(os.path.join(lake_dir, "data", "part-*"))):
@@ -305,6 +337,29 @@ def vacuum(lake_dir: str, keep_unreferenced: int = 0) -> list[str]:
         for f in unref[:n_drop]:
             os.remove(f)
             removed.append(f)
+
+    by_part: dict[int, list[tuple[str, dict]]] = {}
+    for p in glob.glob(os.path.join(lake_dir, "_manifests", "history", "part-*.json")):
+        m = _read_json(p)
+        if m is not None:
+            by_part.setdefault(int(m["partition"]), []).append((p, m))
+    for recs in by_part.values():
+        recs.sort(key=lambda pm: pm[1]["epoch"])
+        vacuumed = [
+            (p, m) for p, m in recs
+            if not os.path.exists(os.path.join(lake_dir, m["file"]))
+        ]
+        keep_paths = {recs[0][0]}  # oldest record: loud-failure lower bound
+        if vacuumed:
+            keep_paths.add(vacuumed[-1][0])  # newest trimmed-below-here mark
+        for p, m in recs:
+            if (m.get("compacted_upto")
+                    or os.path.exists(os.path.join(lake_dir, m["file"]))):
+                keep_paths.add(p)
+        for p, _ in vacuumed:
+            if p not in keep_paths:
+                os.remove(p)
+                removed.append(p)
     return removed
 
 

@@ -35,6 +35,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+# Version tag of the key→partition hash function.  The mapping is lake-level
+# state (rebase merge, byte-identical resume and lookup pruning all depend on
+# every ingest of a lake agreeing on it), so the tag is persisted in
+# ``_lake.json`` at creation and validated on every subsequent ingest/lookup:
+# changing the hash below REQUIRES bumping this string, and old lakes must be
+# migrated via ``driver.repartition_lake`` (which re-buckets by full export,
+# never by hash pruning).  v1 was pandas SipHash (round 1); v2 is the
+# buffer-level polynomial + splitmix finalizer below.
+HASH_VERSION = "poly-splitmix-v2"
+
 _MIX = np.uint64(0xFF51AFD7ED558CCD)
 
 

@@ -1088,13 +1088,23 @@ def grouped_percentiles(
     hi = np.array([r["__hi"] if r["__hi"] is not None else np.nan for r in stats], np.float64)
     n_rows = np.array([r["__n"] for r in stats], np.int64)
     width = np.where(hi > lo, (hi - lo) / num_bins, 1.0)
-    ref = ray.put((pa.array(gkeys), lo, width))
+    # a NULL group key is a legitimate SQL group; index_in returns null for
+    # null inputs, so route those rows to the null group's slot explicitly
+    # (a float/NaN gidx would IndexError the fancy indexing below)
+    null_gi = next((i for i, k in enumerate(gkeys) if k is None), -1)
+    ref = ray.put((pa.array(gkeys), lo, width, null_gi))
 
     def partial_hist(t: pa.Table) -> pa.Table:
-        keys_arr, lo_b, w_b = ray.get(ref)
+        keys_arr, lo_b, w_b, null_slot = ray.get(ref)
         if t[value_col].null_count:  # quantile_cont ignores NULLs
             t = t.filter(pc.is_valid(t[value_col]))
-        gidx = pc.index_in(t[key], value_set=keys_arr).to_numpy(zero_copy_only=False)
+        gidx_arr = pc.fill_null(
+            pc.index_in(t[key], value_set=keys_arr), null_slot
+        )
+        if null_slot < 0:  # no null group in stats → drop stray null keys
+            t = t.filter(pc.greater_equal(gidx_arr, 0))
+            gidx_arr = pc.filter(gidx_arr, pc.greater_equal(gidx_arr, 0))
+        gidx = gidx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         b = np.clip(((v - lo_b[gidx]) / w_b[gidx]).astype(np.int64), 0, num_bins - 1)
         flat = gidx * num_bins + b

@@ -508,7 +508,19 @@ def synthetic_columns(
                     raise ValueError("streamreader column needs value or random")
                 cols.append(arr)
             out.append(pa.table(dict(zip(names, cols))))
-        return pa.concat_tables(out) if out else None
+        if out:
+            return pa.concat_tables(out)
+        # every shard id in this batch had an empty quota (total_records <
+        # shards*per_shard leaves trailing shards empty) — map_batches
+        # rejects None; emit a zero-row table with the spec's schema
+        _PT = {"long": pa.int64(), "double": pa.float64(), "bool": pa.bool_(),
+               "bytes": pa.binary(), "date": pa.timestamp("us")}
+        fields = [
+            pa.field(c.get("name", f"col{i}"),
+                     _PT.get(str(c.get("type", "string")).lower(), pa.string()))
+            for i, c in enumerate(column_spec)
+        ]
+        return pa.schema(fields).empty_table()
 
     return rd.range(shards).map_batches(gen_shard, batch_format="pyarrow",
                                         batch_size=1)

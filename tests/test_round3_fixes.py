@@ -1,0 +1,141 @@
+"""Round-3 hardening: partition-hash version guard, vacuum history
+trimming, shortest-paths weight validation, streamreader empty-quota
+shards, histogram percentiles with NULL group keys."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raydatax.driver import lookup_conversation, run_job
+from raydatax.gen import gen_events, write_wal
+from raydatax.manifest import (
+    lake_config_path,
+    snapshot_manifests,
+    vacuum,
+)
+
+
+def _reingest(tmp_wal, ev, lo, hi):
+    import shutil
+
+    shutil.rmtree(tmp_wal, ignore_errors=True)
+    write_wal(ev.slice(lo, hi - lo), tmp_wal, seg_rows=1500)
+
+
+def test_hash_version_guard(tmp_wal, tmp_lake, ray_session):
+    """A lake partitioned with a different (or unknown) key hash must refuse
+    ingest AND key-pruned lookups — a silent remap splits LWW keys across
+    partitions and reads the wrong partition on lookup."""
+    ev = gen_events(4000, seed=311)
+    write_wal(ev, tmp_wal, seg_rows=2000)
+    run_job(tmp_wal, tmp_lake, partitions=4)
+
+    cfg_path = lake_config_path(tmp_lake)
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    assert cfg["hash_version"] == "poly-splitmix-v2"
+
+    cfg["hash_version"] = "pandas-siphash-v1"
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    with pytest.raises(RuntimeError, match="repartition_lake"):
+        run_job(tmp_wal, tmp_lake, partitions=4)
+    with pytest.raises(RuntimeError, match="hash"):
+        lookup_conversation(tmp_lake, "conv-1")
+
+    # legacy lakes (no tag at all) are refused too — their mapping is unknown
+    del cfg["hash_version"]
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    with pytest.raises(RuntimeError, match="untagged"):
+        run_job(tmp_wal, tmp_lake, partitions=4)
+
+
+def test_vacuum_trims_history_bounded(tmp_wal, tmp_lake, ray_session):
+    """History JSONs must not grow one-per-epoch forever once their data
+    files are vacuumed; the loud-failure property of time travel past the
+    window must survive the trim (tombstone records)."""
+    ev = gen_events(8000, seed=313)
+    q = ev.num_rows // 4
+    epochs = []
+    for i in range(4):
+        _reingest(tmp_wal, ev, 0, q * (i + 1))
+        rep = run_job(tmp_wal, tmp_lake, partitions=2)
+        epochs.append(rep["epoch"])
+
+    hist_dir = os.path.join(tmp_lake, "_manifests", "history")
+    vacuum(tmp_lake, keep_unreferenced=0)
+    removed_twice = vacuum(tmp_lake, keep_unreferenced=0)  # idempotent
+    assert removed_twice == []
+
+    # per partition: ≤ 1 live record + 2 tombstones (oldest + newest-trimmed)
+    per_part = {}
+    for p in glob.glob(os.path.join(hist_dir, "part-*.json")):
+        with open(p) as f:
+            m = json.load(f)
+        per_part.setdefault(m["partition"], []).append(m["epoch"])
+    assert per_part
+    for pid, eps in per_part.items():
+        assert len(eps) <= 3, (pid, eps)
+
+    # time travel to ANY pre-window epoch still fails loudly, never silently
+    for e in epochs[:-1]:
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            snapshot_manifests(tmp_lake, e)
+
+
+def test_shortest_paths_rejects_negative_weights(ray_session):
+    from raydatax.graph import shortest_paths
+
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array([1, 2], pa.int64()),
+                  "dst": pa.array([2, 3], pa.int64()),
+                  "w": pa.array([5, -1], pa.int64())})
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        shortest_paths(edges, seeds=[1], rounds=2).materialize()
+
+
+def test_synthetic_columns_empty_quota_shards(ray_session):
+    """total_records < shards*per_shard leaves trailing shards with an empty
+    quota; the generator must emit a typed zero-row table, not None."""
+    from raydatax.sources import synthetic_columns
+
+    spec = [
+        {"name": "k", "type": "long", "random": "0, 9"},
+        {"name": "s", "type": "string", "random": "3, 6"},
+    ]
+    ds = synthetic_columns(spec, total_records=3, shards=8, seed=7).materialize()
+    assert ds.count() == 3
+    sch = ds.schema()
+    assert set(sch.names) == {"k", "s"}
+    assert dict(zip(sch.names, sch.types))["k"] == pa.int64()
+
+
+def test_grouped_percentiles_histogram_null_keys(ray_session):
+    """NULL group keys are legitimate SQL groups; the histogram path must
+    bin them (not IndexError on a NaN gidx) and agree with the exact path
+    to within one bin width."""
+    from raydatax.relational import grouped_percentiles
+
+    rng = np.random.default_rng(17)
+    keys = ["a"] * 400 + ["b"] * 300 + [None] * 300
+    vals = rng.uniform(0.0, 100.0, size=1000)
+    ds = rd.from_arrow(pa.table({"g": pa.array(keys, pa.string()),
+                                 "v": pa.array(vals)}))
+    pcts = [("p50", 0.5), ("p95", 0.95)]
+    exact = {r["g"]: r for r in grouped_percentiles(
+        ds, "g", "v", pcts, exact_threshold=10_000).take_all()}
+    hist = {r["g"]: r for r in grouped_percentiles(
+        ds, "g", "v", pcts, exact_threshold=0, num_bins=4096).take_all()}
+    assert set(hist) == set(exact) == {"a", "b", None}
+    bin_w = 100.0 / 4096
+    for g in exact:
+        for name, _ in pcts:
+            assert abs(hist[g][name] - exact[g][name]) <= 2 * bin_w, (g, name)
