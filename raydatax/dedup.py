@@ -917,9 +917,14 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int | None = 128,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by SimHash: bucket on each of `bands` 16-bit slices
-    (any pair within Hamming ≤ bands-1 shares ≥1 slice), verify Hamming."""
+    (any pair within Hamming ≤ bands-1 shares ≥1 slice), verify Hamming.
+    ``max_bucket`` caps an adversarially hot slice bucket (truncated
+    deterministically by id); ``None`` lifts the cap — the exact-verify
+    twin ``pipelines.dedup_simhash_verified`` needs completeness, while
+    production keeps the cap as its all-pairs guard."""
 
     def explode(batch: pa.Table) -> pa.Table:
         col = _string_col(batch, text_col)
@@ -939,7 +944,9 @@ def simhash_pairs(
             }
         )
 
-    def bucket_pairs(group: pa.Table, max_bucket: int = 128) -> pa.Table:
+    cap = max_bucket
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                           "hamming": pa.array([], pa.int64())})
         if group.num_rows < 2:
@@ -951,8 +958,8 @@ def simhash_pairs(
         # same cap discipline as the MinHash buckets: an adversarially hot
         # 16-bit slice bucket must not explode into all-pairs — truncate
         # (deterministically, by id order) instead of O(n²)-ing
-        if len(ids) > max_bucket:
-            ids, sh = ids[:max_bucket], sh[:max_bucket]
+        if cap is not None and len(ids) > cap:
+            ids, sh = ids[:cap], sh[:cap]
         iu = np.triu_indices(len(ids), 1)
         x = sh[iu[0]] ^ sh[iu[1]]
         ham = np.zeros(len(x), dtype=np.int64)

@@ -180,6 +180,65 @@ def transcript_cdc_replay(sf_dir: str):
     )
 
 
+def job_json_roundtrip(sf_dir: str):
+    """The DECLARATIVE surface end-to-end under the exact gate: the same
+    derived CDC stream as ``transcript_cdc_replay``, but driven through a
+    job-JSON file on disk — ``{"job": {"content": [{"reader": walreader,
+    "writer": lakewriter}], "setting": {errorLimit}}}`` — parsed and
+    executed by ``job.run_job_config`` (the ``python -m raydatax.job``
+    path, mirroring the reference's Engine.java:122-172 job lifecycle:
+    parse config → bind reader/writer → run → report).  A green row
+    certifies that the declarative runner compiles to the identical
+    engine pipeline (salted exchange, LWW merge, two-phase commit) as the
+    programmatic API."""
+    import json
+    import shutil
+
+    from .driver import lake_table
+    from .gen import write_wal
+    from .job import run_job_config
+
+    wal_table = _derived_cdc_wal_table(sf_dir)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = f"/tmp/raydatax_jobjson_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    write_wal(wal_table, os.path.join(root, "wal"), seg_rows=20_000)
+
+    cfg = {
+        "job": {
+            "content": [{
+                "reader": {"name": "walreader",
+                           "parameter": {"path": os.path.join(root, "wal")}},
+                "writer": {"name": "lakewriter",
+                           "parameter": {"path": os.path.join(root, "lake"),
+                                         "partitions": 4, "salt": 2}},
+            }],
+            "setting": {"errorLimit": {"record": 0}},
+        }
+    }
+    cfg_path = os.path.join(root, "job.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f, indent=1)
+    with open(cfg_path) as f:  # the file IS the interface — reparse it
+        report = run_job_config(json.load(f))
+    assert report["contents"][0]["action"] == "applied", report
+
+    lk = lake_table(os.path.join(root, "lake"))
+    full = pc.strftime(lk["ts"], format="%Y-%m-%d %H:%M:%S")
+    return pa.table(
+        {
+            "conv_id": lk["conv_id"],
+            "turn_idx": lk["turn_idx"],
+            "role": lk["role"],
+            "text": lk["text"],
+            "tool": lk["tool"],
+            "ts_str": pc.utf8_slice_codeunits(full, 0, 19),
+            "seq": lk["seq"],
+        }
+    )
+
+
 def conversation_summary_view(sf_dir: str):
     """Incremental materialized view under the SQL gate (view.refresh_view):
     the flagship's derived CDC stream is ingested through the full engine,
@@ -960,6 +1019,33 @@ def dedup_minhash_verified(sf_dir: str):
 def dedup_simhash(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
+
+
+def dedup_simhash_verified(sf_dir: str):
+    """The SimHash near-dup path under the exact-SQL gate: 64-bit SimHash
+    (word-token polynomial hash + splitmix-style mix, per-bit signed sums)
+    banded into four 16-bit slices — any pair within Hamming ≤ 3 shares a
+    slice by pigeonhole, so banding + Hamming verify is EXACT here, not
+    probabilistic.  The oracle recomputes the identical signature in pure
+    SQL (HUGEINT mod-2^64 polynomial, 32-bit-split multiply, xor via
+    two's-complement BIGINT) and takes ALL-pairs bit_count(xor) ≤ 3: a
+    green row certifies the signature kernel bit-for-bit AND the banding's
+    recall.  Restricted to ASCII, token-bearing docs (the SQL twin hashes
+    code points, the engine hashes UTF-8 bytes — identical only on ASCII;
+    token-less docs have no SQL rows).  Bucket caps are lifted — the
+    production entry ``dedup_simhash`` keeps them as its all-pairs guard."""
+
+    def ascii_tokenful(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(pc.binary_length(pc.cast(t["text"], pa.binary())),
+                     pc.utf8_length(t["text"])),
+            pc.match_substring_regex(t["text"], r"\S"),
+        )
+        return t.filter(keep)
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = ds.map_batches(ascii_tokenful, batch_format="pyarrow")
+    return simhash_pairs(ds, max_hamming=3, max_bucket=None)
 
 
 # ------------------------------------------------------------------ windows
@@ -1971,6 +2057,7 @@ def graph_components(sf_dir: str):
 QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "transcript_cdc_replay": transcript_cdc_replay,
+    "job_json_roundtrip": job_json_roundtrip,
     "cdc_changelog_export": cdc_changelog_export,
     "conversation_summary_view": conversation_summary_view,
     "transcript_window_replay": transcript_window_replay,
@@ -2009,6 +2096,7 @@ QUERIES = {
     "ngram_jaccard": ngram_jaccard,
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_verified": dedup_simhash_verified,
     "events_hourly": events_hourly,
     "user_sessions": user_sessions,
     "asof_latest_purchase": asof_latest_purchase,
@@ -2450,6 +2538,94 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = i.a
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.6
+    """,
+    # the engine's 64-bit SimHash recomputed in pure SQL: mod-2^64
+    # polynomial token hash (HUGEINT), splitmix-style multiply via 32-bit
+    # split (a full 64×64 product overflows HUGEINT), xor through BIGINT
+    # two's complement, per-bit signed sums, signatures packed as two
+    # 32-bit halves, ALL-pairs hamming via bit_count(xor) — any pair with
+    # hamming ≤ 3 shares one of four 16-bit bands (pigeonhole), so the
+    # engine's banded candidates are provably complete and the row is
+    # exactly comparable
+    "dedup_simhash_verified": r"""
+        WITH RECURSIVE p2(k, v) AS (
+          SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT k+1, v*2 FROM p2 WHERE k < 63
+        ),
+        pw(k, v) AS (
+          SELECT 0, CAST(1 AS HUGEINT)
+          UNION ALL
+          SELECT k+1, (v * 1099511628211) % 18446744073709551616
+          FROM pw WHERE k < 2048
+        ),
+        toks AS (
+          SELECT doc_id, tok
+          FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                FROM documents
+                WHERE regexp_matches(text, '\S')
+                  AND octet_length(encode(text)) = length(text))
+          WHERE tok <> ''
+        ),
+        tok1 AS (SELECT row_number() OVER () AS tid, doc_id, tok,
+                        length(tok) AS L FROM toks),
+        chars AS (
+          SELECT t.tid, t.doc_id, t.L,
+                 CAST(ord(substr(t.tok, CAST(p AS INTEGER), 1)) AS HUGEINT) AS b,
+                 t.L - CAST(p AS INTEGER) + 1 AS e
+          FROM tok1 t, unnest(range(1, t.L + 1)) AS u(p)
+        ),
+        thash AS (
+          SELECT c.tid, c.doc_id,
+                 (SUM(c.b * pw.v) + ANY_VALUE(c.L)) % 18446744073709551616 AS h
+          FROM chars c JOIN pw ON pw.k = c.e
+          GROUP BY c.tid, c.doc_id
+        ),
+        mixed AS (
+          SELECT tid, doc_id,
+            (
+              (((h + 11) % 18446744073709551616) % 4294967296) * 11400714819323198485
+              + (((((h + 11) % 18446744073709551616) // 4294967296)
+                  * 11400714819323198485) % 4294967296) * 4294967296
+            ) % 18446744073709551616 AS th0
+          FROM thash
+        ),
+        thu AS (
+          SELECT tid, doc_id,
+            CAST(xor(
+              CAST(CASE WHEN th0 >= 9223372036854775808
+                        THEN th0 - 18446744073709551616 ELSE th0 END AS BIGINT),
+              CAST(th0 // 536870912 AS BIGINT)
+            ) AS BIGINT) AS ths
+          FROM mixed
+        ),
+        thb AS (
+          SELECT tid, doc_id,
+            CASE WHEN ths < 0 THEN CAST(ths AS HUGEINT) + 18446744073709551616
+                 ELSE CAST(ths AS HUGEINT) END AS u
+          FROM thu
+        ),
+        bits AS (
+          SELECT t.doc_id, CAST(bt AS INTEGER) AS bit,
+                 CASE WHEN SUM(CASE WHEN (t.u // p2.v) % 2 = 1
+                                    THEN 1 ELSE -1 END) > 0
+                      THEN 1 ELSE 0 END AS db
+          FROM thb t, unnest(range(0, 64)) AS r(bt)
+          JOIN p2 ON p2.k = bt
+          GROUP BY t.doc_id, bt
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN bit < 32
+                               THEN db * CAST(p2.v AS BIGINT) ELSE 0 END) AS BIGINT) AS lo,
+                 CAST(SUM(CASE WHEN bit >= 32
+                               THEN db * CAST(p2.v AS BIGINT) ELSE 0 END) AS BIGINT) AS hi
+          FROM bits JOIN p2 ON p2.k = bit % 32
+          GROUP BY doc_id
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
     """,
     # export + nested-extraction round trip recomputed from the source table
     "jsonl_doc_roundtrip": """
@@ -3061,3 +3237,7 @@ ORACLE_SQL = {
     # lang_id, dedup_minhash, dedup_simhash, ann_ivf,
     # multimodal_features, dedup_embedding (IVF-approximate pair set)
 }
+
+# the declarative runner replays the exact same derived CDC stream as the
+# programmatic flagship — one oracle, two engine surfaces
+ORACLE_SQL["job_json_roundtrip"] = ORACLE_SQL["transcript_cdc_replay"]

@@ -95,13 +95,27 @@ def decompress_file_bytes(name: str, data: bytes) -> bytes:
     """Decompress one file's bytes, detecting the codec by MAGIC BYTES (the
     Arrow filesystem layer already auto-decompresses the codecs it knows —
     gzip/bz2/zstd — so extension alone would double-decompress; sniffing
-    handles both raw and pre-decompressed inputs).  Hadoop-framed
-    snappy/LZO are not present in this container — those raise a
-    clearly-marked NotImplementedError instead of guessing."""
-    if name.lower().endswith((".snappy", ".lzo")):
+    handles both raw and pre-decompressed inputs).  Snappy comes in two
+    decodable flavors — the framed stream format (sNaPpY magic) and raw
+    blocks (varint size preamble, what ``pa.compress`` emits) — both via
+    Arrow's bundled snappy codec.  Hadoop's magic-less block-snappy and
+    LZO are not present in this container — those raise a clearly-marked
+    NotImplementedError instead of guessing."""
+    if data[:10] == b"\xff\x06\x00\x00sNaPpY":
+        return _snappy_framed(data)
+    if name.lower().endswith(".snappy"):
+        try:
+            return _snappy_raw(data)
+        except Exception as e:
+            raise NotImplementedError(
+                "this .snappy file is not raw-block or framed snappy "
+                "(hadoop block-snappy?); re-encode as framed snappy, "
+                "gzip, bzip2, zstd, xz or zip"
+            ) from e
+    if name.lower().endswith(".lzo"):
         raise NotImplementedError(
-            "hadoop-framed snappy/LZO codecs are not available in this "
-            "container; re-encode as gzip/bzip2/zstd/xz/zip"
+            "the LZO codec is not available in this container; re-encode "
+            "as snappy/gzip/bzip2/zstd/xz/zip"
         )
     if data[:4] == b"PK\x03\x04":
         return b"".join(_zip_members(data))
@@ -120,6 +134,58 @@ def decompress_file_bytes(name: str, data: bytes) -> bytes:
     if data[:4] == b"\x28\xb5\x2f\xfd":
         return pa.input_stream(pa.BufferReader(data), compression="zstd").read()
     return data
+
+
+def _read_raw_file_bytes(path: str) -> bytes:
+    """One file's bytes through pyarrow.fs WITHOUT compression inference
+    (compression=None): codec handling is magic-byte sniffing in
+    :func:`decompress_file_bytes`, which also copes with pre-decompressed
+    input — suffix-based inference would double-decompress or, for
+    .snappy, demand the absent python-snappy package."""
+    from pyarrow import fs as pafs
+
+    try:
+        fsys, rel = pafs.FileSystem.from_uri(path)
+    except (ValueError, pa.ArrowInvalid):
+        fsys, rel = pafs.LocalFileSystem(), path
+    with fsys.open_input_stream(rel, compression=None) as f:
+        return f.read()
+
+
+def _snappy_raw(data: bytes) -> bytes:
+    """One raw snappy block: the uncompressed length rides in front as a
+    varint (the snappy block format's preamble), which Arrow's codec needs
+    passed explicitly."""
+    size, shift, i = 0, 0, 0
+    while True:
+        b = data[i]
+        size |= (b & 0x7F) << shift
+        i += 1
+        shift += 7
+        if not b & 0x80:
+            break
+    return bytes(pa.decompress(data, decompressed_size=size, codec="snappy"))
+
+
+def _snappy_framed(data: bytes) -> bytes:
+    """Snappy framing format: a stream of [type, 3-byte LE length, payload]
+    chunks after the sNaPpY identifier; compressed (0x00) and uncompressed
+    (0x01) chunks carry a 4-byte CRC we skip (whole-file reads re-verify
+    via parse), reserved-skippable chunks are skipped per spec."""
+    out = []
+    i = 0
+    while i + 4 <= len(data):
+        typ = data[i]
+        ln = int.from_bytes(data[i + 1:i + 4], "little")
+        chunk = data[i + 4:i + 4 + ln]
+        i += 4 + ln
+        if typ == 0x00:
+            out.append(_snappy_raw(chunk[4:]))
+        elif typ == 0x01:
+            out.append(bytes(chunk[4:]))
+        # 0xff stream identifier / 0x02-0xfd reserved-unskippable would
+        # fail parse anyway / 0xfe padding: all skipped
+    return b"".join(out)
 
 
 def _zip_members(data: bytes) -> list[bytes]:
@@ -178,9 +244,15 @@ def read_csv_datax(
         )
     if whole:
         def parse_files(batch: pa.Table) -> pa.Table:
+            # bytes are read HERE, inside the task (not via
+            # read_binary_files: Ray's file datasource detects ".snappy"
+            # by suffix and hard-imports python-snappy, absent in this
+            # container; compression=None keeps the bytes raw for our
+            # magic-byte sniffing)
             tabs = []
-            for row in batch.to_pylist():
-                for raw in _file_payloads(row["path"], row["bytes"]):
+            for path in batch.column("path").to_pylist():
+                data = _read_raw_file_bytes(path)
+                for raw in _file_payloads(path, data):
                     tabs.append(
                         pacsv.read_csv(
                             pa.BufferReader(raw),
@@ -192,7 +264,7 @@ def read_csv_datax(
             return pa.concat_tables(tabs, promote_options="permissive")
 
         parts.append(
-            rd.read_binary_files(whole, include_paths=True).map_batches(
+            rd.from_items([{"path": p} for p in whole]).map_batches(
                 parse_files, batch_format="pyarrow", batch_size=1
             )
         )

@@ -118,9 +118,10 @@ def test_csv_gzip_compression(tmp_path):
 
 
 def test_csv_whole_file_codecs(tmp_path):
-    """bz2 / zip / xz / zstd CSVs decompress whole-file inside the read
-    task (one task per file, txtfilereader split unit); hadoop-framed
-    snappy raises the documented NotImplementedError."""
+    """bz2 / zip / xz / zstd / snappy (raw-block AND framed) CSVs
+    decompress whole-file inside the read task (one task per file,
+    txtfilereader split unit); LZO and non-snappy bytes under a .snappy
+    name raise the documented NotImplementedError."""
     import bz2
     import lzma
     import zipfile
@@ -148,15 +149,29 @@ def test_csv_whole_file_codecs(tmp_path):
     with _pa.output_stream(p, compression="zstd") as f:
         f.write(b"11,eleven\n")
     paths.append(p)
+    # raw snappy block (varint preamble, what pa.compress emits)
+    p = str(tmp_path / "e.csv.snappy")
+    with open(p, "wb") as f:
+        f.write(bytes(_pa.compress(b"12,twelve\n", codec="snappy")))
+    paths.append(p)
+    # framed snappy: sNaPpY identifier + one compressed chunk (CRC unchecked)
+    raw = bytes(_pa.compress(b"13,thirteen\n", codec="snappy"))
+    chunk = b"\x00" + (len(raw) + 4).to_bytes(3, "little") + b"\x00\x00\x00\x00" + raw
+    p = str(tmp_path / "f.csv.snappy")
+    with open(p, "wb") as f:
+        f.write(b"\xff\x06\x00\x00sNaPpY" + chunk)
+    paths.append(p)
 
     rows = sorted(read_csv_datax(paths, spec).take_all(), key=lambda r: r["id"])
-    assert [r["id"] for r in rows] == [7, 8, 9, 10, 11]
-    assert rows[-1]["w"] == "eleven"
+    assert [r["id"] for r in rows] == [7, 8, 9, 10, 11, 12, 13]
+    assert rows[-1]["w"] == "thirteen"
 
     from raydatax.sources import decompress_file_bytes
 
     with pytest.raises(NotImplementedError, match="snappy"):
-        decompress_file_bytes("x.csv.snappy", b"data")
+        decompress_file_bytes("x.csv.snappy", b"\xff\xff\xff\xffgarbage")
+    with pytest.raises(NotImplementedError, match="LZO"):
+        decompress_file_bytes("x.csv.lzo", b"data")
 
 
 def test_zip_members_parsed_individually_and_mixed_lists(tmp_path):
