@@ -201,14 +201,27 @@ def incremental_exact_dedup(
     keyed = new_docs.map_batches(key_fn, batch_format="pyarrow")
     files, next_epoch = _lsh_index_files(index_dir)  # shared epoch-N layout
     if files:
-        index = ray.data.read_parquet(files)
+        keyed = keyed.materialize()
+        # prune the index read to the buckets the new crawl's keys touch —
+        # at steady state the read is ∝ delta, not ∝ corpus
+        B = _load_index_buckets(index_dir)
+        if B:
+            files = _index_files_for_buckets(
+                index_dir, _wanted_buckets(keyed, _bucket_exact, B)
+            )
+    if files:
+        index = ray.data.read_parquet(files).map_batches(
+            _drop_hive_bucket, batch_format="pyarrow"
+        )
         keyed = semi_join(keyed, index, left_on="__k", anti=True)
     reps = preagg_groupby(
         keyed, ["__k"], [(id_col, "min", id_col), (id_col, "count", "n_copies")]
     ).materialize()
     if update_index:
         os.makedirs(index_dir, exist_ok=True)
-        _commit_index_epoch(index_dir, next_epoch, reps.select_columns(["__k"]))
+        _commit_index_epoch(index_dir, next_epoch,
+                            reps.select_columns(["__k"]),
+                            bucket_fn=_bucket_exact)
     return reps.select_columns([id_col, "n_copies"])
 
 
@@ -501,9 +514,11 @@ def minhash_dedup(
 
 
 def _lsh_index_files(index_dir: str) -> tuple[list[str], int]:
-    """(sorted parquet files across epoch-N subdirs, next epoch number).
-    ``.stage-*`` dirs (in-flight writes, see :func:`_commit_index_epoch`)
-    are invisible — a crashed add never contributes partial rows."""
+    """(sorted parquet files across epoch-N subdirs — including the
+    hive-style ``__bucket=H`` leaves of bucket-partitioned epochs, next
+    epoch number).  ``.stage-*`` dirs (in-flight writes, see
+    :func:`_commit_index_epoch`) are invisible — a crashed add never
+    contributes partial rows."""
     import glob
     import os
 
@@ -515,16 +530,143 @@ def _lsh_index_files(index_dir: str) -> tuple[list[str], int]:
     files = sorted(
         f
         for e in epochs
-        for f in glob.glob(os.path.join(index_dir, e, "*.parquet"))
+        for f in glob.glob(
+            os.path.join(index_dir, e, "**", "*.parquet"), recursive=True
+        )
     )
     return files, len(epochs)
 
 
-def _commit_index_epoch(index_dir: str, next_epoch: int, rows) -> str:
+# Default bucket count for the hash-partitioned on-disk index layout.  The
+# incremental analogue of otsstreamreader's per-shard checkpoint locality
+# (/root/reference/otsstreamreader/.../model/ShardCheckpoint.java:8-118):
+# each epoch is written as epoch-N/__bucket=H/ with H = key_hash % B, so a
+# probe reads ONLY the buckets the new crawl touches — read cost ∝ delta,
+# not ∝ corpus.  B is INDEX-LEVEL state (like the lake's partition map and
+# the IVF centroids): fixed at the first bucketed commit, persisted in
+# _index.json, reused by every later add and probe — mixing bucket counts
+# would misroute probes.  At web scale set it so one bucket's rows fit a
+# read task comfortably (e.g. 4096); the default suits test corpora.
+INDEX_BUCKETS = 64
+
+
+def _index_meta_path(index_dir: str) -> str:
+    import os
+
+    return os.path.join(index_dir, "_index.json")
+
+
+def _load_index_buckets(index_dir: str) -> int | None:
+    """Stored bucket count, or None for a legacy (flat-epoch) index —
+    probes then fall back to reading the whole index."""
+    import json
+    import os
+
+    p = _index_meta_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["buckets"])
+
+
+def _ensure_index_buckets(index_dir: str, buckets: int = INDEX_BUCKETS) -> int:
+    import json
+    import os
+
+    stored = _load_index_buckets(index_dir)
+    if stored is not None:
+        return stored  # index-level state: the stored value always wins
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = _index_meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"buckets": int(buckets)}, f)
+    os.replace(tmp, _index_meta_path(index_dir))
+    return int(buckets)
+
+
+def _index_files_for_buckets(
+    index_dir: str, wanted: "set[int] | None"
+) -> list[str]:
+    """Index files pruned to the probed bucket set: bucket-partitioned
+    epochs contribute only their ``__bucket=H`` leaves with H ∈ wanted;
+    legacy flat epochs contribute all their files (no pruning possible,
+    still correct).  ``wanted=None`` reads everything."""
+    import glob
+    import os
+
+    out: list[str] = []
+    if not os.path.isdir(index_dir):
+        return out
+    for e in sorted(d for d in os.listdir(index_dir) if d.startswith("epoch-")):
+        edir = os.path.join(index_dir, e)
+        subs = sorted(
+            d for d in os.listdir(edir) if d.startswith("__bucket=")
+        )
+        if not subs:  # legacy flat epoch — unprunable, read it whole
+            out.extend(sorted(glob.glob(os.path.join(edir, "*.parquet"))))
+            continue
+        if wanted is not None:
+            subs = [d for d in subs if int(d.split("=", 1)[1]) in wanted]
+        for d in subs:
+            out.extend(sorted(glob.glob(os.path.join(edir, d, "*.parquet"))))
+    return out
+
+
+def _wanted_buckets(rows, bucket_fn, buckets: int) -> set[int]:
+    """Distinct bucket ids the probing side touches — at most ``buckets``
+    tiny int rows ever reach the driver."""
+    b = rows.map_batches(
+        lambda t: pa.table({"__bucket": bucket_fn(t, buckets)}),
+        batch_format="pyarrow",
+    )
+    d = preagg_groupby(b, ["__bucket"], [("__bucket", "count", "__n")])
+    return {r["__bucket"] for r in d.take_all()}
+
+
+def _bucket_exact(t: pa.Table, buckets: int) -> pa.Array:
+    """Bucket of an exact-dedup key: integer keys bucket on their own
+    bits; string keys (custom ``key_fn``s, e.g. lowercase prefixes) go
+    through the engine's deterministic buffer-level string hash."""
+    col = t["__k"]
+    if pa.types.is_integer(col.type):
+        k = (pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+             .astype(np.int64).view(np.uint64))
+    else:
+        from .partition import hash_string_column
+
+        k = hash_string_column(col)
+    return pa.array((k % np.uint64(buckets)).astype(np.int64))
+
+
+def _bucket_minhash(t: pa.Table, buckets: int) -> pa.Array:
+    # same composite bucket key as the probe's __bkey: bh ^ (band+1)
+    b = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = t["bh"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = (h ^ (b + 1)).view(np.uint64)
+    return pa.array((key % np.uint64(buckets)).astype(np.int64))
+
+
+def _bucket_embedding(t: pa.Table, buckets: int) -> pa.Array:
+    c = t["__cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.array(c % buckets)
+
+
+def _drop_hive_bucket(t: pa.Table) -> pa.Table:
+    """Reading bucketed epoch files re-materializes ``__bucket`` as a hive
+    STRING column; it is layout metadata, not index data — drop it."""
+    return t.drop_columns(["__bucket"]) if "__bucket" in t.column_names else t
+
+
+def _commit_index_epoch(
+    index_dir: str, next_epoch: int, rows, bucket_fn=None,
+    buckets: int = INDEX_BUCKETS,
+) -> str:
     """Crash-atomic index epoch append: write the rows Dataset into a
     ``.stage-epoch-N`` dir, then ``os.rename`` it to ``epoch-N`` — the
     same stage-then-flip discipline as the lake sink.  A crash mid-write
-    leaves only an invisible stage dir; a retry overwrites it."""
+    leaves only an invisible stage dir; a retry overwrites it.  With a
+    ``bucket_fn`` the epoch is hash-partitioned on disk
+    (``__bucket=H/`` hive leaves) so later probes read ∝ delta."""
     import os
     import shutil
 
@@ -532,7 +674,15 @@ def _commit_index_epoch(index_dir: str, next_epoch: int, rows) -> str:
     stage = os.path.join(index_dir, f".stage-epoch-{next_epoch}")
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
-    rows.write_parquet(stage)
+    if bucket_fn is not None:
+        B = _ensure_index_buckets(index_dir, buckets)
+        rows = rows.map_batches(
+            lambda t: t.append_column("__bucket", bucket_fn(t, B)),
+            batch_format="pyarrow",
+        )
+        rows.write_parquet(stage, partition_cols=["__bucket"])
+    else:
+        rows.write_parquet(stage)
     # rename onto an existing committed epoch fails loudly (ENOTEMPTY) —
     # concurrent adds to one index are not supported (use the job lock)
     os.rename(stage, final)
@@ -561,6 +711,7 @@ def minhash_index_add(
     _commit_index_epoch(
         index_dir, next_epoch,
         _explode_bands(docs, text_col, id_col, num_perm, bands, k, seed),
+        bucket_fn=_bucket_minhash,
     )
     return next_epoch
 
@@ -657,11 +808,22 @@ def _incremental_minhash_probe(
     ).materialize()
 
     files, _ = _lsh_index_files(index_dir)
+    if files:
+        # the on-disk index is hash-partitioned by bucket key
+        # (epoch-N/__bucket=H/): prune the read to the buckets the new
+        # crawl's band hashes land in — read ∝ delta, not ∝ corpus
+        # (legacy flat epochs fall back to a full read)
+        B = _load_index_buckets(index_dir)
+        if B:
+            files = _index_files_for_buckets(
+                index_dir, _wanted_buckets(new_rows, _bucket_minhash, B)
+            )
     both = new_rows
     if files:
         # composite bucket key for the probe: band is 0..bands-1, bh is a
         # 64-bit hash — mixing with XOR on shifted band keeps int64 exact
         def bkey(t: pa.Table) -> pa.Table:
+            t = _drop_hive_bucket(t)
             b = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
             h = t["bh"].to_numpy(zero_copy_only=False)
             return t.append_column("__bkey", pa.array(h ^ (b + 1), pa.int64()))
@@ -670,8 +832,8 @@ def _incremental_minhash_probe(
         # mask-path membership (raised threshold): the probe side carries
         # the sig list column, which acero hash joins cannot hold as a
         # payload — the bucket-key set is bands×new_docs int64s, bounded by
-        # the crawl, broadcast once.  At larger crawls store the index
-        # hash-partitioned by bucket key and prune the read instead.
+        # the crawl, broadcast once.  Bucket pruning above already bounds
+        # the rows that ever leave disk; this join bounds what shuffles.
         probed = semi_join(
             index, new_rows.map_batches(bkey, batch_format="pyarrow"),
             left_on="__bkey", right_on="__bkey",
@@ -794,6 +956,7 @@ def _append_survivor_rows(
     new_rows: "ray.data.Dataset",
     id_col: str,
     index_dir: str,
+    bucket_fn=None,
 ) -> int:
     """Shared index-update epilogue of the incremental dedup family:
     filter the ALREADY-COMPUTED index rows (band rows / IVF assignments)
@@ -821,7 +984,7 @@ def _append_survivor_rows(
             lambda t: t.drop_columns(["is_new"]), batch_format="pyarrow"
         )
         _, next_epoch = _lsh_index_files(index_dir)
-        _commit_index_epoch(index_dir, next_epoch, rows)
+        _commit_index_epoch(index_dir, next_epoch, rows, bucket_fn=bucket_fn)
     return n
 
 
@@ -863,7 +1026,8 @@ def incremental_minhash_dedup(
     ids = new_docs.select_columns([id_col])
     marked = _mark_new_docs(pairs, ids, id_col, pair_driver_threshold)
     if update_index:
-        _append_survivor_rows(marked, new_rows, id_col, index_dir)
+        _append_survivor_rows(marked, new_rows, id_col, index_dir,
+                              bucket_fn=_bucket_minhash)
     return marked
 
 
@@ -1255,7 +1419,8 @@ def embedding_index_add(
         return _assign_multiprobe(batch, ray.get(ref), probes, id_col, vec_col)
 
     _commit_index_epoch(
-        index_dir, next_epoch, ds.map_batches(assign, batch_format="pyarrow")
+        index_dir, next_epoch, ds.map_batches(assign, batch_format="pyarrow"),
+        bucket_fn=_bucket_embedding,
     )
     return next_epoch
 
@@ -1313,10 +1478,20 @@ def _incremental_embedding_probe(
         return out.append_column("is_new", pa.array(np.ones(out.num_rows, bool)))
 
     new_rows = new_vecs.map_batches(assign_new, batch_format="pyarrow").materialize()
+    if files:
+        # IVF epochs are hash-partitioned by cluster id on disk — read
+        # only the clusters the new vectors probe (∝ delta, not corpus)
+        B = _load_index_buckets(index_dir)
+        if B:
+            files = _index_files_for_buckets(
+                index_dir, _wanted_buckets(new_rows, _bucket_embedding, B)
+            )
     both = new_rows
     if files:  # empty index (first crawl) → new-new pairs only
         index = ray.data.read_parquet(files).map_batches(
-            lambda t: t.append_column("is_new", pa.array(np.zeros(t.num_rows, bool))),
+            lambda t: _drop_hive_bucket(t).append_column(
+                "is_new", pa.array(np.zeros(t.num_rows, bool))
+            ),
             batch_format="pyarrow",
         )
         probed = semi_join(index, new_rows, left_on="__cluster", right_on="__cluster")
@@ -1494,7 +1669,8 @@ def incremental_embedding_dedup(
     ids = new_vecs.select_columns([id_col])
     marked = _mark_new_docs(pairs, ids, id_col, pair_driver_threshold)
     if update_index:
-        _append_survivor_rows(marked, new_rows, id_col, index_dir)
+        _append_survivor_rows(marked, new_rows, id_col, index_dir,
+                              bucket_fn=_bucket_embedding)
     return marked
 
 

@@ -118,6 +118,74 @@ def test_synthetic_columns_empty_quota_shards(ray_session):
     assert dict(zip(sch.names, sch.types))["k"] == pa.int64()
 
 
+def test_dedup_index_probe_reads_only_touched_buckets(tmp_path, ray_session):
+    """The persistent dedup indexes are hash-partitioned by bucket key on
+    disk; an incremental probe's read file-list must exclude buckets the
+    new crawl does not touch (read ∝ delta, not ∝ corpus) while the
+    keep/dup_of output stays identical to a full-index probe."""
+    from raydatax.dedup import (
+        INDEX_BUCKETS,
+        _bucket_exact,
+        _index_files_for_buckets,
+        _load_index_buckets,
+        _wanted_buckets,
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
+        minhash_index_add,
+    )
+    from raydatax.text import fingerprint_rolling
+
+    # ---- exact index: 300 distinct docs spread across many buckets
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(300), pa.int64()),
+        "text": pa.array([f"unique document number {i} stands alone" for i in range(300)]),
+    })
+    eidx = str(tmp_path / "exact")
+    incremental_exact_dedup(rd.from_arrow(docs), eidx)
+    assert _load_index_buckets(eidx) == INDEX_BUCKETS
+
+    all_files = _index_files_for_buckets(eidx, None)
+    assert len({f.split("__bucket=")[1].split("/")[0] for f in all_files}) > 8
+
+    # a one-doc crawl touches exactly one bucket
+    probe = pa.table({"doc_id": pa.array([9999], pa.int64()),
+                      "text": pa.array(["unique document number 7 stands alone"])})
+    keyed = fingerprint_rolling(probe, "text", "__k").select(["doc_id", "__k"])
+    wanted = _wanted_buckets(rd.from_arrow(keyed), _bucket_exact, INDEX_BUCKETS)
+    assert len(wanted) == 1
+    pruned = _index_files_for_buckets(eidx, wanted)
+    assert pruned and len(pruned) < len(all_files)
+    assert all(f"__bucket={next(iter(wanted))}/" in f for f in pruned)
+
+    # the pruned probe still catches the duplicate end-to-end
+    out = {r["doc_id"]: r for r in incremental_exact_dedup(
+        rd.from_arrow(probe), eidx, update_index=False).take_all()}
+    assert out == {}  # exact dup of doc 7 → filtered by the index
+
+    fresh = pa.table({"doc_id": pa.array([10_000], pa.int64()),
+                      "text": pa.array(["a never seen sentence entirely"])})
+    out2 = [r["doc_id"] for r in incremental_exact_dedup(
+        rd.from_arrow(fresh), eidx, update_index=False).take_all()]
+    assert out2 == [10_000]
+
+    # ---- minhash LSH index: pruned probe == legacy full-scan marking
+    base = [f"the quick brown fox jumps over dog {i} " * 6 for i in range(40)]
+    lidx = str(tmp_path / "lsh")
+    minhash_index_add(rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(40), pa.int64()),
+        "text": pa.array(base)})), lidx)
+    crawl = pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array([base[3], "zebras graze quietly on the open plain " * 6]),
+    })
+    marked = {r["doc_id"]: (r["dup_of"], r["keep"]) for r in
+              incremental_minhash_dedup(rd.from_arrow(crawl), lidx,
+                                        threshold=0.9,
+                                        update_index=False).take_all()}
+    assert marked[100] == (3, False)   # caught by the pruned index probe
+    assert marked[101] == (101, True)
+
+
 def test_grouped_percentiles_histogram_null_keys(ray_session):
     """NULL group keys are legitimate SQL groups; the histogram path must
     bin them (not IndexError on a NaN gidx) and agree with the exact path

@@ -560,4 +560,8 @@ def test_index_epoch_commit_is_crash_atomic(tmp_path, docs):
     # the exact-dedup index uses the same commit: kill-safe by construction
     eidx = str(tmp_path / "exact")
     incremental_exact_dedup(rd.from_arrow(docs.slice(0, 5)), eidx)
-    assert sorted(os.listdir(eidx)) == ["epoch-0"]
+    # epoch dir + the bucket-count meta (index-level state, round 3)
+    assert sorted(os.listdir(eidx)) == ["_index.json", "epoch-0"]
+    # epochs are hash-partitioned on disk so probes can prune their read
+    assert all(d.startswith("__bucket=")
+               for d in os.listdir(os.path.join(eidx, "epoch-0")))
