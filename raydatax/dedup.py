@@ -1145,17 +1145,32 @@ def simhash_pairs(
 # ------------------------------------------------- embedding-cosine near-dup
 
 
+def _adaptive_clusters(
+    n_rows: int, target_rows_per_cluster: int = 4096,
+    max_clusters: int = 65_536,
+) -> int:
+    """IVF cluster count from the corpus size: ~target rows per cluster so
+    the within-cluster O(k²) scoring stays bounded as the corpus grows (a
+    fixed cluster count would make k = N/16 dwarf any cap and let
+    truncation silently dominate — the opposite of what dedup is for)."""
+    return max(1, min(max_clusters, -(-n_rows // target_rows_per_cluster)))
+
+
 def embedding_neardup_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     sample_rows: int = 4096,
     seed: int = 5,
     assign_probes: int = 2,
-) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold, a < b).
+    target_rows_per_cluster: int = 4096,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold, a < b),
+    returned as a DATASET — pair sets of a near-duplicate-heavy corpus
+    (exactly the corpus dedup exists for) are O(Σ cluster-pairs) and never
+    pass through the driver (shape parity with :func:`minhash_dedup`).
 
     Scale path: IVF-style bucketing — deterministic k-means on a sample,
     assign every vector to its ``assign_probes`` nearest centroids inside
@@ -1163,12 +1178,20 @@ def embedding_neardup_pairs(
     neighboring clusters, recovering most near-boundary pairs), then
     all-pairs cosine ONLY within each capped cluster (``groupby(cluster)``
     map_groups), pairs deduplicated across probes.  Remaining cross-cluster
-    misses are the documented approximation (same contract as IVF ANN)."""
+    misses are the documented approximation (same contract as IVF ANN).
+    ``n_clusters=None`` (default) derives the cluster count from the
+    dataset's row count at ~``target_rows_per_cluster`` rows per cluster
+    (:func:`_adaptive_clusters`) so within-cluster work stays bounded as
+    the corpus grows."""
     from .ann import _matrix, _normalize, kmeans_fit
 
+    if n_clusters is None:
+        n_clusters = _adaptive_clusters(ds.count(), target_rows_per_cluster)
+        # enough sample support to actually separate that many clusters
+        sample_rows = max(sample_rows, 8 * n_clusters)
     sample = ds.limit(sample_rows).take_all()
     smat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
-    cent = kmeans_fit(smat, n_clusters, seed=seed)
+    cent = kmeans_fit(smat, min(n_clusters, len(smat)), seed=seed)
     probes = max(1, min(assign_probes, len(cent)))
     ref = ray.put(cent)
 
@@ -1217,14 +1240,10 @@ def embedding_neardup_pairs(
         .groupby("__cluster")
         .map_groups(pairs_in_cluster, batch_format="pyarrow")
     )
-    # multi-probe assignment surfaces the same pair from ≥1 cluster → dedupe
-    out = preagg_groupby(out, ["a", "b"], [("cosine", "max", "cosine")])
-    rows = out.take_all()
-    if not rows:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
-    t = pa.Table.from_pylist(rows)
-    return t.sort_by([("a", "ascending"), ("b", "ascending")])
+    # multi-probe assignment surfaces the same pair from ≥1 cluster →
+    # dedupe — and that pre-aggregated Dataset IS the result (consumers
+    # sort or write it; the driver never holds the pair set)
+    return preagg_groupby(out, ["a", "b"], [("cosine", "max", "cosine")])
 
 
 def embedding_allpairs_exact(

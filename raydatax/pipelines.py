@@ -1799,7 +1799,7 @@ def dedup_embedding(sf_dir: str):
     # random testdata embeddings: cosine ~ N(0, 1/sqrt(64)); 0.35 ≈ 2.8σ so a
     # small deterministic pair set survives (real corpora would use ~0.95)
     pairs = embedding_neardup_pairs(ds, threshold=0.35)
-    return pairs.select(["a", "b"])
+    return pairs.select_columns(["a", "b"])
 
 
 def _crawl_split(ds, id_name: str, prior: bool):

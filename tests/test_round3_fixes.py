@@ -186,6 +186,19 @@ def test_dedup_index_probe_reads_only_touched_buckets(tmp_path, ray_session):
     assert marked[101] == (101, True)
 
 
+def test_embedding_cluster_count_scales_with_corpus():
+    """IVF cluster count must grow with the corpus (target rows/cluster),
+    not stay fixed — a fixed 16 makes cluster size N/16 dwarf any cap and
+    truncation silently dominate at scale."""
+    from raydatax.dedup import _adaptive_clusters
+
+    n = _adaptive_clusters(40_960, target_rows_per_cluster=4096)
+    assert n == 10
+    assert _adaptive_clusters(409_600, target_rows_per_cluster=4096) == 100
+    assert _adaptive_clusters(10) == 1  # tiny corpora: one cluster
+    assert _adaptive_clusters(10**12) == 65_536  # capped
+
+
 def test_grouped_percentiles_histogram_null_keys(ray_session):
     """NULL group keys are legitimate SQL groups; the histogram path must
     bin them (not IndexError on a NaN gidx) and agree with the exact path

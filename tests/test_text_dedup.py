@@ -211,12 +211,14 @@ def test_embedding_neardup_recovers_planted():
         }
     )
     corpus = pa.concat_tables([e.cast(clones.schema), clones])
-    pairs = embedding_neardup_pairs(rd.from_arrow(corpus), threshold=0.99)
-    found = {(r["a"], r["b"]) for r in pairs.to_pylist()}
+    p1 = (embedding_neardup_pairs(rd.from_arrow(corpus), threshold=0.99)
+          .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    found = set(zip(p1["a"], p1["b"]))
     assert {(i, 90_000 + i) for i in range(5)} <= found
-    # determinism
-    pairs2 = embedding_neardup_pairs(rd.from_arrow(corpus), threshold=0.99)
-    assert pairs.equals(pairs2)
+    # determinism (the pair Dataset's content, order-insensitively)
+    p2 = (embedding_neardup_pairs(rd.from_arrow(corpus), threshold=0.99)
+          .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert p1.equals(p2)
 
 
 def test_embedding_allpairs_exact_matches_numpy():
@@ -237,7 +239,7 @@ def test_embedding_allpairs_exact_matches_numpy():
     want = {(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj) if ids[i] < ids[j]}
     assert {(r["a"], r["b"]) for r in got.to_pylist()} == want
     approx = embedding_neardup_pairs(rd.from_arrow(e), threshold=0.35)
-    assert {(r["a"], r["b"]) for r in approx.to_pylist()} <= want
+    assert {(r["a"], r["b"]) for r in approx.take_all()} <= want
 
 
 def test_search_topk_and_scroll(ray_session):
