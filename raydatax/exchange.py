@@ -190,6 +190,30 @@ def plan_map_chunks(segments: list[str], target_rows: int = 262_144) -> list[tup
     return chunks
 
 
+@ray.remote(num_cpus=0)
+class WriteGate:
+    """Async token actor bounding CONCURRENT staged-file writes across the
+    merge pool.  Rationale (measured, BENCH/BASELINE.md): 32 merge actors
+    staging ~1.3 GB together cross the kernel dirty-page threshold and the
+    epoch serializes on disk writeback (47–50 s vs 15.5 s on tmpfs, same
+    binary); ≤8 gated writers with in-token fsync stream the same bytes
+    without the cliff while the other actors keep merging.  On a real
+    multi-node cluster the same cap bounds per-node page-cache pressure."""
+
+    def __init__(self, permits: int):
+        import asyncio
+
+        self._sem = asyncio.Semaphore(max(1, permits))
+
+    async def acquire(self) -> bool:
+        await self._sem.acquire()
+        return True
+
+    async def release(self) -> bool:
+        self._sem.release()
+        return True
+
+
 @ray.remote
 class MergeActor:
     """Stateful merge worker: one actor handles many partitions serially,
@@ -206,6 +230,7 @@ class MergeActor:
         high_watermarks: dict[int, int],
         sparse: bool = False,
         output: str = "image",
+        write_gate=None,
     ):
         pa.set_cpu_count(1)  # see map_segment: avoid N×all-cores Arrow pools
         self.sparse = sparse
@@ -216,6 +241,7 @@ class MergeActor:
         self.event_schema = event_schema
         self.base_files = base_files
         self.hws = high_watermarks
+        self.write_gate = write_gate
 
     def merge(self, pid: int, *shards: bytes) -> dict:
         return merge_partition_tables(
@@ -228,6 +254,7 @@ class MergeActor:
             self.hws.get(pid, -1),
             sparse=self.sparse,
             output=self.output,
+            write_gate=self.write_gate,
         )
 
 
@@ -271,10 +298,16 @@ def run_exchange(
     # num_cpus=0 so their process startup + imports overlap the map stage
     # without reserving CPUs away from it (merges only run post-barrier,
     # when the CPUs are free again)
+    #
+    # the gate only matters when enough writers run to hit the measured
+    # dirty-page cliff; below that it's one extra RPC per partition
+    write_gate = (
+        WriteGate.remote(8) if max(1, merge_concurrency) > 8 else None
+    )
     actors = [
         MergeActor.options(num_cpus=0).remote(
             lake_dir, epoch, lake_schema, event_schema, base_files,
-            high_watermarks, sparse, output,
+            high_watermarks, sparse, output, write_gate,
         )
         for _ in range(max(1, merge_concurrency))
     ]
@@ -291,5 +324,7 @@ def run_exchange(
     finally:
         for a in actors:  # never leak the pool, watchdog abort included
             ray.kill(a)
+        if write_gate is not None:
+            ray.kill(write_gate)
     # drop no-op lineage for partitions that had no events at all
     return [r for r in lineage if r["events_in"] > 0 or r["action"] == "write"]

@@ -36,6 +36,32 @@ from .schema import OPS, normalize_to
 # compression + row-group size + no wall-clock metadata.
 PARQUET_OPTS = dict(compression="zstd", compression_level=3, row_group_size=131072)
 
+
+def _write_staged(out: pa.Table, path: str, write_gate=None) -> None:
+    """Stage one partition file (tmp + atomic replace).  ``write_gate`` is
+    an optional token actor bounding CONCURRENT staged writes: measured on
+    the bench host, 32 merge writers staging ~1.3 GB together cross the
+    kernel's dirty-page threshold and serialize on the disk (47-50 s vs
+    15.5 s with the lake on tmpfs, identical binary).  While gated, the
+    file is fsync'd INSIDE the token so the bound applies to dirty pages,
+    not just open file handles — writeback streams instead of bursting.
+    File bytes are identical either way (byte-identical resume holds)."""
+    import ray as _ray
+
+    tmp = path + ".tmp"
+    if write_gate is not None:
+        _ray.get(write_gate.acquire.remote())
+        try:
+            with open(tmp, "wb") as f:
+                pq.write_table(out, f, **PARQUET_OPTS)
+                f.flush()
+                os.fsync(f.fileno())
+        finally:
+            write_gate.release.remote()
+    else:
+        pq.write_table(out, tmp, **PARQUET_OPTS)
+    os.replace(tmp, path)
+
 LINEAGE_SCHEMA = pa.schema(
     [
         ("partition", pa.int32()),
@@ -222,6 +248,7 @@ def merge_partition_tables(
     hw: int,
     sparse: bool = False,
     output: str = "image",
+    write_gate=None,
 ) -> dict:
     """The merge kernel, shared by both execution paths (Dataset map_groups
     and the hash-exchange actor pool): rebase-LWW one partition's events onto
@@ -263,9 +290,7 @@ def merge_partition_tables(
         staging = os.path.join(lake_dir, "_staging", f"epoch-{epoch:06d}")
         os.makedirs(staging, exist_ok=True)
         path = os.path.join(staging, f"part-{pid:05d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(out, tmp, **PARQUET_OPTS)
-        os.replace(tmp, path)
+        _write_staged(out, path, write_gate)
         return _empty_lineage(
             pid, "write", t0, hw,
             events_in=events_in,
@@ -293,9 +318,7 @@ def merge_partition_tables(
     staging = os.path.join(lake_dir, "_staging", f"epoch-{epoch:06d}")
     os.makedirs(staging, exist_ok=True)
     path = os.path.join(staging, f"part-{pid:05d}.parquet")
-    tmp = path + ".tmp"
-    pq.write_table(out, tmp, **PARQUET_OPTS)
-    os.replace(tmp, path)
+    _write_staged(out, path, write_gate)
 
     new_hw = max(hw, pc.max(replay["seq"]).as_py())
     return _empty_lineage(
