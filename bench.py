@@ -308,11 +308,35 @@ def run_changelog_bench(sf_dir: str, num_cpus: int) -> dict:
         walls.append(round(time.monotonic() - t0, 3))
         assert rep["events_replayed"] == n_events
         assert rep["rows_total"] == n_events  # every version survives
+
+    # steady state: a 2% delta appended to the log — the "work ∝ delta"
+    # claim, measured (an append-only epoch never rereads the base)
+    delta_wal, n_delta = ensure_wal(sf, seed=43, frac=0.02, tag="delta")
+    t0 = time.monotonic()
+    rep2 = run_job(delta_wal, lake, partitions=max(32, num_cpus * 2),
+                   merge_concurrency=num_cpus, output="changelog")
+    delta_wall = time.monotonic() - t0
+    assert rep2["events_replayed"] == n_delta
+
+    # compaction: fold each partition's epoch files into one history file
+    # (∝ corpus by definition — recorded at two sf scales so the delta
+    # append's ∝-delta contrast is visible against it)
+    from raydatax.driver import compact_changelog
+
+    t0 = time.monotonic()
+    comp = compact_changelog(lake)
+    compact_wall = time.monotonic() - t0
+
     out = {
         "metric": "changelog-mode replay (multi-version, append-only epochs)",
         "value": min(walls), "unit": "sec", "walls": walls,
         "events": n_events, "num_cpus": num_cpus,
         "events_per_s": round(n_events / min(walls), 1),
+        "delta_append_2pct": round(delta_wall, 3),
+        "delta_events": n_delta,
+        "compact_changelog": round(compact_wall, 3),
+        "compact_partitions": comp["partitions_compacted"],
+        "compact_files_removed": comp["files_removed"],
     }
     ray.shutdown()
     return out
