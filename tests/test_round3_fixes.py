@@ -186,6 +186,28 @@ def test_dedup_index_probe_reads_only_touched_buckets(tmp_path, ray_session):
     assert marked[101] == (101, True)
 
 
+def test_write_gate_preserves_byte_identity(tmp_wal, tmp_path, ray_session):
+    """A merge pool large enough to engage the write gate (>8 actors) must
+    produce byte-identical partition files to an ungated small pool — the
+    gate bounds dirty-page pressure, never content."""
+    import hashlib
+
+    ev = gen_events(12_000, seed=317)
+    write_wal(ev, tmp_wal, seg_rows=3000)
+
+    def ingest(lake, conc):
+        run_job(tmp_wal, lake, partitions=12, salt=2, merge_concurrency=conc)
+        out = {}
+        for p in sorted(glob.glob(os.path.join(lake, "data", "part-*", "*.parquet"))):
+            rel = os.path.relpath(p, lake)
+            out[rel] = hashlib.sha1(open(p, "rb").read()).hexdigest()
+        return out
+
+    ungated = ingest(str(tmp_path / "lake_small"), 2)
+    gated = ingest(str(tmp_path / "lake_gated"), 12)  # > 8 → WriteGate active
+    assert ungated == gated
+
+
 def test_embedding_cluster_count_scales_with_corpus():
     """IVF cluster count must grow with the corpus (target rows/cluster),
     not stay fixed — a fixed 16 makes cluster size N/16 dwarf any cap and
