@@ -328,6 +328,14 @@ def vacuum(lake_dir: str, keep_unreferenced: int = 0) -> list[str]:
     travel anywhere past the window still resolves to a record whose file
     is gone and fails LOUDLY (``snapshot_manifests``) instead of silently
     returning partial state."""
+    cfg = load_lake_config(lake_dir)
+    if cfg is not None and cfg.get("output", "image") == "changelog":
+        # every epoch file of a changelog lake IS live history — only the
+        # newest is manifest-referenced, so vacuuming would DELETE the log
+        raise RuntimeError(
+            f"vacuum on changelog lake {lake_dir}: old epochs are live "
+            "history, not superseded snapshots — use compact_changelog"
+        )
     referenced = {os.path.join(lake_dir, m["file"]) for m in load_manifests(lake_dir).values()}
     removed = []
     for pdir in sorted(glob.glob(os.path.join(lake_dir, "data", "part-*"))):

@@ -90,6 +90,16 @@ def test_vacuum_trims_history_bounded(tmp_wal, tmp_lake, ray_session):
             snapshot_manifests(tmp_lake, e)
 
 
+def test_vacuum_refuses_changelog_lakes(tmp_wal, tmp_lake, ray_session):
+    """Only the newest epoch of a changelog lake is manifest-referenced —
+    vacuum would delete the live history; it must refuse loudly (the
+    maintenance CLI calls vacuum directly, bypassing the driver's skip)."""
+    write_wal(gen_events(3000, seed=319), tmp_wal, seg_rows=1500)
+    run_job(tmp_wal, tmp_lake, partitions=2, output="changelog")
+    with pytest.raises(RuntimeError, match="compact_changelog"):
+        vacuum(tmp_lake)
+
+
 def test_shortest_paths_rejects_negative_weights(ray_session):
     from raydatax.graph import shortest_paths
 
