@@ -38,6 +38,11 @@ from .relational import preagg_groupby
 _R = 0x100000001B3
 _MASK = (1 << 64) - 1
 
+# Default bucket count of the hash-partitioned persistent-index layout —
+# full rationale at the layout helpers (search INDEX LAYOUT below).  Needed
+# at module top: it is a default argument of the public index functions.
+INDEX_BUCKETS = 64
+
 
 def _buffers(col: pa.Array):
     """(byte buffer, per-value offsets int64) of a string array.  Handles
@@ -170,6 +175,7 @@ def incremental_exact_dedup(
     id_col: str = "doc_id",
     key_fn=None,
     update_index: bool = True,
+    index_buckets: int = INDEX_BUCKETS,
 ) -> "ray.data.Dataset":
     """Steady-state dedup of a CONTINUOUSLY ingested corpus: drop new
     documents whose content key is already in the persistent index (every
@@ -221,7 +227,7 @@ def incremental_exact_dedup(
         os.makedirs(index_dir, exist_ok=True)
         _commit_index_epoch(index_dir, next_epoch,
                             reps.select_columns(["__k"]),
-                            bucket_fn=_bucket_exact)
+                            bucket_fn=_bucket_exact, buckets=index_buckets)
     return reps.select_columns([id_col, "n_copies"])
 
 
@@ -537,17 +543,17 @@ def _lsh_index_files(index_dir: str) -> tuple[list[str], int]:
     return files, len(epochs)
 
 
-# Default bucket count for the hash-partitioned on-disk index layout.  The
+# INDEX LAYOUT.  The hash-partitioned on-disk index layout is the
 # incremental analogue of otsstreamreader's per-shard checkpoint locality
 # (/root/reference/otsstreamreader/.../model/ShardCheckpoint.java:8-118):
 # each epoch is written as epoch-N/__bucket=H/ with H = key_hash % B, so a
 # probe reads ONLY the buckets the new crawl touches — read cost ∝ delta,
-# not ∝ corpus.  B is INDEX-LEVEL state (like the lake's partition map and
-# the IVF centroids): fixed at the first bucketed commit, persisted in
-# _index.json, reused by every later add and probe — mixing bucket counts
-# would misroute probes.  At web scale set it so one bucket's rows fit a
-# read task comfortably (e.g. 4096); the default suits test corpora.
-INDEX_BUCKETS = 64
+# not ∝ corpus.  B (INDEX_BUCKETS, defined at module top) is INDEX-LEVEL
+# state (like the lake's partition map and the IVF centroids): fixed at
+# the first bucketed commit, persisted in _index.json, reused by every
+# later add and probe — mixing bucket counts would misroute probes.  At
+# web scale set it so one bucket's rows fit a read task comfortably
+# (e.g. 4096); the default suits test corpora.
 
 
 def _index_meta_path(index_dir: str) -> str:
@@ -698,12 +704,14 @@ def minhash_index_add(
     bands: int = 16,
     k: int = 5,
     seed: int = 7,
+    index_buckets: int = INDEX_BUCKETS,
 ) -> int:
     """Append every doc's LSH band rows (band, bh, doc_id, sig) to the
     persistent index as a new epoch of parquet part files (distributed
     write — the exploded rows never pass through the driver).  Returns the
     epoch number written.  LSH parameters are a property of the index —
-    every add and probe must use the same (num_perm, bands, k, seed)."""
+    every add and probe must use the same (num_perm, bands, k, seed);
+    ``index_buckets`` only matters on the FIRST add (stored value wins)."""
     import os
 
     _, next_epoch = _lsh_index_files(index_dir)
@@ -711,7 +719,7 @@ def minhash_index_add(
     _commit_index_epoch(
         index_dir, next_epoch,
         _explode_bands(docs, text_col, id_col, num_perm, bands, k, seed),
-        bucket_fn=_bucket_minhash,
+        bucket_fn=_bucket_minhash, buckets=index_buckets,
     )
     return next_epoch
 
@@ -1415,20 +1423,26 @@ def embedding_index_add(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     sample_rows: int = 4096,
     seed: int = 5,
     assign_probes: int = 2,
+    index_buckets: int = INDEX_BUCKETS,
 ) -> int:
     """Append vectors to the persistent IVF near-dup index.  The FIRST add
     fits deterministic k-means centroids on a sample and persists them
-    (``_centroids.parquet``, see :func:`_ensure_centroids`).  Rows are
-    stored multi-probe-assigned (id, vector, __cluster) so probes only
-    ever move matching clusters."""
+    (``_centroids.parquet``, see :func:`_ensure_centroids`); with
+    ``n_clusters=None`` the count is derived from the first crawl's size
+    (:func:`_adaptive_clusters` — ~4096 rows/cluster).  Rows are stored
+    multi-probe-assigned (id, vector, __cluster) so probes only ever move
+    matching clusters; ``index_buckets`` matters only at creation."""
     import os
 
     from .ann import _matrix, _normalize
 
+    if n_clusters is None:
+        n_clusters = _adaptive_clusters(ds.count())
+        sample_rows = max(sample_rows, 8 * n_clusters)
     cent, probes, _, next_epoch = _ensure_centroids(
         index_dir, ds, vec_col, n_clusters, sample_rows, seed, assign_probes
     )
@@ -1439,7 +1453,7 @@ def embedding_index_add(
 
     _commit_index_epoch(
         index_dir, next_epoch, ds.map_batches(assign, batch_format="pyarrow"),
-        bucket_fn=_bucket_embedding,
+        bucket_fn=_bucket_embedding, buckets=index_buckets,
     )
     return next_epoch
 
@@ -1485,10 +1499,17 @@ def _incremental_embedding_probe(
     # first-crawl bootstrap (only when the caller may WRITE the index):
     # fit + persist centroids from the new vectors — an empty index then
     # simply yields new-new pairs only.  Read-only probes raise on a
-    # missing index instead of creating one at a mistyped path.
+    # missing index instead of creating one at a mistyped path.  Cluster
+    # count is corpus-derived at creation (the extra count() pass runs
+    # only on the bootstrap crawl; existing indexes use their persisted
+    # centroids untouched).
+    n_clusters, sample_rows = 16, 4096
+    if _embedding_index_meta(index_dir)[0] is None and create_index:
+        n_clusters = _adaptive_clusters(new_vecs.count())
+        sample_rows = max(sample_rows, 8 * n_clusters)
     cent, probes, files, _ = _ensure_centroids(
-        index_dir, new_vecs, vec_col, n_clusters=16, sample_rows=4096,
-        seed=5, assign_probes=2, create=create_index,
+        index_dir, new_vecs, vec_col, n_clusters=n_clusters,
+        sample_rows=sample_rows, seed=5, assign_probes=2, create=create_index,
     )
     ref = ray.put(cent)
 
