@@ -32,6 +32,8 @@ TaskGroupContainer.java:162-241``, comes for free).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -300,9 +302,14 @@ def run_exchange(
     # when the CPUs are free again)
     #
     # the gate only matters when enough writers run to hit the measured
-    # dirty-page cliff; below that it's one extra RPC per partition
+    # dirty-page cliff; below that it's one extra RPC per partition.
+    # RAYDATAX_WRITE_GATE_PERMITS overrides (0 disables) — the A/B knob
+    # behind the numbers in BENCH/BASELINE.md.
+    permits = int(os.environ.get("RAYDATAX_WRITE_GATE_PERMITS", "8"))
     write_gate = (
-        WriteGate.remote(8) if max(1, merge_concurrency) > 8 else None
+        WriteGate.remote(permits)
+        if permits > 0 and max(1, merge_concurrency) > permits
+        else None
     )
     actors = [
         MergeActor.options(num_cpus=0).remote(
