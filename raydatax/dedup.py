@@ -920,27 +920,44 @@ def _mark_new_docs(
 
     from .relational import _join_partitions
 
-    # an EMPTY mapped Dataset reaching Dataset.join has no schema (acero
-    # "no match for key field") — branch on metadata counts instead
+    # ONE join, not a chain: (a) an EMPTY mapped Dataset reaching
+    # Dataset.join has no schema (acero "no match for key field") — branch
+    # on metadata counts; (b) Ray's JoinOperator emits SCHEMA-LESS blocks
+    # for empty hash partitions, so chaining a second join off the first
+    # fails the same way whenever the crawl is small relative to the
+    # partition count (a one-doc hourly micro-crawl is a legitimate
+    # input).  The two right sides are union-merged on the id first —
+    # a doc can appear in both (index-killed AND in a new-new pair), and
+    # max-over-one-non-null-per-side preserves both columns.
     n_parts = _join_partitions(16)
-    out = ids
+    sides = []
     if dropped_by_index.count():
-        out = out.join(
-            dropped_by_index.map_batches(
-                lambda t: pa.table({id_col: t["nid"], "dup_of_idx": t["dup_of"]}),
-                batch_format="pyarrow",
-            ),
-            "left_outer", n_parts, on=(id_col,),
-        )
+        sides.append(dropped_by_index.map_batches(
+            lambda t: pa.table({
+                id_col: t["nid"],
+                "dup_of_idx": t["dup_of"],
+                "rep": pa.nulls(t.num_rows, t["dup_of"].type),
+            }),
+            batch_format="pyarrow",
+        ))
     comp = comp.materialize()
     if comp.count():
-        out = out.join(
-            comp.map_batches(
-                lambda t: pa.table({id_col: t["node"], "rep": t["component"]}),
-                batch_format="pyarrow",
-            ),
-            "left_outer", n_parts, on=(id_col,),
+        sides.append(comp.map_batches(
+            lambda t: pa.table({
+                id_col: t["node"],
+                "dup_of_idx": pa.nulls(t.num_rows, t["component"].type),
+                "rep": t["component"],
+            }),
+            batch_format="pyarrow",
+        ))
+    out = ids
+    if sides:
+        merged = sides[0] if len(sides) == 1 else sides[0].union(*sides[1:])
+        merged = preagg_groupby(
+            merged, [id_col],
+            [("dup_of_idx", "max", "dup_of_idx"), ("rep", "max", "rep")],
         )
+        out = ids.join(merged, "left_outer", n_parts, on=(id_col,))
 
     def fin(t: pa.Table) -> pa.Table:
         idv = t[id_col]

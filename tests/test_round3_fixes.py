@@ -218,6 +218,55 @@ def test_write_gate_preserves_byte_identity(tmp_wal, tmp_path, ray_session):
     assert ungated == gated
 
 
+def test_pruned_probe_equals_full_scan(tmp_path, ray_session, monkeypatch):
+    """Differential: the bucket-pruned incremental probe must mark the
+    SAME keep/dup_of as a forced full-index scan, across several seeded
+    corpora with planted cross-crawl and new-new duplicates."""
+    import raydatax.dedup as dd
+
+    for seed in (3, 11):
+        rng = np.random.default_rng(seed)
+        base = [
+            " ".join(f"w{rng.integers(0, 50)}" for _ in range(60))
+            for _ in range(30)
+        ]
+        prior = pa.table({
+            "doc_id": pa.array(np.arange(30), pa.int64()),
+            "text": pa.array(base),
+        })
+        # crawl: one clone of a prior doc, one internal dup pair, one fresh
+        fresh = " ".join(f"z{rng.integers(0, 50)}" for _ in range(60))
+        crawl = pa.table({
+            "doc_id": pa.array([100, 101, 102, 103], pa.int64()),
+            "text": pa.array([base[seed % 30], fresh, fresh,
+                              " ".join(f"q{i}" for i in range(60))]),
+        })
+
+        def run(idx):
+            dd.minhash_index_add(rd.from_arrow(prior), idx)
+            out = dd.incremental_minhash_dedup(
+                rd.from_arrow(crawl), idx, threshold=0.9, update_index=False
+            ).take_all()
+            return sorted((r["doc_id"], r["dup_of"], r["keep"]) for r in out)
+
+        pruned = run(str(tmp_path / f"idx_pruned_{seed}"))
+
+        real = dd._index_files_for_buckets
+        monkeypatch.setattr(
+            dd, "_index_files_for_buckets",
+            lambda index_dir, wanted, _real=real: _real(index_dir, None),
+        )
+        full = run(str(tmp_path / f"idx_full_{seed}"))
+        monkeypatch.setattr(dd, "_index_files_for_buckets", real)
+
+        assert pruned == full, seed
+        dupped = {d: (o, k) for d, o, k in pruned}
+        assert dupped[100] == (seed % 30, False)  # cross-crawl clone dropped
+        assert dupped[101] == (101, True)         # new-new pair: min id keeps
+        assert dupped[102] == (101, False)
+        assert dupped[103] == (103, True)
+
+
 def test_embedding_cluster_count_scales_with_corpus():
     """IVF cluster count must grow with the corpus (target rows/cluster),
     not stay fixed — a fixed 16 makes cluster size N/16 dwarf any cap and
