@@ -243,12 +243,19 @@ def pagerank(
         batch_format="pyarrow",
     ).materialize()
 
+    # attach each edge's source out-degree ONCE, outside the loop: saves a
+    # join per iteration AND avoids chaining a join directly off another
+    # join's output in one plan (Ray's JoinOperator emits schema-less
+    # blocks for empty hash partitions, which crash acero as the next
+    # join's input on sparse graphs)
+    e_deg = e.join(outdeg, "inner", n_parts, on=("src",)).materialize()
+
     for _ in range(iters):
         sender = ranks.map_batches(
             lambda t: pa.table({"src": t["node"], "rank": t["rank"]}),
             batch_format="pyarrow",
-        ).join(outdeg, "inner", n_parts, on=("src",))
-        contrib = sender.join(e, "inner", n_parts, on=("src",)).map_batches(
+        )
+        contrib = sender.join(e_deg, "inner", n_parts, on=("src",)).map_batches(
             lambda t: pa.table(
                 {
                     "node": t["dst"],
