@@ -619,14 +619,19 @@ def _index_files_for_buckets(
 
 
 def _wanted_buckets(rows, bucket_fn, buckets: int) -> set[int]:
-    """Distinct bucket ids the probing side touches — at most ``buckets``
-    tiny int rows ever reach the driver."""
+    """Distinct bucket ids the probing side touches: per-block distinct
+    inside ``map_batches`` (no shuffle — a groupby here costs a full
+    sort-exchange for ≤ ``buckets`` outputs), then a driver union over at
+    most blocks × ``buckets`` tiny int rows."""
     b = rows.map_batches(
-        lambda t: pa.table({"__bucket": bucket_fn(t, buckets)}),
+        lambda t: pa.table(
+            {"__bucket": np.unique(
+                bucket_fn(t, buckets).to_numpy(zero_copy_only=False)
+            )}
+        ),
         batch_format="pyarrow",
     )
-    d = preagg_groupby(b, ["__bucket"], [("__bucket", "count", "__n")])
-    return {r["__bucket"] for r in d.take_all()}
+    return {r["__bucket"] for r in b.take_all()}
 
 
 def _bucket_exact(t: pa.Table, buckets: int) -> pa.Array:
