@@ -941,6 +941,42 @@ def key_range_scan(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def key_skip_scan(sf_dir: str):
+    """Phoenix-over-HBase SKIP SCAN analogue: one scan serving several
+    disjoint rowkey ranges (a Phoenix ``WHERE pk IN (...)``/OR'd-ranges
+    query compiles to a skip scan, not N scans).  Row groups are pruned
+    against the range UNION and each is opened at most once even when
+    several ranges hit it (``sources.read_key_ranges``); latest version
+    per rowkey (``normal`` mode).  Oracle: OR of the ranges + latest by
+    row_number().  The middle range is empty at sf0.001 (user ids top
+    near 14) — the scan must handle empty member ranges."""
+    import tempfile
+
+    from .sources import read_key_ranges
+
+    staged = tempfile.mkdtemp(prefix="raydatax_kv_skip_")
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    ds.sort("user_id").write_parquet(staged, row_group_size=4096)
+
+    out = read_key_ranges(
+        staged, "user_id", [(2, 5), (20, 23), (9, 12)],
+        mode="normal", version_col="event_id",
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "last_event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "value": t["value"],
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def tsdb_window_read(sf_dir: str):
     """tsdbreader split-model parity: the query [Jan 2 .. Jan 5) over two
     metrics runs as one read task per 6-hour interval (row groups pruned
@@ -2139,6 +2175,7 @@ QUERIES = {
     "graph_shortest_paths": graph_shortest_paths,
     # --- past the gate window (locally gate-checked) -------------------
     "transcript_window_replay": transcript_window_replay,
+    "key_skip_scan": key_skip_scan,
     "sql_token_read": sql_token_read,
     "sql_sample_read": sql_sample_read,
     "top_orders": top_orders,
@@ -2344,6 +2381,16 @@ ORACLE_SQL = {
         SELECT user_id, event_id AS last_event_id, event_type, value
         FROM events
         WHERE user_id >= 2 AND user_id < 12
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) = 1
+    """,
+    # skip scan: OR of disjoint key ranges, latest version per key
+    "key_skip_scan": """
+        SELECT user_id, event_id AS last_event_id, event_type, value
+        FROM events
+        WHERE (user_id >= 2 AND user_id < 5)
+           OR (user_id >= 20 AND user_id < 23)
+           OR (user_id >= 9 AND user_id < 12)
         QUALIFY row_number() OVER (PARTITION BY user_id
                                    ORDER BY event_id DESC) = 1
     """,

@@ -348,19 +348,21 @@ def synthetic_stream(
 # ------------------------------------------------------- rowkey-range reader
 
 
-def plan_key_range(
+def plan_key_ranges(
     paths: list[str],
     key_col: str,
-    start=None,
-    stop=None,
+    ranges: list[tuple],
 ) -> tuple[list[tuple[str, list[int]]], int]:
-    """Row-group-granular scan plan for a rowkey range [start, stop) —
-    the hbase11xreader region/rowkey-range split model
+    """Row-group-granular scan plan for a UNION of rowkey ranges
+    ``[(start, stop), ...]`` (each end may be None = open) — the
+    hbase11xreader region/rowkey-range split model
     (``/root/reference/hbase11xreader/.../Hbase11xHelper.java:290-330``
     splits the scan into per-region rowkey ranges; a parquet row group
-    with footer min/max stats is our region analogue).  Only the footers
-    are read on the driver; a row group whose key stats cannot overlap the
-    range is never opened.  Returns ``([(path, [rg, ...]), ...], pruned)``.
+    with footer min/max stats is our region analogue), generalized to the
+    Phoenix SKIP-SCAN shape: several disjoint key ranges served by one
+    scan, each row group opened at most once.  Only footers are read on
+    the driver; a row group whose key stats cannot overlap ANY range is
+    never opened.  Returns ``([(path, [rg, ...]), ...], pruned)``.
     Works for integer and string rowkeys (parquet keeps typed stats for
     both); missing stats keep the group (prune conservatively)."""
     import pyarrow.parquet as pq
@@ -382,10 +384,12 @@ def plan_key_range(
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is not None and st.has_min_max:
-                if start is not None and st.max < start:
-                    pruned += 1
-                    continue
-                if stop is not None and st.min >= stop:
+                overlaps = any(
+                    (start is None or st.max >= start)
+                    and (stop is None or st.min < stop)
+                    for start, stop in ranges
+                )
+                if not overlaps:
                     pruned += 1
                     continue
             keep.append(rg)
@@ -394,23 +398,34 @@ def plan_key_range(
     return plans, pruned
 
 
-def read_key_range(
-    paths: str | list[str],
+def plan_key_range(
+    paths: list[str],
     key_col: str,
     start=None,
     stop=None,
+) -> tuple[list[tuple[str, list[int]]], int]:
+    """Single-range form of :func:`plan_key_ranges`."""
+    return plan_key_ranges(paths, key_col, [(start, stop)])
+
+
+def read_key_ranges(
+    paths: str | list[str],
+    key_col: str,
+    ranges: list[tuple],
     columns: list[str] | None = None,
     mode: str = "multiVersion",
     version_col: str = "seq",
 ) -> "rd.Dataset":
-    """KV rowkey-range scan — the hbase11xreader surface.  ``mode``
-    mirrors the reference's two output modes (normal vs multiVersion,
-    ``Hbase11xReader`` mode switch): ``multiVersion`` yields EVERY stored
-    version of each row in the range (one record per version, like one
-    record per cell-version); ``normal`` collapses to the latest version
-    per rowkey by ``version_col`` (LWW).  Planning prunes parquet row
-    groups by footer key stats; each kept (file, row-group run) is one
-    read task, and the exact range predicate is applied in-task."""
+    """KV rowkey SKIP SCAN — several disjoint rowkey ranges served by one
+    scan, the Phoenix-over-HBase access pattern (a Phoenix query with
+    ``WHERE pk IN (...)`` / OR'd ranges compiles to one skip scan instead
+    of N scans).  ``mode`` mirrors the reference hbase readers' two output
+    modes (``Hbase11xReader`` mode switch): ``multiVersion`` yields EVERY
+    stored version of each row (one record per cell-version); ``normal``
+    collapses to the latest version per rowkey by ``version_col`` (LWW).
+    Planning prunes parquet row groups by footer key stats against the
+    range UNION (each group opened at most once); the exact OR-of-ranges
+    predicate is applied in-task."""
     import glob as _glob
     import os as _os
 
@@ -425,6 +440,8 @@ def read_key_range(
         )
     if mode not in ("multiVersion", "normal"):
         raise ValueError(f"unknown mode {mode!r}")
+    if not ranges:
+        raise ValueError("read_key_ranges needs at least one (start, stop)")
     read_cols = columns
     if columns is not None:
         # the range predicate always needs the key; normal mode's LWW also
@@ -433,7 +450,7 @@ def read_key_range(
         extra = [c for c in need if c not in columns]
         if extra:
             read_cols = [*extra, *columns]
-    plans, _ = plan_key_range(paths, key_col, start, stop)
+    plans, _ = plan_key_ranges(paths, key_col, ranges)
     if not plans:  # fully pruned: empty dataset with the projected schema
         import pyarrow.parquet as pq
 
@@ -458,10 +475,20 @@ def read_key_range(
                     t = pq.ParquetFile(path).read_row_groups(
                         rgs, columns=read_cols
                     )
-                    if start is not None:
-                        t = t.filter(pc.field(key_col) >= start)
-                    if stop is not None:
-                        t = t.filter(pc.field(key_col) < stop)
+                    expr = None
+                    for start, stop in ranges:
+                        e = None
+                        if start is not None:
+                            e = pc.field(key_col) >= start
+                        if stop is not None:
+                            e2 = pc.field(key_col) < stop
+                            e = e2 if e is None else e & e2
+                        if e is None:  # fully open range: keep everything
+                            expr = None
+                            break
+                        expr = e if expr is None else expr | e
+                    if expr is not None:
+                        t = t.filter(expr)
                     yield t
 
                 meta = BlockMetadata(
@@ -479,6 +506,23 @@ def read_key_range(
     if read_cols is not columns:
         ds = ds.select_columns(columns)
     return ds
+
+
+def read_key_range(
+    paths: str | list[str],
+    key_col: str,
+    start=None,
+    stop=None,
+    columns: list[str] | None = None,
+    mode: str = "multiVersion",
+    version_col: str = "seq",
+) -> "rd.Dataset":
+    """Single-range KV rowkey scan — the hbase11xreader surface; see
+    :func:`read_key_ranges` for the multi-range (skip scan) form."""
+    return read_key_ranges(
+        paths, key_col, [(start, stop)],
+        columns=columns, mode=mode, version_col=version_col,
+    )
 
 
 # ------------------------------------------------ column-spec stream source

@@ -267,6 +267,40 @@ def test_pruned_probe_equals_full_scan(tmp_path, ray_session, monkeypatch):
         assert dupped[103] == (103, True)
 
 
+def test_key_skip_scan_prunes_and_dedupes_row_groups(tmp_path, ray_session):
+    """Multi-range skip scan: row groups outside every range are pruned,
+    a group hit by two ranges is opened once, and the result equals the
+    union of single-range scans."""
+    import pyarrow.parquet as pq
+
+    from raydatax.sources import plan_key_ranges, read_key_range, read_key_ranges
+
+    t = pa.table({
+        "k": pa.array(np.arange(1000), pa.int64()),
+        "seq": pa.array(np.arange(1000), pa.int64()),
+        "v": pa.array(np.arange(1000) * 3, pa.int64()),
+    })
+    p = str(tmp_path / "kv.parquet")
+    pq.write_table(t, p, row_group_size=100)  # groups: [0,100), [100,200)…
+
+    # two ranges inside group 1, one in group 7 — groups 0,2..6,8,9 pruned
+    ranges = [(110, 120), (150, 160), (705, 715)]
+    plans, pruned = plan_key_ranges([p], "k", ranges)
+    assert pruned == 8
+    assert plans == [(p, [1, 7])]  # group 1 listed ONCE despite two hits
+
+    got = sorted(r["k"] for r in read_key_ranges(
+        [p], "k", ranges, columns=["k", "v"]).take_all())
+    want = sorted(
+        r["k"]
+        for a, b in ranges
+        for r in read_key_range([p], "k", a, b, columns=["k", "v"]).take_all()
+    )
+    assert got == want == (
+        list(range(110, 120)) + list(range(150, 160)) + list(range(705, 715))
+    )
+
+
 def test_embedding_cluster_count_scales_with_corpus():
     """IVF cluster count must grow with the corpus (target rows/cluster),
     not stay fixed — a fixed 16 makes cluster size N/16 dwarf any cap and
