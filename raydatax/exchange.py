@@ -199,8 +199,16 @@ class WriteGate:
     staging ~1.3 GB together cross the kernel dirty-page threshold and the
     epoch serializes on disk writeback (47–50 s vs 15.5 s on tmpfs, same
     binary); ≤8 gated writers with in-token fsync stream the same bytes
-    without the cliff while the other actors keep merging.  On a real
-    multi-node cluster the same cap bounds per-node page-cache pressure."""
+    without the cliff while the other actors keep merging.
+
+    Multi-node note: the cliff is PER-NODE (each node's dirty-page pool
+    and disk), so on a real cluster this should be one gate actor per
+    node (spawn with NodeAffinitySchedulingStrategy and route each merge
+    actor to its node's gate) rather than one global gate, which would
+    over-throttle N nodes to one node's write budget.  ``run_exchange``
+    scales the global gate's permits by the node count as the
+    single-actor approximation — exact on this single-node sandbox,
+    conservative-ish on an evenly-spread pool."""
 
     def __init__(self, permits: int):
         import asyncio
@@ -306,6 +314,11 @@ def run_exchange(
     # RAYDATAX_WRITE_GATE_PERMITS overrides (0 disables) — the A/B knob
     # behind the numbers in BENCH/BASELINE.md.
     permits = int(os.environ.get("RAYDATAX_WRITE_GATE_PERMITS", "8"))
+    if permits > 0:
+        # per-NODE budget: scale the single gate by node count (see the
+        # WriteGate docstring for the true per-node-gate design)
+        n_nodes = max(1, len([n for n in ray.nodes() if n.get("Alive")]))
+        permits *= n_nodes
     write_gate = (
         WriteGate.remote(permits)
         if permits > 0 and max(1, merge_concurrency) > permits
