@@ -75,6 +75,20 @@ def ensure_wal(sf: float, seed: int = 42, frac: float = 1.0, tag: str = "",
     return wal, total
 
 
+def first_touch_gbps(gib: int = 2) -> float:
+    """Hypervisor page-backing probe: this host intermittently degrades to
+    0.03–0.2 GB/s on FIRST touch of newly allocated memory (healthy:
+    4–5 GB/s), which dominates any wall measured during such a window.
+    Recorded in every bench JSON so a slow sample carries its own
+    host-state evidence (see BENCH/BASELINE.md)."""
+    import numpy as np
+
+    a = np.empty(gib * 1024**3 // 8, dtype=np.float64)
+    t0 = time.monotonic()
+    a[:] = 1.0
+    return round(gib / (time.monotonic() - t0), 2)
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -209,6 +223,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "events": n_events,
         "events_per_s": round(n_events / headline, 1),
         "rows_out": report["rows_total"],
+        # host-state evidence: <1 GB/s here means the sample ran inside a
+        # degraded hypervisor page-backing window (BENCH/BASELINE.md)
+        "first_touch_gbps": first_touch_gbps(),
     }
     ray.shutdown()
     return out
