@@ -45,6 +45,10 @@ def _write_staged(out: pa.Table, path: str, write_gate=None) -> None:
     15.5 s with the lake on tmpfs, identical binary).  While gated, the
     file is fsync'd INSIDE the token so the bound applies to dirty pages,
     not just open file handles — writeback streams instead of bursting.
+    A size-based opt-out was considered and rejected: the cliff case and
+    the fine case differ only ~2× in file size here, so any compression-
+    estimated threshold lands between them by luck; the measured A/B
+    (BENCH/BASELINE.md) shows gating costs ≤ noise below the cliff.
     File bytes are identical either way (byte-identical resume holds)."""
     import ray as _ray
 
