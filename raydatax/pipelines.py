@@ -1776,7 +1776,18 @@ def revenue_by_segment(sf_dir: str):
         lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]), batch_format="pyarrow"
     )
     j1 = hash_join(li, ords, on="l_orderkey", num_partitions=16)
-    j2 = hash_join(j1, cust, on="o_custkey", num_partitions=16)
+    # the customer side is the dimension table — broadcast it under a
+    # metadata-counted threshold instead of shuffling the joined fact rows
+    # through a second exchange (also avoids chaining a Dataset.join off a
+    # join output, which crashes on empty hash partitions)
+    cust = cust.materialize()
+    if cust.count() <= 2_000_000:
+        from .relational import _fetch_partials, broadcast_join
+
+        tabs = [t for t in _fetch_partials(cust.to_arrow_refs()) if t.num_rows]
+        j2 = broadcast_join(j1, pa.concat_tables(tabs), "o_custkey")
+    else:
+        j2 = hash_join(j1, cust, on="o_custkey", num_partitions=16)
 
     def add_rev(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
