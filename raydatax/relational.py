@@ -753,7 +753,15 @@ def semi_join(
     row per distinct key per block) and counted from block METADATA; only
     a small key set is pulled to the driver and broadcast, a large one goes
     through a hash-partitioned join (left_outer + null-mask for anti).  The
-    build side is never read whole on the driver."""
+    build side is never read whole on the driver.
+
+    Hazard note: Ray's JoinOperator emits schema-less blocks for EMPTY
+    hash partitions, which crash acero when they reach a later join as
+    input.  The hash path here engages only above ``broadcast_threshold``
+    keys, where partitions are necessarily populated — but if you feed a
+    join OUTPUT in as ``left`` of another sparse join, interpose a
+    ``repartition(k)`` (measured to re-unify block schemas) or
+    restructure to a single join (see ``dedup._mark_new_docs``)."""
     right_on = right_on or left_on
     keys = preagg_groupby(
         right, [right_on], [(right_on, "count", "__c")]
