@@ -289,6 +289,7 @@ def run_skew_bench(sf_dir: str, num_cpus: int) -> dict:
         "events_per_s": round(n_events / min(walls), 1),
         "hot_keys_detected": lake_cfg["hot_keys"],
         "salt": lake_cfg["salt"],
+        "first_touch_gbps": first_touch_gbps(),
     }
     ray.shutdown()
     return out
@@ -354,6 +355,7 @@ def run_changelog_bench(sf_dir: str, num_cpus: int) -> dict:
         "compact_changelog": round(compact_wall, 3),
         "compact_partitions": comp["partitions_compacted"],
         "compact_files_removed": comp["files_removed"],
+        "first_touch_gbps": first_touch_gbps(),
     }
     ray.shutdown()
     return out
