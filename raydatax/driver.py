@@ -511,7 +511,12 @@ def lake_table(lake_dir: str, at_epoch: int | None = None):
     return _unified_concat(mf.committed_files(lake_dir, at_epoch))
 
 
-def compact_changelog(lake_dir: str, upto_epoch: int | None = None) -> dict:
+def compact_changelog(
+    lake_dir: str,
+    upto_epoch: int | None = None,
+    min_files: int = 2,
+    min_delta_ratio: float = 0.0,
+) -> dict:
     """Offline maintenance for ``output="changelog"`` lakes: merge each
     partition's epoch files ≤ ``upto_epoch`` (default: its newest commit)
     into ONE key-seq-sorted file — the log-segment compaction a micro-batch
@@ -527,7 +532,24 @@ def compact_changelog(lake_dir: str, upto_epoch: int | None = None) -> dict:
     and a re-run completes the cleanup.  Events are unique by ``seq`` and
     the sort is total, so the merged file is deterministic (same
     PARQUET_OPTS as the ingest path).  Time travel below the horizon
-    raises loudly."""
+    raises loudly.
+
+    **Amortized cost policy** (``min_files`` / ``min_delta_ratio``): a
+    compaction rewrites a partition's full retained history, so calling it
+    after every micro-batch makes total write volume quadratic in the log
+    length.  ``min_delta_ratio=r`` skips partitions whose uncompacted delta
+    bytes are below ``r x`` the compacted base's bytes — the classic
+    geometric (size-tiered) major-compaction trigger: each row is rewritten
+    only ``O(log_{1+r} N)`` times over the lake's lifetime, and a
+    compaction pass touches only partitions that actually accumulated
+    delta (work ∝ delta, like the ingest path).  ``min_files`` skips
+    partitions with fewer uncompacted epoch files regardless of bytes.
+    Defaults (2, 0.0) preserve the always-compact behavior; steady-state
+    micro-batch deployments should run ``min_delta_ratio=0.5`` (or so) on
+    a cron.  Mirrors size-tiered policy of LSM stores rather than DataX
+    (which has no persistent state to compact); the per-shard horizon
+    bookkeeping follows otsstreamreader's checkpoint locality
+    (`otsstreamreader/.../model/ShardCheckpoint.java:8-118`)."""
     import pyarrow as pa
 
     from .merge import PARQUET_OPTS, sort_key_seq
@@ -544,7 +566,7 @@ def compact_changelog(lake_dir: str, upto_epoch: int | None = None) -> dict:
             if m is not None:
                 by_part.setdefault(m["partition"], []).append(m)
                 rec_paths[(m["partition"], m["epoch"])] = p
-        compacted, files_removed = 0, 0
+        compacted, files_removed, skipped = 0, 0, 0
         manifests = mf.load_manifests(lake_dir)
 
         # per-partition merge work (read → concat → sort → write) runs as
@@ -581,8 +603,17 @@ def compact_changelog(lake_dir: str, upto_epoch: int | None = None) -> dict:
             live = [m for m in recs if m["epoch"] >= horizon]
             if upto_epoch is not None:
                 live = [m for m in live if m["epoch"] <= upto_epoch]
-            if len(live) < 2:
+            if len(live) < max(2, min_files):
+                skipped += 1
                 continue
+            # geometric trigger: live[0] is the compacted base iff it
+            # carries the horizon marker (a never-compacted partition has
+            # base_bytes 0 and always qualifies)
+            if min_delta_ratio > 0.0 and live[0].get("compacted_upto"):
+                delta_bytes = sum(int(m.get("bytes", 0)) for m in live[1:])
+                if delta_bytes < min_delta_ratio * int(live[0].get("bytes", 0)):
+                    skipped += 1
+                    continue
             target = live[-1]
             paths = [os.path.join(lake_dir, m["file"]) for m in live]
             # the merged file gets a NEW deterministic name; the single
@@ -631,7 +662,11 @@ def compact_changelog(lake_dir: str, upto_epoch: int | None = None) -> dict:
                     os.remove(f)
                     files_removed += 1
             compacted += 1
-        return {"partitions_compacted": compacted, "files_removed": files_removed}
+        return {
+            "partitions_compacted": compacted,
+            "files_removed": files_removed,
+            "partitions_skipped": skipped,
+        }
     finally:
         lock.close()
 

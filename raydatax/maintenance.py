@@ -4,8 +4,10 @@ Subcommands (each submittable via ``ray job submit``, like the driver):
 
   info         <lake>                      describe config/partitions/totals
   vacuum       <lake> [--keep N]          drop superseded epoch snapshots
-  compact      <lake> [--upto-epoch E]    merge changelog epoch files
+  compact      <lake> [--upto-epoch E] [--min-files K] [--min-delta-ratio R]
+               merge changelog epoch files (R>0 = geometric trigger)
   refresh-view <lake> <view_dir>          bring a summary view up to date
+  replicate    <src> <dst> [--no-prune]   incremental DR replica sync
   repartition  <old> <new> --partitions P [--salt S]   migrate the mapping
   bootstrap    <snapshot> <lake> --snapshot-seq S [--partitions P]
                full load at a WAL position; the next tail is incremental
@@ -33,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact")
     p.add_argument("lake")
     p.add_argument("--upto-epoch", type=int, default=None)
+    p.add_argument("--min-files", type=int, default=2,
+                   help="skip partitions with fewer uncompacted epoch files")
+    p.add_argument("--min-delta-ratio", type=float, default=0.0,
+                   help="geometric trigger: skip partitions whose delta "
+                        "bytes are below RATIO x the compacted base "
+                        "(amortizes total rewrite volume to O(N log N))")
 
     p = sub.add_parser("refresh-view")
     p.add_argument("lake")
@@ -44,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--snapshot-seq", type=int, required=True)
     p.add_argument("--partitions", type=int, default=64)
     p.add_argument("--salt", type=int, default=4)
+
+    p = sub.add_parser("replicate")
+    p.add_argument("src_lake")
+    p.add_argument("dst_lake")
+    p.add_argument("--no-prune", action="store_true",
+                   help="do not mirror upstream deletions onto the replica")
 
     p = sub.add_parser("repartition")
     p.add_argument("old_lake")
@@ -72,11 +86,18 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             from .driver import compact_changelog
 
-            out = compact_changelog(args.lake, upto_epoch=args.upto_epoch)
+            out = compact_changelog(args.lake, upto_epoch=args.upto_epoch,
+                                    min_files=args.min_files,
+                                    min_delta_ratio=args.min_delta_ratio)
         elif args.cmd == "refresh-view":
             from .view import refresh_view
 
             out = refresh_view(args.lake, args.view_dir)
+        elif args.cmd == "replicate":
+            from .replicate import replicate_lake
+
+            out = replicate_lake(args.src_lake, args.dst_lake,
+                                 prune=not args.no_prune)
         elif args.cmd == "bootstrap":
             from .driver import bootstrap_lake
 

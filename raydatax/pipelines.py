@@ -239,6 +239,64 @@ def job_json_roundtrip(sf_dir: str):
     )
 
 
+def lake_replication(sf_dir: str):
+    """Incremental DR replication under the exact gate: the flagship's
+    derived CDC stream is ingested in TWO epochs with a replica sync after
+    each (``replicate.replicate_lake``) — the second sync ships only the
+    delta epoch's records (asserted), and the query returns the REPLICA's
+    table, so the hash-green row certifies the replica is value-identical
+    to what the primary's replay produces.  The lake-granularity analogue
+    of the reference's whole purpose (moving data between stores), with
+    hdfswriter's publish ordering (files → records → manifest pointer,
+    `/root/reference/hdfswriter/.../HdfsWriter.java:190-192`)."""
+    import glob
+    import shutil
+
+    from .driver import lake_table, run_job
+    from .gen import write_wal
+    from .replicate import replicate_lake
+
+    wal_table = _derived_cdc_wal_table(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = f"/tmp/raydatax_repl_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    wal = os.path.join(root, "wal")
+    # small segments guarantee ≥2 even at sf0.001 (the holdout below
+    # needs a non-empty first epoch)
+    write_wal(wal_table, wal, seg_rows=max(200, wal_table.num_rows // 8))
+    src, dst = os.path.join(root, "lake"), os.path.join(root, "replica")
+
+    # epoch 1: all but the last segment; sync the full lake
+    segs = sorted(glob.glob(os.path.join(wal, "seg-*.parquet")))
+    holdout = segs[-1] + ".holdout"
+    os.replace(segs[-1], holdout)
+    run_job(wal, src, partitions=8)
+    first = replicate_lake(src, dst)
+
+    # epoch 2: the held-out tail; the sync is incremental
+    os.replace(holdout, segs[-1])
+    run_job(wal, src, partitions=8)
+    second = replicate_lake(src, dst)
+    # incremental: the second sync ships exactly the delta epoch's new
+    # snapshot per touched partition — never a re-copy of converged bytes
+    assert second["files_copied"] == second["partitions_updated"], (first, second)
+    assert replicate_lake(src, dst)["noop"]  # converged
+
+    lk = lake_table(dst)
+    full = pc.strftime(lk["ts"], format="%Y-%m-%d %H:%M:%S")
+    return pa.table(
+        {
+            "conv_id": lk["conv_id"],
+            "turn_idx": lk["turn_idx"],
+            "role": lk["role"],
+            "text": lk["text"],
+            "tool": lk["tool"],
+            "ts_str": pc.utf8_slice_codeunits(full, 0, 19),
+            "seq": lk["seq"],
+        }
+    )
+
+
 def conversation_summary_view(sf_dir: str):
     """Incremental materialized view under the SQL gate (view.refresh_view):
     the flagship's derived CDC stream is ingested through the full engine,
@@ -2230,6 +2288,7 @@ QUERIES = {
     "graph_khop": graph_khop,
     "graph_components": graph_components,
     "graph_triangles": graph_triangles,
+    "lake_replication": lake_replication,
 }
 
 ORACLE_SQL = {
@@ -3333,6 +3392,10 @@ ORACLE_SQL = {
 # the declarative runner replays the exact same derived CDC stream as the
 # programmatic flagship — one oracle, two engine surfaces
 ORACLE_SQL["job_json_roundtrip"] = ORACLE_SQL["transcript_cdc_replay"]
+
+# the DR replica must be value-identical to the primary's replay — same
+# oracle, third engine surface (incremental replicate_lake sync)
+ORACLE_SQL["lake_replication"] = ORACLE_SQL["transcript_cdc_replay"]
 
 # the HLL accuracy contract: exact distinct count is SQL, the in-bound flag
 # is asserted engine-side (TRUE here) — a sketch regression hash-fails

@@ -278,6 +278,57 @@ def test_changelog_compaction(ray_session, wal, tmp_path):
     assert run_job(wal, lake, partitions=4)["action"] == "noop"
 
 
+def test_compaction_geometric_trigger(ray_session, wal, tmp_path):
+    """min_delta_ratio skips partitions whose delta is small relative to
+    their compacted base (the size-tiered major-compaction trigger):
+    a tiny delta on a big base does NOT trigger a rewrite, an
+    accumulated delta does, and the skip never loses data."""
+    from raydatax.driver import compact_changelog
+    from raydatax.manifest import changelog_files
+
+    lake = str(tmp_path / "lake")
+    run_job(wal, lake, partitions=4, output="changelog")
+
+    def append_delta(n, seq0, conv0, tag):
+        d = str(tmp_path / f"wal_{tag}")
+        gen_wal(d, n, start_seq=seq0, conv_offset=conv0)
+        n_seg = len(glob.glob(os.path.join(wal, "seg-*.parquet")))
+        for i, p in enumerate(sorted(glob.glob(os.path.join(d, "seg-*.parquet")))):
+            os.replace(p, os.path.join(wal, f"seg-{n_seg + i:05d}.parquet"))
+        run_job(wal, lake, partitions=4)
+
+    append_delta(3000, 20_000_000, 60_000, "d0")
+    # establish the compacted base
+    rep = compact_changelog(lake)
+    assert rep["partitions_compacted"] == 4
+
+    # a small delta (~3% of the base) does not meet ratio 0.5
+    append_delta(400, 30_000_000, 70_000, "small")
+    before = changelog_table(lake)
+    rep = compact_changelog(lake, min_delta_ratio=0.5)
+    assert rep["partitions_compacted"] == 0
+    assert rep["partitions_skipped"] == 4
+    after = changelog_table(lake)
+    assert after.num_rows == before.num_rows  # skip loses nothing
+
+    # accumulate deltas past the trigger → compaction fires
+    append_delta(9000, 40_000_000, 80_000, "big")
+    before = changelog_table(lake)
+    rep = compact_changelog(lake, min_delta_ratio=0.5)
+    assert rep["partitions_compacted"] == 4
+    assert len(changelog_files(lake)) == 4
+    after = changelog_table(lake)
+    assert sorted(after["seq"].to_pylist()) == sorted(before["seq"].to_pylist())
+
+    # min_files alone: one fresh delta = 2 live records per partition,
+    # below a min_files=3 bar
+    append_delta(500, 50_000_000, 90_000, "tail")
+    rep = compact_changelog(lake, min_files=3)
+    assert rep["partitions_compacted"] == 0 and rep["partitions_skipped"] == 4
+    rep = compact_changelog(lake)  # defaults still always-compact
+    assert rep["partitions_compacted"] == 4
+
+
 def test_changelog_compaction_crash_states_stay_readable(ray_session, wal, tmp_path):
     """Either side of the commit point is a readable lake: a stray merged
     file without its record is ignored; once the marker record exists,
