@@ -1,0 +1,187 @@
+"""Lake consistency checker (``fsck``) — the audit side of exactly-once.
+
+The engine's correctness story rests on invariants the two-phase commit
+maintains (files published before manifests, manifests before history
+trims, horizons before deletions).  ``lake_fsck`` verifies them all
+OFFLINE, so an operator can prove a lake is sound after a crash, a
+botched manual intervention, or a replica promotion — the lake-level
+analogue of the reference's post-job verification accounting
+(`/root/reference/core/.../util/ErrorRecordChecker.java:18-82` checks
+record counts after the run; we check the persisted state itself).
+
+Structural pass (metadata only, no data reads — O(partitions)):
+  - `_lake.json` present, mode valid, partition-hash version matches
+    this build (mismatch = every key-pruned read is wrong);
+  - every manifest's file exists, its size matches the recorded
+    ``bytes``, its Parquet footer is readable and its row count matches
+    the recorded ``rows``;
+  - history records: image mode may carry tombstones (file vacuumed) but
+    a changelog lake's live records (epoch ≥ horizon) MUST all have
+    files — a missing one means history was destroyed;
+  - compaction horizons are coherent (exactly one authoritative marker
+    at the horizon epoch, nothing newer below it);
+  - per-partition high-watermarks never regress across history epochs;
+  - orphaned staging dirs / stray ``.tmp`` files are counted (harmless —
+    crash leftovers — but worth surfacing).
+
+Deep pass (``deep=True``): one Ray task per committed file reads the
+data and verifies the (conv_id, turn_idx, seq)-sorted invariant plus
+``max(seq) ≤`` the partition's recorded watermark.  Work is fully
+distributed; the driver sees one small verdict per file.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import ray
+
+from . import manifest as mf
+
+
+def _structural(lake_dir: str) -> tuple[list[str], list[dict], int]:
+    issues: list[str] = []
+    cfg = mf.load_lake_config(lake_dir)
+    if cfg is None:
+        return [f"no _lake.json under {lake_dir}"], [], 0
+    mode = cfg.get("output", "image")
+    if mode not in ("image", "changelog"):
+        issues.append(f"unknown output mode {mode!r}")
+    try:
+        mf.check_hash_version(cfg, lake_dir)
+    except RuntimeError as e:
+        issues.append(str(e))
+
+    manifests = mf.load_manifests(lake_dir)
+    history: dict[int, list[dict]] = {}
+    for p in glob.glob(
+        os.path.join(lake_dir, "_manifests", "history", "part-*.json")
+    ):
+        m = mf._read_json(p)
+        if m is None:
+            issues.append(f"unreadable history record {os.path.basename(p)}")
+        else:
+            history.setdefault(int(m["partition"]), []).append(m)
+
+    def check_file(rec: dict, what: str) -> bool:
+        f = os.path.join(lake_dir, rec["file"])
+        if not os.path.exists(f):
+            return False
+        size = os.path.getsize(f)
+        if size != rec.get("bytes", size):
+            issues.append(
+                f"{what} {rec['file']}: size {size} != recorded {rec['bytes']}"
+            )
+            return True
+        try:
+            md = pq.read_metadata(f)
+        except Exception as e:
+            issues.append(f"{what} {rec['file']}: unreadable footer ({e})")
+            return True
+        if md.num_rows != rec.get("rows", md.num_rows):
+            issues.append(
+                f"{what} {rec['file']}: {md.num_rows} rows != recorded "
+                f"{rec['rows']}"
+            )
+        return True
+
+    live_files: list[dict] = []
+    for pid, man in sorted(manifests.items()):
+        if not check_file(man, f"manifest part {pid}"):
+            issues.append(f"manifest part {pid}: missing file {man['file']}")
+
+    for pid, recs in sorted(history.items()):
+        recs.sort(key=lambda m: m["epoch"])
+        markers = [m for m in recs if m.get("compacted_upto")]
+        horizon = max((m["epoch"] for m in markers), default=None)
+        if horizon is not None:
+            below = [m for m in markers if m["epoch"] < horizon]
+            # older markers below the current horizon are legal only until
+            # the re-run cleanup removes them; flag if their files linger
+            for m in below:
+                if os.path.exists(os.path.join(lake_dir, m["file"])):
+                    issues.append(
+                        f"part {pid}: superseded compacted file below "
+                        f"horizon {horizon} still present: {m['file']}"
+                    )
+        hw_prev = None
+        for m in recs:
+            live = horizon is None or m["epoch"] >= horizon
+            present = check_file(m, f"history part {pid} epoch {m['epoch']}")
+            if not present and live and mode == "changelog":
+                issues.append(
+                    f"part {pid}: changelog history file missing for live "
+                    f"epoch {m['epoch']}: {m['file']}"
+                )
+            if present and live:
+                live_files.append(
+                    {"pid": pid, "file": os.path.join(lake_dir, m["file"]),
+                     "hw_seq": m.get("hw_seq")}
+                )
+            hw = m.get("hw_seq")
+            if hw is not None and hw_prev is not None and hw < hw_prev:
+                issues.append(
+                    f"part {pid}: watermark regressed {hw_prev} -> {hw} "
+                    f"at epoch {m['epoch']}"
+                )
+            if hw is not None:
+                hw_prev = hw
+        man = manifests.get(pid)
+        if man is not None and recs and man["epoch"] < recs[-1]["epoch"]:
+            issues.append(
+                f"part {pid}: manifest at epoch {man['epoch']} but history "
+                f"reaches {recs[-1]['epoch']} — manifest flip never landed"
+            )
+
+    strays = len(glob.glob(os.path.join(lake_dir, "_staging", "epoch-*", "*")))
+    strays += len(
+        glob.glob(os.path.join(lake_dir, "data", "part-*", "*.tmp"))
+    )
+    return issues, live_files, strays
+
+
+@ray.remote
+def _deep_check(path: str, hw_seq: int | None) -> list[str]:
+    import numpy as np
+
+    issues = []
+    t = pq.read_table(path, columns=["conv_id", "turn_idx", "seq"])
+    if t.num_rows > 1:
+        conv = np.asarray(t["conv_id"].to_pylist(), dtype=object)
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False)
+        seq = t["seq"].to_numpy(zero_copy_only=False)
+        gt = conv[1:] > conv[:-1]
+        eq = conv[1:] == conv[:-1]
+        ok = gt | (eq & ((turn[1:] > turn[:-1])
+                         | ((turn[1:] == turn[:-1]) & (seq[1:] >= seq[:-1]))))
+        if not bool(ok.all()):
+            issues.append(f"{path}: rows not (conv_id, turn_idx, seq)-sorted")
+    if t.num_rows and hw_seq is not None:
+        import pyarrow.compute as pc
+
+        mx = int(pc.max(t["seq"]).as_py())
+        if mx > hw_seq:
+            issues.append(f"{path}: max seq {mx} above watermark {hw_seq}")
+    return issues
+
+
+def lake_fsck(lake_dir: str, deep: bool = False) -> dict:
+    """Run the structural pass (and optionally the deep pass) and return
+    ``{"ok", "issues", "files_checked", "stray_staging_files"}``."""
+    issues, live_files, strays = _structural(lake_dir)
+    files_checked = 0
+    if deep and not any("no _lake.json" in i for i in issues):
+        verdicts = ray.get(
+            [_deep_check.remote(f["file"], f["hw_seq"]) for f in live_files]
+        )
+        files_checked = len(live_files)
+        for v in verdicts:
+            issues.extend(v)
+    return {
+        "ok": not issues,
+        "issues": issues,
+        "files_checked": files_checked,
+        "stray_staging_files": strays,
+    }

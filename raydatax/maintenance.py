@@ -7,6 +7,7 @@ Subcommands (each submittable via ``ray job submit``, like the driver):
   compact      <lake> [--upto-epoch E] [--min-files K] [--min-delta-ratio R]
                merge changelog epoch files (R>0 = geometric trigger)
   refresh-view <lake> <view_dir>          bring a summary view up to date
+  fsck         <lake> [--deep]            verify commit invariants offline
   replicate    <src> <dst> [--no-prune]   incremental DR replica sync
   repartition  <old> <new> --partitions P [--salt S]   migrate the mapping
   bootstrap    <snapshot> <lake> --snapshot-seq S [--partitions P]
@@ -53,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=64)
     p.add_argument("--salt", type=int, default=4)
 
+    p = sub.add_parser("fsck")
+    p.add_argument("lake")
+    p.add_argument("--deep", action="store_true",
+                   help="also read every committed file and verify sort "
+                        "order + watermark bounds (one Ray task per file)")
+
     p = sub.add_parser("replicate")
     p.add_argument("src_lake")
     p.add_argument("dst_lake")
@@ -70,7 +77,10 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     owned = False
-    if args.cmd != "info" and not ray.is_initialized():
+    metadata_only = args.cmd == "info" or (
+        args.cmd == "fsck" and not args.deep
+    )
+    if not metadata_only and not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
         owned = True
@@ -93,6 +103,10 @@ def main(argv: list[str] | None = None) -> int:
             from .view import refresh_view
 
             out = refresh_view(args.lake, args.view_dir)
+        elif args.cmd == "fsck":
+            from .fsck import lake_fsck
+
+            out = lake_fsck(args.lake, deep=args.deep)
         elif args.cmd == "replicate":
             from .replicate import replicate_lake
 

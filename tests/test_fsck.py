@@ -1,0 +1,104 @@
+"""lake_fsck — offline verification of the commit invariants."""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from raydatax.driver import run_job
+from raydatax.fsck import lake_fsck
+from raydatax.gen import gen_wal
+
+
+def _mk_lake(tmp_path, **kw):
+    wal = str(tmp_path / "wal")
+    gen_wal(wal, 8000)
+    lake = str(tmp_path / "lake")
+    run_job(wal, lake, partitions=4, **kw)
+    return lake
+
+
+def _edit_json(path, **updates):
+    with open(path) as f:
+        obj = json.load(f)
+    obj.update(updates)
+    with open(path, "w") as f:
+        json.dump(obj, f)
+
+
+def test_clean_lake_passes_structural_and_deep(ray_session, tmp_path):
+    lake = _mk_lake(tmp_path)
+    rep = lake_fsck(lake)
+    assert rep["ok"], rep["issues"]
+    rep = lake_fsck(lake, deep=True)
+    assert rep["ok"], rep["issues"]
+    assert rep["files_checked"] == 4
+
+
+def test_fsck_flags_truncated_and_missing_files(ray_session, tmp_path):
+    lake = _mk_lake(tmp_path)
+    files = sorted(glob.glob(os.path.join(lake, "data", "part-*", "*.parquet")))
+    # truncate one file → size mismatch
+    with open(files[0], "r+b") as f:
+        f.truncate(os.path.getsize(files[0]) - 100)
+    rep = lake_fsck(lake)
+    assert not rep["ok"]
+    assert any("size" in i for i in rep["issues"])
+    # delete another → missing manifest file
+    os.remove(files[1])
+    rep = lake_fsck(lake)
+    assert any("missing file" in i for i in rep["issues"])
+
+
+def test_fsck_flags_row_and_watermark_tampering(ray_session, tmp_path):
+    lake = _mk_lake(tmp_path)
+    man = sorted(glob.glob(os.path.join(lake, "_manifests", "part-*.json")))[0]
+    with open(man) as f:
+        rows = json.load(f)["rows"]
+    _edit_json(man, rows=rows + 1)
+    rep = lake_fsck(lake)
+    assert any("rows != recorded" in i for i in rep["issues"])
+
+    # watermark regression across history epochs
+    lake2 = _mk_lake(tmp_path / "2")
+    hist = sorted(
+        glob.glob(os.path.join(lake2, "_manifests", "history", "part-*.json"))
+    )[0]
+    _edit_json(hist, hw_seq=-1)
+    # a second epoch is needed for a regression pair: fake one by copying
+    with open(hist) as f:
+        rec = json.load(f)
+    rec2 = dict(rec, epoch=rec["epoch"] + 1, hw_seq=-2)
+    with open(hist.replace("epoch-000001", "epoch-000002"), "w") as f:
+        json.dump(rec2, f)
+    rep = lake_fsck(lake2)
+    assert any("watermark regressed" in i for i in rep["issues"])
+
+
+def test_fsck_deep_flags_unsorted_rows(ray_session, tmp_path):
+    lake = _mk_lake(tmp_path)
+    from raydatax.merge import PARQUET_OPTS
+
+    f = sorted(glob.glob(os.path.join(lake, "data", "part-*", "*.parquet")))[0]
+    t = pq.read_table(f)
+    rev = t.take(list(range(t.num_rows - 1, -1, -1)))
+    pq.write_table(rev.replace_schema_metadata(None), f, **PARQUET_OPTS)
+    # keep the metadata story consistent so ONLY the deep check fires
+    pid = int(os.path.basename(os.path.dirname(f)).split("-")[1])
+    for p in [os.path.join(lake, "_manifests", f"part-{pid:05d}.json")] + glob.glob(
+        os.path.join(lake, "_manifests", "history", f"part-{pid:05d}-*.json")
+    ):
+        _edit_json(p, bytes=os.path.getsize(f))
+    assert lake_fsck(lake)["ok"]
+    rep = lake_fsck(lake, deep=True)
+    assert not rep["ok"]
+    assert any("not (conv_id, turn_idx, seq)-sorted" in i for i in rep["issues"])
+
+
+def test_fsck_changelog_missing_history_is_loud(ray_session, tmp_path):
+    lake = _mk_lake(tmp_path, output="changelog")
+    f = sorted(glob.glob(os.path.join(lake, "data", "part-*", "*.parquet")))[0]
+    os.remove(f)
+    rep = lake_fsck(lake)
+    assert any("changelog history file missing" in i for i in rep["issues"])
