@@ -345,6 +345,16 @@ def run_changelog_bench(sf_dir: str, num_cpus: int) -> dict:
     comp = compact_changelog(lake)
     compact_wall = time.monotonic() - t0
 
+    # steady-state policy: after the full fold, a further 2% delta under
+    # the geometric trigger (ratio 0.5) must NOT rewrite the corpus — the
+    # amortized maintenance cost a micro-batch cadence actually pays
+    delta_wal2, _ = ensure_wal(sf, seed=44, frac=0.02, tag="delta2")
+    run_job(delta_wal2, lake, partitions=max(32, num_cpus * 2),
+            merge_concurrency=num_cpus, output="changelog")
+    t0 = time.monotonic()
+    comp_trig = compact_changelog(lake, min_delta_ratio=0.5)
+    compact_trig_wall = time.monotonic() - t0
+
     out = {
         "metric": "changelog-mode replay (multi-version, append-only epochs)",
         "value": min(walls), "unit": "sec", "walls": walls,
@@ -355,6 +365,9 @@ def run_changelog_bench(sf_dir: str, num_cpus: int) -> dict:
         "compact_changelog": round(compact_wall, 3),
         "compact_partitions": comp["partitions_compacted"],
         "compact_files_removed": comp["files_removed"],
+        "compact_triggered_wall": round(compact_trig_wall, 3),
+        "compact_triggered_compacted": comp_trig["partitions_compacted"],
+        "compact_triggered_skipped": comp_trig["partitions_skipped"],
         "first_touch_gbps": first_touch_gbps(),
     }
     ray.shutdown()

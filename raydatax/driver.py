@@ -430,12 +430,25 @@ def requeue_deadletters(lake_dir: str, wal_dir: str, repair_fn, epoch: int | Non
 # ------------------------------------------------------------- lake readers
 
 
-def read_lake(lake_dir: str, at_epoch: int | None = None) -> "ray.data.Dataset":
+def read_lake(
+    lake_dir: str,
+    at_epoch: int | None = None,
+    columns: list[str] | None = None,
+    filter=None,
+) -> "ray.data.Dataset":
     """Committed table state as a streaming Dataset (partition-major,
     key-sorted within partitions — the stable output order).  ``at_epoch``
     time-travels to the snapshot as of that epoch (retained per the lake's
     ``time_travel_epochs`` config, set at creation via
-    ``run_job(time_travel_epochs=N)`` on the first apply)."""
+    ``run_job(time_travel_epochs=N)`` on the first apply).
+
+    ``columns`` / ``filter`` (a pyarrow dataset expression) push straight
+    into the parquet scan — only the requested columns / row groups leave
+    storage, the same prune-at-the-read discipline the reference's readers
+    apply via their SQL ``column``/``where`` config
+    (`/root/reference/plugin-rdbms-util/.../SingleTableSplitUtil.java:39`).
+    When both are given, the filter's fields must be among ``columns``
+    (project them, then drop with ``.select_columns``)."""
     cfg = mf.load_lake_config(lake_dir)
     if cfg is not None and cfg.get("output", "image") == "changelog":
         raise RuntimeError(
@@ -445,7 +458,24 @@ def read_lake(lake_dir: str, at_epoch: int | None = None) -> "ray.data.Dataset":
     files = mf.committed_files(lake_dir, at_epoch)
     if not files:
         raise FileNotFoundError(f"no committed partitions under {lake_dir}")
-    return ray.data.read_parquet(files, schema=_unified_schema(files))
+    return _read_pruned(files, columns, filter)
+
+
+def _read_pruned(files: list[str], columns, filter) -> "ray.data.Dataset":
+    # Ray binds the filter against the schema it is given, and with a
+    # column projection the given schema must match the projected output —
+    # so when BOTH are passed, the filter's fields must appear in
+    # ``columns`` (project them, then ``.select_columns`` the rest away)
+    schema = _unified_schema(files)
+    kw = {}
+    if columns is not None:
+        import pyarrow as pa
+
+        schema = pa.schema([schema.field(c) for c in columns])
+        kw["columns"] = list(columns)
+    if filter is not None:
+        kw["filter"] = filter
+    return ray.data.read_parquet(files, schema=schema, **kw)
 
 
 def _unified_schema(files: list[str]):
@@ -470,12 +500,18 @@ def _unified_concat(files: list[str]):
     return pa.concat_tables(tables, promote_options="permissive")
 
 
-def read_changelog(lake_dir: str, at_epoch: int | None = None) -> "ray.data.Dataset":
+def read_changelog(
+    lake_dir: str,
+    at_epoch: int | None = None,
+    columns: list[str] | None = None,
+    filter=None,
+) -> "ray.data.Dataset":
     """Full committed change history of a ``output="changelog"`` lake as a
     streaming Dataset: every event with its op + seq, partition-major, then
     epoch-ascending, key-seq-sorted within each epoch file.  A total
     per-key replay order needs only a per-key seq sort downstream (epochs
-    already commit in seq order).  ``at_epoch`` bounds the log."""
+    already commit in seq order).  ``at_epoch`` bounds the log.
+    ``columns``/``filter`` push into the parquet scan (see read_lake)."""
     cfg = mf.load_lake_config(lake_dir)
     if cfg is None:
         raise FileNotFoundError(f"no lake at {lake_dir}")
@@ -487,7 +523,7 @@ def read_changelog(lake_dir: str, at_epoch: int | None = None) -> "ray.data.Data
     files = mf.changelog_files(lake_dir, at_epoch)
     if not files:
         raise FileNotFoundError(f"no committed changelog epochs under {lake_dir}")
-    return ray.data.read_parquet(files, schema=_unified_schema(files))
+    return _read_pruned(files, columns, filter)
 
 
 def changelog_table(lake_dir: str, at_epoch: int | None = None):

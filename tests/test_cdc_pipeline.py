@@ -208,3 +208,34 @@ def test_engine_paths_equivalent_sparse(tmp_path):
     fb = sorted(glob.glob(os.path.join(lake_b, "data", "part-*", "*.parquet")))
     for a, b in zip(fa, fb):
         assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_read_lake_pushdown(tmp_wal, tmp_lake):
+    """columns= / filter= push into the parquet scan and agree with the
+    full read (prune-at-the-read discipline)."""
+    import pyarrow.dataset as pds
+
+    from raydatax.driver import read_lake
+
+    events = gen_events(10_000, seed=42)
+    write_wal(events, tmp_wal, seg_rows=4000)
+    run_job(tmp_wal, tmp_lake, partitions=4)
+
+    full = lake_table(tmp_lake)
+    ds = read_lake(tmp_lake, columns=["conv_id", "turn_idx"])
+    assert set(ds.schema().names) == {"conv_id", "turn_idx"}
+    assert ds.count() == full.num_rows
+
+    flt = pds.field("turn_idx") < 5
+    got = read_lake(tmp_lake, filter=flt).take_all()
+    import pyarrow.compute as pc
+
+    want = full.filter(pc.less(full["turn_idx"], 5))
+    assert len(got) == want.num_rows
+
+    # combined: filter fields ride along in columns, dropped post-scan
+    both = read_lake(
+        tmp_lake, columns=["conv_id", "text", "turn_idx"], filter=flt
+    ).select_columns(["conv_id", "text"])
+    assert set(both.schema().names) == {"conv_id", "text"}
+    assert both.count() == want.num_rows
