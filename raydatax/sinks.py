@@ -290,3 +290,121 @@ def read_sorted(path: str, key_range: tuple | None = None, columns=None):
         raise FileNotFoundError(f"no files in range under {path}")
     return rd.read_parquet([os.path.join(path, e["file"]) for e in files],
                            columns=columns)
+
+
+# --------------------------------------------------------------- bulk writer
+
+
+class BulkWriter:
+    """Actor-pool bulk sink with the RDBMS/HTTP writer family's buffered
+    at-least-once semantics (clickhouse/adbpg/ocs/bk writers; the shared
+    contract lives in `/root/reference/plugin-rdbms-util/.../writer/
+    CommonRdbmsWriter.java:283-317` — flush on batchSize/batchByteSize —
+    and `:360-428` — a failed batch is replayed ROW AT A TIME so one bad
+    record dirties itself, never the batch):
+
+    - ``backend_factory()`` runs once per actor (the connection / client,
+      like the per-task JDBC conn at `CommonRdbmsReader.java:188`); it
+      returns a callable ``flush(pa.Table) -> None`` that raises on
+      failure.  The backend must tolerate replays (at-least-once).
+    - every incoming Arrow batch is sliced to ``batch_rows`` /
+      ``batch_bytes`` caps and flushed; transient flush errors retry with
+      exponential backoff (`RetryUtil.java:25-44`);
+    - a chunk that still fails is replayed row-by-row: rows that fail
+      alone come back as dirty (with the error reason), the rest land;
+    - ``__call__`` emits one report row per chunk (rows_written, dirty,
+      reason sample) — sum downstream and assert the job's dirty budget
+      like ``ErrorRecordChecker.java:18-82``.
+
+    Use via :func:`write_bulk`.  There is deliberately NO cross-call
+    buffer: ``map_batches`` actors have no flush-on-close hook, so a
+    trailing buffer would be dropped on actor exit — each call flushes
+    everything it received (caps SUBDIVIDE a batch, they never hold rows
+    back)."""
+
+    def __init__(self, backend_factory, batch_rows: int = 4096,
+                 batch_bytes: int = 4 << 20, retries: int = 3,
+                 base_sleep_s: float = 0.05):
+        self.flush = backend_factory()
+        self.batch_rows = batch_rows
+        self.batch_bytes = batch_bytes
+        self.retries = retries
+        self.base_sleep_s = base_sleep_s
+
+    def _flush_retry(self, chunk) -> None:
+        import time as _time
+
+        for attempt in range(self.retries + 1):
+            try:
+                self.flush(chunk)
+                return
+            except Exception:
+                if attempt == self.retries:
+                    raise
+                _time.sleep(self.base_sleep_s * (2 ** attempt))
+
+    def __call__(self, t):
+        import pyarrow as pa
+
+        reports = []
+        pos = 0
+        while pos < t.num_rows:
+            n = min(self.batch_rows, t.num_rows - pos)
+            chunk = t.slice(pos, n)
+            # byte cap: halve until under (slice is zero-copy, nbytes is
+            # metadata arithmetic — no row materializes on the driver side)
+            while n > 1 and chunk.nbytes > self.batch_bytes:
+                n = max(1, n // 2)
+                chunk = t.slice(pos, n)
+            pos += n
+            written = dirty = 0
+            reason = None
+            try:
+                self._flush_retry(chunk)
+                written = n
+            except Exception:
+                # batch poisoned: isolate row by row (rollback analogue)
+                for i in range(n):
+                    row = chunk.slice(i, 1)
+                    try:
+                        self._flush_retry(row)
+                        written += 1
+                    except Exception as re:
+                        dirty += 1
+                        if reason is None:
+                            reason = f"{type(re).__name__}: {re}"[:200]
+            reports.append((written, dirty, 1, reason))
+        return pa.table({
+            "rows_written": pa.array([r[0] for r in reports], pa.int64()),
+            "rows_dirty": pa.array([r[1] for r in reports], pa.int64()),
+            "flushes": pa.array([r[2] for r in reports], pa.int64()),
+            "dirty_reason": pa.array([r[3] for r in reports], pa.string()),
+        })
+
+
+def write_bulk(ds, backend_factory, concurrency: int = 4,
+               error_limit_records: int | None = None, **writer_kw) -> dict:
+    """Drive :class:`BulkWriter` over a Dataset and fold the per-chunk
+    reports into one job summary; raises if dirty rows exceed
+    ``error_limit_records`` (post-run check, `ErrorRecordChecker.java`)."""
+    rep = ds.map_batches(
+        BulkWriter,
+        fn_constructor_kwargs={"backend_factory": backend_factory, **writer_kw},
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+    written = dirty = flushes = 0
+    reasons: list[str] = []
+    for b in rep.iter_batches(batch_format="pyarrow"):
+        written += sum(b["rows_written"].to_pylist())
+        dirty += sum(b["rows_dirty"].to_pylist())
+        flushes += sum(b["flushes"].to_pylist())
+        reasons += [r for r in b["dirty_reason"].to_pylist() if r][:3]
+    out = {"rows_written": written, "rows_dirty": dirty,
+           "flushes": flushes, "dirty_reasons": reasons[:3]}
+    if error_limit_records is not None and dirty > error_limit_records:
+        raise RuntimeError(
+            f"write_bulk: {dirty} dirty rows exceed the "
+            f"error limit {error_limit_records}: {reasons[:3]}"
+        )
+    return out
