@@ -297,6 +297,61 @@ def lake_replication(sf_dir: str):
     )
 
 
+def lake_snapshot_diff(sf_dir: str):
+    """Snapshot diff under the exact gate (``driver.lake_diff`` — the
+    Delta-CDF-style ``table_changes`` read surface): the flagship's derived
+    CDC stream is applied in TWO epochs split at seq ≤ ⌊max·6/10⌋, and the
+    change feed between the two time-travel snapshots is classified
+    insert / update / delete by the rows' ``seq`` version.  Exactly
+    SQL-expressible: LWW state at each watermark (``row_number() OVER
+    (... ORDER BY seq DESC)``), FULL JOINed on the key, kept where either
+    side is absent or the winning seq moved.  Engine shape: one Ray task
+    per CHANGED partition, zero shuffle; untouched partitions are skipped
+    without opening them (work ∝ delta)."""
+    import glob
+    import shutil
+
+    import ray
+
+    from .driver import lake_diff, run_job
+    from .gen import write_wal
+
+    wal_table = _derived_cdc_wal_table(sf_dir)
+    w1 = pc.max(wal_table["seq"]).as_py() * 6 // 10  # floor, ints — == SQL //
+    early = pc.less_equal(wal_table["seq"], w1)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = f"/tmp/raydatax_diff_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    wal = os.path.join(root, "wal")
+    lake = os.path.join(root, "lake")
+    write_wal(wal_table.filter(early), wal, seg_rows=20_000)
+    rep1 = run_job(wal, lake, partitions=8, time_travel_epochs=8)
+    n0 = len(glob.glob(os.path.join(wal, "seg-*.parquet")))
+    late_dir = wal + "_next"
+    write_wal(wal_table.filter(pc.invert(early)), late_dir, seg_rows=20_000)
+    for i, p in enumerate(sorted(glob.glob(os.path.join(late_dir, "seg-*.parquet")))):
+        os.rename(p, os.path.join(wal, f"seg-{n0 + i:05d}.parquet"))
+    rep2 = run_job(wal, lake, partitions=8)
+
+    ds = lake_diff(lake, from_epoch=rep1["epoch"], to_epoch=rep2["epoch"])
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(parts, promote_options="permissive")
+    full = pc.strftime(t["ts"], format="%Y-%m-%d %H:%M:%S")
+    return pa.table(
+        {
+            "op": t["_op"],
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "role": t["role"],
+            "text": t["text"],
+            "tool": t["tool"],
+            "ts_str": pc.utf8_slice_codeunits(full, 0, 19),
+            "seq": t["seq"],
+        }
+    )
+
+
 def conversation_summary_view(sf_dir: str):
     """Incremental materialized view under the SQL gate (view.refresh_view):
     the flagship's derived CDC stream is ingested through the full engine,
@@ -2289,6 +2344,7 @@ QUERIES = {
     "graph_components": graph_components,
     "graph_triangles": graph_triangles,
     "lake_replication": lake_replication,
+    "lake_snapshot_diff": lake_snapshot_diff,
 }
 
 ORACLE_SQL = {
@@ -3396,6 +3452,51 @@ ORACLE_SQL["job_json_roundtrip"] = ORACLE_SQL["transcript_cdc_replay"]
 # the DR replica must be value-identical to the primary's replay — same
 # oracle, third engine surface (incremental replicate_lake sync)
 ORACLE_SQL["lake_replication"] = ORACLE_SQL["transcript_cdc_replay"]
+
+# snapshot diff: LWW state at the two watermarks, FULL JOIN on the key,
+# kept where a side is absent or the winning seq moved — exactly the
+# engine's seq-version classification
+ORACLE_SQL["lake_snapshot_diff"] = """
+    WITH src AS (
+      SELECT event_id AS seq,
+             CASE WHEN event_id % 10 < 6 THEN 'I'
+                  WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+             'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(event_id % 37 AS INTEGER) AS turn_idx,
+             CASE WHEN (event_id % 37) % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             event_type || ' v' || CAST(event_id AS VARCHAR) AS text,
+             CASE WHEN event_id % 5 = 0 THEN 'search'
+                  WHEN event_id % 5 = 1 THEN 'python' ELSE NULL END AS tool,
+             ts
+      FROM events),
+    mx AS (SELECT CAST(max(event_id) AS BIGINT) * 6 // 10 AS w1 FROM events),
+    r1 AS (
+      SELECT s.*, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY seq DESC) AS rn
+      FROM src s, mx WHERE s.seq <= mx.w1),
+    s1 AS (SELECT conv_id, turn_idx, role, text, tool, ts, seq
+           FROM r1 WHERE rn = 1 AND op <> 'D'),
+    r2 AS (
+      SELECT s.*, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY seq DESC) AS rn
+      FROM src s),
+    s2 AS (SELECT conv_id, turn_idx, role, text, tool, ts, seq
+           FROM r2 WHERE rn = 1 AND op <> 'D')
+    SELECT
+      CASE WHEN s1.seq IS NULL THEN 'insert'
+           WHEN s2.seq IS NULL THEN 'delete'
+           ELSE 'update' END AS op,
+      conv_id, turn_idx,
+      CASE WHEN s2.seq IS NULL THEN s1.role ELSE s2.role END AS role,
+      CASE WHEN s2.seq IS NULL THEN s1.text ELSE s2.text END AS text,
+      CASE WHEN s2.seq IS NULL THEN s1.tool ELSE s2.tool END AS tool,
+      strftime(CASE WHEN s2.seq IS NULL THEN s1.ts ELSE s2.ts END,
+               '%Y-%m-%d %H:%M:%S') AS ts_str,
+      CASE WHEN s2.seq IS NULL THEN s1.seq ELSE s2.seq END AS seq
+    FROM s1 FULL JOIN s2 USING (conv_id, turn_idx)
+    WHERE s1.seq IS NULL OR s2.seq IS NULL OR s1.seq <> s2.seq
+"""
 
 # the HLL accuracy contract: exact distinct count is SQL, the in-bound flag
 # is asserted engine-side (TRUE here) — a sketch regression hash-fails
