@@ -135,8 +135,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         lake = f"/tmp/raydatax_bench/lake_{num_cpus}"
         shutil.rmtree(lake, ignore_errors=True)
         t0 = time.monotonic()
+        # retention window so the pre-delta snapshot survives for the
+        # lake_diff measurement below (retention only skips post-commit
+        # deletion of superseded files — written bytes are unchanged)
         report = run_job(wal, lake, partitions=max(32, num_cpus * 2),
-                         merge_concurrency=num_cpus)
+                         merge_concurrency=num_cpus, time_travel_epochs=4)
         walls.append(round(time.monotonic() - t0, 3))
         assert report["events_replayed"] == n_events, (report["events_replayed"], n_events)
     headline = min(walls)
@@ -149,6 +152,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                       merge_concurrency=num_cpus)
     incremental = time.monotonic() - t0
     assert rep_inc["events_replayed"] == n_delta, (rep_inc["events_replayed"], n_delta)
+
+    # snapshot diff across the delta: change feed between the pre- and
+    # post-delta epochs — per-changed-partition tasks, untouched partitions
+    # never opened.  A SPREAD 2% delta touches most partitions, so this
+    # measures the worst case (near-full pairwise join); a localized delta
+    # prunes like view_refresh_localized_delta does
+    from raydatax.driver import lake_diff
+
+    t0 = time.monotonic()
+    diff_rows = lake_diff(
+        lake, from_epoch=report["epoch"], to_epoch=rep_inc["epoch"]
+    ).count()
+    diff_wall = time.monotonic() - t0
 
     # materialized view: full build over every partition, then a second 2%
     # delta is ingested and the refresh re-summarizes ONLY the partitions
@@ -179,6 +195,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries = {"cdc_replay": round(headline, 3),
                "cdc_replay_walls": walls,
                "cdc_incremental_2pct": round(incremental, 3),
+               "lake_diff_2pct": round(diff_wall, 3),
+               "lake_diff_rows": diff_rows,
                "view_build_full": round(view_full, 3),
                "view_refresh_localized_delta": round(view_inc, 3),
                "view_partitions_refreshed":
