@@ -12,6 +12,8 @@ Subcommands (each submittable via ``ray job submit``, like the driver):
   repartition  <old> <new> --partitions P [--salt S]   migrate the mapping
   bootstrap    <snapshot> <lake> --snapshot-seq S [--partitions P]
                full load at a WAL position; the next tail is incremental
+  diff         <lake> --from-epoch E [--to-epoch E] [--out DIR]
+               snapshot change feed (insert/update/delete) between epochs
 """
 
 from __future__ import annotations
@@ -72,6 +74,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, required=True)
     p.add_argument("--salt", type=int, default=4)
 
+    p = sub.add_parser("diff")
+    p.add_argument("lake")
+    p.add_argument("--from-epoch", type=int, required=True)
+    p.add_argument("--to-epoch", type=int, default=None)
+    p.add_argument("--out", default=None,
+                   help="write the change feed as parquet to this directory "
+                        "(default: print per-op counts only)")
+
     args = ap.parse_args(argv)
 
     import ray
@@ -112,6 +122,19 @@ def main(argv: list[str] | None = None) -> int:
 
             out = replicate_lake(args.src_lake, args.dst_lake,
                                  prune=not args.no_prune)
+        elif args.cmd == "diff":
+            from .driver import lake_diff
+
+            ds = lake_diff(args.lake, from_epoch=args.from_epoch,
+                           to_epoch=args.to_epoch)
+            if args.out:
+                ds = ds.materialize()
+                ds.write_parquet(args.out)
+            counts = {}
+            for row in ds.groupby("_op").count().take_all():
+                counts[row["_op"]] = row["count()"]
+            out = {"changes": sum(counts.values()), "by_op": counts,
+                   "out": args.out}
         elif args.cmd == "bootstrap":
             from .driver import bootstrap_lake
 

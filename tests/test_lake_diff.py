@@ -123,6 +123,34 @@ def test_diff_refuses_changelog_lake(tmp_wal, tmp_lake):
         lake_diff(tmp_lake, from_epoch=1)
 
 
+def test_diff_cli_counts_and_export(tmp_wal, tmp_lake, tmp_path, capsys):
+    """``python -m raydatax.maintenance diff`` prints per-op counts and the
+    exported parquet feed matches them."""
+    import json
+
+    import pyarrow.dataset as pads
+
+    from raydatax.maintenance import main as maint_main
+
+    ev = gen_events(6000, seed=36)
+    cut = ev.num_rows // 2
+    write_wal(ev.slice(0, cut), tmp_wal, seg_rows=1500)
+    rep1 = run_job(tmp_wal, tmp_lake, partitions=4, time_travel_epochs=4)
+    _append_segments(ev.slice(cut), tmp_wal, seg_rows=1500)
+    run_job(tmp_wal, tmp_lake, partitions=4)
+
+    out_dir = str(tmp_path / "feed")
+    rc = maint_main(
+        ["diff", tmp_lake, "--from-epoch", str(rep1["epoch"]), "--out", out_dir]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["changes"] == sum(rep["by_op"].values()) > 0
+    assert set(rep["by_op"]) == {"insert", "update", "delete"}
+    feed = pads.dataset(out_dir).to_table()
+    assert feed.num_rows == rep["changes"]
+
+
 def test_diff_spans_schema_evolution(tmp_wal, tmp_lake):
     """Second epoch adds a column (schema evolution); diff rows promote onto
     the widened schema, old-image deletes carrying null for the new column."""
