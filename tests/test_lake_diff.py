@@ -123,6 +123,57 @@ def test_diff_refuses_changelog_lake(tmp_wal, tmp_lake):
         lake_diff(tmp_lake, from_epoch=1)
 
 
+def test_diff_patch_reconstructs_new_snapshot(tmp_wal, tmp_lake):
+    """Patch invariant: old snapshot + change feed == new snapshot, byte for
+    byte per cell (upsert inserts/updates, drop deletes)."""
+    ev = gen_events(10_000, seed=37)
+    cut = ev.num_rows * 2 // 3
+    write_wal(ev.slice(0, cut), tmp_wal, seg_rows=2500)
+    rep1 = run_job(tmp_wal, tmp_lake, partitions=8, time_travel_epochs=8)
+    _append_segments(ev.slice(cut), tmp_wal, seg_rows=2500)
+    rep2 = run_job(tmp_wal, tmp_lake, partitions=8)
+
+    old_t = lake_table(tmp_lake, at_epoch=rep1["epoch"])
+    new_t = lake_table(tmp_lake, at_epoch=rep2["epoch"])
+    feed = pa.concat_tables(
+        ray_get_tables(lake_diff(tmp_lake, from_epoch=rep1["epoch"],
+                                 to_epoch=rep2["epoch"])),
+        promote_options="permissive",
+    )
+
+    def rows(t, with_op=False):
+        cols = [c for c in t.column_names if c != "_op"]
+        d = t.select(cols).to_pylist()
+        if with_op:
+            return {
+                (r["conv_id"], r["turn_idx"]): (op, tuple(sorted(r.items())))
+                for r, op in zip(d, t["_op"].to_pylist())
+            }
+        return {(r["conv_id"], r["turn_idx"]): tuple(sorted(r.items())) for r in d}
+
+    state = rows(old_t)
+    # old rows lack columns added later; promote them the same way the
+    # feed's unified schema does before comparing
+    from raydatax.schema import normalize_to
+
+    base = pa.schema([f for f in feed.schema if f.name != "_op"])
+    state = rows(normalize_to(old_t, base))
+    for key, (op, img) in rows(feed, with_op=True).items():
+        if op == "delete":
+            assert key in state
+            del state[key]
+        else:
+            assert (key in state) == (op == "update")
+            state[key] = img
+    assert state == rows(normalize_to(new_t, base))
+
+
+def ray_get_tables(ds):
+    import ray
+
+    return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+
+
 def test_diff_cli_counts_and_export(tmp_wal, tmp_lake, tmp_path, capsys):
     """``python -m raydatax.maintenance diff`` prints per-op counts and the
     exported parquet feed matches them."""
