@@ -182,11 +182,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         sf, seed=47, frac=0.005, tag="delta2", n_convs=8, insert_only=True,
         conv_offset=900_000_000, start_seq=2_000_000_000_000,
     )
-    run_job(delta_wal2, lake, partitions=max(32, num_cpus * 2),
-            merge_concurrency=num_cpus)
+    rep_loc = run_job(delta_wal2, lake, partitions=max(32, num_cpus * 2),
+                      merge_concurrency=num_cpus)
     t0 = time.monotonic()
     rep_v = refresh_view(lake, vdir)
     view_inc = time.monotonic() - t0
+
+    # localized-delta diff: only the handful of partitions the 8-conv delta
+    # touched are opened (work ∝ delta — the pruning counterpart to the
+    # spread-delta worst case above)
+    from raydatax.driver import _diff_plan
+
+    loc_plan = len(_diff_plan(lake, rep_inc["epoch"], rep_loc["epoch"]))
+    t0 = time.monotonic()
+    loc_rows = lake_diff(
+        lake, from_epoch=rep_inc["epoch"], to_epoch=rep_loc["epoch"]
+    ).count()
+    diff_loc_wall = time.monotonic() - t0
 
     # representative secondary pipelines on the sf tables (skipped in
     # --scaling subprocesses: only the headline matters there)
@@ -197,6 +209,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                "cdc_incremental_2pct": round(incremental, 3),
                "lake_diff_2pct": round(diff_wall, 3),
                "lake_diff_rows": diff_rows,
+               "lake_diff_localized": round(diff_loc_wall, 3),
+               "lake_diff_localized_rows": loc_rows,
+               "lake_diff_localized_partitions": loc_plan,
                "view_build_full": round(view_full, 3),
                "view_refresh_localized_delta": round(view_inc, 3),
                "view_partitions_refreshed":
