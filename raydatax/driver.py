@@ -427,6 +427,121 @@ def requeue_deadletters(lake_dir: str, wal_dir: str, repair_fn, epoch: int | Non
     return repaired.num_rows
 
 
+@ray.remote
+def _block_rows(t) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _expire_segment(block, seq0: int, path: str, event_ts_us) -> int:
+    """Build one WAL segment of tombstones from one block of expired keys
+    and write it atomically (tmp + rename)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .schema import EVENT_SCHEMA, normalize_to
+
+    pa.set_cpu_count(1)
+    n = block.num_rows
+    ts = (
+        block["ts"]
+        if event_ts_us is None
+        else pa.array(
+            np.full(n, event_ts_us, dtype=np.int64), pa.timestamp("us")
+        )
+    )
+    ev = pa.table(
+        {
+            "seq": pa.array(np.arange(seq0, seq0 + n, dtype=np.int64)),
+            "op": pa.nulls(n, pa.string()).fill_null("D"),
+            "conv_id": block["conv_id"],
+            "turn_idx": block["turn_idx"],
+            "ts": ts,
+        }
+    )
+    ev = normalize_to(ev, EVENT_SCHEMA)
+    tmp = path + ".tmp"
+    pq.write_table(ev, tmp, compression="zstd", row_group_size=65536)
+    os.replace(tmp, path)
+    return n
+
+
+def expire_rows(
+    lake_dir: str,
+    wal_dir: str,
+    older_than,
+    event_ts=None,
+    dry_run: bool = False,
+) -> dict:
+    """TTL / retention sweep as FIRST-CLASS CDC: scan the lake for live rows
+    with ``ts < older_than`` (column-pruned, predicate-pushdown read — only
+    the key columns + ts leave storage) and append tombstone (``D``) events
+    for them to the WAL.  The deletes then flow through the NORMAL ingest
+    path (``run_job``) — exactly-once, byte-identical resume, per-partition
+    lineage — instead of mutating committed files in place, the same
+    discipline the OTS writer's DeleteRow ops follow in the reference
+    (``/root/reference/otswriter/.../OtsWriterSlaveProxy.java``).
+
+    Convergent-idempotent: a crash mid-append leaves some tombstone
+    segments behind; duplicate deletes for a key are harmless under LWW,
+    and a re-run after apply finds only the still-live remainder.
+
+    ``event_ts`` pins the tombstones' event time (int µs / ISO / datetime).
+    Default: each tombstone carries its expired row's own ``ts`` —
+    deterministic, but BEHIND a ts-windowed lake's frontier, where the
+    next window would filter the deletes out; windowed lakes must pass an
+    in-window ``event_ts``.  Seq-tailed lakes (the default mode) need no
+    care here.  Fresh seqs continue past the WAL's current maximum, the
+    ``requeue_deadletters`` convention."""
+    import pyarrow.dataset as pads
+
+    from .source import discover_segments, segment_seq_range
+
+    cfg = mf.load_lake_config(lake_dir)
+    if cfg is None:
+        raise FileNotFoundError(f"no lake at {lake_dir}")
+    if cfg.get("output", "image") == "changelog":
+        raise RuntimeError(
+            f"{lake_dir} is a changelog lake — every version is live history "
+            f"there; bound reads with read_changelog(at_epoch=) or compact "
+            f"instead of expiring"
+        )
+    cutoff = _ts_us(older_than)
+    if cutoff is None:
+        raise ValueError(f"unparseable cutoff: {older_than!r}")
+    ev_us = _ts_us(event_ts) if event_ts is not None else None
+
+    import pyarrow as pa
+
+    expr = pads.field("ts") < pa.scalar(cutoff, pa.timestamp("us"))
+    ds = read_lake(lake_dir, columns=["conv_id", "turn_idx", "ts"], filter=expr)
+    refs = ds.to_arrow_refs()
+    counts = ray.get([_block_rows.remote(r) for r in refs])
+    total = int(sum(counts))
+    report = {"expired_keys": total, "cutoff_us": cutoff, "segments": 0,
+              "dry_run": dry_run}
+    if dry_run or total == 0:
+        return report
+
+    segs = discover_segments(wal_dir)
+    seq0 = max((segment_seq_range(p)[1] for p in segs), default=-1) + 1
+    existing = len(segs)
+    os.makedirs(wal_dir, exist_ok=True)
+    writes = []
+    k = 0
+    for r, c in zip(refs, counts):
+        if c == 0:
+            continue
+        path = os.path.join(wal_dir, f"seg-{existing + k:05d}.parquet")
+        writes.append(_expire_segment.remote(r, seq0, path, ev_us))
+        seq0 += c
+        k += 1
+    ray.get(writes)
+    report["segments"] = k
+    report["seq_range"] = [seq0 - total, seq0 - 1]
+    return report
+
+
 # ------------------------------------------------------------- lake readers
 
 

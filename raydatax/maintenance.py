@@ -14,6 +14,9 @@ Subcommands (each submittable via ``ray job submit``, like the driver):
                full load at a WAL position; the next tail is incremental
   diff         <lake> --from-epoch E [--to-epoch E] [--out DIR]
                snapshot change feed (insert/update/delete) between epochs
+  expire       <lake> <wal> --older-than TS [--event-ts TS] [--dry-run]
+               [--apply]   TTL sweep: tombstone rows older than the cutoff
+               through the normal CDC ingest path (no in-place mutation)
 """
 
 from __future__ import annotations
@@ -82,6 +85,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="write the change feed as parquet to this directory "
                         "(default: print per-op counts only)")
 
+    p = sub.add_parser("expire")
+    p.add_argument("lake")
+    p.add_argument("wal")
+    p.add_argument("--older-than", required=True,
+                   help="cutoff (ISO-8601 or int µs): tombstone every live "
+                        "row with ts strictly below it")
+    p.add_argument("--event-ts", default=None,
+                   help="event time for the tombstones (required for "
+                        "ts-windowed lakes; default: each row's own ts)")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--apply", action="store_true",
+                   help="run the ingest immediately after appending the "
+                        "tombstones (otherwise the next tail applies them)")
+
     args = ap.parse_args(argv)
 
     import ray
@@ -135,6 +152,21 @@ def main(argv: list[str] | None = None) -> int:
                 counts[row["_op"]] = row["count()"]
             out = {"changes": sum(counts.values()), "by_op": counts,
                    "out": args.out}
+        elif args.cmd == "expire":
+            from .driver import expire_rows, run_job
+
+            def _ts_arg(v):  # "123456" µs vs ISO-8601 (driver CLI convention)
+                return int(v) if v is not None and v.isdigit() else v
+
+            out = expire_rows(args.lake, args.wal,
+                              older_than=_ts_arg(args.older_than),
+                              event_ts=_ts_arg(args.event_ts),
+                              dry_run=args.dry_run)
+            if args.apply and not args.dry_run and out["expired_keys"]:
+                rep = run_job(args.wal, args.lake)
+                out["applied"] = {k: rep[k] for k in
+                                  ("epoch", "events_replayed", "deletes",
+                                   "action")}
         elif args.cmd == "bootstrap":
             from .driver import bootstrap_lake
 

@@ -1,0 +1,111 @@
+"""TTL / retention expiry (``driver.expire_rows``): tombstones for rows
+older than a cutoff flow through the NORMAL ingest path — exactly-once,
+no in-place file mutation — and converge on re-run."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from raydatax.driver import expire_rows, lake_table, run_job
+from raydatax.gen import gen_events, write_wal
+from raydatax.oracle import replay_to_table
+
+SORT = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+
+
+def _setup(tmp_wal, tmp_lake, n=10_000, seed=51):
+    ev = gen_events(n, seed=seed)
+    write_wal(ev, tmp_wal, seg_rows=2500)
+    run_job(tmp_wal, tmp_lake, partitions=8)
+    return ev
+
+
+def _median_ts_us(t: pa.Table) -> int:
+    us = t["ts"].cast(pa.int64())
+    return int(pc.approximate_median(us).as_py())
+
+
+def test_expire_removes_old_rows_via_normal_ingest(tmp_wal, tmp_lake):
+    ev = _setup(tmp_wal, tmp_lake)
+    live = replay_to_table(ev)
+    cutoff = _median_ts_us(live)
+
+    rep = expire_rows(tmp_lake, tmp_wal, older_than=cutoff)
+    n_old = live.filter(
+        pc.less(live["ts"], pa.scalar(cutoff, pa.timestamp("us")))
+    ).num_rows
+    assert rep["expired_keys"] == n_old > 0
+    assert rep["segments"] > 0
+
+    apply_rep = run_job(tmp_wal, tmp_lake, partitions=8)
+    assert apply_rep["action"] == "applied"
+    assert apply_rep["deletes"] == n_old
+
+    got = lake_table(tmp_lake).sort_by(SORT)
+    want = live.filter(
+        pc.greater_equal(live["ts"], pa.scalar(cutoff, pa.timestamp("us")))
+    ).sort_by(SORT)
+    assert got.num_rows == want.num_rows
+    assert got["text"].equals(want["text"])
+    assert got["conv_id"].equals(want["conv_id"])
+
+    # convergent: a second sweep finds nothing left below the cutoff
+    again = expire_rows(tmp_lake, tmp_wal, older_than=cutoff)
+    assert again["expired_keys"] == 0 and again["segments"] == 0
+
+
+def test_expire_dry_run_writes_nothing(tmp_wal, tmp_lake):
+    ev = _setup(tmp_wal, tmp_lake, n=4000, seed=52)
+    cutoff = _median_ts_us(replay_to_table(ev))
+    before = sorted(glob.glob(os.path.join(tmp_wal, "seg-*.parquet")))
+    rep = expire_rows(tmp_lake, tmp_wal, older_than=cutoff, dry_run=True)
+    assert rep["expired_keys"] > 0 and rep["dry_run"]
+    assert sorted(glob.glob(os.path.join(tmp_wal, "seg-*.parquet"))) == before
+
+
+def test_expire_refuses_changelog_lake(tmp_wal, tmp_lake):
+    write_wal(gen_events(2000, seed=53), tmp_wal, seg_rows=1000)
+    run_job(tmp_wal, tmp_lake, partitions=4, output="changelog")
+    with pytest.raises(RuntimeError, match="changelog"):
+        expire_rows(tmp_lake, tmp_wal, older_than=0)
+
+
+def test_expire_cli_apply(tmp_wal, tmp_lake, capsys):
+    ev = _setup(tmp_wal, tmp_lake, n=6000, seed=54)
+    live = replay_to_table(ev)
+    cutoff = _median_ts_us(live)
+
+    from raydatax.maintenance import main as maint_main
+
+    rc = maint_main(["expire", tmp_lake, tmp_wal,
+                     "--older-than", str(cutoff), "--apply"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["expired_keys"] > 0
+    assert rep["applied"]["deletes"] == rep["expired_keys"]
+    got = lake_table(tmp_lake)
+    assert pc.min(got["ts"]).cast(pa.int64()).as_py() >= cutoff
+
+
+def test_expire_event_ts_pins_tombstone_time(tmp_wal, tmp_lake):
+    """With event_ts, every tombstone carries the pinned event time (the
+    windowed-lake contract); default carries the expired row's own ts."""
+    ev = _setup(tmp_wal, tmp_lake, n=3000, seed=55)
+    live = replay_to_table(ev)
+    cutoff = _median_ts_us(live)
+    pin = int(pc.max(live["ts"].cast(pa.int64())).as_py()) + 1_000_000
+
+    before = len(glob.glob(os.path.join(tmp_wal, "seg-*.parquet")))
+    rep = expire_rows(tmp_lake, tmp_wal, older_than=cutoff, event_ts=pin)
+    assert rep["segments"] > 0
+    new = sorted(glob.glob(os.path.join(tmp_wal, "seg-*.parquet")))[before:]
+    import pyarrow.parquet as pq
+
+    for p in new:
+        t = pq.read_table(p)
+        assert set(t["op"].to_pylist()) == {"D"}
+        assert set(t["ts"].cast(pa.int64()).to_pylist()) == {pin}
