@@ -2296,8 +2296,9 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "graph_export_edges": graph_export_edges,
     "graph_pagerank": graph_pagerank,
-    "graph_shortest_paths": graph_shortest_paths,
+    "lake_snapshot_diff": lake_snapshot_diff,
     # --- past the gate window (locally gate-checked) -------------------
+    "graph_shortest_paths": graph_shortest_paths,
     "transcript_window_replay": transcript_window_replay,
     "key_skip_scan": key_skip_scan,
     "sql_token_read": sql_token_read,
@@ -2344,7 +2345,6 @@ QUERIES = {
     "graph_components": graph_components,
     "graph_triangles": graph_triangles,
     "lake_replication": lake_replication,
-    "lake_snapshot_diff": lake_snapshot_diff,
 }
 
 ORACLE_SQL = {
