@@ -7,6 +7,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "examples"))
 
 
+def test_lake_lifecycle_example(tmp_path):
+    import lake_lifecycle as ll
+
+    rep = ll.main(str(tmp_path / "root"))
+    assert rep["ingest"]["action"] == "applied"
+    assert rep["serve"]["turns"] > 0
+    # the localized delta refreshed a strict subset of view partitions
+    assert 0 < rep["delta"]["view_refreshed"] < (
+        rep["delta"]["view_refreshed"] + rep["delta"]["view_skipped"]
+    )
+    assert rep["audit"].get("insert", 0) > 0
+    assert rep["retention"]["expired"] > 0
+    assert rep["verify"]["ok"] and rep["dr"]["converged"]
+
+
 def test_incremental_crawl_dedup_example(tmp_path):
     import incremental_crawl_dedup as icd
 
