@@ -702,37 +702,30 @@ def _diff_plan(
     return plan
 
 
-@ray.remote
-def _diff_partition(old_file: str | None, new_file: str, schema) -> "object":
-    """Diff ONE partition's two committed snapshot files.  Keys never move
-    between partitions (partition mapping is lake-lifetime state — see
-    ``_lake.json``/``check_hash_version``), so the per-partition pairwise
-    diff is exact with NO shuffle.  Classification is by the row's ``seq``
-    version: the LWW invariant makes equal seq ⇒ identical row, so
-    unchanged rows never pay a payload comparison."""
+def diff_snapshot_tables(old, new, base_schema) -> "object":
+    """The pure snapshot-diff kernel over two (single-partition) live-row
+    tables, both conformed to ``base_schema``.  Classification is by the
+    row's ``seq`` version: the LWW invariant makes equal seq ⇒ identical
+    row, so unchanged rows never pay a payload comparison.  Output carries
+    ``_op`` ∈ insert / update / delete — the NEW image for insert/update,
+    the final OLD image for delete — key-sorted."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
-    from .schema import KEY_COLUMNS, normalize_to
+    from .schema import KEY_COLUMNS
 
-    pa.set_cpu_count(1)
     keys = list(KEY_COLUMNS)
-    base = pa.schema([f for f in schema if f.name != "_op"])
-
-    def _load(f):
-        return normalize_to(pq.read_table(f), base) if f is not None else None
+    out_schema = pa.schema(list(base_schema) + [pa.field("_op", pa.string())])
 
     def _with_op(t: pa.Table, op: str) -> pa.Table:
         return t.append_column(
             "_op", pa.array(np.full(t.num_rows, op, dtype=object), pa.string())
         )
 
-    old, new = _load(old_file), _load(new_file)
     if old is None or old.num_rows == 0:
-        out = _with_op(new, "insert")
-    elif new.num_rows == 0:
+        out = _with_op(new, "insert") if new is not None else None
+    elif new is None or new.num_rows == 0:
         out = _with_op(old, "delete")
     else:
         ok = old.select(keys + ["seq"]).append_column(
@@ -762,8 +755,28 @@ def _diff_partition(old_file: str | None, new_file: str, schema) -> "object":
                 parts.append(_with_op(src.take(take), tag))
         out = pa.concat_tables(parts) if parts else None
     if out is None or out.num_rows == 0:
-        return schema.empty_table()
+        return out_schema.empty_table()
     return out.sort_by([(k, "ascending") for k in keys])
+
+
+@ray.remote
+def _diff_partition(old_file: str | None, new_file: str, schema) -> "object":
+    """Diff ONE partition's two committed snapshot files.  Keys never move
+    between partitions (partition mapping is lake-lifetime state — see
+    ``_lake.json``/``check_hash_version``), so the per-partition pairwise
+    diff is exact with NO shuffle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .schema import normalize_to
+
+    pa.set_cpu_count(1)
+    base = pa.schema([f for f in schema if f.name != "_op"])
+
+    def _load(f):
+        return normalize_to(pq.read_table(f), base) if f is not None else None
+
+    return diff_snapshot_tables(_load(old_file), _load(new_file), base)
 
 
 def lake_diff(
