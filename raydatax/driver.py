@@ -524,7 +524,13 @@ def expire_rows(
         return report
 
     segs = discover_segments(wal_dir)
-    seq0 = max((segment_seq_range(p)[1] for p in segs), default=-1) + 1
+    # floor at BOTH the WAL's footer max and the lake's applied watermark:
+    # expiring into a fresh/empty WAL dir must not mint seqs at 0 — the
+    # replay filter (seq > hw) would silently skip the deletes as stale
+    seq0 = max(
+        max((segment_seq_range(p)[1] for p in segs), default=-1),
+        load_job_watermark(lake_dir),
+    ) + 1
     existing = len(segs)
     os.makedirs(wal_dir, exist_ok=True)
     writes = []

@@ -91,6 +91,26 @@ def test_expire_cli_apply(tmp_wal, tmp_lake, capsys):
     assert pc.min(got["ts"]).cast(pa.int64()).as_py() >= cutoff
 
 
+def test_expire_into_fresh_wal_dir_still_applies(tmp_wal, tmp_lake, tmp_path):
+    """Tombstones written to a DIFFERENT (empty) WAL dir must mint seqs past
+    the lake's applied watermark — seqs from 0 would be silently skipped as
+    stale by the replay filter."""
+    ev = _setup(tmp_wal, tmp_lake, n=4000, seed=56)
+    live = replay_to_table(ev)
+    cutoff = _median_ts_us(live)
+
+    fresh = str(tmp_path / "ttl_wal")
+    rep = expire_rows(tmp_lake, fresh, older_than=cutoff)
+    assert rep["expired_keys"] > 0
+    assert rep["seq_range"][0] > int(pc.max(ev["seq"]).as_py())
+
+    apply_rep = run_job(fresh, tmp_lake, partitions=8)
+    assert apply_rep["action"] == "applied"
+    assert apply_rep["deletes"] == rep["expired_keys"]
+    got = lake_table(tmp_lake)
+    assert pc.min(got["ts"]).cast(pa.int64()).as_py() >= cutoff
+
+
 def test_expire_event_ts_pins_tombstone_time(tmp_wal, tmp_lake):
     """With event_ts, every tombstone carries the pinned event time (the
     windowed-lake contract); default carries the expired row's own ts."""
