@@ -400,7 +400,12 @@ def requeue_deadletters(lake_dir: str, wal_dir: str, repair_fn, epoch: int | Non
     if repaired is None or repaired.num_rows == 0:
         return 0
     segs = discover_segments(wal_dir)
-    max_seq = max((segment_seq_range(p)[1] for p in segs), default=-1)
+    # same floor rule as expire_rows: requeuing into a WAL dir whose
+    # footers trail the lake's applied watermark must not mint stale seqs
+    max_seq = max(
+        max((segment_seq_range(p)[1] for p in segs), default=-1),
+        load_job_watermark(lake_dir),
+    )
     fresh = pa.array(np.arange(max_seq + 1, max_seq + 1 + repaired.num_rows), pa.int64())
     repaired = repaired.set_column(
         repaired.schema.get_field_index("seq"), "seq", fresh
