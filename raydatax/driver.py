@@ -515,6 +515,18 @@ def expire_rows(
     if cutoff is None:
         raise ValueError(f"unparseable cutoff: {older_than!r}")
     ev_us = _ts_us(event_ts) if event_ts is not None else None
+    state = mf._read_json(job_state_path(lake_dir))
+    if state is not None and state.get("mode") == "window":
+        # a windowed lake replays only events inside future windows — a
+        # tombstone carrying the expired row's OLD ts (the default) sits
+        # behind ts_hw and would never be applied.  Fail loudly instead.
+        ts_hw = state.get("ts_hw")
+        if ev_us is None or (ts_hw is not None and ev_us < ts_hw):
+            raise ValueError(
+                f"{lake_dir} is ts-windowed (ts_hw={ts_hw}): pass an "
+                f"event_ts at or past the frontier so the next window "
+                f"actually replays the tombstones"
+            )
 
     import pyarrow as pa
 

@@ -67,6 +67,24 @@ def test_expire_dry_run_writes_nothing(tmp_wal, tmp_lake):
     assert sorted(glob.glob(os.path.join(tmp_wal, "seg-*.parquet"))) == before
 
 
+def test_expire_windowed_lake_requires_in_window_event_ts(tmp_wal, tmp_lake):
+    """A ts-windowed lake refuses the default row-ts tombstones (they sit
+    behind ts_hw and would silently never apply) and accepts a pinned
+    event_ts at/past the frontier."""
+    ev = gen_events(4000, seed=57)
+    write_wal(ev, tmp_wal, seg_rows=1000)
+    us = ev["ts"].cast(pa.int64())
+    lo, hi = int(pc.min(us).as_py()), int(pc.max(us).as_py()) + 1
+    run_job(tmp_wal, tmp_lake, partitions=4, start_ts=lo, end_ts=hi)
+
+    live = lake_table(tmp_lake)
+    cutoff = _median_ts_us(live)
+    with pytest.raises(ValueError, match="ts-windowed"):
+        expire_rows(tmp_lake, tmp_wal, older_than=cutoff)
+    rep = expire_rows(tmp_lake, tmp_wal, older_than=cutoff, event_ts=hi)
+    assert rep["expired_keys"] > 0
+
+
 def test_expire_refuses_changelog_lake(tmp_wal, tmp_lake):
     write_wal(gen_events(2000, seed=53), tmp_wal, seg_rows=1000)
     run_job(tmp_wal, tmp_lake, partitions=4, output="changelog")
