@@ -1273,12 +1273,29 @@ def lookup_conversation(lake_dir: str, conv_id: str):
     return out.sort_by([("turn_idx", "ascending"), ("seq", "ascending")])
 
 
+def _lake_max_ts_us(lake_dir: str) -> int | None:
+    """Max event-time across the committed snapshot, from parquet FOOTER
+    stats only (O(files) metadata reads, no data scan).  None when any
+    file lacks trustworthy ts stats — callers must then skip, never
+    guess."""
+    from .source import segment_ts_range
+
+    mx = None
+    for f in mf.committed_files(lake_dir):
+        lo, hi = segment_ts_range(f)
+        if hi >= (1 << 62):
+            return None
+        mx = hi if mx is None else max(mx, hi)
+    return mx
+
+
 def tail_wal(
     wal_dir: str,
     lake_dir: str,
     poll_interval_s: float = 1.0,
     idle_polls_to_stop: int = 2,
     view_dir: str | None = None,
+    retain_ts_span_us: int | None = None,
     **job_kwargs,
 ) -> list[dict]:
     """Kafka-reader-style tail loop (``/root/reference/kafkareader/.../
@@ -1291,12 +1308,31 @@ def tail_wal(
     ``view_dir`` keeps a materialized summary view continuously fresh:
     after every applied epoch the view refreshes incrementally (only the
     partitions that epoch touched — ``view.refresh_view``), the streaming
-    IVM loop; each report gains a ``view`` sub-dict."""
+    IVM loop; each report gains a ``view`` sub-dict.
+
+    ``retain_ts_span_us`` enforces a STREAM-TIME retention window: after
+    each applied epoch, rows older than (lake max event-time − span) are
+    expired through the normal ingest path (``expire_rows`` → immediate
+    apply).  The cutoff derives from footer stats — deterministic, no
+    wall clock, no data scan — so replays of the same WAL produce the
+    same retention decisions.  Seq-tailed lakes only (a ts-windowed
+    lake's expire raises, demanding an explicit in-window event_ts)."""
     reports = []
     idle = 0
     while idle < idle_polls_to_stop:
         rep = run_job(wal_dir, lake_dir, **job_kwargs)
         if rep["action"] == "applied":
+            if retain_ts_span_us is not None:
+                mx = _lake_max_ts_us(lake_dir)
+                if mx is not None:
+                    exp = expire_rows(
+                        lake_dir, wal_dir, older_than=mx - retain_ts_span_us
+                    )
+                    if exp["expired_keys"]:
+                        exp["applied_deletes"] = run_job(
+                            wal_dir, lake_dir, **job_kwargs
+                        )["deletes"]
+                    rep["ttl"] = exp
             if view_dir is not None:
                 from .view import refresh_view
 

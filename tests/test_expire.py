@@ -129,6 +129,40 @@ def test_expire_into_fresh_wal_dir_still_applies(tmp_wal, tmp_lake, tmp_path):
     assert pc.min(got["ts"]).cast(pa.int64()).as_py() >= cutoff
 
 
+def test_tail_wal_stream_time_ttl(tmp_wal, tmp_lake):
+    """Tail loop with retain_ts_span_us keeps only the trailing window of
+    stream time — the sweep runs after each applied epoch, cutoff derived
+    from footer stats (deterministic, no wall clock)."""
+    from raydatax.driver import tail_wal
+
+    ev = gen_events(8000, seed=58)
+    write_wal(ev, tmp_wal, seg_rows=2000)
+    live = replay_to_table(ev)
+    us = live["ts"].cast(pa.int64())
+    lo, hi = int(pc.min(us).as_py()), int(pc.max(us).as_py())
+    span = (hi - lo) // 3
+    n_keep = live.filter(
+        pc.greater_equal(us, pa.scalar(hi - span, pa.int64()))
+    ).num_rows
+    assert 0 < n_keep < live.num_rows, "fixture must actually sweep"
+
+    reports = tail_wal(tmp_wal, tmp_lake, partitions=8,
+                       idle_polls_to_stop=1, poll_interval_s=0.01,
+                       retain_ts_span_us=span)
+    assert len(reports) == 1
+    ttl = reports[0]["ttl"]
+    assert ttl["expired_keys"] == live.num_rows - n_keep
+    assert ttl["applied_deletes"] == ttl["expired_keys"]
+
+    got = lake_table(tmp_lake)
+    assert got.num_rows == n_keep
+    assert pc.min(got["ts"]).cast(pa.int64()).as_py() >= hi - span
+
+    # converged: another tail over the same WAL is a no-op
+    assert tail_wal(tmp_wal, tmp_lake, partitions=8, idle_polls_to_stop=1,
+                    poll_interval_s=0.01, retain_ts_span_us=span) == []
+
+
 def test_expire_event_ts_pins_tombstone_time(tmp_wal, tmp_lake):
     """With event_ts, every tombstone carries the pinned event time (the
     windowed-lake contract); default carries the expired row's own ts."""
