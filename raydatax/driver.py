@@ -1362,6 +1362,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--refresh-view", default=None, metavar="VIEW_DIR",
                     help="after the apply, refresh the materialized "
                          "conversation-summary view at this path")
+    ap.add_argument("--retain-span-us", type=int, default=None,
+                    help="stream-time TTL: after the apply, expire rows "
+                         "older than (lake max event-time − span) through "
+                         "the normal ingest path and apply the deletes")
     args = ap.parse_args(argv)
 
     import ray
@@ -1388,6 +1392,16 @@ def main(argv: list[str] | None = None) -> int:
             quiet=False,
         )
         print(json.dumps({k: v for k, v in report.items() if k != "per_partition"}))
+        if args.retain_span_us is not None and report["action"] == "applied":
+            mx = _lake_max_ts_us(args.lake)
+            if mx is not None:
+                exp = expire_rows(args.lake, args.wal,
+                                  older_than=mx - args.retain_span_us)
+                if exp["expired_keys"]:
+                    exp["applied_deletes"] = run_job(
+                        args.wal, args.lake, quiet=True
+                    )["deletes"]
+                print(json.dumps({"ttl": exp}))
         if args.refresh_view:
             from .view import refresh_view
 
