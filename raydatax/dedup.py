@@ -519,28 +519,56 @@ def minhash_dedup(
 # ------------------------------------------------------ incremental minhash
 
 
+def _index_epochs(index_dir: str) -> tuple[list[tuple[int, str]], int]:
+    """((epoch number, dir name) for every LIVE epoch, ascending; the
+    folded-compaction horizon).  An epoch folded into a later compacted
+    epoch (its number ≤ the max ``_folded.json`` ``folded_upto`` marker)
+    is dead history — skipped even if its dir still exists (crash between
+    the compaction commit and its cleanup), the same marker discipline as
+    ``compact_changelog``."""
+    import json
+    import os
+
+    entries = []
+    for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else []):
+        if d.startswith("epoch-"):
+            entries.append((int(d.split("-", 1)[1]), d))
+    horizon = -1
+    for num, d in entries:
+        mp = os.path.join(index_dir, d, "_folded.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                horizon = max(horizon, int(json.load(f)["folded_upto"]))
+    live = sorted((num, d) for num, d in entries if num > horizon)
+    return live, horizon
+
+
 def _lsh_index_files(index_dir: str) -> tuple[list[str], int]:
-    """(sorted parquet files across epoch-N subdirs — including the
+    """(sorted parquet files across LIVE epoch-N subdirs — including the
     hive-style ``__bucket=H`` leaves of bucket-partitioned epochs, next
     epoch number).  ``.stage-*`` dirs (in-flight writes, see
     :func:`_commit_index_epoch`) are invisible — a crashed add never
-    contributes partial rows."""
+    contributes partial rows.  The next epoch number is max+1 over ALL
+    epoch dirs (folded ones included): a count-based number could collide
+    with a surviving higher-numbered epoch after compaction removes the
+    folded dirs."""
     import glob
     import os
 
-    epochs = sorted(
-        d
+    live, _ = _index_epochs(index_dir)
+    all_nums = [
+        int(d.split("-", 1)[1])
         for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
         if d.startswith("epoch-")
-    )
+    ]
     files = sorted(
         f
-        for e in epochs
+        for _, e in live
         for f in glob.glob(
             os.path.join(index_dir, e, "**", "*.parquet"), recursive=True
         )
     )
-    return files, len(epochs)
+    return files, (max(all_nums) + 1 if all_nums else 0)
 
 
 # INDEX LAYOUT.  The hash-partitioned on-disk index layout is the
@@ -603,7 +631,8 @@ def _index_files_for_buckets(
     out: list[str] = []
     if not os.path.isdir(index_dir):
         return out
-    for e in sorted(d for d in os.listdir(index_dir) if d.startswith("epoch-")):
+    live, _ = _index_epochs(index_dir)
+    for _, e in live:
         edir = os.path.join(index_dir, e)
         subs = sorted(
             d for d in os.listdir(edir) if d.startswith("__bucket=")
@@ -670,7 +699,7 @@ def _drop_hive_bucket(t: pa.Table) -> pa.Table:
 
 def _commit_index_epoch(
     index_dir: str, next_epoch: int, rows, bucket_fn=None,
-    buckets: int = INDEX_BUCKETS,
+    buckets: int = INDEX_BUCKETS, marker: dict | None = None,
 ) -> str:
     """Crash-atomic index epoch append: write the rows Dataset into a
     ``.stage-epoch-N`` dir, then ``os.rename`` it to ``epoch-N`` — the
@@ -700,10 +729,79 @@ def _commit_index_epoch(
         rows.sort("__bucket").write_parquet(stage, partition_cols=["__bucket"])
     else:
         rows.write_parquet(stage)
+    if marker is not None:
+        # a compacted epoch carries the horizon marker INSIDE itself so the
+        # marker and the merged rows become visible in one atomic rename
+        import json
+
+        with open(os.path.join(stage, "_folded.json"), "w") as f:
+            json.dump(marker, f)
     # rename onto an existing committed epoch fails loudly (ENOTEMPTY) —
     # concurrent adds to one index are not supported (use the job lock)
     os.rename(stage, final)
     return final
+
+
+def _index_bucket_fn(files: list[str]):
+    """Infer the index kind (→ its bucket function) from the stored row
+    schema: minhash rows carry (band, bh), embedding rows __cluster, exact
+    rows __k."""
+    import pyarrow.parquet as pq
+
+    names = set(pq.read_schema(files[0]).names)
+    if {"band", "bh"} <= names:
+        return _bucket_minhash
+    if "__cluster" in names:
+        return _bucket_embedding
+    if "__k" in names:
+        return _bucket_exact
+    return None
+
+
+def compact_index(index_dir: str, min_epochs: int = 2) -> dict:
+    """Fold a persistent dedup index's accumulated epochs into ONE
+    bucket-partitioned epoch — the index analogue of
+    ``compact_changelog``.  At steady state (a crawl per hour → an epoch
+    per hour) a probe opens epochs × probed-bucket files; compaction caps
+    that at ~1 file per probed bucket until the next accumulation.
+
+    Crash-atomic via the changelog marker discipline: the merged epoch is
+    staged then renamed into place carrying ``_folded.json`` (horizon =
+    the max folded epoch number) INSIDE it, so commit is one rename;
+    readers skip epochs at or below the horizon even while their dirs
+    still exist, and a re-run finishes the interrupted cleanup.  Works on
+    all three index kinds (exact key / MinHash bands / IVF clusters —
+    inferred from the stored schema) and re-buckets legacy flat epochs."""
+    import os
+    import shutil
+
+    live, horizon = _index_epochs(index_dir)
+    # finish any interrupted cleanup first (folded dirs below the horizon)
+    swept = 0
+    for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else []):
+        if d.startswith("epoch-") and int(d.split("-", 1)[1]) <= horizon:
+            shutil.rmtree(os.path.join(index_dir, d))
+            swept += 1
+    if len(live) < min_epochs:
+        return {"action": "noop", "live_epochs": len(live),
+                "cleanup_swept": swept}
+
+    files, next_epoch = _lsh_index_files(index_dir)
+    rows = ray.data.read_parquet(files).map_batches(
+        _drop_hive_bucket, batch_format="pyarrow"
+    )
+    fold_upto = max(num for num, _ in live)
+    _commit_index_epoch(
+        index_dir, next_epoch, rows,
+        bucket_fn=_index_bucket_fn(files),
+        buckets=_load_index_buckets(index_dir) or INDEX_BUCKETS,
+        marker={"folded_upto": fold_upto},
+    )
+    for num, d in live:
+        shutil.rmtree(os.path.join(index_dir, d))
+    return {"action": "compacted", "folded_epochs": len(live),
+            "epoch": next_epoch, "folded_upto": fold_upto,
+            "cleanup_swept": swept}
 
 
 def minhash_index_add(

@@ -17,6 +17,9 @@ Subcommands (each submittable via ``ray job submit``, like the driver):
   expire       <lake> <wal> --older-than TS [--event-ts TS] [--dry-run]
                [--apply]   TTL sweep: tombstone rows older than the cutoff
                through the normal CDC ingest path (no in-place mutation)
+  compact-index <index_dir> [--min-epochs K]
+               fold a persistent dedup index's epochs into one
+               bucket-partitioned epoch (probe opens ~1 file/bucket again)
 """
 
 from __future__ import annotations
@@ -85,6 +88,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="write the change feed as parquet to this directory "
                         "(default: print per-op counts only)")
 
+    p = sub.add_parser("compact-index")
+    p.add_argument("index_dir")
+    p.add_argument("--min-epochs", type=int, default=2,
+                   help="skip when fewer live epochs have accumulated")
+
     p = sub.add_parser("expire")
     p.add_argument("lake")
     p.add_argument("wal")
@@ -152,6 +160,10 @@ def main(argv: list[str] | None = None) -> int:
                 counts[row["_op"]] = row["count()"]
             out = {"changes": sum(counts.values()), "by_op": counts,
                    "out": args.out}
+        elif args.cmd == "compact-index":
+            from .dedup import compact_index
+
+            out = compact_index(args.index_dir, min_epochs=args.min_epochs)
         elif args.cmd == "expire":
             from .driver import expire_rows, run_job
 
