@@ -80,7 +80,20 @@ def main(sf_dir: str, state_dir: str) -> dict:
     ivf_idx = f"{state_dir}/ivf"
 
     report = []
+    compactions = {}
     for i, (docs, vecs) in enumerate(crawl_slices(sf_dir)):
+        if i == 2:
+            # steady-state maintenance: fold the epochs the first two
+            # crawls accumulated into one bucketed epoch per index, so
+            # crawl 3 probes open ~1 file per bucket again — and must
+            # still drop every re-sent duplicate (asserted by the test)
+            from raydatax.dedup import compact_index
+
+            compactions = {
+                "exact": compact_index(exact_idx),
+                "lsh": compact_index(lsh_idx),
+                "ivf": compact_index(ivf_idx),
+            }
         exact = incremental_exact_dedup(docs, exact_idx)
         near = incremental_minhash_dedup(docs, lsh_idx, threshold=0.99)
         emb = incremental_embedding_dedup(vecs, ivf_idx, threshold=0.99)
@@ -106,7 +119,8 @@ def main(sf_dir: str, state_dir: str) -> dict:
                 "embedding_dropped": emb.count() - kept_emb,
             }
         )
-    return {"crawls": report, "state_dir": state_dir}
+    return {"crawls": report, "state_dir": state_dir,
+            "compactions": compactions}
 
 
 if __name__ == "__main__":

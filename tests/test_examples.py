@@ -33,4 +33,8 @@ def test_incremental_crawl_dedup_example(tmp_path):
     # later crawls drop their RE-SENT duplicates via the persistent indexes
     assert crawls[1]["neardup_dropped"] >= 20
     assert crawls[1]["embedding_dropped"] >= 20
+    # crawl 3 runs AFTER compact_index folded each index's epochs — the
+    # merged single-epoch indexes must still kill every re-sent duplicate
     assert crawls[2]["embedding_dropped"] >= 20
+    assert all(c["action"] == "compacted" and c["folded_epochs"] == 2
+               for c in rep["compactions"].values())
