@@ -411,7 +411,11 @@ def requeue_deadletters(lake_dir: str, wal_dir: str, repair_fn, epoch: int | Non
         repaired.schema.get_field_index("seq"), "seq", fresh
     )
     repaired = normalize_to(repaired, EVENT_SCHEMA)
-    existing = len(segs)
+    # max index + 1, never the count — a WAL with gaps (e.g. a crashed
+    # parallel expire sweep) must not have live segments overwritten
+    existing = max(
+        (int(os.path.basename(p)[4:-8]) for p in segs), default=-1
+    ) + 1
     # write_wal numbers from 0, which would collide with the live log —
     # stage in a scratch dir, then move after the current tail
     stage = os.path.join(wal_dir, "_requeue")
@@ -548,14 +552,21 @@ def expire_rows(
         max((segment_seq_range(p)[1] for p in segs), default=-1),
         load_job_watermark(lake_dir),
     ) + 1
-    existing = len(segs)
+    # name from MAX existing index + 1, never the count: a crash between
+    # parallel segment writes leaves gaps (..5 written, 6 missing, 7
+    # written), and a count-based rerun would os.replace an existing —
+    # possibly already APPLIED — segment, destroying the WAL's only
+    # record of those deletes for any from-scratch replay
+    next_seg = max(
+        (int(os.path.basename(p)[4:-8]) for p in segs), default=-1
+    ) + 1
     os.makedirs(wal_dir, exist_ok=True)
     writes = []
     k = 0
     for r, c in zip(refs, counts):
         if c == 0:
             continue
-        path = os.path.join(wal_dir, f"seg-{existing + k:05d}.parquet")
+        path = os.path.join(wal_dir, f"seg-{next_seg + k:05d}.parquet")
         writes.append(_expire_segment.remote(r, seq0, path, ev_us))
         seq0 += c
         k += 1
@@ -697,6 +708,12 @@ def _diff_plan(
     winning event in the interval, so it is skipped without opening it —
     the diff's read cost is ∝ changed partitions, not ∝ table size (the
     same work-∝-delta discipline as the incremental view refresh)."""
+    if to_epoch is not None and to_epoch < from_epoch:
+        raise ValueError(
+            f"to_epoch {to_epoch} < from_epoch {from_epoch} — a reversed "
+            f"interval would silently invert every insert/delete label; "
+            f"swap the arguments"
+        )
     old = mf.snapshot_manifests(lake_dir, from_epoch)
     new = (
         mf.load_manifests(lake_dir)
@@ -1289,6 +1306,26 @@ def _lake_max_ts_us(lake_dir: str) -> int | None:
     return mx
 
 
+def _stream_ttl_sweep(
+    lake_dir: str, wal_dir: str, span_us: int, **job_kwargs
+) -> dict:
+    """One stream-time retention sweep: expire rows older than (lake max
+    event-time − span) and apply the tombstones.  Shared by ``tail_wal``
+    and the driver CLI so the two paths cannot diverge.  A lake whose
+    committed files lack trustworthy ts footer stats cannot derive a
+    cutoff — that is reported as ``{"skipped": ...}``, never silently."""
+    mx = _lake_max_ts_us(lake_dir)
+    if mx is None:
+        return {"skipped": "no trustworthy ts footer stats; cannot derive "
+                           "a stream-time cutoff", "expired_keys": 0}
+    exp = expire_rows(lake_dir, wal_dir, older_than=mx - span_us)
+    if exp["expired_keys"]:
+        exp["applied_deletes"] = run_job(wal_dir, lake_dir, **job_kwargs)[
+            "deletes"
+        ]
+    return exp
+
+
 def tail_wal(
     wal_dir: str,
     lake_dir: str,
@@ -1316,23 +1353,25 @@ def tail_wal(
     apply).  The cutoff derives from footer stats — deterministic, no
     wall clock, no data scan — so replays of the same WAL produce the
     same retention decisions.  Seq-tailed lakes only (a ts-windowed
-    lake's expire raises, demanding an explicit in-window event_ts)."""
+    lake's expire raises, demanding an explicit in-window event_ts).
+
+    SEQ-SPACE CONTRACT: the WAL dir is one total-ordered log — every
+    appender (the producer, ``requeue_deadletters``, this sweep) must
+    mint seqs above the dir's current maximum, which the sweep does.  A
+    producer with an INDEPENDENT seq namespace (e.g. upstream binlog
+    positions) must not share a WAL dir with the sweep: the tombstones
+    would occupy the producer's future positions and its later events
+    would be skipped as stale.  For such sources run ``maintenance
+    expire`` offline between producer batches instead."""
     reports = []
     idle = 0
     while idle < idle_polls_to_stop:
         rep = run_job(wal_dir, lake_dir, **job_kwargs)
         if rep["action"] == "applied":
             if retain_ts_span_us is not None:
-                mx = _lake_max_ts_us(lake_dir)
-                if mx is not None:
-                    exp = expire_rows(
-                        lake_dir, wal_dir, older_than=mx - retain_ts_span_us
-                    )
-                    if exp["expired_keys"]:
-                        exp["applied_deletes"] = run_job(
-                            wal_dir, lake_dir, **job_kwargs
-                        )["deletes"]
-                    rep["ttl"] = exp
+                rep["ttl"] = _stream_ttl_sweep(
+                    lake_dir, wal_dir, retain_ts_span_us, **job_kwargs
+                )
             if view_dir is not None:
                 from .view import refresh_view
 
@@ -1393,15 +1432,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({k: v for k, v in report.items() if k != "per_partition"}))
         if args.retain_span_us is not None and report["action"] == "applied":
-            mx = _lake_max_ts_us(args.lake)
-            if mx is not None:
-                exp = expire_rows(args.lake, args.wal,
-                                  older_than=mx - args.retain_span_us)
-                if exp["expired_keys"]:
-                    exp["applied_deletes"] = run_job(
-                        args.wal, args.lake, quiet=True
-                    )["deletes"]
-                print(json.dumps({"ttl": exp}))
+            print(json.dumps({"ttl": _stream_ttl_sweep(
+                args.lake, args.wal, args.retain_span_us, quiet=True
+            )}))
         if args.refresh_view:
             from .view import refresh_view
 

@@ -165,11 +165,26 @@ def main(argv: list[str] | None = None) -> int:
 
             out = compact_index(args.index_dir, min_epochs=args.min_epochs)
         elif args.cmd == "expire":
-            from .driver import expire_rows, run_job
+            from . import manifest as mf
+            from .driver import expire_rows, job_state_path, run_job
 
             def _ts_arg(v):  # "123456" µs vs ISO-8601 (driver CLI convention)
                 return int(v) if v is not None and v.isdigit() else v
 
+            if args.apply:
+                # check BEFORE mutating the WAL: this subcommand's bare
+                # run_job is seq-mode, which a ts-windowed lake refuses —
+                # failing after the tombstones were appended would leave
+                # partial side effects behind an error
+                st = mf._read_json(job_state_path(args.lake))
+                if st is not None and st.get("mode") == "window":
+                    raise SystemExit(
+                        "expire --apply cannot run on a ts-windowed lake "
+                        "(the apply needs window bounds): run expire "
+                        "WITHOUT --apply, then apply the tombstones with "
+                        "a windowed run_job / driver --start-ts/--end-ts "
+                        "covering their event_ts"
+                    )
             out = expire_rows(args.lake, args.wal,
                               older_than=_ts_arg(args.older_than),
                               event_ts=_ts_arg(args.event_ts),

@@ -129,6 +129,85 @@ def test_expire_into_fresh_wal_dir_still_applies(tmp_wal, tmp_lake, tmp_path):
     assert pc.min(got["ts"]).cast(pa.int64()).as_py() >= cutoff
 
 
+def test_expire_rerun_after_crash_never_clobbers_segments(tmp_wal, tmp_lake):
+    """Crash window: some tombstone segments written, one applied, then the
+    sweep re-runs.  New segment names must continue past the MAX existing
+    index — a count-based name would os.replace an applied segment and
+    destroy the WAL's only record of those deletes."""
+    import pyarrow.parquet as pq
+
+    ev = _setup(tmp_wal, tmp_lake, n=6000, seed=59)
+    live = replay_to_table(ev)
+    cutoff = _median_ts_us(live)
+
+    rep = expire_rows(tmp_lake, tmp_wal, older_than=cutoff)
+    assert rep["segments"] >= 2
+    new_segs = sorted(glob.glob(os.path.join(tmp_wal, "seg-*.parquet")))[
+        -rep["segments"]:]
+    # simulate the crash: drop the MIDDLE tombstone segments, keep the
+    # last → the surviving WAL has a gap below its max index
+    for p in new_segs[:-1]:
+        os.remove(p)
+    survivor = new_segs[-1]
+    before = open(survivor, "rb").read()
+    run_job(tmp_wal, tmp_lake, partitions=8)  # applies the survivor
+
+    rep2 = expire_rows(tmp_lake, tmp_wal, older_than=cutoff)
+    assert rep2["expired_keys"] > 0  # the dropped segments' keys re-sweep
+    assert open(survivor, "rb").read() == before, (
+        "re-run overwrote an applied WAL segment"
+    )
+    run_job(tmp_wal, tmp_lake, partitions=8)
+    got = lake_table(tmp_lake)
+    assert pc.min(got["ts"]).cast(pa.int64()).as_py() >= cutoff
+    # the full WAL replayed from scratch reproduces the same final state
+    fresh = str(tmp_lake) + "_replay"
+    run_job(tmp_wal, fresh, partitions=8)
+    want = lake_table(fresh)
+    SORT2 = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    assert got.sort_by(SORT2).equals(want.sort_by(SORT2))
+
+
+def test_diff_rejects_reversed_epochs(tmp_wal, tmp_lake):
+    ev = gen_events(3000, seed=60)
+    cut = ev.num_rows // 2
+    write_wal(ev.slice(0, cut), tmp_wal, seg_rows=1000)
+    rep1 = run_job(tmp_wal, tmp_lake, partitions=4, time_travel_epochs=4)
+    import glob as _g
+
+    n0 = len(_g.glob(os.path.join(tmp_wal, "seg-*.parquet")))
+    from raydatax.gen import write_wal as _ww
+
+    tmp2 = tmp_wal + "_x"
+    _ww(ev.slice(cut), tmp2, seg_rows=1000)
+    for i, p in enumerate(sorted(_g.glob(os.path.join(tmp2, "seg-*.parquet")))):
+        os.rename(p, os.path.join(tmp_wal, f"seg-{n0 + i:05d}.parquet"))
+    rep2 = run_job(tmp_wal, tmp_lake, partitions=4)
+
+    from raydatax.driver import lake_diff
+
+    with pytest.raises(ValueError, match="reversed|swap"):
+        lake_diff(tmp_lake, from_epoch=rep2["epoch"], to_epoch=rep1["epoch"])
+
+
+def test_expire_cli_apply_refuses_windowed_lake(tmp_wal, tmp_lake, capsys):
+    ev = gen_events(2000, seed=61)
+    write_wal(ev, tmp_wal, seg_rows=1000)
+    us = ev["ts"].cast(pa.int64())
+    lo, hi = int(pc.min(us).as_py()), int(pc.max(us).as_py()) + 1
+    run_job(tmp_wal, tmp_lake, partitions=4, start_ts=lo, end_ts=hi)
+
+    from raydatax.maintenance import main as maint_main
+
+    before = sorted(glob.glob(os.path.join(tmp_wal, "seg-*.parquet")))
+    with pytest.raises(SystemExit, match="windowed"):
+        maint_main(["expire", tmp_lake, tmp_wal,
+                    "--older-than", str(hi), "--event-ts", str(hi),
+                    "--apply"])
+    # refused BEFORE mutating the WAL
+    assert sorted(glob.glob(os.path.join(tmp_wal, "seg-*.parquet"))) == before
+
+
 def test_tail_wal_stream_time_ttl(tmp_wal, tmp_lake):
     """Tail loop with retain_ts_span_us keeps only the trailing window of
     stream time — the sweep runs after each applied epoch, cutoff derived
