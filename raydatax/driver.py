@@ -866,7 +866,7 @@ def lake_diff(
 def compact_changelog(
     lake_dir: str,
     upto_epoch: int | None = None,
-    min_files: int = 2,
+    min_files: int = 1,
     min_delta_ratio: float = 0.0,
 ) -> dict:
     """Offline maintenance for ``output="changelog"`` lakes: merge each
@@ -895,8 +895,11 @@ def compact_changelog(
     only ``O(log_{1+r} N)`` times over the lake's lifetime, and a
     compaction pass touches only partitions that actually accumulated
     delta (work ∝ delta, like the ingest path).  ``min_files`` skips
-    partitions with fewer uncompacted epoch files regardless of bytes.
-    Defaults (2, 0.0) preserve the always-compact behavior; steady-state
+    partitions with fewer UNCOMPACTED epoch files regardless of bytes
+    (the compacted base does not count — it is the fold target, not
+    pending delta); a partition always needs ≥2 live records total to
+    have anything to merge.  Defaults (1, 0.0) preserve the
+    always-compact behavior; steady-state
     micro-batch deployments should run ``min_delta_ratio=0.5`` (or so) on
     a cron.  Mirrors size-tiered policy of LSM stores rather than DataX
     (which has no persistent state to compact); the per-shard horizon
@@ -955,7 +958,12 @@ def compact_changelog(
             live = [m for m in recs if m["epoch"] >= horizon]
             if upto_epoch is not None:
                 live = [m for m in live if m["epoch"] <= upto_epoch]
-            if len(live) < max(2, min_files):
+            # min_files counts UNCOMPACTED epoch files, as documented: the
+            # compacted base (the record carrying the horizon marker) is
+            # not one of them — counting it fired one delta early on every
+            # previously-compacted partition
+            uncompacted = sum(1 for m in live if not m.get("compacted_upto"))
+            if len(live) < 2 or uncompacted < min_files:
                 skipped += 1
                 continue
             # geometric trigger: live[0] is the compacted base iff it

@@ -201,26 +201,31 @@ class WriteGate:
     binary); ≤8 gated writers with in-token fsync stream the same bytes
     without the cliff while the other actors keep merging.
 
-    Multi-node note: the cliff is PER-NODE (each node's dirty-page pool
-    and disk), so on a real cluster this should be one gate actor per
-    node (spawn with NodeAffinitySchedulingStrategy and route each merge
-    actor to its node's gate) rather than one global gate, which would
-    over-throttle N nodes to one node's write budget.  ``run_exchange``
-    scales the global gate's permits by the node count as the
-    single-actor approximation — exact on this single-node sandbox,
-    conservative-ish on an evenly-spread pool."""
+    Multi-node: the cliff is PER-NODE (each node's dirty-page pool and
+    disk), so permits are tracked per ``node_id`` — one semaphore per
+    node inside the single gate actor.  Scaling one global budget by the
+    node count (the earlier approximation) did NOT bound per-node
+    writers: Ray can pack most num_cpus=0 merge actors of a skewed epoch
+    onto one node, hand it most of the global tokens, and recreate the
+    cliff there.  Keying by the caller's node keeps the budget local no
+    matter how the pool is placed; a single metadata-sized actor hop per
+    STAGED FILE (not per batch) stays negligible at any scale."""
 
-    def __init__(self, permits: int):
+    def __init__(self, permits_per_node: int):
+        self._permits = max(1, permits_per_node)
+        self._sems: dict = {}
+
+    async def acquire(self, node_id: str = "") -> bool:
         import asyncio
 
-        self._sem = asyncio.Semaphore(max(1, permits))
-
-    async def acquire(self) -> bool:
-        await self._sem.acquire()
+        sem = self._sems.get(node_id)
+        if sem is None:
+            sem = self._sems[node_id] = asyncio.Semaphore(self._permits)
+        await sem.acquire()
         return True
 
-    async def release(self) -> bool:
-        self._sem.release()
+    async def release(self, node_id: str = "") -> bool:
+        self._sems[node_id].release()
         return True
 
 
@@ -314,11 +319,8 @@ def run_exchange(
     # RAYDATAX_WRITE_GATE_PERMITS overrides (0 disables) — the A/B knob
     # behind the numbers in BENCH/BASELINE.md.
     permits = int(os.environ.get("RAYDATAX_WRITE_GATE_PERMITS", "8"))
-    if permits > 0:
-        # per-NODE budget: scale the single gate by node count (see the
-        # WriteGate docstring for the true per-node-gate design)
-        n_nodes = max(1, len([n for n in ray.nodes() if n.get("Alive")]))
-        permits *= n_nodes
+    # permits are PER NODE inside the gate (semaphore keyed by the
+    # caller's node id) — no node-count scaling needed or wanted
     write_gate = (
         WriteGate.remote(permits)
         if permits > 0 and max(1, merge_concurrency) > permits

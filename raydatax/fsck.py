@@ -147,7 +147,13 @@ def _deep_check(path: str, hw_seq: int | None) -> list[str]:
     import numpy as np
 
     issues = []
-    t = pq.read_table(path, columns=["conv_id", "turn_idx", "seq"])
+    try:
+        t = pq.read_table(path, columns=["conv_id", "turn_idx", "seq"])
+    except Exception as e:
+        # a corrupt/truncated data page is precisely what the deep pass
+        # exists to REPORT — it must come back as an issue, not crash the
+        # whole fsck out of ray.get with a task error
+        return [f"{path}: unreadable in deep scan ({e})"]
     if t.num_rows > 1:
         conv = np.asarray(t["conv_id"].to_pylist(), dtype=object)
         turn = t["turn_idx"].to_numpy(zero_copy_only=False)

@@ -44,8 +44,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact")
     p.add_argument("lake")
     p.add_argument("--upto-epoch", type=int, default=None)
-    p.add_argument("--min-files", type=int, default=2,
-                   help="skip partitions with fewer uncompacted epoch files")
+    p.add_argument("--min-files", type=int, default=1,
+                   help="skip partitions with fewer uncompacted epoch files "
+                        "(the compacted base does not count)")
     p.add_argument("--min-delta-ratio", type=float, default=0.0,
                    help="geometric trigger: skip partitions whose delta "
                         "bytes are below RATIO x the compacted base "

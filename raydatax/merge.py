@@ -54,14 +54,17 @@ def _write_staged(out: pa.Table, path: str, write_gate=None) -> None:
 
     tmp = path + ".tmp"
     if write_gate is not None:
-        _ray.get(write_gate.acquire.remote())
+        # the gate budgets dirty pages PER NODE — identify ours so a
+        # skew-packed pool on one node still respects that node's budget
+        node = _ray.get_runtime_context().get_node_id()
+        _ray.get(write_gate.acquire.remote(node))
         try:
             with open(tmp, "wb") as f:
                 pq.write_table(out, f, **PARQUET_OPTS)
                 f.flush()
                 os.fsync(f.fileno())
         finally:
-            write_gate.release.remote()
+            write_gate.release.remote(node)
     else:
         pq.write_table(out, tmp, **PARQUET_OPTS)
     os.replace(tmp, path)

@@ -143,6 +143,25 @@ def _derived_cdc_wal_table(sf_dir: str) -> pa.Table:
     )
 
 
+def _project_transcript(lk: pa.Table) -> pa.Table:
+    """The flagship's gate projection, shared by every query that is
+    oracled against transcript_cdc_replay's SQL (job_json_roundtrip,
+    lake_replication) — the three MUST stay byte-identical or a clone
+    silently drifts from the shared oracle."""
+    full = pc.strftime(lk["ts"], format="%Y-%m-%d %H:%M:%S")
+    return pa.table(
+        {
+            "conv_id": lk["conv_id"],
+            "turn_idx": lk["turn_idx"],
+            "role": lk["role"],
+            "text": lk["text"],
+            "tool": lk["tool"],
+            "ts_str": pc.utf8_slice_codeunits(full, 0, 19),
+            "seq": lk["seq"],
+        }
+    )
+
+
 def transcript_cdc_replay(sf_dir: str):
     """Flagship transcript CDC replay THROUGH THE FULL ENGINE — WAL segments
     → salted hash exchange → rebase-LWW merge actors → two-phase manifest
@@ -166,18 +185,7 @@ def transcript_cdc_replay(sf_dir: str):
     write_wal(wal_table, os.path.join(root, "wal"), seg_rows=20_000)
     run_job(os.path.join(root, "wal"), os.path.join(root, "lake"), partitions=8)
     lk = lake_table(os.path.join(root, "lake"))
-    full = pc.strftime(lk["ts"], format="%Y-%m-%d %H:%M:%S")
-    return pa.table(
-        {
-            "conv_id": lk["conv_id"],
-            "turn_idx": lk["turn_idx"],
-            "role": lk["role"],
-            "text": lk["text"],
-            "tool": lk["tool"],
-            "ts_str": pc.utf8_slice_codeunits(full, 0, 19),
-            "seq": lk["seq"],
-        }
-    )
+    return _project_transcript(lk)
 
 
 def job_json_roundtrip(sf_dir: str):
@@ -225,18 +233,7 @@ def job_json_roundtrip(sf_dir: str):
     assert report["contents"][0]["action"] == "applied", report
 
     lk = lake_table(os.path.join(root, "lake"))
-    full = pc.strftime(lk["ts"], format="%Y-%m-%d %H:%M:%S")
-    return pa.table(
-        {
-            "conv_id": lk["conv_id"],
-            "turn_idx": lk["turn_idx"],
-            "role": lk["role"],
-            "text": lk["text"],
-            "tool": lk["tool"],
-            "ts_str": pc.utf8_slice_codeunits(full, 0, 19),
-            "seq": lk["seq"],
-        }
-    )
+    return _project_transcript(lk)
 
 
 def lake_replication(sf_dir: str):
@@ -283,18 +280,7 @@ def lake_replication(sf_dir: str):
     assert replicate_lake(src, dst)["noop"]  # converged
 
     lk = lake_table(dst)
-    full = pc.strftime(lk["ts"], format="%Y-%m-%d %H:%M:%S")
-    return pa.table(
-        {
-            "conv_id": lk["conv_id"],
-            "turn_idx": lk["turn_idx"],
-            "role": lk["role"],
-            "text": lk["text"],
-            "tool": lk["tool"],
-            "ts_str": pc.utf8_slice_codeunits(full, 0, 19),
-            "seq": lk["seq"],
-        }
-    )
+    return _project_transcript(lk)
 
 
 def lake_snapshot_diff(sf_dir: str):
@@ -1898,6 +1884,9 @@ def revenue_by_segment(sf_dir: str):
         from .relational import _fetch_partials, broadcast_join
 
         tabs = [t for t in _fetch_partials(cust.to_arrow_refs()) if t.num_rows]
+        if not tabs:  # pa.concat_tables([]) raises; an empty dim is a
+            sch = cust.schema().base_schema  # legal (fully filtered) input
+            tabs = [sch.empty_table()]
         j2 = broadcast_join(j1, pa.concat_tables(tabs), "o_custkey")
     else:
         j2 = hash_join(j1, cust, on="o_custkey", num_partitions=16)

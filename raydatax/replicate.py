@@ -121,16 +121,19 @@ def replicate_lake(src_lake: str, dst_lake: str, prune: bool = True) -> dict:
             files_copied = sum(c for c, _ in copy_stats)
             bytes_copied = sum(b for _, b in copy_stats)
 
-            # 2. history records (each file now present), 3. manifests last
+            # 2. history records (each file now present), 3. manifests, and
+            # ONLY THEN delete superseded replica files — a record replaced
+            # in place (same epoch, new file: a compaction marker) leaves
+            # the old file orphaned on dst, but removing it before the
+            # manifest flip opens a crash window where the dst manifest
+            # still names the deleted file (replica unreadable for
+            # manifest-driven consumers until a re-run)
+            stale_after_flip: list[str] = []
             for (pid, epoch), rec in changed.items():
                 mf._atomic_write_json(mf.history_path(dst_lake, pid, epoch), rec)
-                # a record replaced in place (same epoch, new file — a
-                # compaction marker) leaves the old file orphaned on dst
                 old = dst_hist.get((pid, epoch))
                 if old is not None and old["file"] != rec["file"]:
-                    stale = os.path.join(dst_lake, old["file"])
-                    if os.path.exists(stale):
-                        os.remove(stale)
+                    stale_after_flip.append(os.path.join(dst_lake, old["file"]))
             src_man = mf.load_manifests(src_lake)
             dst_man = mf.load_manifests(dst_lake)
             parts_updated = 0
@@ -138,6 +141,9 @@ def replicate_lake(src_lake: str, dst_lake: str, prune: bool = True) -> dict:
                 if dst_man.get(pid) != man:
                     mf._atomic_write_json(mf.manifest_path(dst_lake, pid), man)
                     parts_updated += 1
+            for stale in stale_after_flip:
+                if os.path.exists(stale):
+                    os.remove(stale)
 
             # job metadata + lineage (small JSONs; content-compared)
             aux_copied = 0

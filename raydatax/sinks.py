@@ -324,12 +324,23 @@ class BulkWriter:
 
     def __init__(self, backend_factory, batch_rows: int = 4096,
                  batch_bytes: int = 4 << 20, retries: int = 3,
-                 base_sleep_s: float = 0.05):
+                 base_sleep_s: float = 0.05, retryable=None):
         self.flush = backend_factory()
         self.batch_rows = batch_rows
         self.batch_bytes = batch_bytes
         self.retries = retries
         self.base_sleep_s = base_sleep_s
+        # only TRANSIENT errors earn backoff retries; a deterministic
+        # rejection (bad data) re-raised immediately means a poisoned
+        # chunk's good rows are bulk-written at most once before the
+        # row-level replay — bounding duplicates at 2x per good row on
+        # non-transactional backends (retrying the whole chunk N times
+        # multiplied them N+2x).  Mirrors the reference's split between
+        # RetryUtil (transient) and the one-shot row fallback
+        # (CommonRdbmsWriter.java:360-428).
+        self.retryable = retryable if retryable is not None else (
+            lambda e: isinstance(e, (ConnectionError, TimeoutError, OSError))
+        )
 
     def _flush_retry(self, chunk) -> None:
         import time as _time
@@ -338,8 +349,8 @@ class BulkWriter:
             try:
                 self.flush(chunk)
                 return
-            except Exception:
-                if attempt == self.retries:
+            except Exception as e:
+                if attempt == self.retries or not self.retryable(e):
                     raise
                 _time.sleep(self.base_sleep_s * (2 ** attempt))
 

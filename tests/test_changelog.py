@@ -320,8 +320,8 @@ def test_compaction_geometric_trigger(ray_session, wal, tmp_path):
     after = changelog_table(lake)
     assert sorted(after["seq"].to_pylist()) == sorted(before["seq"].to_pylist())
 
-    # min_files alone: one fresh delta = 2 live records per partition,
-    # below a min_files=3 bar
+    # min_files alone: one fresh UNCOMPACTED delta per partition (the
+    # compacted base does not count), below a min_files=3 bar
     append_delta(500, 50_000_000, 90_000, "tail")
     rep = compact_changelog(lake, min_files=3)
     assert rep["partitions_compacted"] == 0 and rep["partitions_skipped"] == 4
