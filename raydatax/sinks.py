@@ -275,11 +275,22 @@ def read_sorted(path: str, key_range: tuple | None = None, columns=None):
     """Read a :func:`write_sorted` export in global key order; with
     ``key_range=(lo, hi)`` only the files whose recorded [min, max]
     intersects the half-open range [lo, hi) are even listed — manifest
-    pruning, no footer reads."""
+    pruning, no footer reads.
+
+    Global order is this function's CONTRACT, but Ray's streaming
+    executor only preserves block order when ``preserve_order`` is set —
+    under load it otherwise emits whichever block finishes first (seen
+    once under a saturated host: a consumer observed interleaved key
+    ranges).  The dataset executes lazily AFTER this returns, so the
+    flag must be set on the session context and left on; it disables an
+    out-of-order-completion optimization for other datasets, never their
+    semantics."""
     import json
 
     import ray.data as rd
+    from ray.data import DataContext
 
+    DataContext.get_current().execution_options.preserve_order = True
     with open(os.path.join(path, "_sorted.json")) as fh:
         manifest = json.load(fh)
     files = manifest["files"]
