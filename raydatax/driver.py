@@ -586,7 +586,11 @@ def read_lake(
     filter=None,
 ) -> "ray.data.Dataset":
     """Committed table state as a streaming Dataset (partition-major,
-    key-sorted within partitions — the stable output order).  ``at_epoch``
+    key-sorted within partitions — the stable output order; note Ray's
+    streaming executor preserves that BLOCK order for a consumer only
+    under ``DataContext.execution_options.preserve_order`` — aggregate /
+    join / write consumers don't care, ordered iteration does).
+    ``at_epoch``
     time-travels to the snapshot as of that epoch (retained per the lake's
     ``time_travel_epochs`` config, set at creation via
     ``run_job(time_travel_epochs=N)`` on the first apply).
