@@ -196,6 +196,29 @@ def test_dedup_index_probe_reads_only_touched_buckets(tmp_path, ray_session):
     assert marked[101] == (101, True)
 
 
+def test_write_gate_budgets_per_node(ray_session):
+    """Permits are per node id: one node exhausting its budget must not
+    consume another node's tokens (the skew-packed-pool scenario), and
+    release frees the right node's slot."""
+    import ray
+
+    from raydatax.exchange import WriteGate
+
+    gate = WriteGate.remote(1)
+    try:
+        assert ray.get(gate.acquire.remote("node-a"), timeout=10)
+        # node-b has its own budget — grants immediately
+        assert ray.get(gate.acquire.remote("node-b"), timeout=10)
+        # node-a is exhausted — a second acquire must NOT complete
+        pending = gate.acquire.remote("node-a")
+        ready, _ = ray.wait([pending], timeout=1.0)
+        assert not ready, "second acquire on an exhausted node's budget"
+        ray.get(gate.release.remote("node-a"), timeout=10)
+        assert ray.get(pending, timeout=10)
+    finally:
+        ray.kill(gate)
+
+
 def test_write_gate_preserves_byte_identity(tmp_wal, tmp_path, ray_session):
     """A merge pool large enough to engage the write gate (>8 actors) must
     produce byte-identical partition files to an ungated small pool — the
