@@ -920,8 +920,7 @@ def compact_changelog(
     try:
         by_part: dict[int, list[dict]] = {}
         rec_paths: dict[tuple[int, int], str] = {}
-        for p in glob.glob(os.path.join(lake_dir, "_manifests", "history", "part-*.json")):
-            m = mf._read_json(p)
+        for p, m in mf.iter_history_records(lake_dir):
             if m is not None:
                 by_part.setdefault(m["partition"], []).append(m)
                 rec_paths[(m["partition"], m["epoch"])] = p

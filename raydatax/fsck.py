@@ -56,10 +56,7 @@ def _structural(lake_dir: str) -> tuple[list[str], list[dict], int]:
 
     manifests = mf.load_manifests(lake_dir)
     history: dict[int, list[dict]] = {}
-    for p in glob.glob(
-        os.path.join(lake_dir, "_manifests", "history", "part-*.json")
-    ):
-        m = mf._read_json(p)
+    for p, m in mf.iter_history_records(lake_dir):
         if m is None:
             issues.append(f"unreadable history record {os.path.basename(p)}")
         else:

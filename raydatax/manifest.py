@@ -203,14 +203,30 @@ def snapshot_manifests(lake_dir: str, at_epoch: int) -> dict[int, dict]:
     return best
 
 
+def iter_history_records(lake_dir: str) -> list[tuple[str, dict | None]]:
+    """Every ``(path, parsed record | None-if-unreadable)`` under
+    ``_manifests/history`` — THE single definition of where history
+    records live and how they parse.  fsck, replication, compaction and
+    the changelog readers all shape their own views from this, so a
+    layout change (new field, path scheme, tombstone convention) cannot
+    silently drift between them."""
+    return [
+        (p, _read_json(p))
+        for p in sorted(
+            glob.glob(
+                os.path.join(lake_dir, "_manifests", "history", "part-*.json")
+            )
+        )
+    ]
+
+
 def changelog_records(lake_dir: str) -> dict[int, tuple[list[dict], int | None]]:
     """Per-partition commit history records of a changelog lake:
     ``{pid: (records epoch-ascending, compaction horizon or None)}``.
     Records below a partition's horizon are superseded by its compacted
     record (which holds the full history ≤ horizon)."""
     by_part: dict[int, list[dict]] = {}
-    for p in glob.glob(os.path.join(lake_dir, "_manifests", "history", "part-*.json")):
-        m = _read_json(p)
+    for _, m in iter_history_records(lake_dir):
         if m is not None:
             by_part.setdefault(m["partition"], []).append(m)
     out: dict[int, tuple[list[dict], int | None]] = {}

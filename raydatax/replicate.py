@@ -47,14 +47,11 @@ from . import manifest as mf
 
 
 def _history_records(lake_dir: str) -> dict[tuple[int, int], dict]:
-    out: dict[tuple[int, int], dict] = {}
-    for p in glob.glob(
-        os.path.join(lake_dir, "_manifests", "history", "part-*.json")
-    ):
-        m = mf._read_json(p)
-        if m is not None:
-            out[(int(m["partition"]), int(m["epoch"]))] = m
-    return out
+    return {
+        (int(m["partition"]), int(m["epoch"])): m
+        for _, m in mf.iter_history_records(lake_dir)
+        if m is not None
+    }
 
 
 @ray.remote
