@@ -2223,6 +2223,35 @@ def graph_components(sf_dir: str):
     return connected_components(edges)
 
 
+def bpe_learn(sf_dir: str):
+    """Fit a 6-merge BPE tokenizer over the document corpus
+    (bpe.learn_bpe): ONE corpus pass builds the word-frequency table
+    (pre-aggregated groupby), then each merge round runs on distinct
+    words only — vectorized pair counting from the delimited
+    symbol-string representation, total-order argmax, one
+    replace_substring application.  Merge application is leftmost
+    non-overlapping substitution == SQL replace(), which is what lets
+    the whole learner run under the exact hash gate as unrolled
+    per-round CTEs."""
+    from .bpe import learn_bpe
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    return learn_bpe(ds, n_merges=6)
+
+
+def bpe_encode_counts(sf_dir: str):
+    """Encode the corpus with the learned merges and count BPE symbols
+    per document (bpe.encode_token_counts) — the fit-then-apply round
+    trip: the merge table is tiny (it IS the tokenizer) and travels in
+    the task closure; per-word symbol count is count('|')-1 of the
+    final delimited string, summed per doc with np.add.at."""
+    from .bpe import encode_token_counts, learn_bpe
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    merges = learn_bpe(ds, n_merges=6)
+    return encode_token_counts(ds, merges)
+
+
 # ------------------------------------------------------------------ registry
 
 # Registry order is LOAD-BEARING: the external correctness gate records
@@ -2334,9 +2363,71 @@ QUERIES = {
     "graph_components": graph_components,
     "graph_triangles": graph_triangles,
     "lake_replication": lake_replication,
+    "bpe_learn": bpe_learn,
+    "bpe_encode_counts": bpe_encode_counts,
 }
 
+# The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
+# graph_pagerank pattern): round r = pair explosion (zipped-unnest over
+# the symbol list), integer pair counts, total-order argmax, one
+# replace() application feeding round r+1.
+def _bpe_round_sql(r: int) -> str:
+    prev = f"w{r - 1}"
+    return f"""
+        p{r} AS (SELECT string_split(trim(s, '|'), '|') AS ts, f FROM {prev}),
+        e{r} AS (SELECT list_extract(ts, i) AS lft, list_extract(ts, i+1) AS rgt, f
+                 FROM (SELECT ts, f, unnest(range(1, len(ts))) AS i FROM p{r})),
+        c{r} AS (SELECT lft, rgt, CAST(sum(f) AS BIGINT) AS cnt
+                 FROM e{r} GROUP BY lft, rgt),
+        b{r} AS (SELECT lft, rgt, cnt FROM c{r} ORDER BY cnt DESC, lft, rgt LIMIT 1),
+        w{r} AS (SELECT replace(s, '|'||b.lft||'|'||b.rgt||'|',
+                                   '|'||b.lft||b.rgt||'|') AS s, f
+                 FROM {prev} CROSS JOIN b{r} b)"""
+
+
+_BPE_LEARNER_CTES = (
+    r"""WITH toks AS (SELECT doc_id,
+                      unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks
+               WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w),
+        w0 AS (SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS s, f FROM wf),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, 7))
+)
+
+_BPE_LEARN_SQL = (
+    _BPE_LEARNER_CTES
+    + "\n        "
+    + " UNION ALL ".join(
+        f"SELECT {r} AS round, lft, rgt, lft||rgt AS merged, cnt AS pair_count FROM b{r}"
+        for r in range(1, 7)
+    )
+    + " ORDER BY round"
+)
+
+_BPE_ENCODE_SQL = (
+    _BPE_LEARNER_CTES
+    + r""",
+        dt0 AS (SELECT doc_id, '|' || regexp_replace(w, '(.)', '\1|', 'g') AS s
+                FROM toks WHERE regexp_matches(w, '^[a-z0-9]+$')),"""
+    + ",".join(
+        f"""
+        dt{r} AS (SELECT doc_id, replace(s, '|'||b.lft||'|'||b.rgt||'|',
+                                            '|'||b.lft||b.rgt||'|') AS s
+                  FROM dt{r - 1} CROSS JOIN b{r} b)"""
+        for r in range(1, 7)
+    )
+    + """,
+        enc AS (SELECT doc_id,
+                       CAST(sum(length(s) - length(replace(s, '|', '')) - 1)
+                            AS BIGINT) AS n_bpe_tokens
+                FROM dt6 GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(e.n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM documents d LEFT JOIN enc e USING (doc_id)"""
+)
+
 ORACLE_SQL = {
+    "bpe_learn": _BPE_LEARN_SQL,
+    "bpe_encode_counts": _BPE_ENCODE_SQL,
     "cdc_lww_upsert": """
         WITH tagged AS (
           SELECT *, CASE WHEN event_id % 10 < 6 THEN 'I'
