@@ -8,6 +8,18 @@ Scale path: **IVF** — deterministic k-means (seeded, Lloyd iterations on a
 sample) → centroid assignment per batch → only batches' vectors falling in
 the ``nprobe`` closest clusters of any query are scored.  Recall < 1.0 by
 construction; verified against brute force in tests.
+
+Memory-scale path: **PQ (product quantization) + exact rerank** — vectors
+compress to ``m_sub`` uint8 codes (d·4 bytes → m bytes, 32× at d=64/m=8);
+search scores codes with per-query ADC lookup tables (one gather+sum per
+subspace, no float vector ever touched), keeps a per-batch partial
+shortlist, and optionally reranks the shortlist's TRUE vectors with exact
+cosine.  With rerank the output is exact whenever the true top-k survives
+the shortlist — which is what lets ``ann_pq_verified`` run under the same
+SQL hash gate as brute force.  At 100 TB the codes are precomputed once
+(``pq_encode``) and stored next to the IVF cluster assignment (see the
+persistent IVF index in dedup.py), so a query touches ``nprobe`` buckets
+of uint8 codes plus ``shortlist`` full vectors.
 """
 
 from __future__ import annotations
@@ -161,3 +173,190 @@ def ivf_topk(
 
     filtered = ds.map_batches(prefilter, batch_format="pyarrow")
     return brute_force_topk(filtered, queries, k, id_col, vec_col)
+
+
+# ------------------------------------------------------------- PQ + rerank
+
+
+def _kmeans_l2(x: np.ndarray, n_codes: int, iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Deterministic Lloyd's under L2 for (unnormalized) subvectors."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(x), size=min(n_codes, len(x)), replace=False)
+    cent = x[np.sort(idx)].copy()
+    for _ in range(iters):
+        # argmin ||x-c||² == argmax (x·c - ||c||²/2); x² is constant per row
+        score = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        assign = np.argmax(score, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def pq_fit(
+    sample: np.ndarray, m_sub: int = 8, n_codes: int = 64, seed: int = 7
+) -> np.ndarray:
+    """Fit per-subspace codebooks on NORMALIZED sample vectors; returns
+    (m_sub, n_codes, d//m_sub).  d must divide evenly into subspaces."""
+    x = _normalize(sample)
+    n, d = x.shape
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible into {m_sub} subspaces")
+    dsub = d // m_sub
+    books = np.empty((m_sub, min(n_codes, n), dsub), dtype=np.float64)
+    for j in range(m_sub):
+        books[j] = _kmeans_l2(x[:, j * dsub : (j + 1) * dsub], n_codes, seed=seed + j)
+    return books
+
+
+def _pq_codes(x_norm: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m_sub) uint8 codes for normalized vectors."""
+    m_sub, n_codes, dsub = books.shape
+    codes = np.empty((len(x_norm), m_sub), dtype=np.uint8)
+    for j in range(m_sub):
+        sub = x_norm[:, j * dsub : (j + 1) * dsub]
+        score = sub @ books[j].T - 0.5 * (books[j] * books[j]).sum(axis=1)
+        codes[:, j] = np.argmax(score, axis=1)
+    return codes
+
+
+def pq_encode(
+    ds: "ray.data.Dataset",
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Compress the corpus to (id, pq_code: list<uint8>) — the stored
+    artifact a persistent PQ index keeps per IVF bucket."""
+    ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        codes = _pq_codes(_normalize(_matrix(batch[vec_col])), b)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "pq_code": pa.array(list(codes), pa.list_(pa.uint8())),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+class _PqScoreBatch:
+    """Actor-pool stage: codebooks + per-query ADC lookup tables built once
+    per actor; per batch one encode + m_sub gathers + a partial shortlist."""
+
+    def __init__(self, ref, shortlist: int, id_col: str, vec_col: str):
+        books, q_ids, q_mat = ray.get(ref)
+        self.books = books
+        self.q_ids = q_ids
+        m_sub, n_codes, dsub = books.shape
+        q = _normalize(q_mat)                       # (Q, d)
+        # lut[q, j, c] = q_subj · books[j, c]
+        self.lut = np.stack(
+            [q[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m_sub)],
+            axis=1,
+        )                                            # (Q, m_sub, n_codes)
+        self.shortlist = shortlist
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        codes = _pq_codes(_normalize(_matrix(batch[self.vec_col])), self.books)
+        n, m_sub = codes.shape
+        q_n = len(self.q_ids)
+        sims = np.zeros((n, q_n), dtype=np.float64)
+        for j in range(m_sub):
+            sims += self.lut[:, j, codes[:, j]].T    # (n, Q) gather per subspace
+        k = min(self.shortlist, n)
+        part = np.argpartition(-sims, k - 1, axis=0)[:k]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(q_n):
+            rows = part[:, qi]
+            out_q.append(np.full(k, self.q_ids[qi], dtype=np.int64))
+            out_id.append(ids[rows])
+            out_sim.append(sims[rows, qi])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "adc": pa.array(np.concatenate(out_sim), pa.float64()),
+            }
+        )
+
+
+def pq_topk(
+    ds: "ray.data.Dataset",
+    queries: pa.Table,
+    k: int = 10,
+    m_sub: int = 8,
+    n_codes: int = 64,
+    shortlist: int = 64,
+    rerank: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    seed: int = 7,
+) -> pa.Table:
+    """PQ-ADC search: codebooks fit on a driver sample, codes scored against
+    per-query lookup tables, per-batch partial shortlists merged on the
+    driver (≤ shortlist·blocks rows), then — with ``rerank`` — the union
+    shortlist's true vectors rescored with exact cosine for the final
+    top-k.  Rerank output equals brute force whenever the true top-k
+    survives the shortlist (pinned by test + the SQL-oracled query)."""
+    sample = ds.limit(sample_rows).take_all()
+    smat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    books = pq_fit(smat, m_sub=m_sub, n_codes=n_codes, seed=seed)
+
+    q_ids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_mat = _matrix(queries[vec_col])
+    ref = ray.put((books, q_ids, q_mat))
+
+    parts = ds.map_batches(
+        _PqScoreBatch,
+        fn_constructor_kwargs=dict(
+            ref=ref, shortlist=shortlist, id_col=id_col, vec_col=vec_col
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).take_all()
+    if not parts:
+        return None
+    qids = np.array([r["query_id"] for r in parts])
+    nids = np.array([r["neighbor_id"] for r in parts])
+    sims = np.array([r["adc"] for r in parts])
+
+    keep_n = shortlist if rerank else k
+    short_ids: set[int] = set()
+    approx_rows = []
+    for q in np.unique(qids):
+        m = qids == q
+        order = np.lexsort((nids[m], -sims[m]))[:keep_n]
+        ids_q = nids[m][order]
+        short_ids.update(int(i) for i in ids_q)
+        if not rerank:
+            approx_rows.extend(
+                {
+                    "query_id": int(q),
+                    "rank": rank + 1,
+                    "neighbor_id": int(i),
+                    "adc": float(sims[m][order][rank]),
+                }
+                for rank, i in enumerate(ids_q[:k])
+            )
+    if not rerank:
+        return pa.Table.from_pylist(approx_rows)
+
+    # exact rerank: ONE more pruned pass fetching only shortlisted vectors
+    ids_ref = ray.put(np.array(sorted(short_ids), dtype=np.int64))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        keep = np.isin(batch[id_col].to_numpy(zero_copy_only=False), wanted)
+        return batch.filter(pa.array(keep))
+
+    survivors = ds.map_batches(prefilter, batch_format="pyarrow")
+    return brute_force_topk(survivors, queries, k, id_col, vec_col)

@@ -1798,6 +1798,23 @@ def ann_ivf(sf_dir: str):
     return out.select(["query_id", "rank", "neighbor_id"])
 
 
+def ann_pq_verified(sf_dir: str):
+    """PQ-ADC search + exact rerank (ann.pq_topk): vectors scored as uint8
+    codes against per-query lookup tables, per-batch partial shortlists,
+    then the union shortlist's TRUE vectors rescored with exact cosine —
+    the production compress-then-rerank layout.  The rerank makes the
+    output exact whenever the true top-k survives the shortlist, which is
+    what puts a quantized index under the same SQL hash gate as brute
+    force (the approx_users_hll_verified pattern for ANN)."""
+    from .ann import pq_topk
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"))
+    out = pq_topk(
+        ds, _queries_table(sf_dir), k=10, m_sub=32, n_codes=256, shortlist=64
+    )
+    return out.select(["query_id", "rank", "neighbor_id"])
+
+
 def multimodal_features(sf_dir: str):
     """Binary-column decode + feature plumbing, SQL-oracled: media payloads
     are derived deterministically from the documents table (RDXM container
@@ -2365,6 +2382,7 @@ QUERIES = {
     "lake_replication": lake_replication,
     "bpe_learn": bpe_learn,
     "bpe_encode_counts": bpe_encode_counts,
+    "ann_pq_verified": ann_pq_verified,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2428,6 +2446,18 @@ _BPE_ENCODE_SQL = (
 ORACLE_SQL = {
     "bpe_learn": _BPE_LEARN_SQL,
     "bpe_encode_counts": _BPE_ENCODE_SQL,
+    # exact-rerank PQ search: output contract identical to brute force
+    "ann_pq_verified": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 3),
+        s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(e.embedding, q.qe) AS sim
+              FROM embeddings e CROSS JOIN q),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rank
+              FROM s)
+        SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 10
+    """,
     "cdc_lww_upsert": """
         WITH tagged AS (
           SELECT *, CASE WHEN event_id % 10 < 6 THEN 'I'

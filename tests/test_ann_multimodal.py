@@ -253,3 +253,52 @@ def test_tumbling_window_and_sessionize():
     one = pdf[pdf.user_id == pdf.user_id.iloc[0]].sort_values("ts")
     gaps = (one.ts.diff().dt.total_seconds() / 60 > 30).sum() + 1
     assert int(s[s.user_id == pdf.user_id.iloc[0]].n_sessions.iloc[0]) == gaps
+
+
+def test_pq_rerank_equals_brute_force(emb):
+    from raydatax.ann import pq_topk
+
+    queries = emb.slice(0, 3)
+    ds = rd.from_arrow(emb)
+    bf = brute_force_topk(ds, queries, k=10).select(
+        ["query_id", "rank", "neighbor_id"]
+    )
+    out = pq_topk(ds, queries, k=10, m_sub=32, n_codes=256, shortlist=64).select(
+        ["query_id", "rank", "neighbor_id"]
+    )
+    assert out.equals(bf)
+
+
+def test_pq_raw_adc_recall_floor(emb):
+    from raydatax.ann import pq_topk
+
+    queries = emb.slice(0, 3)
+    ds = rd.from_arrow(emb)
+    bf = brute_force_topk(ds, queries, k=10)
+    raw = pq_topk(ds, queries, k=10, m_sub=32, n_codes=256, rerank=False)
+    bf_ids = {(r["query_id"], r["neighbor_id"]) for r in bf.to_pylist()}
+    raw_ids = {(r["query_id"], r["neighbor_id"]) for r in raw.to_pylist()}
+    # quantized-only scoring is approximate; on this corpus it stays well
+    # above chance — the rerank test above is the exactness contract
+    assert len(raw_ids & bf_ids) / len(bf_ids) >= 0.6
+
+
+def test_pq_encode_compresses_to_uint8_codes(emb):
+    from raydatax.ann import pq_encode, pq_fit
+
+    sample = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in emb["embedding"].to_pylist()[:256]]
+    )
+    books = pq_fit(sample, m_sub=8, n_codes=16)
+    assert books.shape == (8, 16, 8)
+    codes = pq_encode(rd.from_arrow(emb), books).take_all()
+    assert len(codes) == emb.num_rows
+    c0 = codes[0]["pq_code"]
+    assert len(c0) == 8 and all(0 <= int(c) < 16 for c in c0)
+
+
+def test_pq_fit_rejects_indivisible_dim():
+    from raydatax.ann import pq_fit
+
+    with pytest.raises(ValueError):
+        pq_fit(np.ones((10, 10)), m_sub=3)
