@@ -2240,6 +2240,29 @@ def graph_components(sf_dir: str):
     return connected_components(edges)
 
 
+def zorder_box_scan(sf_dir: str):
+    """Multi-dimension clustering end-to-end (sources.write_zordered →
+    read_box): events re-clustered on Morton codes over (user_id, value)
+    — the OPTIMIZE ZORDER maintenance op of lake formats — then a box
+    scan selective on the SECOND dimension, which a 1-D sort cannot
+    prune: row groups pruned by footer stats on both columns at once,
+    exact conjunctive predicate in-task.  Oracle: the plain WHERE."""
+    import tempfile
+
+    from .sources import read_box, write_zordered
+
+    staged = tempfile.mkdtemp(prefix="raydatax_zo_")
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+    write_zordered(ds, staged, ["user_id", "value"], row_group_size=4096)
+    return read_box(
+        staged,
+        {"user_id": (2, None), "value": (50.0, 60.0)},
+        columns=["event_id", "user_id", "value"],
+    )
+
+
 def bpe_learn(sf_dir: str):
     """Fit a 6-merge BPE tokenizer over the document corpus
     (bpe.learn_bpe): ONE corpus pass builds the word-frequency table
@@ -2383,6 +2406,7 @@ QUERIES = {
     "bpe_learn": bpe_learn,
     "bpe_encode_counts": bpe_encode_counts,
     "ann_pq_verified": ann_pq_verified,
+    "zorder_box_scan": zorder_box_scan,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2446,6 +2470,10 @@ _BPE_ENCODE_SQL = (
 ORACLE_SQL = {
     "bpe_learn": _BPE_LEARN_SQL,
     "bpe_encode_counts": _BPE_ENCODE_SQL,
+    "zorder_box_scan": """
+        SELECT event_id, user_id, value FROM events
+        WHERE user_id >= 2 AND value >= 50 AND value < 60
+    """,
     # exact-rerank PQ search: output contract identical to brute force
     "ann_pq_verified": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -778,3 +778,194 @@ def read_tsdb(
             return tasks
 
     return rd.read_datasource(_TsdbSource())
+
+
+# ------------------------------------------------ z-order clustering
+
+
+def zorder_codes(
+    arrays: list[np.ndarray], bounds: list[tuple[float, float]], bits: int = 16
+) -> np.ndarray:
+    """uint64 Morton (z-order) codes: each column linearly quantized to
+    ``bits`` over its [lo, hi] bounds, bit-interleaved column-major so
+    nearby (c0, c1, ...) tuples share code prefixes.  k·bits must fit 64.
+    Vectorized: k·bits shift/or passes over the whole array, no Python
+    per-row work.  NaN/None quantize to 0 — pruning stays conservative
+    because parquet stats ignore nulls and the exact predicate runs
+    in-task anyway."""
+    k = len(arrays)
+    if k * bits > 64:
+        raise ValueError(f"{k} cols × {bits} bits exceeds 64-bit codes")
+    q = []
+    for a, (lo, hi) in zip(arrays, bounds):
+        x = np.asarray(a, dtype=np.float64)
+        span = hi - lo
+        scale = ((1 << bits) - 1) / span if span > 0 else 0.0
+        xq = np.clip((x - lo) * scale, 0, (1 << bits) - 1)
+        xq = np.where(np.isfinite(xq), xq, 0.0)
+        q.append(xq.astype(np.uint64))
+    z = np.zeros(len(q[0]), dtype=np.uint64)
+    for i in range(bits):
+        for j in range(k):
+            z |= ((q[j] >> np.uint64(i)) & np.uint64(1)) << np.uint64(i * k + j)
+    return z
+
+
+def write_zordered(
+    ds: "rd.Dataset",
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    row_group_size: int = 4096,
+) -> dict:
+    """Cluster a table on several columns at once — the OPTIMIZE ZORDER
+    maintenance op of lake formats: one bounds aggregate, a Morton-code
+    column added per batch, ONE range sort on the code (the shuffle is
+    inherent to re-clustering), small row groups.  After this, footer
+    min/max stats are tight on EVERY clustered column simultaneously, so
+    a multi-dimension box scan (:func:`read_box`) prunes on all of them —
+    a 1-D sort can only ever prune its leading column.  Returns the
+    bounds used (callers persist them to quantize future writes
+    identically)."""
+    from ray.data.aggregate import Max, Min
+
+    aggs = []
+    for c in cols:
+        aggs += [Min(c), Max(c)]
+    stats = ds.aggregate(*aggs)
+    bounds = [(stats[f"min({c})"], stats[f"max({c})"]) for c in cols]
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        arrays = [
+            batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols
+        ]
+        return batch.append_column(
+            "__z", pa.array(zorder_codes(arrays, bounds, bits), pa.uint64())
+        )
+
+    (
+        ds.map_batches(add_z, batch_format="pyarrow")
+        .sort("__z")
+        .drop_columns(["__z"])
+        .write_parquet(path, row_group_size=row_group_size)
+    )
+    return {"cols": cols, "bounds": bounds, "bits": bits}
+
+
+def plan_box(
+    paths: list[str],
+    preds: dict[str, tuple],
+) -> tuple[list[tuple[str, list[int]]], int]:
+    """Row-group plan for a conjunctive box ``{col: [lo, hi), ...}`` —
+    multi-column generalization of :func:`plan_key_ranges`: a row group
+    survives only if its footer stats overlap EVERY column's range.
+    Missing stats keep the group (conservative)."""
+    import pyarrow.parquet as pq
+
+    plans, pruned = [], 0
+    for p in paths:
+        md = pq.read_metadata(p)
+        idxs = {}
+        for c in preds:
+            idx = next(
+                (i for i in range(md.num_columns) if md.schema.column(i).path == c),
+                -1,
+            )
+            if idx < 0:
+                raise KeyError(f"{c!r} not a primitive leaf column in {p}")
+            idxs[c] = idx
+        keep = []
+        for rg in range(md.num_row_groups):
+            ok = True
+            for c, (lo, hi) in preds.items():
+                st = md.row_group(rg).column(idxs[c]).statistics
+                if st is not None and st.has_min_max:
+                    if (lo is not None and st.max < lo) or (
+                        hi is not None and st.min >= hi
+                    ):
+                        ok = False
+                        break
+            if ok:
+                keep.append(rg)
+            else:
+                pruned += 1
+        if keep:
+            plans.append((p, keep))
+    return plans, pruned
+
+
+def read_box(
+    paths: "str | list[str]",
+    preds: dict[str, tuple],
+    columns: list[str] | None = None,
+) -> "rd.Dataset":
+    """Multi-dimension box scan ``{col: [lo, hi), ...}`` (half-open; an
+    end may be None) over a parquet table: row groups pruned by footer
+    stats on every predicate column at once (tight after
+    :func:`write_zordered`), exact conjunctive predicate applied in-task,
+    one read task per surviving file."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    from ray.data.block import BlockMetadata
+    from ray.data.datasource import Datasource, ReadTask
+
+    if isinstance(paths, str):
+        paths = (
+            sorted(_glob.glob(_os.path.join(paths, "*.parquet")))
+            if _os.path.isdir(paths)
+            else [paths]
+        )
+    if not preds:
+        raise ValueError("read_box needs at least one column predicate")
+    read_cols = columns
+    if columns is not None:
+        extra = [c for c in preds if c not in columns]
+        if extra:
+            read_cols = [*extra, *columns]
+    plans, _ = plan_box(paths, preds)
+    if not plans:
+        sch = _pq.read_schema(paths[0])
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return rd.from_arrow(sch.empty_table())
+
+    class _BoxSource(Datasource):
+        def get_name(self):
+            return f"BoxScan[{','.join(preds)}]"
+
+        def estimate_inmemory_data_size(self):
+            return None
+
+        def get_read_tasks(self, parallelism: int) -> list[ReadTask]:
+            tasks = []
+            for path, rgs in plans:
+                def read_fn(path=path, rgs=rgs):
+                    t = _pq.ParquetFile(path).read_row_groups(
+                        rgs, columns=read_cols
+                    )
+                    expr = None
+                    for c, (lo, hi) in preds.items():
+                        if lo is not None:
+                            e = pc.field(c) >= lo
+                            expr = e if expr is None else expr & e
+                        if hi is not None:
+                            e = pc.field(c) < hi
+                            expr = e if expr is None else expr & e
+                    if expr is not None:
+                        t = t.filter(expr)
+                    yield t
+
+                meta = BlockMetadata(
+                    num_rows=None, size_bytes=None, exec_stats=None,
+                    input_files=[f"{path}#rg{rgs[0]}-{rgs[-1]}"],
+                )
+                tasks.append(ReadTask(read_fn, meta))
+            return tasks
+
+    ds = rd.read_datasource(_BoxSource())
+    if read_cols is not columns:
+        ds = ds.select_columns(columns)
+    return ds
