@@ -2320,7 +2320,6 @@ QUERIES = {
     "transform_chain": transform_chain,
     "url_extract": url_extract,
     "cast_roundtrip": cast_roundtrip,
-    "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_segment": revenue_by_segment,
     "semi_join_fulfilled": semi_join_fulfilled,
     "customers_without_orders": customers_without_orders,
@@ -2344,18 +2343,23 @@ QUERIES = {
     "tfidf_terms": tfidf_terms,
     "dedup_exact_prefix": dedup_exact_prefix,
     "dedup_minhash_verified": dedup_minhash_verified,
-    "ngram_jaccard": ngram_jaccard,
     "dedup_simhash_verified": dedup_simhash_verified,
     "dedup_embedding_exact": dedup_embedding_exact,
     "incremental_dedup": incremental_dedup,
     "incremental_minhash_verified": incremental_minhash_verified,
     "incremental_embedding_exact": incremental_embedding_exact,
-    "ann_cosine_topk": ann_cosine_topk,
+    "ann_pq_verified": ann_pq_verified,
     "multimodal_features": multimodal_features,
     "graph_export_edges": graph_export_edges,
     "graph_pagerank": graph_pagerank,
     "lake_snapshot_diff": lake_snapshot_diff,
+    "bpe_learn": bpe_learn,
+    "zorder_box_scan": zorder_box_scan,
     # --- past the gate window (locally gate-checked) -------------------
+    "q1_pricing_summary": q1_pricing_summary,
+    "ann_cosine_topk": ann_cosine_topk,
+    "bpe_encode_counts": bpe_encode_counts,
+    "ngram_jaccard": ngram_jaccard,
     "graph_shortest_paths": graph_shortest_paths,
     "transcript_window_replay": transcript_window_replay,
     "key_skip_scan": key_skip_scan,
@@ -2403,10 +2407,6 @@ QUERIES = {
     "graph_components": graph_components,
     "graph_triangles": graph_triangles,
     "lake_replication": lake_replication,
-    "bpe_learn": bpe_learn,
-    "bpe_encode_counts": bpe_encode_counts,
-    "ann_pq_verified": ann_pq_verified,
-    "zorder_box_scan": zorder_box_scan,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
