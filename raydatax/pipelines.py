@@ -2240,6 +2240,39 @@ def graph_components(sf_dir: str):
     return connected_components(edges)
 
 
+def cdc_demux_routing(sf_dir: str):
+    """Multi-table stream routing (source.demux_wal): events staged as ONE
+    tagged segment stream (table = event_type), demuxed in one pass into
+    per-table WAL dirs (one Ray task per segment, temp+rename, resumable
+    manifest), then the 'purchase' table's routed dir read back whole —
+    certifying content-exact routing, not just counts.  The reference runs
+    one DataX job per table, re-reading the source each time; here the
+    stream is read once."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from .source import demux_wal
+
+    src = tempfile.mkdtemp(prefix="raydatax_mtsrc_")
+    dst = tempfile.mkdtemp(prefix="raydatax_mtdst_")
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "value", "event_type"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("table", t["event_type"])
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(src)
+    for i, f in enumerate(sorted(_glob.glob(_os.path.join(src, "*.parquet")))):
+        _os.rename(f, _os.path.join(src, f"seg-{i:05d}.parquet"))
+
+    routed = demux_wal(src, dst, table_col="table")
+    return rd.read_parquet(routed["tables"]["purchase"]).select_columns(
+        ["event_id", "user_id", "value", "event_type"]
+    )
+
+
 def zorder_box_scan(sf_dir: str):
     """Multi-dimension clustering end-to-end (sources.write_zordered →
     read_box): events re-clustered on Morton codes over (user_id, value)
@@ -2360,6 +2393,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "bpe_encode_counts": bpe_encode_counts,
     "ngram_jaccard": ngram_jaccard,
+    "cdc_demux_routing": cdc_demux_routing,
     "graph_shortest_paths": graph_shortest_paths,
     "transcript_window_replay": transcript_window_replay,
     "key_skip_scan": key_skip_scan,
@@ -2473,6 +2507,10 @@ ORACLE_SQL = {
     "zorder_box_scan": """
         SELECT event_id, user_id, value FROM events
         WHERE user_id >= 2 AND value >= 50 AND value < 60
+    """,
+    "cdc_demux_routing": """
+        SELECT event_id, user_id, value, event_type FROM events
+        WHERE event_type = 'purchase'
     """,
     # exact-rerank PQ search: output contract identical to brute force
     "ann_pq_verified": """

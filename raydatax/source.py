@@ -109,3 +109,98 @@ def plan_read(
         skipped_segments=len(all_segs) - len(keep),
         segment_schemas={os.path.basename(p): str(s) for p, s in zip(keep, schemas)},
     )
+
+
+# --------------------------------------------------- multi-table demux
+
+
+def demux_wal(
+    src_dir: str,
+    dst_base: str,
+    table_col: str = "table",
+    drop_col: bool = True,
+) -> dict:
+    """Route ONE CDC stream carrying several tables into per-table WAL
+    dirs — the Debezium-style topology the reference handles as one DataX
+    job per table (each job re-reads the source; here the stream is read
+    once).  One Ray task per source segment: partition the segment by
+    ``table_col`` (dictionary encode + one filter per value), write
+    ``dst_base/<table>/seg-{k}.parquet`` with the SOURCE segment number —
+    per-table seq order is inherited, so every routed dir is a valid WAL
+    for ``run_job``/``tail_wal``.
+
+    Idempotent + resumable: outputs are deterministic and written
+    temp+rename; ``_demux.json`` records finished source segments, so a
+    resumed demux skips them (the ShardCheckpoint discipline) and a
+    re-run of an unrecorded segment overwrites byte-identical files.
+    Returns ``{"tables": {name: dir}, "segments_routed": n,
+    "rows": {name: n}}``.
+    """
+    import json
+
+    import ray as _ray
+
+    segs = discover_segments(src_dir)
+    if not segs:
+        raise FileNotFoundError(f"no WAL segments under {src_dir}")
+    os.makedirs(dst_base, exist_ok=True)
+    manifest_path = os.path.join(dst_base, "_demux.json")
+    done: dict[str, dict] = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            state = json.load(f)
+        if state.get("table_col") != table_col:
+            raise ValueError(
+                f"demux at {dst_base} was started with table_col="
+                f"{state.get('table_col')!r}, not {table_col!r}"
+            )
+        done = state.get("done", {})
+
+    def route_one(path: str) -> dict:
+        import pyarrow.compute as pc
+
+        t = pq.read_table(path)
+        col = t[table_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        names = pc.unique(col).to_pylist()
+        out = t.drop_columns([table_col]) if drop_col else t
+        seg_name = os.path.basename(path)
+        counts = {}
+        for name in sorted(str(n) for n in names):
+            mask = pc.equal(col, name)
+            part = out.filter(mask)
+            tdir = os.path.join(dst_base, name)
+            os.makedirs(tdir, exist_ok=True)
+            final = os.path.join(tdir, seg_name)
+            tmp = final + ".tmp"
+            pq.write_table(
+                part, tmp, compression="zstd", row_group_size=65536
+            )
+            os.replace(tmp, final)
+            counts[name] = part.num_rows
+        return {"segment": seg_name, "rows": counts}
+
+    todo = [p for p in segs if os.path.basename(p) not in done]
+    if _ray.is_initialized() and len(todo) > 1:
+        fn = _ray.remote(route_one)
+        results = _ray.get([fn.remote(p) for p in todo])
+    else:
+        results = [route_one(p) for p in todo]
+
+    for r in results:
+        done[r["segment"]] = r["rows"]
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"table_col": table_col, "done": done}, f, indent=1)
+    os.replace(tmp, manifest_path)
+
+    rows: dict[str, int] = {}
+    for seg_rows in done.values():
+        for name, n in seg_rows.items():
+            rows[name] = rows.get(name, 0) + n
+    return {
+        "tables": {name: os.path.join(dst_base, name) for name in sorted(rows)},
+        "segments_routed": len(done),
+        "rows": rows,
+    }
