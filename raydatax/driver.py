@@ -1458,3 +1458,30 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def run_multi_table_job(
+    src_wal: str,
+    base_dir: str,
+    table_col: str = "table",
+    partitions: int = 8,
+    **job_kw,
+) -> dict:
+    """One tagged CDC stream → N lakes in one call: demux the stream once
+    (source.demux_wal — read once, routed per-table WALs under
+    ``base_dir/wal/<table>``, resumable), then the normal exactly-once
+    ingest per table into ``base_dir/lake/<table>``.  Re-running resumes
+    both halves: the demux skips recorded segments, each ingest tails from
+    its own watermark.  Returns ``{"tables": {name: report}, "demux": ...}``
+    — the reference needs one DataX job per table, each re-reading the
+    source (job JSON per table); here routing cost is paid once."""
+    import os as _os
+
+    from .source import demux_wal
+
+    routed = demux_wal(src_wal, _os.path.join(base_dir, "wal"), table_col)
+    reports = {}
+    for name, wal_dir in routed["tables"].items():
+        lake_dir = _os.path.join(base_dir, "lake", name)
+        reports[name] = run_job(wal_dir, lake_dir, partitions=partitions, **job_kw)
+    return {"demux": routed, "tables": reports}

@@ -90,3 +90,30 @@ def test_demux_guards(ray_session):
         demux_wal(src, dst, table_col="other")
     with pytest.raises(FileNotFoundError):
         demux_wal(os.path.join(tmp, "missing"), dst)
+
+
+def test_run_multi_table_job_end_to_end(ray_session):
+    from raydatax.driver import run_multi_table_job
+
+    tmp = tempfile.mkdtemp(prefix="demux_mt_")
+    src, t0, t1 = _tagged_wal(tmp)
+    base = os.path.join(tmp, "multi")
+    out = run_multi_table_job(src, base, partitions=4)
+    assert set(out["tables"]) == {"orders", "users"}
+    for name, events in (("orders", t0), ("users", t1)):
+        got = (
+            read_lake(os.path.join(base, "lake", name))
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        want = (
+            replay_to_table(events)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert got[want.columns.tolist()].equals(want), name
+    # second call: demux skips everything, both ingests are no-ops
+    again = run_multi_table_job(src, base, partitions=4)
+    assert all(r["action"] == "noop" for r in again["tables"].values())
