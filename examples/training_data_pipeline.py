@@ -103,6 +103,9 @@ def build(sf_dir: str):
 
 
 def main(sf_dir: str, out_dir: str) -> dict:
+    import pyarrow as pa
+
+    from raydatax.bpe import learn_bpe
     from raydatax.relational import pack_sequences
 
     train, test = build(sf_dir)
@@ -114,7 +117,36 @@ def main(sf_dir: str, out_dir: str) -> dict:
     test.write_parquet(f"{out_dir}/test")
     n_train = rd.read_parquet(f"{out_dir}/train").count()
     n_test = rd.read_parquet(f"{out_dir}/test").count()
-    return {"train_rows": n_train, "test_rows": n_test, "out_dir": out_dir}
+
+    # 9. fit a tokenizer on the corpus (one corpus pass; merge rounds run
+    # on the distinct-word table only) — the artifact a training run ships
+    merges = learn_bpe(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
+        n_merges=8,
+    )
+
+    # 10. compress the embedding corpus to PQ codes + answer a query with
+    # exact rerank — the stored-index + search side of the pipeline
+    import numpy as np
+
+    from raydatax.ann import pq_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    queries = pa.Table.from_pydict(
+        {
+            "vec_id": [r["vec_id"] for r in emb.take(2)],
+            "embedding": [r["embedding"] for r in emb.take(2)],
+        }
+    )
+    nn = pq_topk(emb, queries, k=5, m_sub=32, n_codes=256, shortlist=64)
+
+    return {
+        "train_rows": n_train,
+        "test_rows": n_test,
+        "bpe_merges": merges["merged"].to_pylist(),
+        "nn_rows": nn.num_rows,
+        "out_dir": out_dir,
+    }
 
 
 if __name__ == "__main__":
