@@ -235,6 +235,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "incremental_dedup",
         "incremental_minhash_verified",
         "graph_khop",
+        "bpe_learn",
+        "ann_pq_verified",
+        "zorder_box_scan",
     ]
     for name in secondary:
         t0 = time.monotonic()
