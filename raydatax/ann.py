@@ -360,3 +360,50 @@ def pq_topk(
 
     survivors = ds.map_batches(prefilter, batch_format="pyarrow")
     return brute_force_topk(survivors, queries, k, id_col, vec_col)
+
+
+def ivf_pq_topk(
+    ds: "ray.data.Dataset",
+    queries: pa.Table,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 32,
+    n_codes: int = 256,
+    shortlist: int = 64,
+    rerank: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    seed: int = 5,
+) -> pa.Table:
+    """The canonical IVF+PQ layout: an IVF coarse quantizer prunes the
+    corpus to the queries' ``nprobe`` clusters, PQ-ADC scores only the
+    survivors, exact cosine reranks the shortlist.  At 100 TB this is the
+    stored form — per-cluster buckets of uint8 codes (see the persistent
+    IVF index in dedup.py for the on-disk partitioning) — so a query
+    touches nprobe buckets of codes plus ``shortlist`` full vectors.
+    Recall is bounded by the IVF probe (approximate by construction);
+    rerank makes the output exact OVER the probed subset."""
+    sample = ds.limit(sample_rows).take_all()
+    smat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    cent = kmeans_fit(smat, n_clusters, seed=seed)
+
+    q_mat = _normalize(_matrix(queries[vec_col]))
+    q_assign = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    probed = np.unique(q_assign)
+    ref = ray.put((cent, set(probed.tolist())))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        c, pset = ray.get(ref)
+        m = _normalize(_matrix(batch[vec_col]))
+        assign = np.argmax(m @ c.T, axis=1)
+        keep = np.isin(assign, list(pset))
+        return batch.filter(pa.array(keep))
+
+    survivors = ds.map_batches(prefilter, batch_format="pyarrow")
+    return pq_topk(
+        survivors, queries, k=k, m_sub=m_sub, n_codes=n_codes,
+        shortlist=shortlist, rerank=rerank, id_col=id_col, vec_col=vec_col,
+        sample_rows=sample_rows, seed=seed,
+    )

@@ -2240,6 +2240,19 @@ def graph_components(sf_dir: str):
     return connected_components(edges)
 
 
+def events_profile(sf_dir: str):
+    """One-scan ANALYZE over the events table (relational.table_profile):
+    per column n_rows / n_nulls / exact NDV / typed min–max in a single
+    pass — per-batch value_counts partials, ONE groupby merge on
+    (column, key), a tiny per-column fold.  Display follows the repo's
+    cross-engine float discipline (doubles as milli scale-floor ints,
+    timestamps as ISO seconds) so the whole profile hash-matches SQL."""
+    from .relational import table_profile
+
+    ds = rd.read_parquet(_p(sf_dir, "events"))
+    return table_profile(ds, ["event_id", "user_id", "event_type", "value", "ts"])
+
+
 def cdc_demux_routing(sf_dir: str):
     """Multi-table stream routing (source.demux_wal): events staged as ONE
     tagged segment stream (table = event_type), demuxed in one pass into
@@ -2394,6 +2407,7 @@ QUERIES = {
     "bpe_encode_counts": bpe_encode_counts,
     "ngram_jaccard": ngram_jaccard,
     "cdc_demux_routing": cdc_demux_routing,
+    "events_profile": events_profile,
     "graph_shortest_paths": graph_shortest_paths,
     "transcript_window_replay": transcript_window_replay,
     "key_skip_scan": key_skip_scan,
@@ -2511,6 +2525,37 @@ ORACLE_SQL = {
     "cdc_demux_routing": """
         SELECT event_id, user_id, value, event_type FROM events
         WHERE event_type = 'purchase'
+    """,
+    "events_profile": """
+        SELECT 'event_id' AS column, count(*) AS n_rows,
+               CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS ndv,
+               CAST(min(event_id) AS VARCHAR) AS min_str,
+               CAST(max(event_id) AS VARCHAR) AS max_str FROM events
+        UNION ALL
+        SELECT 'user_id', count(*),
+               CAST(count(*) - count(user_id) AS BIGINT),
+               CAST(count(DISTINCT user_id) AS BIGINT),
+               CAST(min(user_id) AS VARCHAR),
+               CAST(max(user_id) AS VARCHAR) FROM events
+        UNION ALL
+        SELECT 'event_type', count(*),
+               CAST(count(*) - count(event_type) AS BIGINT),
+               CAST(count(DISTINCT event_type) AS BIGINT),
+               min(event_type), max(event_type) FROM events
+        UNION ALL
+        SELECT 'value', count(*),
+               CAST(count(*) - count(value) AS BIGINT),
+               CAST(count(DISTINCT value) AS BIGINT),
+               CAST(CAST(floor(min(value)*1000+0.5) AS BIGINT) AS VARCHAR),
+               CAST(CAST(floor(max(value)*1000+0.5) AS BIGINT) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'ts', count(*),
+               CAST(count(*) - count(ts) AS BIGINT),
+               CAST(count(DISTINCT ts) AS BIGINT),
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') FROM events
     """,
     # exact-rerank PQ search: output contract identical to brute force
     "ann_pq_verified": """

@@ -1947,3 +1947,160 @@ def stratified_sample(
         return t.filter(pa.array(mask))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- table profiling
+
+
+def table_profile(ds: "ray.data.Dataset", columns: list[str]) -> pa.Table:
+    """One-scan column profiling — the ANALYZE operator a corpus pipeline
+    runs before anything else: per column (n_rows, n_nulls, ndv exact,
+    min, max) in a single corpus pass.
+
+    Shape: each batch reduces every column to its DISTINCT
+    (value-key, count) partial (``pc.value_counts`` — per-batch work ∝
+    batch ndv, vectorized); the only shuffle moves those partials, merged
+    by one groupby on (column, key); a second tiny groupby folds the
+    merged distinct table to one row per column (every aggregate —
+    counts, ndv as sum-of-ones over post-merge keys, typed min/max — is
+    mergeable).  Exact-NDV is the documented exact regime: partial volume
+    ∝ ndv per block; at high cardinality use approx_count_distinct (HLL)
+    instead.
+
+    Display rules (the repo's cross-engine float discipline): int64 →
+    decimal string (exact for \\|v\\| < 2^53); float64 → milli scale-floor
+    integer string; timestamp[us] → ISO seconds (19 chars); string →
+    identity.  Returns (column, n_rows, n_nulls, ndv, min_str, max_str)
+    ordered by the requested column list.
+    """
+    schema = ds.schema()
+    arrow_schema = getattr(schema, "base_schema", schema)
+    types = {c: arrow_schema.field(c).type for c in columns}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols, keys, nums, cnts = [], [], [], []
+        for c in columns:
+            arr = batch[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            n_null = arr.null_count
+            non = arr.drop_null()
+            t = types[c]
+            if pa.types.is_timestamp(t):
+                non_key = pc.cast(non.cast(pa.int64()), pa.string())
+                non_num = pc.cast(non.cast(pa.int64()), pa.float64())
+            elif pa.types.is_floating(t):
+                norm = pc.add(pc.cast(non, pa.float64()), 0.0)  # -0.0 -> 0.0
+                non_key = pc.cast(norm, pa.string())
+                non_num = norm
+            elif pa.types.is_integer(t):
+                non_key = pc.cast(non, pa.string())
+                non_num = pc.cast(non, pa.float64())
+            else:
+                non_key = pc.cast(non, pa.large_string())
+                non_num = None
+            vc = pc.value_counts(non_key)
+            k = len(vc)
+            keys.append(pc.cast(vc.field("values"), pa.large_string()))
+            cnts.append(pc.cast(vc.field("counts"), pa.int64()))
+            if non_num is not None and k:
+                # v_num is identical for every occurrence of a key; take
+                # it from the first occurrence via an index join
+                idx = pc.index_in(vc.field("values"), non_key)
+                nums.append(pc.take(non_num, idx))
+            else:
+                nums.append(pa.nulls(k, pa.float64()))
+            cols.append(pa.array([c] * k, pa.large_string()))
+            if n_null:
+                cols.append(pa.array([c], pa.large_string()))
+                keys.append(pa.nulls(1, pa.large_string()))
+                nums.append(pa.nulls(1, pa.float64()))
+                cnts.append(pa.array([n_null], pa.int64()))
+        return pa.table(
+            {
+                "column": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in cols]),
+                "v_str": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in keys]),
+                "v_num": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in nums]),
+                "cnt": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in cnts]),
+            }
+        )
+
+    merged = preagg_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["column", "v_str"],
+        [("cnt", "sum", "cnt"), ("v_num", "min", "v_num")],
+    )
+
+    def helpers(t: pa.Table) -> pa.Table:
+        isval = pc.is_valid(t["v_str"])
+        return pa.table(
+            {
+                "column": t["column"],
+                "cnt": t["cnt"],
+                "null_cnt": pc.if_else(isval, pa.scalar(0, pa.int64()), t["cnt"]),
+                "one": pc.cast(isval, pa.int64()),
+                "v_num": t["v_num"],
+                "v_str": t["v_str"],
+            }
+        )
+
+    final = preagg_groupby(
+        merged.map_batches(helpers, batch_format="pyarrow"),
+        ["column"],
+        [
+            ("cnt", "sum", "n_rows"),
+            ("null_cnt", "sum", "n_nulls"),
+            ("one", "sum", "ndv"),
+            ("v_num", "min", "num_min"),
+            ("v_num", "max", "num_max"),
+            ("v_str", "min", "str_min"),
+            ("v_str", "max", "str_max"),
+        ],
+    )
+    rows = {r["column"]: r for r in final.take_all()}
+
+    def fmt(c: str, r: dict, which: str):
+        t = types[c]
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return r[f"str_{which}"]
+        v = r[f"num_{which}"]
+        if v is None:
+            return None
+        if pa.types.is_timestamp(t):
+            import datetime
+
+            return datetime.datetime.utcfromtimestamp(v / 1e6).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+        if pa.types.is_floating(t):
+            return str(int(np.floor(v * 1000 + 0.5)))
+        return str(int(v))
+
+    out = {
+        "column": [],
+        "n_rows": [],
+        "n_nulls": [],
+        "ndv": [],
+        "min_str": [],
+        "max_str": [],
+    }
+    for c in columns:
+        r = rows.get(c)
+        if r is None:
+            continue
+        out["column"].append(c)
+        out["n_rows"].append(int(r["n_rows"]))
+        out["n_nulls"].append(int(r["n_nulls"]))
+        out["ndv"].append(int(r["ndv"]))
+        out["min_str"].append(fmt(c, r, "min"))
+        out["max_str"].append(fmt(c, r, "max"))
+    return pa.table(
+        {
+            "column": pa.array(out["column"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+            "ndv": pa.array(out["ndv"], pa.int64()),
+            "min_str": pa.array(out["min_str"], pa.string()),
+            "max_str": pa.array(out["max_str"], pa.string()),
+        }
+    )

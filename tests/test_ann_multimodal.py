@@ -302,3 +302,17 @@ def test_pq_fit_rejects_indivisible_dim():
 
     with pytest.raises(ValueError):
         pq_fit(np.ones((10, 10)), m_sub=3)
+
+
+def test_ivf_pq_recall_and_probed_exactness(emb):
+    from raydatax.ann import ivf_pq_topk
+
+    queries = emb.slice(0, 3)
+    ds = rd.from_arrow(emb)
+    out = ivf_pq_topk(ds, queries, k=10, n_clusters=8, nprobe=4)
+    bf = brute_force_topk(ds, queries, k=10)
+    bf_ids = {(r["query_id"], r["neighbor_id"]) for r in bf.to_pylist()}
+    got_ids = {(r["query_id"], r["neighbor_id"]) for r in out.to_pylist()}
+    # the self-match always lives in the query's own (probed) cluster
+    assert all((q, q) in got_ids for q in (0, 1, 2))
+    assert len(got_ids & bf_ids) / len(bf_ids) >= 0.6

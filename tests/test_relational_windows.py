@@ -707,3 +707,33 @@ def test_explode_list_multiset_and_positions(ray_session):
     assert out["tag"].to_pylist() == ["a", "a", "d"]
     out2 = explode_list(t, "v", pos_col=None, out="elem")
     assert out2.column_names == ["id", "tag", "elem"]
+
+
+def test_table_profile_nulls_and_types(ray_session):
+    import numpy as np
+
+    from raydatax.relational import table_profile
+
+    t = pa.table(
+        {
+            "i": pa.array([3, None, 1, 3, None, 7], pa.int64()),
+            "s": pa.array(["b", "a", None, "a", "c", "b"]),
+            "f": pa.array([1.5, 2.25, -0.0, 0.0, None, 2.25], pa.float64()),
+        }
+    )
+    prof = table_profile(rd.from_arrow(t), ["i", "s", "f"])
+    rows = {r["column"]: r for r in prof.to_pylist()}
+    assert rows["i"] == {
+        "column": "i", "n_rows": 6, "n_nulls": 2, "ndv": 3,
+        "min_str": "1", "max_str": "7",
+    }
+    assert rows["s"] == {
+        "column": "s", "n_rows": 6, "n_nulls": 1, "ndv": 3,
+        "min_str": "a", "max_str": "c",
+    }
+    # -0.0 and 0.0 collapse to one distinct value (SQL equality), doubles
+    # display as milli scale-floor ints
+    assert rows["f"] == {
+        "column": "f", "n_rows": 6, "n_nulls": 1, "ndv": 3,
+        "min_str": "0", "max_str": "2250",
+    }
