@@ -1875,3 +1875,250 @@ def ngram_jaccard_verify(
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
          "jaccard": pa.array([], pa.float64())}
     )
+
+
+# ------------------------------------------- duplicated-span removal
+
+
+def _hot_span_grams(
+    ds: "ray.data.Dataset",
+    n: int,
+    min_count: int,
+    min_docs: int,
+    column: str,
+    id_col: str,
+    sep: str,
+) -> "ray.data.Dataset":
+    """Corpus-duplicated word n-grams: total occurrences >= min_count AND
+    distinct documents >= min_docs.  Two pre-aggregated groupbys — the
+    first (the only heavy shuffle) moves one row per distinct (gram, doc)
+    per block, the second one row per distinct gram.  Never the text."""
+    from .text import ngram_table
+
+    grams = ds.map_batches(
+        lambda t: ngram_table(t, n, column, id_col, sep), batch_format="pyarrow"
+    )
+    per_doc = preagg_groupby(grams, ["ng", id_col], [(id_col, "count", "__c")])
+    stats = preagg_groupby(
+        per_doc, ["ng"], [("__c", "sum", "total"), ("__c", "count", "ndocs")]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["total"], min_count),
+            pc.greater_equal(t["ndocs"], min_docs),
+        )
+        return t.filter(m).select(["ng"])
+
+    return stats.map_batches(keep, batch_format="pyarrow")
+
+
+def duplicated_span_removal(
+    ds: "ray.data.Dataset",
+    n: int = 8,
+    min_count: int = 2,
+    min_docs: int = 2,
+    column: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    broadcast_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Exact substring (duplicated-span) deduplication, the sequence-level
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") re-expressed over word n-grams: find every n-token
+    span repeated across the corpus, then strip ALL tokens covered by any
+    such span from every document.  Unlike document-level dedup (exact /
+    MinHash above) this removes boilerplate duplicated INSIDE otherwise
+    distinct documents — the dominant duplication mode in web crawls.
+
+    Returns a Dataset of ``(id, n_tokens, n_removed, text_clean)``, one
+    row per input document (``text_clean = ""`` when fully covered).
+
+    Scale shape: hot-gram discovery is the defining cost — one shuffle of
+    (gram, doc) partials (suffix arrays do it in one machine's RAM; at
+    corpus scale the shuffle IS the suffix array).  The rewrite is then
+    adaptive on the hot-set size, read from block metadata:
+
+    - **broadcast path** (hot set <= ``broadcast_threshold``): the gram
+      strings are ``ray.put`` once and every batch rebuilds locally — one
+      ``is_in`` over the batch's gram strings, a difference-array cover
+      mask over the flat token space, and one ``binary_join`` to re-join
+      survivors.  No second shuffle; docs never leave their block.
+    - **reassembly path** (hot set larger): grams-with-positions semi-join
+      the hot set (hash-partitioned, build side never on the driver),
+      covered token positions expand batch-local, and surviving tokens
+      re-join per document via the ordered ``grouped_concat`` — the
+      reassembly shuffle is the price of a hot set too big to broadcast.
+
+    Both paths emit identical rows (differential-tested).  SQL twin: see
+    the ``dedup_span_exact`` oracle (hot grams via GROUP BY ... HAVING,
+    cover via a DISTINCT position-range join, rebuild via string_agg
+    ORDER BY position)."""
+    hot = _hot_span_grams(ds, n, min_count, min_docs, column, id_col, sep).materialize()
+    n_hot = hot.count()
+    if n_hot <= broadcast_threshold:
+        from .relational import _fetch_partials
+
+        tables = [t for t in _fetch_partials(hot.to_arrow_refs()) if t.num_rows]
+        hot_arr = (
+            pa.concat_tables(tables)["ng"].combine_chunks()
+            if tables
+            else pa.array([], pa.string())
+        )
+        if isinstance(hot_arr, pa.ChunkedArray):
+            hot_arr = hot_arr.chunk(0) if hot_arr.num_chunks else pa.array([], pa.string())
+        ref = ray.put(hot_arr)
+        return ds.map_batches(
+            lambda t: _strip_spans_batch(t, ray.get(ref), n, column, id_col, sep),
+            batch_format="pyarrow",
+        )
+    return _strip_spans_reassemble(ds, hot, n, column, id_col, sep)
+
+
+def _strip_spans_batch(
+    batch: pa.Table,
+    hot_arr: pa.Array,
+    n: int,
+    column: str,
+    id_col: str,
+    sep: str,
+) -> pa.Table:
+    """Batch-local span strip: gram membership → difference-array cover
+    mask over the flat token space → one filter + ListArray re-wrap +
+    binary_join.  No per-row Python."""
+    from .text import ngram_table
+
+    col = batch[column].combine_chunks()
+    lists = pc.split_pattern(col, sep)
+    lens = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    total = int(lens.sum())
+    covered = np.zeros(total, dtype=bool)
+    if total and len(hot_arr):
+        grams = ngram_table(batch, n, column, id_col, sep, pos_col="pos")
+        member = pc.is_in(grams["ng"], value_set=hot_arr).to_numpy(
+            zero_copy_only=False
+        )
+        if member.any():
+            doc_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            # grams carry 1-based within-doc positions; map back to flat
+            gid = pc.index_in(
+                grams[id_col], value_set=batch[id_col].combine_chunks()
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat_start = (
+                doc_starts[gid[member]]
+                + grams["pos"].to_numpy(zero_copy_only=False)[member]
+                - 1
+            )
+            d = np.zeros(total + 1, dtype=np.int64)
+            np.add.at(d, flat_start, 1)
+            np.subtract.at(d, flat_start + n, 1)  # never crosses a doc end
+            covered = np.cumsum(d[:-1]) > 0
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    surviving = flat.filter(pa.array(~covered))
+    cum_cov = np.concatenate(([0], np.cumsum(covered)))
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    removed = cum_cov[ends] - cum_cov[starts]
+    new_lens = lens - removed
+    offsets = np.concatenate(([0], np.cumsum(new_lens))).astype(np.int32)
+    relisted = pa.ListArray.from_arrays(pa.array(offsets), surviving)
+    clean = pc.binary_join(relisted, sep)
+    # null input text -> 0 tokens, null output (split of null is null)
+    is_null = pc.is_null(col)
+    clean = pc.if_else(is_null, pa.nulls(len(col), pa.string()), clean)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(lens),
+            "n_removed": pa.array(removed),
+            "text_clean": clean,
+        }
+    )
+
+
+def _strip_spans_reassemble(
+    ds: "ray.data.Dataset",
+    hot: "ray.data.Dataset",
+    n: int,
+    column: str,
+    id_col: str,
+    sep: str,
+) -> "ray.data.Dataset":
+    """Hot set too large to broadcast: semi-join grams against it, expand
+    covered positions batch-local, anti-join the exploded tokens on a
+    composite (id:pos) key, reassemble per document with the ordered
+    grouped_concat, and left-join back onto per-doc token counts so fully
+    covered documents still emit a row (text_clean = "")."""
+    from .relational import grouped_concat, hash_join, preagg_groupby, semi_join
+    from .text import explode_tokens, ngram_table
+
+    def ckey(t: pa.Table, pos: str) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t[id_col], pa.string()), pc.cast(t[pos], pa.string()), ":"
+        )
+        return t.append_column("__k", k)
+
+    grams = ds.map_batches(
+        lambda t: ngram_table(t, n, column, id_col, sep, pos_col="pos"),
+        batch_format="pyarrow",
+    )
+    hits = semi_join(grams, hot, left_on="ng").select_columns([id_col, "pos"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().take(
+            pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64), n))
+        )
+        pos = (
+            np.repeat(t["pos"].to_numpy(zero_copy_only=False), n)
+            + np.tile(np.arange(n, dtype=np.int64), t.num_rows)
+        )
+        return pa.table({id_col: ids, "pos": pa.array(pos)})
+
+    covered = preagg_groupby(
+        hits.map_batches(expand, batch_format="pyarrow"),
+        [id_col, "pos"],
+        [("pos", "count", "__c")],
+    ).map_batches(lambda t: ckey(t, "pos").select(["__k"]), batch_format="pyarrow")
+
+    toks = ds.map_batches(
+        lambda t: ckey(explode_tokens(t, column, id_col, sep, pos_col="pos"), "pos"),
+        batch_format="pyarrow",
+    )
+    surv = semi_join(toks, covered, left_on="__k", anti=True)
+    joined = grouped_concat(
+        surv, [id_col], "tok", ["pos"], sep=sep,
+        out_name="text_clean", count_name="__kept",
+    )
+
+    totals = ds.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pc.fill_null(
+                    pc.list_value_length(
+                        pc.split_pattern(t[column].combine_chunks(), sep)
+                    ),
+                    0,
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = hash_join(totals, joined, on=id_col, join_type="left_outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        kept = pc.fill_null(t["__kept"], 0).cast(pa.int64())
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": t["n_tokens"],
+                "n_removed": pc.subtract(t["n_tokens"], kept),
+                "text_clean": pc.fill_null(t["text_clean"], ""),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

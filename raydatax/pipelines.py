@@ -862,6 +862,19 @@ def dedup_exact_prefix(sf_dir: str):
     return out.select_columns(["doc_id", "n_copies"])
 
 
+def dedup_span_exact(sf_dir: str):
+    """Exact substring (duplicated-span) dedup — Lee et al. 2022 sequence-
+    level dedup over word 8-grams (dedup.duplicated_span_removal): every
+    8-token span occurring >=2 times across >=2 documents is stripped from
+    ALL documents; returns per doc (n_tokens, n_removed, text_clean).  The
+    hot-gram discovery is one (gram, doc) preagg shuffle; the rewrite is
+    batch-local with the hot set broadcast (adaptive — see the operator)."""
+    from .dedup import duplicated_span_removal
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return duplicated_span_removal(ds, n=8, min_count=2, min_docs=2)
+
+
 def lang_id(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
@@ -2455,6 +2468,7 @@ QUERIES = {
     "graph_components": graph_components,
     "graph_triangles": graph_triangles,
     "lake_replication": lake_replication,
+    "dedup_span_exact": dedup_span_exact,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2918,6 +2932,32 @@ ORACLE_SQL = {
     "dedup_exact_prefix": """
         SELECT min(doc_id) AS doc_id, count(doc_id) AS n_copies
         FROM documents GROUP BY substr(lower(text), 1, 20)
+    """,
+    # exact substring dedup: hot 8-grams (>=2 occurrences, >=2 docs) ->
+    # DISTINCT covered positions -> anti-join tokens -> string_agg rebuild
+    "dedup_span_exact": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        pos AS (SELECT doc_id, unnest(range(1, greatest(len(ts)-7, 0)+1)) AS i FROM toks),
+        ngr AS (SELECT p.doc_id, p.i,
+                       array_to_string(list_slice(t.ts, p.i, p.i+7), ' ') AS ng
+                FROM pos p JOIN toks t USING (doc_id)),
+        hot AS (SELECT ng FROM ngr GROUP BY ng
+                HAVING count(*) >= 2 AND count(DISTINCT doc_id) >= 2),
+        cov AS (SELECT DISTINCT g.doc_id, g.i + o.o AS p
+                FROM ngr g JOIN hot USING (ng)
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS o) o),
+        tp AS (SELECT doc_id, unnest(range(1, len(ts)+1)) AS p FROM toks),
+        tk AS (SELECT tp.doc_id, tp.p, t.ts[CAST(tp.p AS INTEGER)] AS tok
+               FROM tp JOIN toks t USING (doc_id)),
+        surv AS (SELECT tk.doc_id,
+                        string_agg(tk.tok, ' ' ORDER BY tk.p) AS text_clean,
+                        count(*) AS n_kept
+                 FROM tk ANTI JOIN cov ON tk.doc_id = cov.doc_id AND tk.p = cov.p
+                 GROUP BY tk.doc_id)
+        SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+               CAST(len(t.ts) - coalesce(s.n_kept, 0) AS BIGINT) AS n_removed,
+               coalesce(s.text_clean, '') AS text_clean
+        FROM toks t LEFT JOIN surv s USING (doc_id)
     """,
     "ngram_jaccard": """
         WITH pairs AS (

@@ -567,3 +567,106 @@ def test_index_epoch_commit_is_crash_atomic(tmp_path, docs):
     # epochs are hash-partitioned on disk so probes can prune their read
     assert all(d.startswith("__bucket=")
                for d in os.listdir(os.path.join(eidx, "epoch-0")))
+
+
+# ---------------------------------------------- duplicated-span removal
+
+
+def _span_corpus():
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps over the lazy dog tail",
+                    "intro words the quick brown fox jumps over outro",
+                    "totally unrelated content with fresh vocabulary here",
+                    "the quick brown fox jumps over",  # fully covered at n=6
+                    "short doc",  # shorter than n: no grams, untouched
+                ]
+            ),
+        }
+    )
+
+
+def test_span_removal_broadcast_path(ray_session):
+    from raydatax.dedup import duplicated_span_removal
+
+    out = duplicated_span_removal(
+        rd.from_arrow(_span_corpus()), n=6, min_count=2, min_docs=2
+    ).take_all()
+    rows = {r["doc_id"]: r for r in out}
+    assert len(rows) == 5
+    # docs 1/2/4 share "the quick brown fox jumps over" (6 tokens)
+    assert rows[1]["n_removed"] == 6
+    assert rows[1]["text_clean"] == "the lazy dog tail"
+    assert rows[2]["text_clean"] == "intro words outro"
+    assert rows[4] == {
+        "doc_id": 4, "n_tokens": 6, "n_removed": 6, "text_clean": ""
+    }
+    assert rows[3]["n_removed"] == 0
+    assert rows[5] == {
+        "doc_id": 5, "n_tokens": 2, "n_removed": 0, "text_clean": "short doc"
+    }
+
+
+def test_span_removal_overlapping_spans_union(ray_session):
+    from raydatax.dedup import duplicated_span_removal
+
+    # "a b c d" and "b c d e" both hot at n=4 -> union covers a..e
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "x a b c d e y",
+                    "a b c d q q q",
+                    "p b c d e p p",
+                ]
+            ),
+        }
+    )
+    out = duplicated_span_removal(
+        rd.from_arrow(t), n=4, min_count=2, min_docs=2
+    ).take_all()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["text_clean"] == "x y"
+    assert rows[1]["n_removed"] == 5
+
+
+def test_span_removal_min_docs_gate(ray_session):
+    from raydatax.dedup import duplicated_span_removal
+
+    # the repeated gram lives in ONE doc only: min_docs=2 must spare it
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b c z a b c", "other words entirely here"]),
+        }
+    )
+    out = duplicated_span_removal(
+        rd.from_arrow(t), n=3, min_count=2, min_docs=2
+    ).take_all()
+    assert all(r["n_removed"] == 0 for r in out)
+    out2 = duplicated_span_removal(
+        rd.from_arrow(t), n=3, min_count=2, min_docs=1
+    ).take_all()
+    assert {r["doc_id"]: r["n_removed"] for r in out2} == {1: 6, 2: 0}
+
+
+def test_span_removal_paths_differential(ray_session):
+    """Broadcast path == reassembly path on the sf0.001 documents table."""
+    from raydatax.dedup import duplicated_span_removal
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    kw = dict(n=8, min_count=2, min_docs=2)
+    fast = duplicated_span_removal(ds, **kw).take_all()
+    slow = duplicated_span_removal(ds, broadcast_threshold=0, **kw).take_all()
+    key = lambda rows: sorted(  # noqa: E731
+        (r["doc_id"], r["n_tokens"], r["n_removed"], r["text_clean"]) for r in rows
+    )
+    assert key(fast) == key(slow)
+    assert any(r["n_removed"] > 0 for r in fast)
+    assert any(r["n_removed"] == 0 for r in fast)
