@@ -434,6 +434,14 @@ def main() -> int:
         print(json.dumps({
             "metric": "scaling efficiency (N vs 4N pinned cores, same input)",
             "sec_2": r2["value"], "sec_8": r8["value"], "sec_32": r32["value"],
+            # per-rung host-state evidence: a rung whose probe sits in the
+            # degraded window (<1 GB/s) measured the hypervisor, not the
+            # engine — lets a reader classify each ladder sample without
+            # the separate probe log BENCH/BASELINE.md keeps
+            "first_touch_gbps": [
+                r2.get("first_touch_gbps"), r8.get("first_touch_gbps"),
+                r32.get("first_touch_gbps"),
+            ],
             "events_per_s_2": r2["events_per_s"],
             "events_per_s_8": r8["events_per_s"],
             "events_per_s_32": r32["events_per_s"],

@@ -94,6 +94,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-epochs", type=int, default=2,
                    help="skip when fewer live epochs have accumulated")
 
+    p = sub.add_parser("bloom-index")
+    p.add_argument("lake")
+    p.add_argument("--column", required=True,
+                   help="lake column to bloom-index for equality skipping "
+                        "(incremental: only files committed since the last "
+                        "build are scanned)")
+    p.add_argument("--bits-per-key", type=int, default=12)
+
     p = sub.add_parser("expire")
     p.add_argument("lake")
     p.add_argument("wal")
@@ -165,6 +173,12 @@ def main(argv: list[str] | None = None) -> int:
             from .dedup import compact_index
 
             out = compact_index(args.index_dir, min_epochs=args.min_epochs)
+        elif args.cmd == "bloom-index":
+            from .skipping import index_lake_column
+
+            out = index_lake_column(
+                args.lake, args.column, bits_per_key=args.bits_per_key
+            )
         elif args.cmd == "expire":
             from . import manifest as mf
             from .driver import expire_rows, job_state_path, run_job

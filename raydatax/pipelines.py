@@ -875,6 +875,33 @@ def dedup_span_exact(sf_dir: str):
     return duplicated_span_removal(ds, n=8, min_count=2, min_docs=2)
 
 
+def bloom_skip_scan(sf_dir: str):
+    """File-level bloom data skipping (skipping.build_bloom_index /
+    read_files_eq): documents range-clustered by lang (one sort — the
+    "cluster then index" layout step), a per-file bloom index built on the
+    lang column, then an equality scan for 'fr' that opens only files
+    whose bloom admits the value (exact pyarrow filter removes bloom false
+    positives, so the result is identical to the full scan).  The pruning
+    behavior itself is pinned in tests/test_skipping.py; this row
+    certifies exactness end-to-end."""
+    import tempfile
+
+    from .skipping import build_bloom_index, read_files_eq
+
+    data_dir = tempfile.mkdtemp(prefix="raydatax_bloomdata_")
+    idx_dir = tempfile.mkdtemp(prefix="raydatax_bloomidx_")
+    docs = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "source", "n_chars"]
+    )
+    docs.repartition(6).sort("lang").write_parquet(data_dir)
+    build_bloom_index(data_dir, "lang", idx_dir)
+    hits = read_files_eq(data_dir, "lang", "fr", idx_dir)
+    return preagg_groupby(
+        hits, ["source"],
+        [("doc_id", "count", "n_docs"), ("n_chars", "sum", "total_chars")],
+    )
+
+
 def lang_id(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
@@ -2469,6 +2496,7 @@ QUERIES = {
     "graph_triangles": graph_triangles,
     "lake_replication": lake_replication,
     "dedup_span_exact": dedup_span_exact,
+    "bloom_skip_scan": bloom_skip_scan,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2932,6 +2960,13 @@ ORACLE_SQL = {
     "dedup_exact_prefix": """
         SELECT min(doc_id) AS doc_id, count(doc_id) AS n_copies
         FROM documents GROUP BY substr(lower(text), 1, 20)
+    """,
+    # bloom-pruned equality scan == full scan (the exact filter removes
+    # bloom false positives; pruning only changes I/O)
+    "bloom_skip_scan": """
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents WHERE lang = 'fr' GROUP BY source
     """,
     # exact substring dedup: hot 8-grams (>=2 occurrences, >=2 docs) ->
     # DISTINCT covered positions -> anti-join tokens -> string_agg rebuild
