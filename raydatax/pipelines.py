@@ -875,6 +875,44 @@ def dedup_span_exact(sf_dir: str):
     return duplicated_span_removal(ds, n=8, min_count=2, min_docs=2)
 
 
+def sft_context_assembly(sf_dir: str):
+    """SFT training-example assembly over transcripts
+    (relational.prefix_concat_examples): the flagship's derived CDC stream
+    is LWW-replayed to the live conversation table, then every assistant
+    turn becomes one example — ``context`` = the preceding live turns
+    rendered as "role: text" lines, budget-truncated to the most recent
+    200 characters (the recency window an SFT packer applies), ``target``
+    = the turn's own text.  One hash shuffle on conv_id; assembly is a
+    vectorized segment scan (searchsorted budget cut) per partition."""
+    from .relational import lww_latest, prefix_concat_examples
+
+    wal = _derived_cdc_wal_table(sf_dir)
+    live = lww_latest(
+        rd.from_arrow(wal), ["conv_id", "turn_idx"], "seq", op_col="op"
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        line = pc.binary_join_element_wise(t["role"], t["text"], ": ")
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "line": line,
+                "is_tgt": pc.equal(t["role"], "assistant"),
+                "target": t["text"],
+            }
+        )
+
+    ex = prefix_concat_examples(
+        live.map_batches(prep, batch_format="pyarrow"),
+        keys=["conv_id"], order_col="turn_idx", line_col="line",
+        target_col="is_tgt", sep="\n", budget=200,
+    )
+    return ex.select_columns(
+        ["conv_id", "turn_idx", "context", "target", "n_context"]
+    )
+
+
 def bloom_skip_scan(sf_dir: str):
     """File-level bloom data skipping (skipping.build_bloom_index /
     read_files_eq): documents range-clustered by lang (one sort — the
@@ -2497,6 +2535,7 @@ QUERIES = {
     "lake_replication": lake_replication,
     "dedup_span_exact": dedup_span_exact,
     "bloom_skip_scan": bloom_skip_scan,
+    "sft_context_assembly": sft_context_assembly,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2960,6 +2999,49 @@ ORACLE_SQL = {
     "dedup_exact_prefix": """
         SELECT min(doc_id) AS doc_id, count(doc_id) AS n_copies
         FROM documents GROUP BY substr(lower(text), 1, 20)
+    """,
+    # SFT example assembly over the derived live transcripts: context =
+    # budget-truncated suffix of preceding "role: text" lines (DESC window
+    # cumsum <= 200 joined chars), target = the assistant turn's text
+    "sft_context_assembly": """
+        WITH src AS (
+          SELECT event_id AS seq,
+                 CASE WHEN event_id % 10 < 6 THEN 'I'
+                      WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+                 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                 CAST(event_id % 37 AS INTEGER) AS turn_idx,
+                 CASE WHEN (event_id % 37) % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 event_type || ' v' || CAST(event_id AS VARCHAR) AS text
+          FROM events),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY seq DESC) AS rn
+          FROM src),
+        live AS (SELECT conv_id, turn_idx, role, text
+                 FROM ranked WHERE rn = 1 AND op <> 'D'),
+        lines AS (SELECT conv_id, turn_idx, role || ': ' || text AS line
+                  FROM live),
+        pairs AS (
+          SELECT t.conv_id, t.turn_idx AS tgt, l.turn_idx AS src_turn,
+                 l.line, length(l.line) AS ln
+          FROM live t JOIN lines l
+            ON l.conv_id = t.conv_id AND l.turn_idx < t.turn_idx
+          WHERE t.role = 'assistant'),
+        win AS (
+          SELECT *, sum(ln + 1) OVER (PARTITION BY conv_id, tgt
+                                      ORDER BY src_turn DESC) - 1 AS cost
+          FROM pairs),
+        ctx AS (SELECT conv_id, tgt,
+                       string_agg(line, chr(10) ORDER BY src_turn) AS context,
+                       CAST(count(*) AS BIGINT) AS n_context
+                FROM win WHERE cost <= 200 GROUP BY conv_id, tgt)
+        SELECT t.conv_id, t.turn_idx, coalesce(c.context, '') AS context,
+               t.text AS target,
+               coalesce(c.n_context, 0) AS n_context
+        FROM live t LEFT JOIN ctx c
+          ON c.conv_id = t.conv_id AND c.tgt = t.turn_idx
+        WHERE t.role = 'assistant'
     """,
     # bloom-pruned equality scan == full scan (the exact filter removes
     # bloom false positives; pruning only changes I/O)

@@ -2104,3 +2104,85 @@ def table_profile(ds: "ray.data.Dataset", columns: list[str]) -> pa.Table:
             "max_str": pa.array(out["max_str"], pa.string()),
         }
     )
+
+
+# ------------------------------------------- prefix-context assembly
+
+
+def prefix_concat_examples(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    order_col: str,
+    line_col: str,
+    target_col: str,
+    sep: str = "\n",
+    budget: int | None = None,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key ordered prefix assembly — the SFT training-example builder
+    over conversation transcripts: for every row where ``target_col`` is
+    true, emit that row's columns plus ``context`` (the ``line_col`` values
+    of all PRECEDING rows in the key group, joined by ``sep``) and
+    ``n_context`` (how many lines made it in).  With ``budget`` set, the
+    context is the MAXIMAL SUFFIX of preceding lines whose joined length
+    (code points, separators included) fits — the recency-window
+    truncation an SFT packer applies when a conversation outgrows the
+    model's context.
+
+    Shuffle = ONE hash partition on the keys (a conversation never
+    splits), then a per-partition sort + vectorized segment scan: window
+    starts come from one ``searchsorted`` over the cumulative line-length
+    array (strictly increasing when ``sep`` is non-empty), so budget
+    truncation is O(targets log rows) with no per-row Python; the joins
+    themselves are C-level ``str.join`` per emitted example — Θ(output
+    bytes), the inherent cost of materializing quadratic-ish contexts.
+    Memory bound: one partition must fit a task heap (same caveat as
+    ``grouped_concat``).  SQL twin: a self-join of targets to earlier
+    lines with a DESC window cumsum for the budget and ``string_agg(line,
+    sep ORDER BY ord)`` — see the ``sft_context_assembly`` oracle."""
+    sep_len = len(sep)
+
+    def scan(group: pa.Table) -> pa.Table:
+        s = group.drop_columns(["__part"]).sort_by(
+            [(k, "ascending") for k in keys] + [(order_col, "ascending")]
+        )
+        n = s.num_rows
+        out_fields = [f for f in s.schema]
+        if n == 0:
+            return pa.table(
+                {
+                    **{f.name: pa.array([], f.type) for f in out_fields},
+                    "context": pa.array([], pa.string()),
+                    "n_context": pa.array([], pa.int64()),
+                }
+            )
+        seg_start, _new = _segment_starts(s, keys)
+        line_arr = pc.fill_null(s[line_col].combine_chunks(), "")
+        lens = pc.utf8_length(line_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # c[i] = sum over rows[0:i] of (len + sep_len): window j..i-1 costs
+        # (c[i] - c[j]) - sep_len joined characters
+        c = np.concatenate(([0], np.cumsum(lens + sep_len)))
+        is_t = s[target_col].to_numpy(zero_copy_only=False).astype(bool)
+        tgt = np.nonzero(is_t)[0]
+        starts = seg_start[tgt]
+        if budget is not None:
+            cut = np.searchsorted(c, c[tgt] - budget - sep_len, side="left")
+            starts = np.maximum(starts, cut)
+        lines = line_arr.to_pylist()
+        ctx = [sep.join(lines[j:i]) for j, i in zip(starts, tgt)]
+        picked = s.take(pa.array(tgt))
+        return pa.table(
+            {
+                **{f.name: picked[f.name] for f in out_fields},
+                "context": pa.array(ctx, pa.string()),
+                "n_context": pa.array((tgt - starts).astype(np.int64)),
+            }
+        )
+
+    parted = ds.map_batches(
+        lambda t: _hash_partition_col(t, keys, num_partitions),
+        batch_format="pyarrow",
+    )
+    return parted.groupby("__part").map_groups(scan, batch_format="pyarrow")

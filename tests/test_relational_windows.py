@@ -737,3 +737,52 @@ def test_table_profile_nulls_and_types(ray_session):
         "column": "f", "n_rows": 6, "n_nulls": 1, "ndv": 3,
         "min_str": "0", "max_str": "2250",
     }
+
+
+def test_prefix_concat_examples_budget_and_edges(ray_session):
+    from raydatax.relational import prefix_concat_examples
+
+    t = pa.table(
+        {
+            "conv": pa.array(["a", "a", "a", "a", "b", "b"]),
+            "turn": pa.array([0, 1, 2, 3, 0, 1], pa.int64()),
+            "line": pa.array(["aaaa", "bbbb", "cccc", "dddd", "xx", "yy"]),
+            "is_t": pa.array([False, True, False, True, True, True]),
+        }
+    )
+    # no budget: full prefix
+    out = {
+        (r["conv"], r["turn"]): r
+        for r in prefix_concat_examples(
+            rd.from_arrow(t), ["conv"], "turn", "line", "is_t"
+        ).take_all()
+    }
+    assert len(out) == 4
+    assert out[("a", 1)]["context"] == "aaaa" and out[("a", 1)]["n_context"] == 1
+    assert out[("a", 3)]["context"] == "aaaa\nbbbb\ncccc"
+    # first row of a segment: empty context, not the previous conv's tail
+    assert out[("b", 0)] == {
+        "conv": "b", "turn": 0, "line": "xx", "is_t": True,
+        "context": "", "n_context": 0,
+    }
+    assert out[("b", 1)]["context"] == "xx"
+
+    # budget=9: "bbbb\ncccc" joins to exactly 9 -> kept; adding "aaaa"
+    # (14) would not
+    out9 = {
+        (r["conv"], r["turn"]): r
+        for r in prefix_concat_examples(
+            rd.from_arrow(t), ["conv"], "turn", "line", "is_t", budget=9
+        ).take_all()
+    }
+    assert out9[("a", 3)]["context"] == "bbbb\ncccc"
+    assert out9[("a", 3)]["n_context"] == 2
+    # budget below the nearest line: empty context
+    out3 = {
+        (r["conv"], r["turn"]): r
+        for r in prefix_concat_examples(
+            rd.from_arrow(t), ["conv"], "turn", "line", "is_t", budget=3
+        ).take_all()
+    }
+    assert out3[("a", 3)]["context"] == "" and out3[("a", 3)]["n_context"] == 0
+    assert out3[("b", 1)]["context"] == "xx"  # "xx" alone costs 2 <= 3
