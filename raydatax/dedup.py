@@ -2122,3 +2122,104 @@ def _strip_spans_reassemble(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- similarity join
+
+
+def _pairs_from_groups_cross(group: pa.Table, max_bucket: int = 64) -> pa.Table:
+    """Candidate pairs within one LSH bucket, CROSS-SIDE ONLY — the join
+    variant of :func:`_pairs_from_groups_mixed`: left–left and right–right
+    pairs are never generated (a join, not a dedup).  Truncation keeps the
+    first ``max_bucket`` rows PER SIDE ordered by id, so the kept subset
+    (and therefore the join result) is deterministic under any shuffle
+    arrival order; a ``truncated`` flag marks lossy buckets."""
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "est_jaccard": pa.array([], pa.float64()),
+         "truncated": pa.array([], pa.bool_())}
+    )
+    side = group["side"].to_numpy(zero_copy_only=False)
+    nl, nr = int((side == 0).sum()), int((side == 1).sum())
+    if nl == 0 or nr == 0:
+        return empty
+    trunc = nl > max_bucket or nr > max_bucket
+    order = np.lexsort((group["doc_id"].to_numpy(zero_copy_only=False), side))
+    keep = np.concatenate(
+        (order[:nl][:max_bucket], order[nl:][:max_bucket])
+    )
+    g = group.take(pa.array(keep))
+    ids = g["doc_id"].to_numpy(zero_copy_only=False)
+    s = g["side"].to_numpy(zero_copy_only=False)
+    sig = np.stack(g["sig"].to_numpy(zero_copy_only=False))
+    li, ri = np.nonzero(s == 0)[0], np.nonzero(s == 1)[0]
+    lo = np.repeat(li, len(ri))
+    hi = np.tile(ri, len(li))
+    est = (sig[lo] == sig[hi]).mean(axis=1)
+    return pa.table(
+        {
+            "a": pa.array(ids[lo], pa.int64()),
+            "b": pa.array(ids[hi], pa.int64()),
+            "est_jaccard": pa.array(est, pa.float64()),
+            "truncated": pa.array(np.full(len(lo), trunc)),
+        }
+    )
+
+
+def similarity_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 7,
+    max_bucket: int = 64,
+    verify: bool = True,
+) -> pa.Table | "ray.data.Dataset":
+    """Set-similarity join (the SSJoin / entity-resolution blocking
+    pattern): pair every left row with every right row whose char-k-gram
+    Jaccard is ≥ ``threshold``, without the L×R cross product — both sides
+    MinHash into shared LSH band buckets (same permutations/seed, so equal
+    texts collide by construction), only co-bucketed cross-side pairs are
+    generated, and survivors are exact-verified on their true shingle
+    sets.  Ids must be globally unique ACROSS both sides (tag them before
+    calling if the tables share an id space).
+
+    Scale shape: one shuffle of (band, hash) rows per side (∝ corpus ×
+    bands, text never moves), per-bucket pair fan-out capped per SIDE at
+    ``max_bucket`` (deterministic id-ordered truncation, flagged), exact
+    verification ∝ candidates.  Recall is the LSH bound 1-(1-t^r)^b —
+    certified complete at gate scale by the all-pairs SQL oracle
+    (``similarity_join_docs``).  With ``verify=False`` returns the
+    candidate Dataset (a, b, est_jaccard, truncated) unverified."""
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8))
+            )
+        return f
+
+    le = _explode_bands(left, text_col, id_col, num_perm, bands, k, seed)
+    re_ = _explode_bands(right, text_col, id_col, num_perm, bands, k, seed)
+    both = le.map_batches(tag(0), batch_format="pyarrow").union(
+        re_.map_batches(tag(1), batch_format="pyarrow")
+    )
+    pairs = both.groupby(["band", "bh"]).map_groups(
+        lambda g: _pairs_from_groups_cross(g, max_bucket),
+        batch_format="pyarrow",
+    )
+    cand = preagg_groupby(
+        pairs, ["a", "b"], [("est_jaccard", "max", "est_jaccard")]
+    )
+    if not verify:
+        return cand
+    pair_list = sorted({(r["a"], r["b"]) for r in cand.take_all()})
+    ver = ngram_jaccard_verify(
+        left.union(right), pair_list, text_col, id_col, k
+    )
+    out = ver.filter(pc.greater_equal(ver["jaccard"], threshold))
+    return out.sort_by([("a", "ascending"), ("b", "ascending")])

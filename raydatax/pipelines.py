@@ -1229,6 +1229,29 @@ def dedup_minhash_verified(sf_dir: str):
     return kept.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
+def similarity_join_docs(sf_dir: str):
+    """Cross-table set-similarity join (dedup.similarity_join): documents
+    split by doc_id parity into two "tables", joined on char-5-gram
+    Jaccard ≥ 0.5 via shared-seed MinHash LSH blocking + exact shingle
+    verification — the entity-resolution / fuzzy-join operator.  The
+    oracle computes ALL cross-side pairs in SQL, so a green row certifies
+    precision AND (at this scale) the LSH blocking's recall."""
+    from .dedup import similarity_join
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def side(even: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 2 == 0) if even else (ids % 2 == 1)
+            return t.filter(pa.array(mask))
+        return f
+
+    left = ds.map_batches(side(True), batch_format="pyarrow")
+    right = ds.map_batches(side(False), batch_format="pyarrow")
+    return similarity_join(left, right, threshold=0.5)
+
+
 def dedup_simhash(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
@@ -2536,6 +2559,7 @@ QUERIES = {
     "dedup_span_exact": dedup_span_exact,
     "bloom_skip_scan": bloom_skip_scan,
     "sft_context_assembly": sft_context_assembly,
+    "similarity_join_docs": similarity_join_docs,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2999,6 +3023,27 @@ ORACLE_SQL = {
     "dedup_exact_prefix": """
         SELECT min(doc_id) AS doc_id, count(doc_id) AS n_copies
         FROM documents GROUP BY substr(lower(text), 1, 20)
+    """,
+    # fuzzy join == ALL cross-side pairs at exact 5-gram Jaccard >= 0.5
+    # (certifies LSH blocking recall at gate scale, precision always)
+    "similarity_join_docs": """
+        WITH idx AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+          FROM documents),
+        g AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS gram FROM idx),
+        sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS ni
+          FROM g ga JOIN g gb ON ga.gram = gb.gram
+          WHERE ga.doc_id % 2 = 0 AND gb.doc_id % 2 = 1
+          GROUP BY 1, 2)
+        SELECT i.a, i.b,
+               CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
     """,
     # SFT example assembly over the derived live transcripts: context =
     # budget-truncated suffix of preceding "role: text" lines (DESC window

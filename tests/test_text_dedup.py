@@ -670,3 +670,62 @@ def test_span_removal_paths_differential(ray_session):
     assert key(fast) == key(slow)
     assert any(r["n_removed"] > 0 for r in fast)
     assert any(r["n_removed"] == 0 for r in fast)
+
+
+# ------------------------------------------------------ similarity join
+
+
+def test_similarity_join_cross_side_only(ray_session):
+    from raydatax.dedup import similarity_join
+
+    left = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 2, 4], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",  # dup of id 0
+            "completely different content with no overlap at all",
+        ]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 3], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog!",  # near-dup
+            "unrelated right side text about something else",
+        ]),
+    }))
+    out = similarity_join(left, right, threshold=0.5).to_pylist()
+    got = {(r["a"], r["b"]) for r in out}
+    # left ids 0 and 2 both match right id 1; the left-left dup (0,2)
+    # must NOT appear — this is a join, not a dedup
+    assert got == {(0, 1), (2, 1)}
+    assert all(r["jaccard"] >= 0.5 for r in out)
+
+
+def test_similarity_join_candidates_unverified(ray_session):
+    from raydatax.dedup import similarity_join
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["same exact text here", "same exact text here"]),
+    })
+    left = rd.from_arrow(t.filter(pa.array([True, False])))
+    right = rd.from_arrow(t.filter(pa.array([False, True])))
+    cand = similarity_join(left, right, verify=False).take_all()
+    assert len(cand) == 1
+    assert cand[0]["a"] == 0 and cand[0]["b"] == 1
+    assert cand[0]["est_jaccard"] == 1.0
+
+
+def test_similarity_join_empty_side(ray_session):
+    from raydatax.dedup import similarity_join
+
+    left = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["some text"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    out = similarity_join(left, right, threshold=0.1)
+    assert out.num_rows == 0
