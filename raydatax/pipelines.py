@@ -2456,6 +2456,7 @@ QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "cdc_changelog_export": cdc_changelog_export,
     "conversation_summary_view": conversation_summary_view,
+    "sft_context_assembly": sft_context_assembly,
     "job_json_roundtrip": job_json_roundtrip,
     "events_partitioned_roundtrip": events_partitioned_roundtrip,
     "sql_split_read": sql_split_read,
@@ -2465,13 +2466,11 @@ QUERIES = {
     "tsdb_window_read": tsdb_window_read,
     "jsonl_doc_roundtrip": jsonl_doc_roundtrip,
     "transform_chain": transform_chain,
-    "url_extract": url_extract,
     "cast_roundtrip": cast_roundtrip,
     "revenue_by_segment": revenue_by_segment,
     "semi_join_fulfilled": semi_join_fulfilled,
     "customers_without_orders": customers_without_orders,
     "user_sessions": user_sessions,
-    "event_value_ranks": event_value_ranks,
     "asof_latest_purchase": asof_latest_purchase,
     "purchase_attribution": purchase_attribution,
     "revenue_rollup_region": revenue_rollup_region,
@@ -2481,17 +2480,17 @@ QUERIES = {
     "top_terms_heavy_hitters": top_terms_heavy_hitters,
     "view_purchase_day_intersect": view_purchase_day_intersect,
     "events_sample": events_sample,
+    "events_profile": events_profile,
     "lang_id": lang_id,
     "token_stats": token_stats,
-    "quality_ratios": quality_ratios,
-    "fingerprint": fingerprint,
     "decontaminate_3gram": decontaminate_3gram,
     "sequence_packing": sequence_packing,
     "tfidf_terms": tfidf_terms,
     "dedup_exact_prefix": dedup_exact_prefix,
+    "dedup_span_exact": dedup_span_exact,
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash_verified": dedup_simhash_verified,
-    "dedup_embedding_exact": dedup_embedding_exact,
+    "similarity_join_docs": similarity_join_docs,
     "incremental_dedup": incremental_dedup,
     "incremental_minhash_verified": incremental_minhash_verified,
     "incremental_embedding_exact": incremental_embedding_exact,
@@ -2502,13 +2501,18 @@ QUERIES = {
     "lake_snapshot_diff": lake_snapshot_diff,
     "bpe_learn": bpe_learn,
     "zorder_box_scan": zorder_box_scan,
+    "bloom_skip_scan": bloom_skip_scan,
     # --- past the gate window (locally gate-checked) -------------------
     "q1_pricing_summary": q1_pricing_summary,
+    "url_extract": url_extract,
+    "event_value_ranks": event_value_ranks,
+    "quality_ratios": quality_ratios,
+    "fingerprint": fingerprint,
+    "dedup_embedding_exact": dedup_embedding_exact,
     "ann_cosine_topk": ann_cosine_topk,
     "bpe_encode_counts": bpe_encode_counts,
     "ngram_jaccard": ngram_jaccard,
     "cdc_demux_routing": cdc_demux_routing,
-    "events_profile": events_profile,
     "graph_shortest_paths": graph_shortest_paths,
     "transcript_window_replay": transcript_window_replay,
     "key_skip_scan": key_skip_scan,
@@ -2556,10 +2560,6 @@ QUERIES = {
     "graph_components": graph_components,
     "graph_triangles": graph_triangles,
     "lake_replication": lake_replication,
-    "dedup_span_exact": dedup_span_exact,
-    "bloom_skip_scan": bloom_skip_scan,
-    "sft_context_assembly": sft_context_assembly,
-    "similarity_join_docs": similarity_join_docs,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
