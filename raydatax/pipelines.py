@@ -1030,6 +1030,27 @@ def decontaminate_3gram(sf_dir: str):
     return ngram_contamination(train, bench, n=3)
 
 
+def docs_lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality scoring (text.fit_unigram_counts +
+    text.lm_perplexity): fit an add-one-smoothed unigram LM on the trusted
+    slice (lang = 'en'), score EVERY document's integer-exact micro
+    log-prob sum, token count and OOV count under it.  Per-token log-probs
+    snap to int64 micros before summation, so totals are associative and
+    hash cross-engine; the vocabulary broadcasts (object store, once) at
+    this scale and hash-joins above the metadata-counted limit."""
+    from .text import fit_unigram_counts, lm_perplexity
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+    ref = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    vocab = fit_unigram_counts(ref)
+    return lm_perplexity(ds.select_columns(["doc_id", "text"]), vocab)
+
+
 def sequence_packing(sf_dir: str):
     """Greedy sequential packing (relational.pack_sequences over the
     distributed prefix sum): documents laid end-to-end in doc_id order,
@@ -2560,6 +2581,7 @@ QUERIES = {
     "graph_components": graph_components,
     "graph_triangles": graph_triangles,
     "lake_replication": lake_replication,
+    "docs_lm_perplexity": docs_lm_perplexity,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2971,6 +2993,42 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
         FROM train WHERE ng IN (SELECT ng FROM bench)
         GROUP BY doc_id
+    """,
+    # CCNet-style unigram LM scoring: per-token log-probs snap to int64
+    # micros BEFORE summation (floor(ln·1e6 + 0.5)), so per-doc totals are
+    # associative integer sums — ln over one IEEE division is the
+    # tfidf-proven cross-engine-exact expression.
+    "docs_lm_perplexity": """
+        WITH rt AS (
+          SELECT term FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS term
+            FROM documents WHERE lang = 'en')
+          WHERE term <> ''),
+        vocab AS (SELECT term, count(*) AS c FROM rt GROUP BY term),
+        nv AS (SELECT (SELECT count(*) FROM rt)
+                    + (SELECT count(*) FROM vocab) AS denom),
+        t2 AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+          WHERE term <> ''),
+        scored AS (
+          SELECT t2.doc_id,
+                 CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov,
+                 CAST(floor(ln(CAST(coalesce(v.c, 0) + 1 AS DOUBLE)
+                               / CAST(nv.denom AS DOUBLE))
+                            * 1000000.0 + 0.5) AS BIGINT) AS lp
+          FROM t2 LEFT JOIN vocab v USING (term) CROSS JOIN nv),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(oov) AS BIGINT) AS n_oov,
+                 CAST(sum(lp) AS BIGINT) AS logp_micro
+          FROM scored GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.n_oov, 0) AS n_oov,
+               coalesce(a.logp_micro, 0) AS logp_micro
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
     "sequence_packing": """
         WITH c AS (

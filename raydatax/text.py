@@ -626,3 +626,179 @@ def tfidf_top_terms(
         with_score, id_col, [("tfidf", "descending"), ("term", "ascending")], k
     )
     return out.select_columns([id_col, "term", "tf", "df", "tfidf", "rank"])
+
+
+# ------------------------------------------------ LM perplexity scoring
+#
+# CCNet-style quality filtering: fit a unigram language model on a trusted
+# reference slice (one corpus pass), then score every document's
+# cross-entropy under it — low-probability documents are boilerplate /
+# wrong-language / garbage candidates.  The reference engine has no
+# analogue (it never looks inside records); this is a first-class
+# training-data operator.
+#
+# Cross-engine float discipline: each token's log-probability is snapped
+# to an int64 MICRO value (floor(ln(p)·1e6 + 0.5)) before any summation,
+# so per-document totals are integer sums — associative, order-free, and
+# bit-identical to SQL computing the same expression (ln over one IEEE
+# division is reproducible; sums of doubles would not be).
+
+
+def fit_unigram_counts(ds, column: str = "text", id_col: str = "doc_id"):
+    """One pass over the reference corpus → materialized vocabulary
+    Dataset ``(term, c)``.  Tokenization is the corpus contract
+    (:func:`tokenize_batch`: lower, split single space, drop empties);
+    only per-batch (term, count) partials shuffle (preagg_groupby)."""
+    from .relational import preagg_groupby
+
+    pairs = ds.map_batches(
+        lambda t: tokenize_batch(t, column, id_col), batch_format="pyarrow"
+    )
+    return preagg_groupby(pairs, ["term"], [("term", "count", "c")]).materialize()
+
+
+def _vocab_totals(vocab) -> tuple[int, int]:
+    """(N total reference tokens, V vocabulary size) from the vocab
+    Dataset without pulling it to the driver: V from block metadata,
+    N via one tiny per-block partial-sum column (O(blocks) ints)."""
+    v_size = vocab.count()
+
+    def part(t: pa.Table) -> pa.Table:
+        s = pc.sum(t["c"]).as_py() or 0
+        return pa.table({"s": pa.array([int(s)], pa.int64())})
+
+    n_total = sum(
+        r["s"] for r in vocab.map_batches(part, batch_format="pyarrow").take_all()
+    )
+    return int(n_total), int(v_size)
+
+
+def _logp_micro(counts: np.ndarray, denom: int) -> np.ndarray:
+    """int64 micro log-probability of add-one-smoothed unigrams: one IEEE
+    division + pc.ln (the tfidf-proven cross-engine ln) + one multiply —
+    exactly ``CAST(floor(ln(CAST(c+1 AS DOUBLE) / CAST(denom AS DOUBLE))
+    * 1000000.0 + 0.5) AS BIGINT)``."""
+    ratio = (counts.astype(np.float64) + 1.0) / float(denom)
+    lp = pc.ln(pa.array(ratio, pa.float64())).to_numpy(zero_copy_only=False)
+    return np.floor(lp * 1000000.0 + 0.5).astype(np.int64)
+
+
+def lm_perplexity(
+    ds,
+    vocab,
+    column: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 2_000_000,
+):
+    """Score every document under the fitted unigram LM: returns
+    ``(id_col, n_tokens, n_oov, logp_micro)`` — token count, OOV count,
+    and the integer-exact sum of per-token micro log-probs (perplexity =
+    exp(-logp_micro / 1e6 / n_tokens), derivable downstream; kept integer
+    here so the row hashes cross-engine).
+
+    Adaptive join discipline (same as tfidf/semi_join): a vocabulary
+    within ``broadcast_limit`` rows (decided from block metadata) is put
+    in the object store ONCE and probed batch-locally inside an actor
+    pool — zero shuffle; a larger one goes through the distributed
+    left-outer hash join on (doc, term) counts, and per-doc totals come
+    back via one pre-aggregated groupby.  Both paths are kernel-identical
+    (differential-tested)."""
+    import ray
+
+    from .relational import _fetch_partials, hash_join, preagg_groupby
+
+    n_total, v_size = _vocab_totals(vocab)
+    denom = n_total + v_size
+    if denom <= 0:
+        raise ValueError("lm_perplexity: empty reference corpus")
+
+    if v_size <= broadcast_limit:
+        tables = [t for t in _fetch_partials(vocab.to_arrow_refs()) if t.num_rows]
+        vtab = (
+            pa.concat_tables(tables)
+            if tables
+            else pa.table({"term": pa.array([], pa.string()),
+                           "c": pa.array([], pa.int64())})
+        )
+        ref = ray.put(vtab)
+
+        class ScoreLM:
+            def __init__(self):
+                v = ray.get(ref)  # once per actor
+                self.terms = v["term"].combine_chunks()
+                self.counts = v["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                n = batch.num_rows
+                col = pc.utf8_lower(batch[column].combine_chunks())
+                lists = pc.split_pattern(col, " ")
+                n_per = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+                    zero_copy_only=False
+                )
+                flat = pc.list_flatten(lists)
+                seg = np.repeat(np.arange(n, dtype=np.int64), n_per)
+                keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+                keep = np.asarray(keep, dtype=bool)
+                seg = seg[keep]
+                terms = flat.filter(pa.array(keep))
+                idx = pc.index_in(terms, value_set=self.terms)
+                valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+                pos = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
+                c = np.where(valid, self.counts[pos] if len(self.counts) else 0, 0)
+                micro = _logp_micro(c, denom)
+                n_tok = np.bincount(seg, minlength=n).astype(np.int64)
+                n_oov = np.bincount(
+                    seg, weights=(~valid).astype(np.float64), minlength=n
+                ).astype(np.int64)
+                lp_sum = np.bincount(
+                    seg, weights=micro.astype(np.float64), minlength=n
+                ).astype(np.int64)
+                return pa.table({
+                    id_col: batch[id_col],
+                    "n_tokens": pa.array(n_tok),
+                    "n_oov": pa.array(n_oov),
+                    "logp_micro": pa.array(lp_sum),
+                })
+
+        return ds.map_batches(ScoreLM, batch_format="pyarrow", concurrency=(1, 8))
+
+    # distributed path: (doc, term, tf) ⟕ vocab, then one preagg groupby
+    pairs = ds.map_batches(
+        lambda t: tokenize_batch(t, column, id_col), batch_format="pyarrow"
+    )
+    tf = preagg_groupby(pairs, [id_col, "term"], [("term", "count", "tf")])
+    joined = hash_join(tf, vocab, on="term", join_type="left_outer")
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cv = pc.fill_null(t["c"], 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        oov = pc.is_null(t["c"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        micro = _logp_micro(cv, denom)
+        return pa.table({
+            id_col: t[id_col],
+            "tf": pa.array(tfv),
+            "oov_tf": pa.array(oov * tfv),
+            "lp_tf": pa.array(micro * tfv),
+        })
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    agg = preagg_groupby(
+        scored, [id_col],
+        [("tf", "sum", "n_tokens"), ("oov_tf", "sum", "n_oov"),
+         ("lp_tf", "sum", "logp_micro")],
+    )
+    # documents with zero tokens have no (doc, term) row: restore them at
+    # (0, 0, 0) via a left join from the id column (distributed; the id
+    # side is never collected)
+    ids = ds.select_columns([id_col])
+    out = hash_join(ids, agg, on=id_col, join_type="left_outer")
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pc.fill_null(t["n_tokens"], 0),
+            "n_oov": pc.fill_null(t["n_oov"], 0),
+            "logp_micro": pc.fill_null(t["logp_micro"], 0),
+        })
+
+    return out.map_batches(fill, batch_format="pyarrow")

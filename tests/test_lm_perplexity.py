@@ -1,0 +1,70 @@
+"""LM perplexity scoring (text.fit_unigram_counts / text.lm_perplexity):
+broadcast vs distributed-join path parity, OOV accounting, empty docs,
+and the integer-micro log-prob discipline."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from raydatax.text import _logp_micro, fit_unigram_counts, lm_perplexity
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                   "text": pa.array(texts, pa.string())}))
+
+
+def _as_map(res):
+    rows = res.to_pandas().sort_values("doc_id")
+    return {
+        int(r.doc_id): (int(r.n_tokens), int(r.n_oov), int(r.logp_micro))
+        for r in rows.itertuples()
+    }
+
+
+def test_lm_perplexity_hand_computed(ray_session):
+    # reference corpus: "a a b" → vocab {a:2, b:1}, N=3, V=2, denom=5
+    ref = _docs(["a a b"])
+    vocab = fit_unigram_counts(ref)
+    scored = _as_map(lm_perplexity(_docs(["a b", "c", ""]), vocab))
+
+    denom = 5
+    lp = lambda c: math.floor(math.log((c + 1) / denom) * 1e6 + 0.5)
+    assert scored[0] == (2, 0, lp(2) + lp(1))
+    assert scored[1] == (1, 1, lp(0))  # OOV token smoothed at c=0
+    assert scored[2] == (0, 0, 0)  # empty doc kept at zeros
+
+
+def test_lm_perplexity_paths_identical(ray_session):
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(1, 30)))
+             for _ in range(120)]
+    ds = _docs(texts)
+    vocab = fit_unigram_counts(_docs(texts[:60]))
+    bcast = _as_map(lm_perplexity(ds, vocab))
+    dist = _as_map(lm_perplexity(ds, vocab, broadcast_limit=0))
+    assert bcast == dist
+
+
+def test_lm_perplexity_lowercases_like_corpus_contract(ray_session):
+    vocab = fit_unigram_counts(_docs(["Hello World"]))
+    scored = _as_map(lm_perplexity(_docs(["HELLO hello"]), vocab))
+    assert scored[0][0] == 2 and scored[0][1] == 0  # both hit the vocab
+
+
+def test_logp_micro_matches_sql_expression():
+    import duckdb
+
+    counts = np.array([0, 1, 2, 7, 1000], dtype=np.int64)
+    denom = 1234
+    got = _logp_micro(counts, denom)
+    want = duckdb.sql(
+        "SELECT CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(1234 AS DOUBLE))"
+        " * 1000000.0 + 0.5) AS BIGINT) AS lp"
+        " FROM (SELECT unnest([0, 1, 2, 7, 1000]) AS c)"
+    ).fetchnumpy()["lp"]
+    assert list(got) == list(want)
