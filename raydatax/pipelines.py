@@ -1051,6 +1051,31 @@ def docs_lm_perplexity(sf_dir: str):
     return lm_perplexity(ds.select_columns(["doc_id", "text"]), vocab)
 
 
+def inverted_index_terms(sf_dir: str):
+    """Posting-list build (text.build_inverted_index): term → document
+    frequency + ascending comma-joined doc-id postings, distributed
+    (DISTINCT (term, doc) partials → one grouped ordered concat).  The
+    build side of the search engines the reference only writes INTO
+    (elasticsearchwriter/solrwriter); min_df=20 bounds the result to the
+    index's head."""
+    from .text import build_inverted_index
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return build_inverted_index(ds, min_df=20)
+
+
+def index_and_search(sf_dir: str):
+    """Boolean AND retrieval through the inverted index
+    (text.index_and_query): build the full index, then intersect the
+    posting lists of ['query', 'window', 'merge'] — work ∝ those terms'
+    postings, never the corpus."""
+    from .text import build_inverted_index, index_and_query
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    idx = build_inverted_index(ds)
+    return index_and_query(idx, ["query", "window", "merge"])
+
+
 def sequence_packing(sf_dir: str):
     """Greedy sequential packing (relational.pack_sequences over the
     distributed prefix sum): documents laid end-to-end in doc_id order,
@@ -2582,6 +2607,8 @@ QUERIES = {
     "graph_triangles": graph_triangles,
     "lake_replication": lake_replication,
     "docs_lm_perplexity": docs_lm_perplexity,
+    "inverted_index_terms": inverted_index_terms,
+    "index_and_search": index_and_search,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -3029,6 +3056,25 @@ ORACLE_SQL = {
                coalesce(a.n_oov, 0) AS n_oov,
                coalesce(a.logp_micro, 0) AS logp_micro
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    "inverted_index_terms": """
+        WITH t2 AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+          WHERE term <> '')
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM t2 GROUP BY term HAVING count(*) >= 20
+    """,
+    "index_and_search": """
+        WITH t2 AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+          WHERE term <> '')
+        SELECT doc_id FROM t2 WHERE term IN ('query', 'window', 'merge')
+        GROUP BY doc_id HAVING count(*) = 3
     """,
     "sequence_packing": """
         WITH c AS (

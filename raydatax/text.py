@@ -802,3 +802,80 @@ def lm_perplexity(
         })
 
     return out.map_batches(fill, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- inverted index
+#
+# The search-engine build side the reference only *talks to*
+# (elasticsearchwriter / solrwriter push documents at a service that
+# builds postings); here the posting-list build IS an engine operator:
+# term → sorted doc-id posting list + document frequency, distributed
+# end-to-end.
+
+
+def build_inverted_index(
+    ds,
+    column: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+):
+    """Term → (df, postings) over the corpus: tokenize batch-local →
+    DISTINCT (term, doc) via the pre-aggregated groupby (only per-batch
+    partials shuffle) → one grouped ordered concat (hash-partition on
+    term, one sort per partition, a single binary_join kernel).  Postings
+    are the comma-joined doc ids in ascending order — the cross-engine
+    contract of SQL ``string_agg(CAST(id AS VARCHAR), ',' ORDER BY id)``.
+    Memory bound: one term's posting string must fit in a task's heap
+    (inherent to posting lists; stop-word terms dominate — filter them
+    with ``min_df``'s sibling ``max_df`` upstream if needed)."""
+    from .relational import grouped_concat, preagg_groupby
+
+    pairs = ds.map_batches(
+        lambda t: tokenize_batch(t, column, id_col), batch_format="pyarrow"
+    )
+    distinct = preagg_groupby(pairs, ["term", id_col], [("term", "count", "__tf")])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "term": t["term"],
+            "__ord": t[id_col],
+            "__doc": pc.cast(t[id_col], pa.string()),
+        })
+
+    idx = grouped_concat(
+        distinct.map_batches(prep, batch_format="pyarrow"),
+        ["term"], "__doc", ["__ord"],
+        sep=",", out_name="postings", count_name="df",
+    )
+    if min_df > 1:
+        idx = idx.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["df"], min_df)),
+            batch_format="pyarrow",
+        )
+    return idx.select_columns(["term", "df", "postings"])
+
+
+def index_and_query(index_ds, terms: list[str], id_col: str = "doc_id"):
+    """Boolean AND retrieval THROUGH the inverted index: select the query
+    terms' rows (K rows), explode their postings, keep doc ids present in
+    all K lists (count == K after the distinct-by-construction explode).
+    Work ∝ the query terms' posting volume, never the corpus."""
+    from .relational import preagg_groupby
+
+    k = len(set(terms))
+    if k == 0:
+        raise ValueError("index_and_query: no terms")
+    tset = pa.array(sorted(set(terms)), pa.string())
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["term"], value_set=tset))
+        lists = pc.split_pattern(t["postings"].combine_chunks(), ",")
+        flat = pc.list_flatten(lists)
+        return pa.table({id_col: pc.cast(flat, pa.int64())})
+
+    hits = index_ds.map_batches(explode, batch_format="pyarrow")
+    counts = preagg_groupby(hits, [id_col], [(id_col, "count", "__k")])
+    return counts.map_batches(
+        lambda t: t.filter(pc.equal(t["__k"], k)).select([id_col]),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,49 @@
+"""Inverted index (text.build_inverted_index / text.index_and_query):
+posting order, df counts, min_df filter, AND retrieval, empty results."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from raydatax.text import build_inverted_index, index_and_query
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                   "text": pa.array(texts, pa.string())}))
+
+
+def _index_map(idx):
+    return {r["term"]: (int(r["df"]), r["postings"]) for r in idx.take_all()}
+
+
+def test_postings_sorted_distinct_lowercased(ray_session):
+    # doc 2 repeats "b b" — postings must stay distinct; "B" lowercases
+    idx = _index_map(build_inverted_index(_docs(["a B", "b a", "b b"],
+                                                ids=[5, 3, 2])))
+    assert idx["a"] == (2, "3,5")
+    assert idx["b"] == (3, "2,3,5")
+
+
+def test_min_df_filters_tail(ray_session):
+    idx = _index_map(build_inverted_index(_docs(["a b", "a c", "a d"]),
+                                          min_df=3))
+    assert set(idx) == {"a"}
+    assert idx["a"] == (3, "0,1,2")
+
+
+def test_and_query_intersects(ray_session):
+    ds = _docs(["x y z", "x y", "y z", "x z q"])
+    idx = build_inverted_index(ds)
+    got = sorted(r["doc_id"] for r in index_and_query(idx, ["x", "z"]).take_all())
+    assert got == [0, 3]
+    # duplicate query terms collapse: k counts unique terms
+    got = sorted(r["doc_id"] for r in index_and_query(idx, ["x", "x"]).take_all())
+    assert got == [0, 1, 3]
+
+
+def test_and_query_empty_intersection(ray_session):
+    ds = _docs(["only alpha", "only beta"])
+    idx = build_inverted_index(ds)
+    out = index_and_query(idx, ["alpha", "beta"])
+    assert out.count() == 0
