@@ -1678,6 +1678,21 @@ def events_sample(sf_dir: str):
     return deterministic_sample(ds, "event_id", permille=50)
 
 
+def events_mixture_sample(sf_dir: str):
+    """Corpus-mixing to data-derived rates (relational.mixture_sample):
+    sample the event stream DOWN to ≈2000 rows per event type — each
+    type's keep-rate is min(1000, 1000·2000 // n_type) permille from a
+    tiny counting pass, then the batch-local integer-hash keep rule.
+    Pure integer arithmetic end-to-end: SQL reproduces membership exactly
+    by computing the same counts and the same formula."""
+    from .relational import mixture_sample
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    return mixture_sample(ds, "event_id", "event_type", target_rows=2000)
+
+
 def event_value_ranks(sf_dir: str):
     """SQL rank()/dense_rank() tie semantics — every event ranked by value
     within its event type, in the same single hash-partitioned sorted scan
@@ -2609,6 +2624,7 @@ QUERIES = {
     "docs_lm_perplexity": docs_lm_perplexity,
     "inverted_index_terms": inverted_index_terms,
     "index_and_search": index_and_search,
+    "events_mixture_sample": events_mixture_sample,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -3056,6 +3072,16 @@ ORACLE_SQL = {
                coalesce(a.n_oov, 0) AS n_oov,
                coalesce(a.logp_micro, 0) AS logp_micro
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    # mixture sampling: rates derived from per-stratum counts with pure
+    # integer arithmetic (floor division), then the stratified keep rule —
+    # membership reproduces exactly
+    "events_mixture_sample": """
+        WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+        r AS (SELECT event_type, least(1000, (1000 * 2000) // n) AS rate FROM n)
+        SELECT e.event_id, e.user_id, e.event_type
+        FROM events e JOIN r USING (event_type)
+        WHERE ((e.event_id % 1000003) * 2654435761) % 1000 < r.rate
     """,
     "inverted_index_terms": """
         WITH t2 AS (

@@ -2186,3 +2186,47 @@ def prefix_concat_examples(
         batch_format="pyarrow",
     )
     return parted.groupby("__part").map_groups(scan, batch_format="pyarrow")
+
+
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    key: str,
+    strata_col: str,
+    target_rows: int | dict[str, int],
+    modulus: int = 1_000_003,
+    multiplier: int = 2654435761,
+) -> "ray.data.Dataset":
+    """Sample DOWN to a target corpus mixture: each stratum's keep-rate is
+    derived from its measured size — ``rate_s = min(1000, 1000·target_s //
+    n_s)`` permille — then applied with the deterministic integer-hash
+    keep rule (:func:`stratified_sample`).  This is the data-mixing
+    primitive for training-corpus assembly ("equalize the sources", "cap
+    web at 2× books"): the rates come from the data, not the caller.
+
+    Two passes, both scale-safe: the counting pass is one pre-aggregated
+    groupby over the stratum column (tiny result — one row per stratum,
+    the driver holds only that); the sampling pass is batch-local with
+    zero shuffle.  ``target_rows``: one int for every stratum, or a dict
+    per stratum (strata absent from the dict are DROPPED — rate 0, the
+    explicit-mixture contract).  Pure integer arithmetic end-to-end, so
+    membership reproduces exactly in SQL with the identical formula."""
+    if isinstance(target_rows, int):
+        if target_rows < 0:
+            raise ValueError(f"mixture_sample: target must be >= 0, got {target_rows}")
+    else:
+        for s, t in target_rows.items():
+            if t < 0:
+                raise ValueError(f"mixture_sample: target must be >= 0, got {t} for {s!r}")
+
+    counts = preagg_groupby(ds, [strata_col], [(strata_col, "count", "n")])
+    permille: dict[str, int] = {}
+    for row in counts.take_all():  # one row per stratum by construction
+        s, n = row[strata_col], int(row["n"])
+        tgt = target_rows if isinstance(target_rows, int) else target_rows.get(s)
+        if tgt is None or n <= 0:
+            continue
+        permille[s] = min(1000, (1000 * int(tgt)) // n)
+    return stratified_sample(
+        ds, key, strata_col, permille,
+        default_permille=0, modulus=modulus, multiplier=multiplier,
+    )

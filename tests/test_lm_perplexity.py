@@ -68,3 +68,35 @@ def test_logp_micro_matches_sql_expression():
         " FROM (SELECT unnest([0, 1, 2, 7, 1000]) AS c)"
     ).fetchnumpy()["lp"]
     assert list(got) == list(want)
+
+
+# -------------------------------------------------- mixture sampling
+
+
+def test_mixture_sample_rates_and_caps(ray_session):
+    import ray.data as rd
+
+    from raydatax.relational import mixture_sample
+
+    n = 1000
+    t = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "s": pa.array((["big"] * 800) + (["small"] * 200), pa.string()),
+    })
+    ds = rd.from_arrow(t)
+    # target 200/stratum: big rate = 1000*200//800 = 250‰, small capped 1000‰
+    out = mixture_sample(ds, "k", "s", target_rows=200).take_all()
+    small = [r for r in out if r["s"] == "small"]
+    big = [r for r in out if r["s"] == "big"]
+    assert len(small) == 200  # rate capped at 1000 keeps everything
+    want_big = [k for k in range(800) if ((k % 1_000_003) * 2654435761) % 1000 < 250]
+    assert sorted(r["k"] for r in big) == want_big
+
+    # dict targets: absent strata are dropped
+    out = mixture_sample(ds, "k", "s", target_rows={"small": 100}).take_all()
+    assert all(r["s"] == "small" for r in out)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        mixture_sample(ds, "k", "s", target_rows=-1)
