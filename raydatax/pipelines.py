@@ -1693,6 +1693,26 @@ def events_mixture_sample(sf_dir: str):
     return mixture_sample(ds, "event_id", "event_type", target_rows=2000)
 
 
+def events_shuffle_export(sf_dir: str):
+    """Deterministic global shuffle to training shards
+    (relational.shuffle_export): h = mix64(event_id) orders the corpus
+    pseudo-randomly but reproducibly, shard = top 5 bits; one range sort
+    clusters the hive shard directories, and the returned per-shard
+    manifest (n_rows, min/max hash as decimal strings) is the oracle —
+    SQL reproduces mix64 exactly in HUGEINT arithmetic."""
+    import shutil
+
+    from .relational import shuffle_export
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/raydatax_shuf_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    return shuffle_export(ds, "event_id", out_dir=out, shard_bits=5)
+
+
 def event_value_ranks(sf_dir: str):
     """SQL rank()/dense_rank() tie semantics — every event ranked by value
     within its event type, in the same single hash-partitioned sorted scan
@@ -2625,6 +2645,7 @@ QUERIES = {
     "inverted_index_terms": inverted_index_terms,
     "index_and_search": index_and_search,
     "events_mixture_sample": events_mixture_sample,
+    "events_shuffle_export": events_shuffle_export,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -3082,6 +3103,32 @@ ORACLE_SQL = {
         SELECT e.event_id, e.user_id, e.event_type
         FROM events e JOIN r USING (event_type)
         WHERE ((e.event_id % 1000003) * 2654435761) % 1000 < r.rate
+    """,
+    # mix64 (partition.hash_ints) replicated in HUGEINT arithmetic:
+    # logical >>33 = // 2^33, xor through BIGINT two's complement, the
+    # 64x64 multiply mod 2^64 via 32-bit split.  Nonnegative keys only.
+    "events_shuffle_export": """
+        WITH u0 AS (SELECT CAST(event_id AS HUGEINT) AS u FROM events),
+        x1 AS (SELECT CAST(xor(CAST(u AS BIGINT), CAST(u // 8589934592 AS BIGINT)) AS HUGEINT) AS x FROM u0),
+        x1u AS (SELECT CASE WHEN x < 0 THEN x + 18446744073709551616 ELSE x END AS x FROM x1),
+        m AS (SELECT ((x % 4294967296) * 3981806797
+                    + (((x % 4294967296) * 4283543511
+                        + (x // 4294967296) * 3981806797) % 4294967296)
+                      * 4294967296) % 18446744073709551616 AS v FROM x1u),
+        ms AS (SELECT CASE WHEN v >= 9223372036854775808
+                           THEN v - 18446744073709551616 ELSE v END AS s,
+                      v // 8589934592 AS hi FROM m),
+        h2 AS (SELECT CAST(xor(CAST(s AS BIGINT),
+                               CAST(CASE WHEN hi >= 9223372036854775808
+                                         THEN hi - 18446744073709551616
+                                         ELSE hi END AS BIGINT)) AS HUGEINT) AS x
+               FROM ms),
+        hu AS (SELECT CASE WHEN x < 0 THEN x + 18446744073709551616 ELSE x END AS h FROM h2)
+        SELECT CAST(h // 576460752303423488 AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(h) AS VARCHAR) AS min_h,
+               CAST(max(h) AS VARCHAR) AS max_h
+        FROM hu GROUP BY 1
     """,
     "inverted_index_terms": """
         WITH t2 AS (

@@ -2230,3 +2230,61 @@ def mixture_sample(
         ds, key, strata_col, permille,
         default_permille=0, modulus=modulus, multiplier=multiplier,
     )
+
+
+def shuffle_export(
+    ds: "ray.data.Dataset",
+    key: str,
+    out_dir: str | None = None,
+    shard_bits: int = 6,
+) -> "ray.data.Dataset":
+    """Deterministic global shuffle for training export: every row is
+    assigned a pseudo-random but REPRODUCIBLE position — ``h = mix64(key)``
+    (the engine's avalanche finalizer, :mod:`raydatax.partition`) — and a
+    shard = the top ``shard_bits`` bits of h, so shard assignment and
+    within-shard order are stable across runs, partitionings and engines
+    (no RNG: re-running an export after a failure reproduces byte-wise
+    identical shard membership, the resumability contract).
+
+    With ``out_dir``, one range sort on h clusters rows so each hive
+    shard directory (``shard=NN/``) holds its rows in (h, key) order —
+    the global-shuffle-then-shard layout a training loader consumes
+    sequentially.  Returns the per-shard summary Dataset
+    ``(shard, n_rows, min_h, max_h)`` (hashes as decimal strings — uint64
+    is out of SQL BIGINT range), computed with one pre-aggregated groupby;
+    the summary is the export's manifest and its cross-engine oracle."""
+    if not 1 <= shard_bits <= 16:
+        raise ValueError(f"shuffle_export: shard_bits must be 1..16, got {shard_bits}")
+    from .partition import hash_ints
+
+    def assign(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        h = hash_ints(k)
+        shard = (h >> np.uint64(64 - shard_bits)).astype(np.int64)
+        return t.append_column("__h", pa.array(h, pa.uint64())).append_column(
+            "shard", pa.array(shard)
+        )
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow")
+    if out_dir is not None:
+        from .sinks import write_partitioned
+
+        clustered = tagged.sort(["__h", key])
+        write_partitioned(
+            clustered.drop_columns(["__h"]), out_dir, ["shard"]
+        )
+
+    summary = preagg_groupby(
+        tagged, ["shard"],
+        [("shard", "count", "n_rows"), ("__h", "min", "min_h"), ("__h", "max", "max_h")],
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "shard": t["shard"],
+            "n_rows": t["n_rows"],
+            "min_h": pc.cast(t["min_h"], pa.string()),
+            "max_h": pc.cast(t["max_h"], pa.string()),
+        })
+
+    return summary.map_batches(fmt, batch_format="pyarrow")

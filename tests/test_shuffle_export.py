@@ -1,0 +1,98 @@
+"""Deterministic shuffle export (relational.shuffle_export): stable
+pseudo-random order, hive shard layout, within-shard (h, key) order,
+byte-identical re-export, and the SQL mix64 replica."""
+
+import glob
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from raydatax.partition import hash_ints
+from raydatax.relational import shuffle_export
+
+
+def _ds(n=500):
+    return rd.from_arrow(pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "v": pa.array([f"v{i}" for i in range(n)], pa.string()),
+    }))
+
+
+def test_summary_matches_numpy(ray_session):
+    n = 500
+    rows = shuffle_export(_ds(n), "k", shard_bits=3).take_all()
+    h = hash_ints(np.arange(n, dtype=np.int64))
+    shard = (h >> np.uint64(61)).astype(np.int64)
+    for r in rows:
+        m = shard == r["shard"]
+        assert int(m.sum()) == r["n_rows"]
+        assert str(int(h[m].min())) == r["min_h"]
+        assert str(int(h[m].max())) == r["max_h"]
+    assert sum(r["n_rows"] for r in rows) == n
+
+
+def test_export_layout_and_order(ray_session, tmp_path):
+    out = str(tmp_path / "shards")
+    shuffle_export(_ds(400), "k", out_dir=out, shard_bits=2).take_all()
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(dirs) == 4
+    h_all = hash_ints(np.arange(400, dtype=np.int64))
+    total = 0
+    for d in dirs:
+        t = pq.read_table(d)
+        ks = np.concatenate([t["k"].to_numpy()]) if t.num_rows else np.array([], np.int64)
+        hs = h_all[ks]
+        # within-shard rows come back in (h, key) order
+        assert list(hs) == sorted(hs)
+        total += t.num_rows
+    assert total == 400
+
+
+def test_reexport_identical(ray_session, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    shuffle_export(_ds(300), "k", out_dir=a, shard_bits=2).take_all()
+    shuffle_export(_ds(300), "k", out_dir=b, shard_bits=2).take_all()
+    fa = sorted(glob.glob(a + "/**/*.parquet", recursive=True))
+    fb = sorted(glob.glob(b + "/**/*.parquet", recursive=True))
+    ka = [pq.read_table(f)["k"].to_pylist() for f in fa]
+    kb = [pq.read_table(f)["k"].to_pylist() for f in fb]
+    assert ka == kb
+
+
+def test_sql_mix64_replica_bit_exact():
+    import duckdb
+
+    ks = np.array([0, 1, 2, 7, 123456789, 2**62, 2**63 - 2], dtype=np.int64)
+    want = {int(k): str(int(h)) for k, h in zip(ks, hash_ints(ks))}
+    got = duckdb.sql("""
+        WITH src AS (SELECT unnest([0, 1, 2, 7, 123456789,
+                                    4611686018427387904, 9223372036854775806]) AS k),
+        u0 AS (SELECT k, CAST(k AS HUGEINT) AS u FROM src),
+        x1 AS (SELECT k, CAST(xor(CAST(u AS BIGINT), CAST(u // 8589934592 AS BIGINT)) AS HUGEINT) AS x FROM u0),
+        x1u AS (SELECT k, CASE WHEN x < 0 THEN x + 18446744073709551616 ELSE x END AS x FROM x1),
+        m AS (SELECT k, ((x % 4294967296) * 3981806797
+                    + (((x % 4294967296) * 4283543511
+                        + (x // 4294967296) * 3981806797) % 4294967296)
+                      * 4294967296) % 18446744073709551616 AS v FROM x1u),
+        ms AS (SELECT k, CASE WHEN v >= 9223372036854775808
+                              THEN v - 18446744073709551616 ELSE v END AS s,
+                      v // 8589934592 AS hi FROM m),
+        h2 AS (SELECT k, CAST(xor(CAST(s AS BIGINT),
+                               CAST(CASE WHEN hi >= 9223372036854775808
+                                         THEN hi - 18446744073709551616
+                                         ELSE hi END AS BIGINT)) AS HUGEINT) AS x
+               FROM ms)
+        SELECT k, CAST(CASE WHEN x < 0 THEN x + 18446744073709551616 ELSE x END AS VARCHAR)
+        FROM h2
+    """).fetchall()
+    assert {int(k): h for k, h in got} == want
+
+
+def test_shard_bits_guard(ray_session):
+    import pytest
+
+    with pytest.raises(ValueError):
+        shuffle_export(_ds(10), "k", shard_bits=0)
