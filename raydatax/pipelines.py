@@ -1713,6 +1713,22 @@ def events_shuffle_export(sf_dir: str):
     return shuffle_export(ds, "event_id", out_dir=out, shard_bits=5)
 
 
+def events_leakage_split(sf_dir: str):
+    """Leakage-safe train/val split (relational.train_val_split): split
+    assigned per USER (mix64(user_id) % 1000 < 100 → val), so no user
+    straddles the boundary; returns per-(split, event_type) counts.  The
+    SQL twin recomputes the identical mix64 in HUGEINT arithmetic."""
+    from .relational import preagg_groupby, train_val_split
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    tagged = train_val_split(ds, "user_id", val_permille=100)
+    return preagg_groupby(
+        tagged, ["split", "event_type"], [("event_id", "count", "n_rows")]
+    )
+
+
 def event_value_ranks(sf_dir: str):
     """SQL rank()/dense_rank() tie semantics — every event ranked by value
     within its event type, in the same single hash-partitioned sorted scan
@@ -2646,6 +2662,7 @@ QUERIES = {
     "index_and_search": index_and_search,
     "events_mixture_sample": events_mixture_sample,
     "events_shuffle_export": events_shuffle_export,
+    "events_leakage_split": events_leakage_split,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -3103,6 +3120,28 @@ ORACLE_SQL = {
         SELECT e.event_id, e.user_id, e.event_type
         FROM events e JOIN r USING (event_type)
         WHERE ((e.event_id % 1000003) * 2654435761) % 1000 < r.rate
+    """,
+    "events_leakage_split": """
+        WITH u0 AS (SELECT event_id, event_type, CAST(user_id AS HUGEINT) AS u FROM events),
+        x1 AS (SELECT event_id, event_type, CAST(xor(CAST(u AS BIGINT), CAST(u // 8589934592 AS BIGINT)) AS HUGEINT) AS x FROM u0),
+        x1u AS (SELECT event_id, event_type, CASE WHEN x < 0 THEN x + 18446744073709551616 ELSE x END AS x FROM x1),
+        m AS (SELECT event_id, event_type, ((x % 4294967296) * 3981806797
+                    + (((x % 4294967296) * 4283543511
+                        + (x // 4294967296) * 3981806797) % 4294967296)
+                      * 4294967296) % 18446744073709551616 AS v FROM x1u),
+        ms AS (SELECT event_id, event_type, CASE WHEN v >= 9223372036854775808
+                              THEN v - 18446744073709551616 ELSE v END AS s,
+                      v // 8589934592 AS hi FROM m),
+        h2 AS (SELECT event_id, event_type, CAST(xor(CAST(s AS BIGINT),
+                               CAST(CASE WHEN hi >= 9223372036854775808
+                                         THEN hi - 18446744073709551616
+                                         ELSE hi END AS BIGINT)) AS HUGEINT) AS x
+               FROM ms),
+        hu AS (SELECT event_id, event_type,
+                      CASE WHEN x < 0 THEN x + 18446744073709551616 ELSE x END AS h FROM h2)
+        SELECT CASE WHEN h % 1000 < 100 THEN 'val' ELSE 'train' END AS split,
+               event_type, CAST(count(*) AS BIGINT) AS n_rows
+        FROM hu GROUP BY 1, 2
     """,
     # mix64 (partition.hash_ints) replicated in HUGEINT arithmetic:
     # logical >>33 = // 2^33, xor through BIGINT two's complement, the

@@ -2288,3 +2288,31 @@ def shuffle_export(
         })
 
     return summary.map_batches(fmt, batch_format="pyarrow")
+
+
+def train_val_split(
+    ds: "ray.data.Dataset",
+    entity_col: str,
+    val_permille: int = 100,
+    out_col: str = "split",
+) -> "ray.data.Dataset":
+    """Leakage-safe train/validation split: the assignment is a pure
+    function of the ENTITY (``mix64(entity) % 1000 < val_permille`` →
+    ``'val'``), so every row of a conversation/user/document lands in the
+    same split — across runs, engines, partitionings and future ingests
+    (new rows of a known entity join its split; no RNG, no state).
+    Batch-local, zero shuffle; SQL reproduces membership with the
+    bit-exact HUGEINT mix64 replica (see the shuffle_export oracle)."""
+    if not 0 <= val_permille <= 1000:
+        raise ValueError(
+            f"train_val_split: val_permille must be 0..1000, got {val_permille}"
+        )
+    from .partition import hash_ints
+
+    def assign(t: pa.Table) -> pa.Table:
+        k = t[entity_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        bucket = (hash_ints(k) % np.uint64(1000)).astype(np.int64)
+        split = np.where(bucket < val_permille, "val", "train")
+        return t.append_column(out_col, pa.array(split, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

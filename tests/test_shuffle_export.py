@@ -96,3 +96,35 @@ def test_shard_bits_guard(ray_session):
 
     with pytest.raises(ValueError):
         shuffle_export(_ds(10), "k", shard_bits=0)
+
+
+# ------------------------------------------------ train/val split
+
+
+def test_train_val_split_entity_atomic(ray_session):
+    from raydatax.relational import train_val_split
+
+    n = 600
+    t = pa.table({
+        "row": pa.array(range(n), pa.int64()),
+        "user": pa.array([i % 37 for i in range(n)], pa.int64()),
+    })
+    out = train_val_split(rd.from_arrow(t), "user", val_permille=300).take_all()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user"], set()).add(r["split"])
+    # every entity lands wholly in one split
+    assert all(len(s) == 1 for s in by_user.values())
+    # assignment matches the pure formula
+    users = np.array(sorted(by_user), dtype=np.int64)
+    want = np.where(hash_ints(users) % np.uint64(1000) < 300, "val", "train")
+    assert [by_user[int(u)].pop() for u in users] == list(want)
+
+
+def test_train_val_split_guard(ray_session):
+    import pytest
+
+    from raydatax.relational import train_val_split
+
+    with pytest.raises(ValueError):
+        train_val_split(_ds(5), "k", val_permille=1001)
