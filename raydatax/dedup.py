@@ -1850,6 +1850,58 @@ def ngram_jaccard_verify(
     """Exact char-k-gram Jaccard for an explicit candidate-pair list: the
     shingle sets of ONLY the referenced docs are collected (semi-join by
     broadcast id set), then |∩|/|∪| per pair."""
+    sets = _pair_shingle_sets(ds, pairs, text_col, id_col, k)
+    out = []
+    for a, b in pairs:
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        union = len(sa | sb)
+        out.append({"a": a, "b": b, "jaccard": (len(sa & sb) / union) if union else 0.0})
+    return pa.Table.from_pylist(out) if out else pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+
+
+def ngram_containment_verify(
+    ds: "ray.data.Dataset",
+    pairs: list[tuple[int, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> pa.Table:
+    """Exact char-k-gram CONTAINMENT for a candidate-pair list — the
+    asymmetric near-dup metric (|A∩B| / |A| and |A∩B| / |B|): detects
+    quotes / partial inclusion where Jaccard stays low because the hosts
+    differ in size (a 100-word quote inside a 10k-word page is
+    containment ≈ 1 for the quote, Jaccard ≈ 0.01).  Same bounded
+    collection shape as :func:`ngram_jaccard_verify`; divisions are
+    integer-over-integer, cross-engine exact."""
+    sets = _pair_shingle_sets(ds, pairs, text_col, id_col, k)
+    out = []
+    for a, b in pairs:
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        ni = len(sa & sb)
+        out.append({
+            "a": a, "b": b,
+            "contain_a": (ni / len(sa)) if sa else 0.0,
+            "contain_b": (ni / len(sb)) if sb else 0.0,
+        })
+    return pa.Table.from_pylist(out) if out else pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "contain_a": pa.array([], pa.float64()),
+         "contain_b": pa.array([], pa.float64())}
+    )
+
+
+def _pair_shingle_sets(
+    ds: "ray.data.Dataset",
+    pairs: list[tuple[int, int]],
+    text_col: str,
+    id_col: str,
+    k: int,
+) -> dict[int, set]:
+    """Distinct char-k-gram hash sets for the docs referenced by a pair
+    list (bounded by the list, never the corpus)."""
     need = sorted({i for p in pairs for i in p})
     ref = ray.put(pa.array(need, pa.int64()))
 
@@ -1865,16 +1917,7 @@ def ngram_jaccard_verify(
         return pa.table({id_col: sub[id_col], "sh": pa.array([list(x) for x in lists], pa.list_(pa.int64()))})
 
     rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
-    sets = {r[id_col]: set(r["sh"]) for r in rows}
-    out = []
-    for a, b in pairs:
-        sa, sb = sets.get(a, set()), sets.get(b, set())
-        union = len(sa | sb)
-        out.append({"a": a, "b": b, "jaccard": (len(sa & sb) / union) if union else 0.0})
-    return pa.Table.from_pylist(out) if out else pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-         "jaccard": pa.array([], pa.float64())}
-    )
+    return {r[id_col]: set(r["sh"]) for r in rows}
 
 
 # ------------------------------------------- duplicated-span removal

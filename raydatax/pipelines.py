@@ -1257,6 +1257,22 @@ def ngram_jaccard(sf_dir: str):
     return ngram_jaccard_verify(ds, pairs, k=5)
 
 
+def ngram_containment_docs(sf_dir: str):
+    """Asymmetric near-dup: exact char-5-gram CONTAINMENT per direction
+    (dedup.ngram_containment_verify) over the same deterministic pair list
+    as ngram_jaccard — catches quotes / partial inclusion that Jaccard
+    misses when the two docs differ in size.  Integer-over-integer
+    divisions, cross-engine exact."""
+    import pyarrow.parquet as pq
+
+    from .dedup import ngram_containment_verify
+
+    ids = set(pq.read_table(_p(sf_dir, "documents"), columns=["doc_id"])["doc_id"].to_pylist())
+    pairs = [(i, i + 1) for i in sorted(ids) if i % 25 == 0 and i + 1 in ids]
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ngram_containment_verify(ds, pairs, k=5)
+
+
 def dedup_minhash_verified(sf_dir: str):
     """The full MinHash LSH path under the exact-SQL gate: LSH candidate
     pairs (shingle → minhash → banded buckets) exact-verified with char-5-gram
@@ -2663,6 +2679,7 @@ QUERIES = {
     "events_mixture_sample": events_mixture_sample,
     "events_shuffle_export": events_shuffle_export,
     "events_leakage_split": events_leakage_split,
+    "ngram_containment_docs": ngram_containment_docs,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -3336,6 +3353,33 @@ ORACLE_SQL = {
                CAST(len(t.ts) - coalesce(s.n_kept, 0) AS BIGINT) AS n_removed,
                coalesce(s.text_clean, '') AS text_clean
         FROM toks t LEFT JOIN surv s USING (doc_id)
+    """,
+    "ngram_containment_docs": """
+        WITH pairs AS (
+          SELECT d.doc_id AS a, d.doc_id + 1 AS b
+          FROM documents d
+          WHERE d.doc_id % 25 = 0
+            AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)),
+        need AS (SELECT a AS x FROM pairs UNION SELECT b FROM pairs),
+        idx AS (
+          SELECT d.doc_id, d.text,
+                 unnest(generate_series(1, greatest(length(d.text) - 4, 0))) AS i
+          FROM documents d JOIN need ON d.doc_id = need.x),
+        g AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS gram FROM idx),
+        sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT p.a, p.b, count(*) AS ni
+          FROM pairs p
+          JOIN g ga ON ga.doc_id = p.a
+          JOIN g gb ON gb.doc_id = p.b AND gb.gram = ga.gram
+          GROUP BY p.a, p.b)
+        SELECT p.a, p.b,
+               CAST(coalesce(i.ni, 0) AS DOUBLE) / sa.n AS contain_a,
+               CAST(coalesce(i.ni, 0) AS DOUBLE) / sb.n AS contain_b
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.a
+        JOIN sizes sb ON sb.doc_id = p.b
+        LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
     """,
     "ngram_jaccard": """
         WITH pairs AS (

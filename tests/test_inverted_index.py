@@ -47,3 +47,28 @@ def test_and_query_empty_intersection(ray_session):
     idx = build_inverted_index(ds)
     out = index_and_query(idx, ["alpha", "beta"])
     assert out.count() == 0
+
+
+# --------------------------------------------- containment verify
+
+
+def test_ngram_containment_quote_vs_jaccard(ray_session):
+    from raydatax.dedup import ngram_containment_verify, ngram_jaccard_verify
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}q{i * 7}z" for i in range(120))
+    host = quote + " " + filler
+    ds = _docs([quote, host], ids=[1, 2])
+    cont = ngram_containment_verify(ds, [(1, 2)], k=5).to_pylist()[0]
+    jac = ngram_jaccard_verify(ds, [(1, 2)], k=5).to_pylist()[0]
+    assert cont["contain_a"] == 1.0  # every gram of the quote is in the host
+    assert cont["contain_b"] < 0.2
+    assert jac["jaccard"] < 0.2  # Jaccard alone would miss the inclusion
+
+
+def test_ngram_containment_empty_and_missing(ray_session):
+    from raydatax.dedup import ngram_containment_verify
+
+    ds = _docs(["abcdefgh"], ids=[1])
+    rows = ngram_containment_verify(ds, [(1, 99)], k=5).to_pylist()
+    assert rows == [{"a": 1, "b": 99, "contain_a": 0.0, "contain_b": 0.0}]
