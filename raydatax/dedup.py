@@ -2266,3 +2266,41 @@ def similarity_join(
     )
     out = ver.filter(pc.greater_equal(ver["jaccard"], threshold))
     return out.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+# --------------------------------------------------- semantic dedup
+
+
+def semantic_dedup_keep(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+    block_rows: int = 8192,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023) keep-set: drop a vector iff it has a
+    near-duplicate partner with a SMALLER id (cosine ≥ threshold) — the
+    greedy keep-first rule applied corpus-wide, so the kept set is
+    deterministic and order-free (no RNG, no cluster-local tie-breaks).
+
+    ``exact=True`` scores pairs with the blocked exact self-join
+    (:func:`embedding_allpairs_exact` — the O(N²) verification baseline,
+    SQL-certifiable); ``exact=False`` uses the IVF-clustered approximate
+    pair stage (:func:`embedding_neardup_pairs`, the 100-TB path: work ∝
+    cluster sizes, pairs never leave the cluster).  Either way the drop
+    set is the distinct ``b`` side of (a < b) pairs, applied with the
+    adaptive anti semi join — survivors stream, never the driver."""
+    from .relational import semi_join
+
+    if exact:
+        pairs_tab = embedding_allpairs_exact(
+            ds, threshold=threshold, id_col=id_col, vec_col=vec_col,
+            block_rows=block_rows,
+        )
+        pairs = ray.data.from_arrow(pairs_tab.select(["b"]))
+    else:
+        pairs = embedding_neardup_pairs(ds, threshold=threshold).select_columns(["b"])
+    return semi_join(
+        ds.select_columns([id_col]), pairs, left_on=id_col, right_on="b", anti=True
+    )

@@ -2204,6 +2204,17 @@ def dedup_embedding(sf_dir: str):
     return pairs.select_columns(["a", "b"])
 
 
+def semantic_dedup_vecs(sf_dir: str):
+    """SemDeDup keep-set (dedup.semantic_dedup_keep): drop every vector
+    with a cosine-≥0.35 partner of smaller id, keep the rest — greedy
+    keep-first semantic dedup over the exact pair baseline, survivors
+    via the adaptive anti semi join."""
+    from .dedup import semantic_dedup_keep
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return semantic_dedup_keep(ds, threshold=0.35, block_rows=256)
+
+
 def _crawl_split(ds, id_name: str, prior: bool):
     """The shared two-crawl convention of the incremental_* queries and
     their SQL mirrors: prior crawl = id % 3 == 0, new crawl = the rest."""
@@ -2680,6 +2691,7 @@ QUERIES = {
     "events_shuffle_export": events_shuffle_export,
     "events_leakage_split": events_leakage_split,
     "ngram_containment_docs": ngram_containment_docs,
+    "semantic_dedup_vecs": semantic_dedup_vecs,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -3353,6 +3365,14 @@ ORACLE_SQL = {
                CAST(len(t.ts) - coalesce(s.n_kept, 0) AS BIGINT) AS n_removed,
                coalesce(s.text_clean, '') AS text_clean
         FROM toks t LEFT JOIN surv s USING (doc_id)
+    """,
+    "semantic_dedup_vecs": """
+        WITH dropped AS (
+          SELECT DISTINCT b.vec_id AS v
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT v FROM dropped)
     """,
     "ngram_containment_docs": """
         WITH pairs AS (

@@ -729,3 +729,50 @@ def test_similarity_join_empty_side(ray_session):
     }))
     out = similarity_join(left, right, threshold=0.1)
     assert out.num_rows == 0
+
+
+# --------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_keep_greedy_rule(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from raydatax.dedup import semantic_dedup_keep
+
+    # vecs 0,1 near-identical; 2 orthogonal; 3 duplicates 2
+    vecs = np.array([[1.0, 0.0], [0.999, 0.01], [0.0, 1.0], [0.01, 0.999]],
+                    dtype=np.float32)
+    t = pa.table({
+        "vec_id": pa.array([10, 11, 20, 21], pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    keep = sorted(r["vec_id"] for r in
+                  semantic_dedup_keep(rd.from_arrow(t), threshold=0.95,
+                                      block_rows=2).take_all())
+    assert keep == [10, 20]  # smaller id of each dup pair survives
+
+
+def test_semantic_dedup_exact_vs_approx_paths(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from raydatax.dedup import semantic_dedup_keep
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    dup = base[:10] + rng.normal(scale=1e-3, size=(10, 16)).astype(np.float32)
+    all_v = np.vstack([base, dup])
+    t = pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in all_v],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t)
+    exact = sorted(r["vec_id"] for r in
+                   semantic_dedup_keep(ds, 0.999, block_rows=8).take_all())
+    approx = sorted(r["vec_id"] for r in
+                    semantic_dedup_keep(ds, 0.999, exact=False).take_all())
+    assert exact == sorted(range(40))  # the 10 planted dups drop
+    assert approx == exact  # IVF path finds the same planted dups here
