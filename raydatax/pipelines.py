@@ -403,6 +403,38 @@ def cdc_changelog_export(sf_dir: str):
     )
 
 
+def scd2_transcripts(sf_dir: str):
+    """Type-2 SCD history straight off the engine's changelog output
+    (relational.scd2_history over read-back multi-version rows): every
+    non-delete change event becomes a validity interval
+    [valid_from_seq, valid_to_seq) per (conv_id, turn_idx); deletes close
+    the chain.  One hash-partitioned ordered scan; SQL is the identical
+    lead() window."""
+    import shutil
+
+    from .driver import changelog_table, run_job
+    from .gen import write_wal
+    from .relational import scd2_history
+
+    wal_table = _derived_cdc_wal_table(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = f"/tmp/raydatax_scd2_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    write_wal(wal_table, os.path.join(root, "wal"), seg_rows=20_000)
+    run_job(os.path.join(root, "wal"), os.path.join(root, "lake"),
+            partitions=8, output="changelog")
+    log = changelog_table(os.path.join(root, "lake")).select(
+        ["conv_id", "turn_idx", "op", "role", "text", "seq"]
+    )
+    hist = scd2_history(
+        rd.from_arrow(log), ["conv_id", "turn_idx"], "seq", op_col="op"
+    )
+    return hist.select_columns(
+        ["conv_id", "turn_idx", "role", "text",
+         "valid_from_seq", "valid_to_seq", "is_current"]
+    )
+
+
 def transcript_window_replay(sf_dir: str):
     """Time-bounded replay, hash-verified: the same derived CDC stream as
     the flagship but with a seq-monotone event time (ts = BASE + seq
@@ -2692,6 +2724,7 @@ QUERIES = {
     "events_leakage_split": events_leakage_split,
     "ngram_containment_docs": ngram_containment_docs,
     "semantic_dedup_vecs": semantic_dedup_vecs,
+    "scd2_transcripts": scd2_transcripts,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2884,6 +2917,28 @@ ORACLE_SQL = {
                     ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_str,
                seq
         FROM src
+    """,
+    "scd2_transcripts": """
+        WITH src AS (
+          SELECT event_id AS seq,
+                 CASE WHEN event_id % 10 < 6 THEN 'I'
+                      WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+                 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                 CAST(event_id % 37 AS INTEGER) AS turn_idx,
+                 CASE WHEN (event_id % 37) % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 event_type || ' v' || CAST(event_id AS VARCHAR) AS text
+          FROM events),
+        led AS (
+          SELECT *, lead(seq) OVER (PARTITION BY conv_id, turn_idx
+                                    ORDER BY seq) AS valid_to_seq
+          FROM src)
+        SELECT conv_id, turn_idx,
+               CASE WHEN op = 'D' THEN NULL ELSE role END AS role,
+               CASE WHEN op = 'D' THEN NULL ELSE text END AS text,
+               seq AS valid_from_seq, valid_to_seq,
+               valid_to_seq IS NULL AS is_current
+        FROM led WHERE op <> 'D'
     """,
     "transcript_window_replay": """
         WITH src AS (

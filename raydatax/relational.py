@@ -2316,3 +2316,54 @@ def train_val_split(
         return t.append_column(out_col, pa.array(split, pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def scd2_history(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str | None = None,
+    delete_value: str = "D",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Type-2 slowly-changing-dimension history from a CDC change log:
+    each key's change events (ordered by ``seq_col``, which must be unique
+    per key — the WAL sequence number is) become validity intervals —
+    ``valid_from_seq`` = the event's seq, ``valid_to_seq`` = the NEXT
+    change's seq (NULL while current), ``is_current`` = no later change.
+    Delete events close the last interval and open none (standard SCD2
+    tombstone handling) — they participate in the lead pass, then drop.
+
+    One hash-partitioned ordered scan (:func:`window_scan` lead) over a
+    composite key — the same single-sort shape as the other window
+    operators; nothing is materialized on the driver."""
+    sep = "\x1f"
+
+    def mk_key(t: pa.Table) -> pa.Table:
+        parts = []
+        for k in key_cols:
+            c = t[k]
+            if not pa.types.is_string(c.type):
+                c = pc.cast(c, pa.string())
+            parts.append(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+        combo = parts[0]
+        for p in parts[1:]:
+            combo = pc.binary_join_element_wise(combo, p, sep)
+        return t.append_column("__scd_k", combo)
+
+    keyed = ds.map_batches(mk_key, batch_format="pyarrow")
+    led = window_scan(
+        keyed, "__scd_k", seq_col,
+        lead_cols=[seq_col], num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if op_col is not None:
+            t = t.filter(pc.not_equal(t[op_col], delete_value))
+        nxt = t[f"next_{seq_col}"]
+        out = t.drop_columns(["__scd_k", "rn", f"next_{seq_col}"])
+        out = out.append_column("valid_from_seq", pc.cast(t[seq_col], pa.int64()))
+        out = out.append_column("valid_to_seq", pc.cast(nxt, pa.int64()))
+        return out.append_column("is_current", pc.is_null(nxt))
+
+    return led.map_batches(finish, batch_format="pyarrow")

@@ -786,3 +786,49 @@ def test_prefix_concat_examples_budget_and_edges(ray_session):
     }
     assert out3[("a", 3)]["context"] == "" and out3[("a", 3)]["n_context"] == 0
     assert out3[("b", 1)]["context"] == "xx"  # "xx" alone costs 2 <= 3
+
+
+# --------------------------------------------------------- SCD2 history
+
+
+def test_scd2_intervals_and_delete_close(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.relational import scd2_history
+
+    log = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+        "sub": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "op": pa.array(["I", "U", "D", "I", "U"], pa.string()),
+        "val": pa.array(["v1", "v2", None, "w1", "w2"], pa.string()),
+        "seq": pa.array([10, 20, 30, 5, 40], pa.int64()),
+    })
+    rows = sorted(
+        scd2_history(rd.from_arrow(log), ["k", "sub"], "seq", op_col="op").take_all(),
+        key=lambda r: (r["k"], r["seq"]),
+    )
+    # key a: I@10 -> [10,20), U@20 -> [20,30) closed by the delete, none current
+    assert [(r["valid_from_seq"], r["valid_to_seq"], r["is_current"]) for r in rows
+            if r["k"] == "a"] == [(10, 20, False), (20, 30, False)]
+    # key b: U@40 is the open current version
+    assert [(r["valid_from_seq"], r["valid_to_seq"], r["is_current"]) for r in rows
+            if r["k"] == "b"] == [(5, 40, False), (40, None, True)]
+    # helper columns dropped, payload kept
+    assert "val" in rows[0] and "__scd_k" not in rows[0] and "rn" not in rows[0]
+
+
+def test_scd2_composite_key_no_cross_talk(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.relational import scd2_history
+
+    # ("x", "1y") vs ("x1", "y"): naive concatenation would collide
+    log = pa.table({
+        "k1": pa.array(["x", "x1"], pa.string()),
+        "k2": pa.array(["1y", "y"], pa.string()),
+        "seq": pa.array([1, 2], pa.int64()),
+    })
+    rows = scd2_history(rd.from_arrow(log), ["k1", "k2"], "seq").take_all()
+    assert all(r["is_current"] for r in rows)  # distinct keys, both open
