@@ -435,6 +435,39 @@ def scd2_transcripts(sf_dir: str):
     )
 
 
+def snapshot_cdc_orders(sf_dir: str):
+    """Binlog-free CDC (relational.snapshot_cdc): two deterministic
+    snapshots of `orders` — old drops key%11==0 (→ I), perturbs
+    o_totalprice for key%7==0 (→ U), new drops key%13==0 (→ D) — are
+    full-outer hash-joined and classified into I/U/D change events with
+    null-safe payload comparison.  SQL twin is the identical FULL OUTER
+    JOIN."""
+    from .relational import snapshot_cdc
+
+    base = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def mk_old(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(k % 11 != 0))
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        bump = pc.if_else(pa.array(k % 7 == 0),
+                          pc.add(t["o_totalprice"], 1.0), t["o_totalprice"])
+        return t.set_column(t.schema.get_field_index("o_totalprice"),
+                            "o_totalprice", bump)
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 13 != 0))
+
+    old = base.map_batches(mk_old, batch_format="pyarrow")
+    new = base.map_batches(mk_new, batch_format="pyarrow")
+    return snapshot_cdc(new, old, ["o_orderkey"],
+                        ["o_orderstatus", "o_totalprice"])
+
+
 def transcript_window_replay(sf_dir: str):
     """Time-bounded replay, hash-verified: the same derived CDC stream as
     the flagship but with a seq-monotone event time (ts = BASE + seq
@@ -2725,6 +2758,7 @@ QUERIES = {
     "ngram_containment_docs": ngram_containment_docs,
     "semantic_dedup_vecs": semantic_dedup_vecs,
     "scd2_transcripts": scd2_transcripts,
+    "snapshot_cdc_orders": snapshot_cdc_orders,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2917,6 +2951,30 @@ ORACLE_SQL = {
                     ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_str,
                seq
         FROM src
+    """,
+    "snapshot_cdc_orders": """
+        WITH old AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 11 <> 0),
+        new AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 13 <> 0),
+        j AS (
+          SELECT coalesce(n.o_orderkey, o.o_orderkey) AS k,
+                 n.o_orderkey AS nk, o.o_orderkey AS ok,
+                 n.o_orderstatus AS ns, n.o_totalprice AS nt,
+                 o.o_orderstatus AS os, o.o_totalprice AS ot
+          FROM new n FULL OUTER JOIN old o ON n.o_orderkey = o.o_orderkey)
+        SELECT k AS o_orderkey,
+               CASE WHEN nk IS NULL THEN NULL ELSE ns END AS o_orderstatus,
+               CASE WHEN nk IS NULL THEN NULL ELSE nt END AS o_totalprice,
+               CASE WHEN ok IS NULL THEN 'I'
+                    WHEN nk IS NULL THEN 'D' ELSE 'U' END AS op
+        FROM j
+        WHERE ok IS NULL OR nk IS NULL
+           OR (ns IS DISTINCT FROM os OR nt IS DISTINCT FROM ot)
     """,
     "scd2_transcripts": """
         WITH src AS (

@@ -200,3 +200,58 @@ def test_grouped_concat_matches_duckdb(seed):
         """).fetchall()
     )
     assert got == exp
+
+
+# ------------------------------------------------- snapshot-derived CDC
+
+
+def test_snapshot_cdc_classification(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.relational import snapshot_cdc
+
+    old = pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array(["a", "b", None, "d"], pa.string()),
+        "n": pa.array([10, 20, 30, 40], pa.int64()),
+    })
+    new = pa.table({
+        "k": pa.array([2, 3, 4, 5], pa.int64()),
+        "v": pa.array(["B", None, "d", "e"], pa.string()),
+        "n": pa.array([20, 30, 41, 50], pa.int64()),
+    })
+    rows = {r["k"]: r for r in snapshot_cdc(
+        rd.from_arrow(new), rd.from_arrow(old), ["k"], ["v", "n"]
+    ).take_all()}
+    assert rows[1]["op"] == "D" and rows[1]["v"] is None and rows[1]["n"] is None
+    assert rows[2]["op"] == "U" and rows[2]["v"] == "B"  # value changed
+    assert 3 not in rows  # null == null is NOT a change (null-safe compare)
+    assert rows[4]["op"] == "U" and rows[4]["n"] == 41
+    assert rows[5]["op"] == "I" and rows[5]["v"] == "e"
+
+
+def test_snapshot_cdc_roundtrip_reconstructs_new(ray_session):
+    """old snapshot + derived events replayed LWW == new snapshot."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.relational import snapshot_cdc
+
+    rng = np.random.default_rng(11)
+    old_k = np.arange(200)
+    new_k = np.array([k for k in range(250) if k % 9 != 0])
+    old = pa.table({"k": pa.array(old_k, pa.int64()),
+                    "v": pa.array((old_k * 3 % 17).astype("int64"))})
+    new = pa.table({"k": pa.array(new_k, pa.int64()),
+                    "v": pa.array((new_k * 5 % 17).astype("int64"))})
+    ev = snapshot_cdc(rd.from_arrow(new), rd.from_arrow(old), ["k"], ["v"]).take_all()
+    state = {int(k): int(v) for k, v in zip(old["k"].to_pylist(), old["v"].to_pylist())}
+    for e in ev:
+        if e["op"] == "D":
+            state.pop(e["k"], None)
+        else:
+            state[e["k"]] = e["v"]
+    want = {int(k): int(v) for k, v in zip(new["k"].to_pylist(), new["v"].to_pylist())}
+    assert state == want
