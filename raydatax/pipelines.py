@@ -1810,6 +1810,20 @@ def events_leakage_split(sf_dir: str):
     )
 
 
+def events_exact_sample(sf_dir: str):
+    """Exactly-N-per-group sampling (relational.grouped_exact_sample):
+    precisely 150 events per event_type, chosen by mix64(event_id) rank —
+    exact quotas (unlike rate sampling), deterministic and unbiased in
+    input order; SQL reproduces the pick with row_number() over the
+    bit-exact mix64 replica."""
+    from .relational import grouped_exact_sample
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    return grouped_exact_sample(ds, "event_type", "event_id", n=150)
+
+
 def event_value_ranks(sf_dir: str):
     """SQL rank()/dense_rank() tie semantics — every event ranked by value
     within its event type, in the same single hash-partitioned sorted scan
@@ -2759,6 +2773,7 @@ QUERIES = {
     "semantic_dedup_vecs": semantic_dedup_vecs,
     "scd2_transcripts": scd2_transcripts,
     "snapshot_cdc_orders": snapshot_cdc_orders,
+    "events_exact_sample": events_exact_sample,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -3262,6 +3277,29 @@ ORACLE_SQL = {
         SELECT e.event_id, e.user_id, e.event_type
         FROM events e JOIN r USING (event_type)
         WHERE ((e.event_id % 1000003) * 2654435761) % 1000 < r.rate
+    """,
+    "events_exact_sample": """
+        WITH u0 AS (SELECT event_id, user_id, event_type, CAST(event_id AS HUGEINT) AS u FROM events),
+        x1 AS (SELECT * EXCLUDE (u), CAST(xor(CAST(u AS BIGINT), CAST(u // 8589934592 AS BIGINT)) AS HUGEINT) AS x FROM u0),
+        x1u AS (SELECT * EXCLUDE (x), CASE WHEN x < 0 THEN x + 18446744073709551616 ELSE x END AS x FROM x1),
+        m AS (SELECT * EXCLUDE (x), ((x % 4294967296) * 3981806797
+                    + (((x % 4294967296) * 4283543511
+                        + (x // 4294967296) * 3981806797) % 4294967296)
+                      * 4294967296) % 18446744073709551616 AS v FROM x1u),
+        ms AS (SELECT * EXCLUDE (v), CASE WHEN v >= 9223372036854775808
+                              THEN v - 18446744073709551616 ELSE v END AS s,
+                      v // 8589934592 AS hi FROM m),
+        h2 AS (SELECT * EXCLUDE (s, hi), CAST(xor(CAST(s AS BIGINT),
+                               CAST(CASE WHEN hi >= 9223372036854775808
+                                         THEN hi - 18446744073709551616
+                                         ELSE hi END AS BIGINT)) AS HUGEINT) AS x
+               FROM ms),
+        hu AS (SELECT * EXCLUDE (x),
+                      CASE WHEN x < 0 THEN x + 18446744073709551616 ELSE x END AS h FROM h2),
+        ranked AS (SELECT event_id, user_id, event_type,
+                          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                   FROM hu)
+        SELECT event_id, user_id, event_type FROM ranked WHERE rn <= 150
     """,
     "events_leakage_split": """
         WITH u0 AS (SELECT event_id, event_type, CAST(user_id AS HUGEINT) AS u FROM events),

@@ -2433,3 +2433,44 @@ def snapshot_cdc(
         return pa.table(cols).filter(keep)
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def grouped_exact_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    key: str,
+    n: int,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Exactly-N-per-group deterministic sample ("10k examples per
+    source"): rows are ranked inside each group by ``mix64(key)`` (a
+    pseudo-random but engine-independent order; ``key`` breaks the
+    astronomically-unlikely hash tie) and the first ``n`` survive.  Unlike
+    rate-based sampling (:func:`stratified_sample`) the group quota is
+    EXACT, and unlike ``LIMIT``-style heads the kept rows are unbiased in
+    any meaningful input order.  One hash-partitioned sorted scan
+    (:func:`window_scan`); reproducible in SQL as ``row_number() OVER
+    (PARTITION BY group ORDER BY h, key) <= n`` over the mix64 replica.
+
+    Hashes order as uint64; the sort column ships them as
+    sign-flipped int64 (order-preserving), matching the SQL HUGEINT
+    order exactly."""
+    if n < 1:
+        raise ValueError(f"grouped_exact_sample: n must be >= 1, got {n}")
+    from .partition import hash_ints
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        h = hash_ints(k)
+        signed = (h ^ np.uint64(1 << 63)).view(np.int64)  # uint64 order kept
+        return t.append_column("__gs_h", pa.array(signed))
+
+    ranked = window_scan(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        group_col, "__gs_h", num_partitions=num_partitions,
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["rn"], n)).drop_columns(["__gs_h", "rn"])
+
+    return ranked.map_batches(keep, batch_format="pyarrow")

@@ -128,3 +128,36 @@ def test_train_val_split_guard(ray_session):
 
     with pytest.raises(ValueError):
         train_val_split(_ds(5), "k", val_permille=1001)
+
+
+# ----------------------------------------- exact-N grouped sampling
+
+
+def test_grouped_exact_sample_quota_and_pick(ray_session):
+    from raydatax.relational import grouped_exact_sample
+
+    n = 400
+    t = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "g": pa.array(["a" if i % 4 else "b" for i in range(n)], pa.string()),
+    })
+    out = grouped_exact_sample(rd.from_arrow(t), "g", "k", n=30).take_all()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["k"])
+    assert sorted(len(v) for v in by_g.values()) == [30, 30]
+    # the picked rows are the 30 smallest hashes per group
+    h = hash_ints(np.arange(n, dtype=np.int64))
+    for g, ks in by_g.items():
+        members = [k for k in range(n) if ("a" if k % 4 else "b") == g]
+        want = sorted(members, key=lambda k: h[k])[:30]
+        assert sorted(ks) == sorted(want)
+
+
+def test_grouped_exact_sample_small_group_kept_whole(ray_session):
+    from raydatax.relational import grouped_exact_sample
+
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "g": pa.array(["x", "x", "y"], pa.string())})
+    out = grouped_exact_sample(rd.from_arrow(t), "g", "k", n=10).take_all()
+    assert len(out) == 3  # quota above group size keeps everything
