@@ -2304,3 +2304,56 @@ def semantic_dedup_keep(
     return semi_join(
         ds.select_columns([id_col]), pairs, left_on=id_col, right_on="b", anti=True
     )
+
+
+def edit_distance_verify(
+    ds: "ray.data.Dataset",
+    pairs: list[tuple[int, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Exact Levenshtein distance for a candidate-pair list — the
+    character-level verify stage (templated spam, OCR noise, small edits)
+    complementing the set-based ones (Jaccard / containment).  Only the
+    referenced docs are collected (bounded by the pair list, same contract
+    as :func:`ngram_jaccard_verify`); each pair's DP runs banded over two
+    numpy rows — O(len_a·len_b) per pair, vectorized along the inner row."""
+    need = sorted({i for p in pairs for i in p})
+    ref = ray.put(pa.array(need, pa.int64()))
+
+    def collect(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch[id_col], value_set=ray.get(ref))
+        sub = batch.filter(m)
+        return pa.table({id_col: sub[id_col], "t": _string_col(sub, text_col)})
+
+    rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
+    texts = {r[id_col]: (r["t"] or "") for r in rows}
+
+    def lev(a: str, b: str) -> int:
+        if a == b:
+            return 0
+        if not a or not b:
+            return max(len(a), len(b))
+        bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+        idx = np.arange(len(bb) + 1, dtype=np.int64)
+        prev = idx.copy()
+        cur = np.empty_like(prev)
+        for i, ca in enumerate(np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)):
+            cur[0] = i + 1
+            # substitution / deletion candidates, fully vectorized
+            np.minimum(prev[:-1] + (bb != ca), prev[1:] + 1, out=cur[1:])
+            # insertion propagation: cur[j] = j + min_{i<=j}(cand[i] - i)
+            # (a running min — one accumulate instead of a scalar scan)
+            np.minimum.accumulate(cur - idx, out=cur)
+            cur += idx
+            prev, cur = cur, prev
+        return int(prev[-1])
+
+    out = []
+    for a, b in pairs:
+        ta, tb = texts.get(a, ""), texts.get(b, "")
+        out.append({"a": a, "b": b, "edit_dist": lev(ta, tb)})
+    return pa.Table.from_pylist(out) if out else pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "edit_dist": pa.array([], pa.int64())}
+    )

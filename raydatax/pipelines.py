@@ -1338,6 +1338,22 @@ def ngram_containment_docs(sf_dir: str):
     return ngram_containment_verify(ds, pairs, k=5)
 
 
+def edit_distance_docs(sf_dir: str):
+    """Character-level verify stage (dedup.edit_distance_verify): exact
+    Levenshtein distance over the same deterministic candidate-pair list
+    as ngram_jaccard — the small-edit near-dup metric (templates, OCR
+    noise) the set-based measures blur.  Banded two-row numpy DP per
+    pair; collection bounded by the pair list."""
+    import pyarrow.parquet as pq
+
+    from .dedup import edit_distance_verify
+
+    ids = set(pq.read_table(_p(sf_dir, "documents"), columns=["doc_id"])["doc_id"].to_pylist())
+    pairs = [(i, i + 1) for i in sorted(ids) if i % 25 == 0 and i + 1 in ids]
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return edit_distance_verify(ds, pairs)
+
+
 def dedup_minhash_verified(sf_dir: str):
     """The full MinHash LSH path under the exact-SQL gate: LSH candidate
     pairs (shingle → minhash → banded buckets) exact-verified with char-5-gram
@@ -2774,6 +2790,7 @@ QUERIES = {
     "scd2_transcripts": scd2_transcripts,
     "snapshot_cdc_orders": snapshot_cdc_orders,
     "events_exact_sample": events_exact_sample,
+    "edit_distance_docs": edit_distance_docs,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -3551,6 +3568,18 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = p.a
         JOIN sizes sb ON sb.doc_id = p.b
         LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+    """,
+    "edit_distance_docs": """
+        WITH pairs AS (
+          SELECT d.doc_id AS a, d.doc_id + 1 AS b
+          FROM documents d
+          WHERE d.doc_id % 25 = 0
+            AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1))
+        SELECT p.a, p.b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.a
+        JOIN documents db ON db.doc_id = p.b
     """,
     "ngram_jaccard": """
         WITH pairs AS (

@@ -72,3 +72,31 @@ def test_ngram_containment_empty_and_missing(ray_session):
     ds = _docs(["abcdefgh"], ids=[1])
     rows = ngram_containment_verify(ds, [(1, 99)], k=5).to_pylist()
     assert rows == [{"a": 1, "b": 99, "contain_a": 0.0, "contain_b": 0.0}]
+
+
+# --------------------------------------------- edit-distance verify
+
+
+def test_edit_distance_matches_duckdb(ray_session):
+    import duckdb
+
+    from raydatax.dedup import edit_distance_verify
+
+    texts = ["kitten", "sitting", "", "abc", "acb", "abc"]
+    ds = _docs(texts, ids=list(range(6)))
+    pairs = [(0, 1), (2, 3), (4, 5), (3, 5)]
+    got = {(r["a"], r["b"]): r["edit_dist"]
+           for r in edit_distance_verify(ds, pairs).to_pylist()}
+    for (a, b), d in got.items():
+        want = duckdb.sql(
+            f"SELECT levenshtein('{texts[a]}', '{texts[b]}')").fetchone()[0]
+        assert d == want, (a, b, d, want)
+    assert got[(0, 1)] == 3 and got[(3, 5)] == 0
+
+
+def test_edit_distance_missing_doc_counts_as_empty(ray_session):
+    from raydatax.dedup import edit_distance_verify
+
+    ds = _docs(["abcd"], ids=[1])
+    rows = edit_distance_verify(ds, [(1, 404)]).to_pylist()
+    assert rows == [{"a": 1, "b": 404, "edit_dist": 4}]
