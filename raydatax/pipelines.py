@@ -2277,6 +2277,20 @@ def value_percentiles(sf_dir: str):
     return out.map_batches(lambda t: _round(t, {"p50": 6, "p95": 6}), batch_format="pyarrow")
 
 
+def events_value_outliers(sf_dir: str):
+    """Tukey-fence data cleaning (relational.iqr_outliers): events whose
+    value falls outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of their event type.
+    Quartiles snap to micro precision before the fence arithmetic, so SQL
+    computing the same rounded quantile_cont and fences keeps the row set
+    exactly equal."""
+    from .relational import iqr_outliers
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    return iqr_outliers(ds, "event_type", "value")
+
+
 def dedup_embedding_exact(sf_dir: str):
     """Exact cosine-threshold self-join (blocked block-pair tasks — see
     dedup.embedding_allpairs_exact), SQL-oracled against DuckDB's
@@ -2791,6 +2805,7 @@ QUERIES = {
     "snapshot_cdc_orders": snapshot_cdc_orders,
     "events_exact_sample": events_exact_sample,
     "edit_distance_docs": edit_distance_docs,
+    "events_value_outliers": events_value_outliers,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -4141,6 +4156,18 @@ ORACLE_SQL = {
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+    "events_value_outliers": """
+        WITH q AS (
+          SELECT event_type,
+                 floor(quantile_cont(value, 0.25) * 1000000 + 0.5) / 1000000 AS q1,
+                 floor(quantile_cont(value, 0.75) * 1000000 + 0.5) / 1000000 AS q3
+          FROM events GROUP BY event_type),
+        f AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+                     q3 + 1.5 * (q3 - q1) AS hi FROM q)
+        SELECT e.event_id, e.event_type, e.value
+        FROM events e JOIN f USING (event_type)
+        WHERE e.value < f.lo OR e.value > f.hi
     """,
     "value_percentiles": """
         SELECT event_type,

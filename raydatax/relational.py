@@ -2474,3 +2474,51 @@ def grouped_exact_sample(
         return t.filter(pc.less_equal(t["rn"], n)).drop_columns(["__gs_h", "rn"])
 
     return ranked.map_batches(keep, batch_format="pyarrow")
+
+
+def iqr_outliers(
+    ds: "ray.data.Dataset",
+    key: str,
+    value_col: str,
+    factor: float = 1.5,
+) -> "ray.data.Dataset":
+    """Tukey-fence outlier detection per group — the numeric data-cleaning
+    rule (drop rows outside [q1 − f·IQR, q3 + f·IQR]) as one engine
+    operator: quartiles from the size-adaptive percentile plan (tiny
+    result, one row per group — pulled to the driver by the same contract
+    as :func:`grouped_percentiles`), fences broadcast, the scan
+    batch-local.  Quartiles snap to micro precision before the fence
+    arithmetic so the decision expression is bit-identical to SQL
+    computing ``floor(quantile_cont·1e6 + 0.5)/1e6`` and the same fences.
+    Returns the OUTLIER rows (the complement is the cleaned corpus)."""
+    import math
+
+    pct = grouped_percentiles(
+        ds, key, value_col, [("__q1", 0.25), ("__q3", 0.75)]
+    )
+    rows = pct.take_all()
+    keys, los, his = [], [], []
+    for r in rows:
+        if r["__q1"] is None or r["__q3"] is None:
+            continue
+        q1 = math.floor(r["__q1"] * 1000000 + 0.5) / 1000000
+        q3 = math.floor(r["__q3"] * 1000000 + 0.5) / 1000000
+        iqr = q3 - q1
+        keys.append(r[key])
+        los.append(q1 - factor * iqr)
+        his.append(q3 + factor * iqr)
+    key_arr = pa.array(keys)
+    lo_np, hi_np = np.array(los, np.float64), np.array(his, np.float64)
+
+    def flag(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t[key], value_set=key_arr)
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        pos = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        vn = np.nan_to_num(v, nan=0.0)
+        out = valid & ~np.isnan(v) & (
+            (vn < lo_np[pos]) | (vn > hi_np[pos])
+        ) if len(lo_np) else np.zeros(t.num_rows, dtype=bool)
+        return t.filter(pa.array(out))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

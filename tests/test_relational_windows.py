@@ -832,3 +832,37 @@ def test_scd2_composite_key_no_cross_talk(ray_session):
     })
     rows = scd2_history(rd.from_arrow(log), ["k1", "k2"], "seq").take_all()
     assert all(r["is_current"] for r in rows)  # distinct keys, both open
+
+
+# ------------------------------------------------------ IQR outliers
+
+
+def test_iqr_outliers_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.relational import iqr_outliers
+
+    vals = [10.0] * 20 + [11.0] * 20 + [12.0] * 20 + [100.0, -50.0]
+    t = pa.table({
+        "id": pa.array(range(len(vals)), pa.int64()),
+        "g": pa.array(["a"] * len(vals), pa.string()),
+        "v": pa.array(vals, pa.float64()),
+    })
+    out = iqr_outliers(rd.from_arrow(t), "g", "v").take_all()
+    assert sorted(r["v"] for r in out) == [-50.0, 100.0]
+
+
+def test_iqr_outliers_null_values_never_flagged(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.relational import iqr_outliers
+
+    t = pa.table({
+        "id": pa.array(range(8), pa.int64()),
+        "g": pa.array(["a"] * 8, pa.string()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, None, 999.0], pa.float64()),
+    })
+    out = iqr_outliers(rd.from_arrow(t), "g", "v").take_all()
+    assert [r["v"] for r in out] == [999.0]
