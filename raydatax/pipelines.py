@@ -2688,6 +2688,8 @@ QUERIES = {
     "transcript_cdc_replay": transcript_cdc_replay,
     "cdc_lww_upsert": cdc_lww_upsert,
     "cdc_changelog_export": cdc_changelog_export,
+    "snapshot_cdc_orders": snapshot_cdc_orders,
+    "scd2_transcripts": scd2_transcripts,
     "conversation_summary_view": conversation_summary_view,
     "sft_context_assembly": sft_context_assembly,
     "job_json_roundtrip": job_json_roundtrip,
@@ -2702,24 +2704,18 @@ QUERIES = {
     "cast_roundtrip": cast_roundtrip,
     "revenue_by_segment": revenue_by_segment,
     "semi_join_fulfilled": semi_join_fulfilled,
-    "customers_without_orders": customers_without_orders,
     "user_sessions": user_sessions,
     "asof_latest_purchase": asof_latest_purchase,
-    "purchase_attribution": purchase_attribution,
     "revenue_rollup_region": revenue_rollup_region,
     "events_value_pivot": events_value_pivot,
     "value_percentiles": value_percentiles,
     "approx_users_hll_verified": approx_users_hll_verified,
     "top_terms_heavy_hitters": top_terms_heavy_hitters,
-    "view_purchase_day_intersect": view_purchase_day_intersect,
-    "events_sample": events_sample,
     "events_profile": events_profile,
     "lang_id": lang_id,
-    "token_stats": token_stats,
     "decontaminate_3gram": decontaminate_3gram,
     "sequence_packing": sequence_packing,
     "tfidf_terms": tfidf_terms,
-    "dedup_exact_prefix": dedup_exact_prefix,
     "dedup_span_exact": dedup_span_exact,
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash_verified": dedup_simhash_verified,
@@ -2735,7 +2731,17 @@ QUERIES = {
     "bpe_learn": bpe_learn,
     "zorder_box_scan": zorder_box_scan,
     "bloom_skip_scan": bloom_skip_scan,
-    # --- past the gate window (locally gate-checked) -------------------
+    "docs_lm_perplexity": docs_lm_perplexity,
+    "events_shuffle_export": events_shuffle_export,
+    "inverted_index_terms": inverted_index_terms,
+    "semantic_dedup_vecs": semantic_dedup_vecs,
+    # --- beyond the gate window: locally gate-checked (tools/check_oracle.py)
+    "customers_without_orders": customers_without_orders,
+    "events_sample": events_sample,
+    "token_stats": token_stats,
+    "view_purchase_day_intersect": view_purchase_day_intersect,
+    "dedup_exact_prefix": dedup_exact_prefix,
+    "purchase_attribution": purchase_attribution,
     "q1_pricing_summary": q1_pricing_summary,
     "url_extract": url_extract,
     "event_value_ranks": event_value_ranks,
@@ -2793,16 +2799,10 @@ QUERIES = {
     "graph_components": graph_components,
     "graph_triangles": graph_triangles,
     "lake_replication": lake_replication,
-    "docs_lm_perplexity": docs_lm_perplexity,
-    "inverted_index_terms": inverted_index_terms,
     "index_and_search": index_and_search,
     "events_mixture_sample": events_mixture_sample,
-    "events_shuffle_export": events_shuffle_export,
     "events_leakage_split": events_leakage_split,
     "ngram_containment_docs": ngram_containment_docs,
-    "semantic_dedup_vecs": semantic_dedup_vecs,
-    "scd2_transcripts": scd2_transcripts,
-    "snapshot_cdc_orders": snapshot_cdc_orders,
     "events_exact_sample": events_exact_sample,
     "edit_distance_docs": edit_distance_docs,
     "events_value_outliers": events_value_outliers,
