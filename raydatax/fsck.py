@@ -188,3 +188,69 @@ def lake_fsck(lake_dir: str, deep: bool = False) -> dict:
         "files_checked": files_checked,
         "stray_staging_files": strays,
     }
+
+
+def lake_digest(lake_dir: str, groups: int = 8, at_epoch: int | None = None):
+    """Order-free content digest of the committed table state — the
+    replica-verification primitive: two lakes hold identical state iff
+    their digests match, and NO row ever crosses the wire to find out
+    (contrast replicate.py's file copy and the O(rows) state-equality
+    test).  Per logical group (``mix64(poly(conv_id)) % groups`` — stable
+    across physical partition layouts, salted hot-key splits included):
+    row count + the mod-2^64 SUM of every row's content hash
+    ``mix64(poly(conv_id ␟ turn_idx ␟ text))``.  Addition is commutative,
+    so the digest is independent of row order, block boundaries and
+    engine — SQL reproduces it exactly (poly/mix64 HUGEINT replicas).
+
+    The uint64 sum ships as two int64 half-sums (hi/lo 32 bits) through
+    the pre-aggregated groupby — overflow-safe to 2^31 rows per group —
+    and recombines mod 2^64 at the end.  Returns a Dataset of
+    ``(pid, n_rows, digest)`` with the digest as a decimal string."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .driver import read_lake
+    from .partition import hash_string_column
+    from .relational import preagg_groupby
+
+    ds = read_lake(lake_dir, at_epoch=at_epoch,
+                   columns=["conv_id", "turn_idx", "text"])
+    sep = "\x1f"
+
+    def partial(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].combine_chunks()
+        row_str = pc.binary_join_element_wise(
+            conv,
+            pc.cast(t["turn_idx"], pa.string()),
+            pc.fill_null(t["text"], ""),
+            sep,
+        )
+        h = hash_string_column(row_str)
+        pid = (hash_string_column(conv) % np.uint64(groups)).astype(np.int64)
+        hi = (h >> np.uint64(32)).astype(np.int64)
+        lo = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        n = np.bincount(pid, minlength=groups)
+        keep = n > 0
+        return pa.table({
+            "pid": pa.array(np.arange(groups, dtype=np.int64)[keep]),
+            "__hi": pa.array(np.bincount(pid, weights=hi.astype(np.float64),
+                                         minlength=groups)[keep].astype(np.int64)),
+            "__lo": pa.array(np.bincount(pid, weights=lo.astype(np.float64),
+                                         minlength=groups)[keep].astype(np.int64)),
+            "__n": pa.array(n[keep].astype(np.int64)),
+        })
+
+    merged = preagg_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["pid"],
+        [("__hi", "sum", "sh"), ("__lo", "sum", "sl"), ("__n", "sum", "n_rows")],
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        sh = t["sh"].to_numpy(zero_copy_only=False)
+        sl = t["sl"].to_numpy(zero_copy_only=False)
+        dig = [str(((int(a) << 32) + int(b)) % (1 << 64)) for a, b in zip(sh, sl)]
+        return pa.table({"pid": t["pid"], "n_rows": t["n_rows"],
+                         "digest": pa.array(dig, pa.string())})
+
+    return merged.map_batches(fmt, batch_format="pyarrow")

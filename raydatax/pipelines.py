@@ -468,6 +468,27 @@ def snapshot_cdc_orders(sf_dir: str):
                         ["o_orderstatus", "o_totalprice"])
 
 
+def lake_state_digest(sf_dir: str):
+    """Order-free content digest of the flagship lake (fsck.lake_digest):
+    per logical conv-hash group, row count + mod-2^64 sum of each row's
+    buffer-level content hash — replica verification without moving a
+    row.  The SQL twin replays the same state and reproduces the
+    poly/mix64 hashes in HUGEINT arithmetic."""
+    import shutil
+
+    from .driver import run_job
+    from .fsck import lake_digest
+    from .gen import write_wal
+
+    wal_table = _derived_cdc_wal_table(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = f"/tmp/raydatax_digest_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    write_wal(wal_table, os.path.join(root, "wal"), seg_rows=20_000)
+    run_job(os.path.join(root, "wal"), os.path.join(root, "lake"), partitions=8)
+    return lake_digest(os.path.join(root, "lake"), groups=8)
+
+
 def transcript_window_replay(sf_dir: str):
     """Time-bounded replay, hash-verified: the same derived CDC stream as
     the flagship but with a seq-monotone event time (ts = BASE + seq
@@ -2806,6 +2827,7 @@ QUERIES = {
     "events_exact_sample": events_exact_sample,
     "edit_distance_docs": edit_distance_docs,
     "events_value_outliers": events_value_outliers,
+    "lake_state_digest": lake_state_digest,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2931,6 +2953,78 @@ ORACLE_SQL = {
           FROM tagged)
         SELECT user_id, event_type, event_id AS last_event_id, value
         FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    # order-free state digest: poly/mix64 HUGEINT replicas of the
+    # engine's buffer-level row hash, summed mod 2^64 per logical group —
+    # commutative, so partitioning/order never matter
+    "lake_state_digest": """
+        WITH RECURSIVE pw(k, v) AS (
+          SELECT 0, CAST(1 AS HUGEINT)
+          UNION ALL SELECT k+1, (v * 1099511628211) % 18446744073709551616
+          FROM pw WHERE k < 80
+        ),
+        src AS (
+          SELECT event_id AS seq,
+                 CASE WHEN event_id % 10 < 6 THEN 'I'
+                      WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+                 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                 CAST(event_id % 37 AS INTEGER) AS turn_idx,
+                 event_type || ' v' || CAST(event_id AS VARCHAR) AS text
+          FROM events),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY seq DESC) AS rn
+          FROM src),
+        state AS (SELECT conv_id, turn_idx, text
+                  FROM ranked WHERE rn = 1 AND op <> 'D'),
+        rows_s AS (SELECT conv_id,
+                          conv_id || chr(31) || CAST(turn_idx AS VARCHAR)
+                                  || chr(31) || coalesce(text, '') AS s
+                   FROM state),
+        cs AS (SELECT conv_id, s, length(s) AS L,
+                      unnest(generate_series(1, length(s))) AS p
+               FROM rows_s),
+        ph AS (SELECT any_value(conv_id) AS conv_id, s,
+                      (sum(CAST(ord(substr(s, CAST(p AS INTEGER), 1)) AS HUGEINT)
+                           * pw.v) + any_value(L)) % 18446744073709551616 AS u
+               FROM cs JOIN pw ON pw.k = cs.L - cs.p + 1
+               GROUP BY s),
+        cc AS (SELECT DISTINCT conv_id FROM state),
+        cs2 AS (SELECT conv_id, length(conv_id) AS L,
+                       unnest(generate_series(1, length(conv_id))) AS p
+                FROM cc),
+        pc2 AS (SELECT conv_id,
+                       (sum(CAST(ord(substr(conv_id, CAST(p AS INTEGER), 1)) AS HUGEINT)
+                            * pw.v) + any_value(L)) % 18446744073709551616 AS uc
+                FROM cs2 JOIN pw ON pw.k = cs2.L - cs2.p + 1
+                GROUP BY conv_id),
+        hs AS (SELECT (
+          SELECT CASE WHEN x2 < 0 THEN x2 + 18446744073709551616 ELSE x2 END
+          FROM (SELECT CAST(xor(CAST(CASE WHEN v2 >= 9223372036854775808 THEN v2 - 18446744073709551616 ELSE v2 END AS BIGINT),
+                                CAST(CASE WHEN v2 // 8589934592 >= 9223372036854775808 THEN v2 // 8589934592 - 18446744073709551616 ELSE v2 // 8589934592 END AS BIGINT)) AS HUGEINT) AS x2
+                FROM (SELECT ((x1 % 4294967296) * 3981806797
+                            + (((x1 % 4294967296) * 4283543511
+                                + (x1 // 4294967296) * 3981806797) % 4294967296)
+                              * 4294967296) % 18446744073709551616 AS v2
+                      FROM (SELECT CASE WHEN x0 < 0 THEN x0 + 18446744073709551616 ELSE x0 END AS x1
+                            FROM (SELECT CAST(xor(CAST(CASE WHEN ph.u >= 9223372036854775808 THEN ph.u - 18446744073709551616 ELSE ph.u END AS BIGINT),
+                                                  CAST(ph.u // 8589934592 AS BIGINT)) AS HUGEINT) AS x0) ) ) ) ) AS h,
+                      CAST((
+          SELECT CASE WHEN x2 < 0 THEN x2 + 18446744073709551616 ELSE x2 END
+          FROM (SELECT CAST(xor(CAST(CASE WHEN v2 >= 9223372036854775808 THEN v2 - 18446744073709551616 ELSE v2 END AS BIGINT),
+                                CAST(CASE WHEN v2 // 8589934592 >= 9223372036854775808 THEN v2 // 8589934592 - 18446744073709551616 ELSE v2 // 8589934592 END AS BIGINT)) AS HUGEINT) AS x2
+                FROM (SELECT ((x1 % 4294967296) * 3981806797
+                            + (((x1 % 4294967296) * 4283543511
+                                + (x1 // 4294967296) * 3981806797) % 4294967296)
+                              * 4294967296) % 18446744073709551616 AS v2
+                      FROM (SELECT CASE WHEN x0 < 0 THEN x0 + 18446744073709551616 ELSE x0 END AS x1
+                            FROM (SELECT CAST(xor(CAST(CASE WHEN pc2.uc >= 9223372036854775808 THEN pc2.uc - 18446744073709551616 ELSE pc2.uc END AS BIGINT),
+                                                  CAST(pc2.uc // 8589934592 AS BIGINT)) AS HUGEINT) AS x0) ) ) ) ) % 8 AS BIGINT) AS pid
+               FROM ph JOIN pc2 USING (conv_id))
+        SELECT pid, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST((sum(h // 4294967296) * 4294967296
+                     + sum(h % 4294967296)) % 18446744073709551616 AS VARCHAR) AS digest
+        FROM hs GROUP BY pid
     """,
     "transcript_cdc_replay": """
         WITH src AS (

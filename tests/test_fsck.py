@@ -102,3 +102,60 @@ def test_fsck_changelog_missing_history_is_loud(ray_session, tmp_path):
     os.remove(f)
     rep = lake_fsck(lake)
     assert any("changelog history file missing" in i for i in rep["issues"])
+
+
+# ------------------------------------------------------- lake digest
+
+
+def test_lake_digest_replica_equal_and_tamper_detected(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from raydatax.driver import run_job
+    from raydatax.fsck import lake_digest
+    from raydatax.gen import gen_wal
+    from raydatax.replicate import replicate_lake
+
+    wal, lake, dst = str(tmp_path / "wal"), str(tmp_path / "lake"), str(tmp_path / "dst")
+    gen_wal(wal, 4000)
+    run_job(wal, lake, partitions=4)
+    replicate_lake(lake, dst)
+
+    def dig(d):
+        return {r["pid"]: (r["n_rows"], r["digest"]) for r in lake_digest(d, groups=4).take_all()}
+
+    a, b = dig(lake), dig(dst)
+    assert a == b and sum(n for n, _ in a.values()) > 0
+
+    # tamper with one committed file: digest must move, row counts stay
+    import glob
+
+    f = sorted(glob.glob(lake + "/data/part-*/epoch-*.parquet"))[0]
+    t = pq.read_table(f)
+    texts = t["text"].to_pylist()
+    # flip the first non-null text
+    i = next(i for i, v in enumerate(texts) if v is not None)
+    texts[i] = (texts[i] or "") + "!"
+    t2 = t.set_column(t.schema.get_field_index("text"), "text",
+                      __import__("pyarrow").array(texts, type=t["text"].type))
+    pq.write_table(t2, f)
+    c = dig(lake)
+    assert sum(n for n, _ in c.values()) == sum(n for n, _ in a.values())
+    assert c != a  # content change detected without row transfer
+
+
+def test_lake_digest_order_free(ray_session, tmp_path):
+    """Digest is identical regardless of physical partition count."""
+    from raydatax.driver import run_job
+    from raydatax.fsck import lake_digest
+    from raydatax.gen import gen_wal
+
+    wal = str(tmp_path / "wal")
+    gen_wal(wal, 3000)
+    d4, d2 = str(tmp_path / "l4"), str(tmp_path / "l2")
+    run_job(wal, d4, partitions=4)
+    run_job(wal, d2, partitions=2)
+
+    def dig(d):
+        return {r["pid"]: (r["n_rows"], r["digest"]) for r in lake_digest(d, groups=4).take_all()}
+
+    assert dig(d4) == dig(d2)
