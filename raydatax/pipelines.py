@@ -1375,6 +1375,28 @@ def edit_distance_docs(sf_dir: str):
     return edit_distance_verify(ds, pairs)
 
 
+def docs_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-15 (text.bm25_topk) for ['query','window','merge']:
+    tf restricted to the query terms, df tiny, per-(doc,term)
+    contributions micro-snapped before the per-doc sum so scores hash
+    cross-engine; SQL computes the identical expression."""
+    from .text import bm25_topk
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return bm25_topk(ds, ["query", "window", "merge"], k=15)
+
+
+def docs_phrase_search(sf_dir: str):
+    """match_phrase through the positional index (text.phrase_search):
+    docs where 'order' is immediately followed by 'fast' — n−1 (doc,
+    pos) hash joins over only the phrase terms' postings; SQL twin is
+    the token_positions self-join."""
+    from .text import phrase_search
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return phrase_search(ds, ["order", "fast"])
+
+
 def dedup_minhash_verified(sf_dir: str):
     """The full MinHash LSH path under the exact-SQL gate: LSH candidate
     pairs (shingle → minhash → banded buckets) exact-verified with char-5-gram
@@ -2828,6 +2850,8 @@ QUERIES = {
     "edit_distance_docs": edit_distance_docs,
     "events_value_outliers": events_value_outliers,
     "lake_state_digest": lake_state_digest,
+    "docs_bm25_topk": docs_bm25_topk,
+    "docs_phrase_search": docs_phrase_search,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -3689,6 +3713,48 @@ ORACLE_SQL = {
         FROM pairs p
         JOIN documents da ON da.doc_id = p.a
         JOIN documents db ON db.doc_id = p.b
+    """,
+    "docs_bm25_topk": """
+        WITH toks AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+          WHERE term <> ''),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM dl) AS n,
+                         CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                           / (SELECT count(*) FROM dl) AS avglen),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('query', 'window', 'merge')
+               GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT tf.doc_id,
+                 CAST(floor(
+                   ln((CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                      / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                   * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                      / (CAST(tf.tf AS DOUBLE)
+                         + 1.2 * (1.0 - 0.75
+                                  + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avglen))))
+                   * 1000000.0 + 0.5) AS BIGINT) AS c
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats s),
+        scored AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+                   FROM contrib GROUP BY doc_id),
+        ranked AS (SELECT *, row_number() OVER (ORDER BY score_micro DESC,
+                                                doc_id ASC) AS rn
+                   FROM scored)
+        SELECT doc_id, score_micro FROM ranked WHERE rn <= 15
+    """,
+    "docs_phrase_search": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        tp AS (SELECT doc_id, unnest(range(1, len(ts)+1)) AS pos,
+                      unnest(ts) AS tok
+               FROM toks)
+        SELECT DISTINCT a.doc_id
+        FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.tok = 'order' AND b.tok = 'fast'
     """,
     "ngram_jaccard": """
         WITH pairs AS (

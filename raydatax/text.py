@@ -879,3 +879,136 @@ def index_and_query(index_ds, terms: list[str], id_col: str = "doc_id"):
         lambda t: t.filter(pc.equal(t["__k"], k)).select([id_col]),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------ BM25 / phrase search
+
+
+def bm25_topk(
+    ds,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    column: str = "text",
+    id_col: str = "doc_id",
+):
+    """Okapi BM25 ranking as engine operators — the relevance scoring the
+    search-reader family's backends perform server-side, here computed
+    over the corpus itself: tf from pre-aggregated (doc, term) partials
+    restricted to the query terms (the shuffle is ∝ matching docs, never
+    the corpus), df per query term (tiny, pulled to the driver), doc
+    lengths from one counting pass, idf = ln((N−df+0.5)/(df+0.5) + 1).
+
+    Cross-engine float discipline: each (doc, term) contribution —
+    a fixed IEEE expression over exact integers and the one shared
+    ``avglen`` double — snaps to int64 micros BEFORE the per-doc sum, so
+    scores are associative integer sums (the LM-perplexity discipline).
+    Returns the global top-k by (score_micro DESC, id ASC) via the
+    bounded per-block partial merge."""
+    import math
+
+    import ray
+
+    from .relational import hash_join, preagg_groupby, topk
+
+    tset = pa.array(sorted(set(terms)), pa.string())
+    pairs = ds.map_batches(
+        lambda t: tokenize_batch(t, column, id_col), batch_format="pyarrow"
+    )
+    doclen = preagg_groupby(
+        pairs, [id_col], [("term", "count", "dl")]
+    ).materialize()
+    n_docs = doclen.count()
+    if n_docs == 0:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "score_micro": pa.array([], pa.int64())}))
+    total = sum(
+        r["s"] for r in doclen.map_batches(
+            lambda t: pa.table({"s": [int(pc.sum(t["dl"]).as_py() or 0)]}),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+    avglen = float(total) / float(n_docs)  # one IEEE division, shared with SQL
+
+    qpairs = pairs.map_batches(
+        lambda t: t.filter(pc.is_in(t["term"], value_set=tset)),
+        batch_format="pyarrow",
+    )
+    tf = preagg_groupby(qpairs, [id_col, "term"], [("term", "count", "tf")])
+    df_rows = preagg_groupby(
+        tf, ["term"], [("term", "count", "df")]
+    ).take_all()  # ≤ len(terms) rows by construction
+    idf = {
+        r["term"]: math.log((n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
+        for r in df_rows
+    }
+    joined = hash_join(tf, doclen, on=id_col)
+    idf_terms = pa.array(list(idf), pa.string())
+    idf_vals = np.array([idf[t] for t in idf], np.float64)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = pc.fill_null(
+            pc.index_in(t["term"], value_set=idf_terms), 0
+        ).to_numpy(zero_copy_only=False)
+        num = tfv * (k1 + 1.0)
+        den = tfv + k1 * (1.0 - b + b * (dl / avglen))
+        micro = np.floor(idf_vals[pos] * (num / den) * 1000000.0 + 0.5)
+        return pa.table({id_col: t[id_col],
+                         "c": pa.array(micro.astype(np.int64))})
+
+    scored = joined.map_batches(contrib, batch_format="pyarrow")
+    per_doc = preagg_groupby(scored, [id_col], [("c", "sum", "score_micro")])
+    out = topk(per_doc, [("score_micro", "descending"), (id_col, "ascending")], k)
+    import ray.data as _rd
+
+    return _rd.from_arrow(out) if out is not None else _rd.from_arrow(
+        pa.table({id_col: pa.array([], pa.int64()),
+                  "score_micro": pa.array([], pa.int64())})
+    )
+
+
+def phrase_search(
+    ds,
+    phrase: list[str],
+    column: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact phrase retrieval through a positional index: documents where
+    ``phrase[i]`` occupies token position p+i for every i — the
+    match_phrase query of the search-reader family, expressed as n−1
+    distributed (doc, pos) hash joins over ONLY the phrase terms'
+    postings (work ∝ posting sizes).  Token contract =
+    :func:`explode_tokens` (space split, case preserved, empties keep
+    their slots) — identical to the SQL ``token_positions`` twin."""
+    if len(phrase) < 2:
+        raise ValueError("phrase_search: need at least 2 terms")
+    from .relational import hash_join, preagg_groupby
+
+    pos_ds = ds.map_batches(
+        lambda t: explode_tokens(t, column, id_col), batch_format="pyarrow"
+    )
+
+    def hits(term: str, offset: int):
+        def f(t: pa.Table) -> pa.Table:
+            s = t.filter(pc.equal(t["tok"], term))
+            # rebase to the phrase-start position so every join is on equality
+            base = pc.subtract(s["pos"], offset)
+            return pa.table({id_col: s[id_col], "p0": pc.cast(base, pa.int64())})
+        return pos_ds.map_batches(f, batch_format="pyarrow")
+
+    cur = hits(phrase[0], 0)
+    for i, term in enumerate(phrase[1:], start=1):
+        cur = hash_join(cur, hits(term, i), on=[id_col, "p0"])
+        if i < len(phrase) - 1:
+            # chained joins: Ray's JoinOperator emits schema-less blocks
+            # for empty hash partitions, which crash acero in the next
+            # join — repartition re-unifies block schemas (the documented
+            # workaround, see relational.semi_join)
+            cur = cur.repartition(8)
+    return preagg_groupby(
+        cur, [id_col], [(id_col, "count", "__n")]
+    ).select_columns([id_col])

@@ -100,3 +100,49 @@ def test_edit_distance_missing_doc_counts_as_empty(ray_session):
     ds = _docs(["abcd"], ids=[1])
     rows = edit_distance_verify(ds, [(1, 404)]).to_pylist()
     assert rows == [{"a": 1, "b": 404, "edit_dist": 4}]
+
+
+# ----------------------------------------------- BM25 / phrase search
+
+
+def test_bm25_ranks_rarer_term_higher(ray_session):
+    from raydatax.text import bm25_topk
+
+    # 'rare' appears in one doc, 'common' in all four
+    docs = ["rare common x", "common y z", "common a b", "common c d"]
+    out = bm25_topk(_docs(docs), ["rare", "common"], k=4).take_all()
+    assert out[0]["doc_id"] == 0  # the rare-term doc wins
+    assert out[0]["score_micro"] > out[1]["score_micro"]
+    assert len(out) == 4
+
+
+def test_bm25_length_normalization(ray_session):
+    from raydatax.text import bm25_topk
+
+    # same tf for 'hit', but doc 1 is much longer -> lower score
+    docs = ["hit one two", "hit " + " ".join(f"f{i}" for i in range(40))]
+    out = {r["doc_id"]: r["score_micro"]
+           for r in bm25_topk(_docs(docs), ["hit"], k=2).take_all()}
+    assert out[0] > out[1]
+
+
+def test_phrase_search_adjacency_and_order(ray_session):
+    from raydatax.text import phrase_search
+
+    docs = ["alpha beta gamma", "beta alpha", "alpha x beta", "alpha beta"]
+    got = sorted(r["doc_id"] for r in
+                 phrase_search(_docs(docs), ["alpha", "beta"]).take_all())
+    assert got == [0, 3]  # reversed and gapped orders do not match
+
+
+def test_phrase_search_three_terms_and_guard(ray_session):
+    import pytest
+
+    from raydatax.text import phrase_search
+
+    docs = ["a b c d", "a b x c", "b c d"]
+    got = sorted(r["doc_id"] for r in
+                 phrase_search(_docs(docs), ["a", "b", "c"]).take_all())
+    assert got == [0]
+    with pytest.raises(ValueError):
+        phrase_search(_docs(docs), ["solo"])
