@@ -38,3 +38,16 @@ def test_incremental_crawl_dedup_example(tmp_path):
     assert crawls[2]["embedding_dropped"] >= 20
     assert all(c["action"] == "compacted" and c["folded_epochs"] == 2
                for c in rep["compactions"].values())
+
+
+def test_snapshot_bootstrap_tail_example(tmp_path):
+    import snapshot_bootstrap_tail as sbt
+
+    rep = sbt.main(str(tmp_path / "root"))
+    assert rep["bootstrap"]["action"] == "applied"
+    d = rep["delta"]
+    assert d["I"] > 0 and d["U"] > 0 and d["D"] > 0
+    assert rep["tail"]["action"] == "applied"
+    # the tail replayed ONLY the delta segments (pruned bootstrap ones)
+    assert rep["tail"]["segments_pruned"] > 0
+    assert rep["state_equal"] and rep["noop"]
