@@ -407,3 +407,74 @@ def ivf_pq_topk(
         shortlist=shortlist, rerank=rerank, id_col=id_col, vec_col=vec_col,
         sample_rows=sample_rows, seed=seed,
     )
+
+
+def kmeans_fit_distributed(
+    ds,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Distributed Lloyd's k-means as a first-class engine loop — the
+    clustering primitive behind IVF bucketing and cluster-based corpus
+    curation, run over the WHOLE corpus (not the driver sample
+    ``_kmeans_l2`` uses for code books): per iteration, centroids
+    broadcast (object store, once), every batch assigns rows by squared
+    L2 argmin (ties → lowest cluster id) and emits per-cluster partial
+    (sum-vector, count) rows — k·d floats per batch, the only thing that
+    ever leaves a task; the driver folds the tiny partials and re-snaps
+    centroids to MICRO precision between rounds, which makes the whole
+    loop reproducible across engines (the bpe_learn unrolled-rounds
+    discipline: SQL recomputes identical centroids, so identical
+    assignments).  Empty clusters keep their previous centroid.
+
+    Returns ``(centroids (k, d) float64 micro-snapped, counts (k,)
+    int64)`` — counts from the LAST assignment pass."""
+    import ray
+
+    seeds_tab = (
+        ds.map_batches(
+            lambda t: pa.table({id_col: t[id_col], vec_col: t[vec_col]}),
+            batch_format="pyarrow",
+        )
+        .sort(id_col)
+        .limit(k)
+        .take_all()
+    )
+    if len(seeds_tab) < k:
+        raise ValueError(f"kmeans_fit: need at least k={k} rows")
+    cent = np.array([list(r[vec_col]) for r in seeds_tab], dtype=np.float64)
+    cent = np.floor(cent * 1e6 + 0.5) / 1e6
+    d = cent.shape[1]
+    counts = np.zeros(k, dtype=np.int64)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            x = _matrix(t[vec_col])
+            # squared L2 via explicit diffs (same expression SQL sums)
+            dist = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(dist, axis=1)  # first (lowest id) on ties
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, assign, x)
+            cnt = np.bincount(assign, minlength=k).astype(np.int64)
+            keep = cnt > 0
+            return pa.table({
+                "c": pa.array(np.arange(k, dtype=np.int64)[keep]),
+                "n": pa.array(cnt[keep]),
+                "s": pa.array([list(v) for v in sums[keep]],
+                              pa.list_(pa.float64())),
+            })
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:  # ≤ k rows per block — tiny driver fold
+            sums[r["c"]] += np.asarray(r["s"], dtype=np.float64)
+            counts[r["c"]] += r["n"]
+        nz = counts > 0
+        cent[nz] = np.floor((sums[nz] / counts[nz, None]) * 1e6 + 0.5) / 1e6
+    return cent, counts

@@ -2356,6 +2356,27 @@ def dedup_embedding(sf_dir: str):
     return pairs.select_columns(["a", "b"])
 
 
+def embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means (ann.kmeans_fit, k=4, 2 rounds seeded
+    from the 4 smallest vec_ids): centroids re-snap to micro precision
+    between rounds, making the whole loop engine-independent — the SQL
+    twin unrolls both rounds (assignment = squared-L2 argmin with
+    lowest-cluster tie-break, update = per-cluster mean) and must land on
+    identical centroids and member counts."""
+    from .ann import kmeans_fit_distributed
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    cent, counts = kmeans_fit_distributed(ds, k=4, iters=2)
+    k, d = cent.shape
+    micro = np.floor(cent * 1e6 + 0.5).astype(np.int64)
+    return pa.table({
+        "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+        "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+        "comp_micro": pa.array(micro.ravel()),
+        "n": pa.array(np.repeat(counts, d)),
+    })
+
+
 def semantic_dedup_vecs(sf_dir: str):
     """SemDeDup keep-set (dedup.semantic_dedup_keep): drop every vector
     with a cosine-≥0.35 partner of smaller id, keep the rest — greedy
@@ -2852,6 +2873,7 @@ QUERIES = {
     "lake_state_digest": lake_state_digest,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_phrase_search": docs_phrase_search,
+    "embedding_kmeans": embedding_kmeans,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -3666,6 +3688,58 @@ ORACLE_SQL = {
                CAST(len(t.ts) - coalesce(s.n_kept, 0) AS BIGINT) AS n_removed,
                coalesce(s.text_clean, '') AS text_clean
         FROM toks t LEFT JOIN surv s USING (doc_id)
+    """,
+    # unrolled Lloyd's rounds (the bpe_learn discipline): centroids are
+    # micro-snapped between rounds in BOTH engines, so assignments agree
+    "embedding_kmeans": """
+        WITH e AS (
+          SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS comp
+          FROM embeddings),
+        c0 AS (
+          SELECT r - 1 AS c, pos,
+                 floor(comp * 1000000 + 0.5) / 1000000 AS comp
+          FROM (SELECT dense_rank() OVER (ORDER BY vec_id) AS r, pos, comp
+                FROM e WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                        ORDER BY vec_id LIMIT 4))),
+        d1 AS (
+          SELECT e.vec_id, c.c,
+                 sum((e.comp - c.comp) * (e.comp - c.comp)) AS dist
+          FROM e JOIN c0 c ON e.pos = c.pos
+          GROUP BY e.vec_id, c.c),
+        a1 AS (
+          SELECT vec_id, c FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, c) AS rn
+            FROM d1)
+          WHERE rn = 1),
+        cnt1 AS (SELECT c, count(*) AS n FROM a1 GROUP BY c),
+        c1 AS (
+          SELECT a.c, e.pos,
+                 floor(sum(e.comp) / count(*) * 1000000 + 0.5) / 1000000 AS comp
+          FROM e JOIN a1 a USING (vec_id)
+          GROUP BY a.c, e.pos),
+        d2 AS (
+          SELECT e.vec_id, c.c,
+                 sum((e.comp - c.comp) * (e.comp - c.comp)) AS dist
+          FROM e JOIN c1 c ON e.pos = c.pos
+          GROUP BY e.vec_id, c.c),
+        a2 AS (
+          SELECT vec_id, c FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, c) AS rn
+            FROM d2)
+          WHERE rn = 1),
+        cnt2 AS (SELECT c, count(*) AS n FROM a2 GROUP BY c),
+        c2 AS (
+          SELECT a.c, e.pos,
+                 floor(sum(e.comp) / count(*) * 1000000 + 0.5) / 1000000 AS comp
+          FROM e JOIN a2 a USING (vec_id)
+          GROUP BY a.c, e.pos)
+        SELECT c2.c AS cluster, c2.pos,
+               CAST(floor(c2.comp * 1000000 + 0.5) AS BIGINT) AS comp_micro,
+               CAST(cnt2.n AS BIGINT) AS n
+        FROM c2 JOIN cnt2 USING (c)
     """,
     "semantic_dedup_vecs": """
         WITH dropped AS (

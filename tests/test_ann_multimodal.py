@@ -316,3 +316,51 @@ def test_ivf_pq_recall_and_probed_exactness(emb):
     # the self-match always lives in the query's own (probed) cluster
     assert all((q, q) in got_ids for q in (0, 1, 2))
     assert len(got_ids & bf_ids) / len(bf_ids) >= 0.6
+
+
+# ------------------------------------------------------- kmeans_fit
+
+
+def test_kmeans_fit_separated_blobs(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.ann import kmeans_fit_distributed
+
+    rng = np.random.default_rng(5)
+    blobs = np.concatenate([
+        rng.normal(loc=c, scale=0.05, size=(50, 8))
+        for c in (0.0, 5.0, -5.0)
+    ]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(150), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in blobs],
+                              pa.list_(pa.float32())),
+    })
+    cent, counts = kmeans_fit_distributed(rd.from_arrow(t), k=3, iters=5)
+    assert sorted(counts) == [50, 50, 50]
+    means = sorted(cent.mean(axis=1))
+    assert abs(means[0] + 5) < 0.2 and abs(means[1]) < 0.2 and abs(means[2] - 5) < 0.2
+
+
+def test_kmeans_fit_empty_cluster_keeps_centroid(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.ann import kmeans_fit_distributed
+
+    # two far blobs, k=3 seeded from the first 3 rows (all in blob A):
+    # at least one cluster empties; its centroid must stay finite
+    vecs = np.concatenate([
+        np.full((20, 4), 0.0), np.full((20, 4), 9.0)
+    ]) + np.linspace(0, 0.01, 40)[:, None]
+    t = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    cent, counts = kmeans_fit_distributed(rd.from_arrow(t), k=3, iters=3)
+    assert int(counts.sum()) == 40
+    assert np.isfinite(cent).all()
