@@ -238,6 +238,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "bpe_learn",
         "ann_pq_verified",
         "zorder_box_scan",
+        "docs_lm_perplexity",
+        "docs_bm25_topk",
+        "inverted_index_terms",
+        "events_shuffle_export",
+        "snapshot_cdc_orders",
+        "scd2_transcripts",
+        "semantic_dedup_vecs",
+        "embedding_kmeans",
     ]
     for name in secondary:
         t0 = time.monotonic()
