@@ -205,7 +205,12 @@ def lake_digest(lake_dir: str, groups: int = 8, at_epoch: int | None = None):
     The uint64 sum ships as two int64 half-sums (hi/lo 32 bits) through
     the pre-aggregated groupby — overflow-safe to 2^31 rows per group —
     and recombines mod 2^64 at the end.  Returns a Dataset of
-    ``(pid, n_rows, digest)`` with the digest as a decimal string."""
+    ``(pid, n_rows, digest)`` with the digest as a decimal string.
+
+    Caveat: NULL text and empty text hash identically (both engines
+    coalesce to "") — acceptable for the transcript lake, whose live rows
+    never carry null text; a digest over nullable payloads should add a
+    validity byte to the row string."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc

@@ -69,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="also read every committed file and verify sort "
                         "order + watermark bounds (one Ray task per file)")
 
+    p = sub.add_parser("digest")
+    p.add_argument("lake")
+    p.add_argument("--groups", type=int, default=8)
+    p.add_argument("--at-epoch", type=int, default=None)
+
     p = sub.add_parser("replicate")
     p.add_argument("src_lake")
     p.add_argument("dst_lake")
@@ -151,6 +156,16 @@ def main(argv: list[str] | None = None) -> int:
             from .fsck import lake_fsck
 
             out = lake_fsck(args.lake, deep=args.deep)
+        elif args.cmd == "digest":
+            from .fsck import lake_digest
+
+            out = {"groups": [
+                dict(r) for r in sorted(
+                    lake_digest(args.lake, groups=args.groups,
+                                at_epoch=args.at_epoch).take_all(),
+                    key=lambda r: r["pid"],
+                )
+            ]}
         elif args.cmd == "replicate":
             from .replicate import replicate_lake
 
