@@ -489,6 +489,37 @@ def lake_state_digest(sf_dir: str):
     return lake_digest(os.path.join(root, "lake"), groups=8)
 
 
+def lake_time_travel(sf_dir: str):
+    """Time travel under the exact gate: the derived CDC stream lands in
+    TWO applies (events with seq ≤ max_seq // 2, then the rest — two
+    committed epochs), and the query reads the lake AS OF the FIRST epoch
+    via ``read_lake(at_epoch=1)`` — the result must equal the SQL LWW
+    replay of only the first half, proving later commits never leak into
+    a historical snapshot.  The lake retains history via
+    ``run_job(time_travel_epochs=4)``."""
+    import shutil
+
+    from .driver import lake_table, run_job
+    from .gen import write_wal
+
+    wal_table = _derived_cdc_wal_table(sf_dir)
+    cutoff = int(pc.max(wal_table["seq"]).as_py()) // 2
+    early = pc.less_equal(wal_table["seq"], cutoff)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = f"/tmp/raydatax_ttravel_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    wal, lake = os.path.join(root, "wal"), os.path.join(root, "lake")
+    write_wal(wal_table.filter(early), wal, seg_rows=20_000)
+    run_job(wal, lake, partitions=8, time_travel_epochs=4)
+    first = len([f for f in os.listdir(wal) if f.endswith(".parquet")])
+    for i, path in enumerate(write_wal(
+            wal_table.filter(pc.invert(early)),
+            os.path.join(root, "late_tmp"), seg_rows=20_000)):
+        os.replace(path, os.path.join(wal, f"seg-{first + i:05d}.parquet"))
+    run_job(wal, lake, partitions=8, time_travel_epochs=4)
+    return _project_transcript(lake_table(lake, at_epoch=1))
+
+
 def transcript_window_replay(sf_dir: str):
     """Time-bounded replay, hash-verified: the same derived CDC stream as
     the flagship but with a seq-monotone event time (ts = BASE + seq
@@ -2874,6 +2905,7 @@ QUERIES = {
     "docs_bm25_topk": docs_bm25_topk,
     "docs_phrase_search": docs_phrase_search,
     "embedding_kmeans": embedding_kmeans,
+    "lake_time_travel": lake_time_travel,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -3184,6 +3216,29 @@ ORACLE_SQL = {
                seq AS valid_from_seq, valid_to_seq,
                valid_to_seq IS NULL AS is_current
         FROM led WHERE op <> 'D'
+    """,
+    "lake_time_travel": """
+        WITH src AS (
+          SELECT event_id AS seq,
+                 CASE WHEN event_id % 10 < 6 THEN 'I'
+                      WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+                 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                 CAST(event_id % 37 AS INTEGER) AS turn_idx,
+                 CASE WHEN (event_id % 37) % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 event_type || ' v' || CAST(event_id AS VARCHAR) AS text,
+                 CASE WHEN event_id % 5 = 0 THEN 'search'
+                      WHEN event_id % 5 = 1 THEN 'python' ELSE NULL END AS tool,
+                 ts
+          FROM events
+          WHERE event_id <= (SELECT max(event_id) // 2 FROM events)),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY seq DESC) AS rn
+          FROM src)
+        SELECT conv_id, turn_idx, role, text, tool,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, seq
+        FROM ranked WHERE rn = 1 AND op <> 'D'
     """,
     "transcript_window_replay": """
         WITH src AS (
