@@ -2798,7 +2798,7 @@ QUERIES = {
     "transform_chain": transform_chain,
     "cast_roundtrip": cast_roundtrip,
     "revenue_by_segment": revenue_by_segment,
-    "semi_join_fulfilled": semi_join_fulfilled,
+    "lake_state_digest": lake_state_digest,
     "user_sessions": user_sessions,
     "asof_latest_purchase": asof_latest_purchase,
     "revenue_rollup_region": revenue_rollup_region,
@@ -2815,7 +2815,7 @@ QUERIES = {
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash_verified": dedup_simhash_verified,
     "similarity_join_docs": similarity_join_docs,
-    "incremental_dedup": incremental_dedup,
+    "lake_time_travel": lake_time_travel,
     "incremental_minhash_verified": incremental_minhash_verified,
     "incremental_embedding_exact": incremental_embedding_exact,
     "ann_pq_verified": ann_pq_verified,
@@ -2901,11 +2901,11 @@ QUERIES = {
     "events_exact_sample": events_exact_sample,
     "edit_distance_docs": edit_distance_docs,
     "events_value_outliers": events_value_outliers,
-    "lake_state_digest": lake_state_digest,
+    "semi_join_fulfilled": semi_join_fulfilled,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_phrase_search": docs_phrase_search,
     "embedding_kmeans": embedding_kmeans,
-    "lake_time_travel": lake_time_travel,
+    "incremental_dedup": incremental_dedup,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
