@@ -1504,6 +1504,34 @@ def dedup_simhash_verified(sf_dir: str):
 # ------------------------------------------------------------------ windows
 
 
+def events_props_json(sf_dir: str):
+    """JSON payload extraction (transforms.JsonExtract actor pool): parse
+    the props column's JSON, pull $.k, aggregate sum/count per event
+    type — the semi-structured step every log pipeline runs.  Extracted
+    values are strings (the json_extract_string contract), cast before
+    the aggregate."""
+    from .relational import preagg_groupby
+    from .transforms import JsonExtract
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
+    parsed = ds.map_batches(
+        JsonExtract,
+        fn_constructor_kwargs={"column": "props", "paths": {"k_str": "k"}},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "k": pc.cast(t["k_str"], pa.int64()),
+        })
+
+    return preagg_groupby(
+        parsed.map_batches(cast, batch_format="pyarrow"),
+        ["event_type"], [("k", "sum", "k_sum"), ("k", "count", "n")],
+    )
+
+
 def events_hourly(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
     out = tumbling_window(ds, "user_id", "ts", "hour",
@@ -2906,6 +2934,7 @@ QUERIES = {
     "docs_phrase_search": docs_phrase_search,
     "embedding_kmeans": embedding_kmeans,
     "incremental_dedup": incremental_dedup,
+    "events_props_json": events_props_json,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -4047,6 +4076,12 @@ ORACLE_SQL = {
                CAST(16 + (doc_id * 53) % 240 AS INTEGER) AS dec_height,
                CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS dec_bytes
         FROM documents
+    """,
+    "events_props_json": """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n
+        FROM events GROUP BY event_type
     """,
     "events_hourly": """
         SELECT user_id, date_trunc('hour', ts) AS window,

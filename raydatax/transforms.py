@@ -204,3 +204,58 @@ def chain(specs: list[tuple]) -> Callable[[pa.Table], pa.Table]:
         return batch
 
     return apply
+
+
+class JsonExtract:
+    """JSON-column field extraction as a stateful actor stage — the
+    semi-structured payload step every log pipeline runs (the reference's
+    closest analogue is mongodbreader's dotted docPaths,
+    ``/root/reference/mongodbreader/.../MongoDBReader.java`` document
+    flattening; here it is a first-class transformer over a STRING column
+    holding JSON).
+
+    ``paths``: {out_col: dot.path}.  Parsing is real (``json.loads`` per
+    value — JSON is an inherently per-item codec, same boundary as
+    DecodeMedia), but it runs inside an actor pool with the parser bound
+    once, and each batch converts through one ``to_pylist()`` round trip
+    rather than per-row Arrow scalars.  Missing paths / invalid JSON →
+    NULL (never an error: dirty payloads are data, not crashes).
+    Extracted values are emitted as strings (the lossless common form;
+    cast downstream), matching SQL ``json_extract_string``."""
+
+    def __init__(self, column: str, paths: dict[str, str]):
+        import json
+
+        self.column = column
+        self.paths = {out: p.split(".") for out, p in paths.items()}
+        self._loads = json.loads
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = batch[self.column].to_pylist()
+        outs: dict[str, list] = {out: [] for out in self.paths}
+        for v in vals:
+            doc = None
+            if v is not None:
+                try:
+                    doc = self._loads(v)
+                except (ValueError, TypeError):
+                    doc = None
+            for out, path in self.paths.items():
+                cur = doc
+                for part in path:
+                    if isinstance(cur, dict):
+                        cur = cur.get(part)
+                    else:
+                        cur = None
+                        break
+                if cur is None or isinstance(cur, (dict, list)):
+                    outs[out].append(None)
+                elif isinstance(cur, bool):
+                    outs[out].append("true" if cur else "false")
+                elif isinstance(cur, float):
+                    outs[out].append(repr(cur))
+                else:
+                    outs[out].append(str(cur))
+        for out in self.paths:
+            batch = batch.append_column(out, pa.array(outs[out], pa.string()))
+        return batch

@@ -110,3 +110,26 @@ def test_text_prep_transformers_in_chain():
     out = fn(t)
     assert out.column_names == ["text"]
     assert out["text"].to_pylist() == ["mail me: <EMAIL> now", "plain"]
+
+
+def test_json_extract_paths_and_dirty_payloads(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.transforms import JsonExtract
+
+    rows = [
+        '{"k": 1, "meta": {"tag": "a", "ok": true}}',
+        '{"k": "txt", "meta": {"tag": 2.5}}',
+        '{"other": 9}',
+        'not json at all',
+        None,
+        '{"meta": [1, 2]}',
+    ]
+    t = pa.table({"i": pa.array(range(len(rows)), pa.int64()),
+                  "props": pa.array(rows, pa.string())})
+    fx = JsonExtract("props", {"k": "k", "tag": "meta.tag", "ok": "meta.ok"})
+    out = fx(t).to_pylist()
+    assert [r["k"] for r in out] == ["1", "txt", None, None, None, None]
+    assert [r["tag"] for r in out] == ["a", "2.5", None, None, None, None]
+    assert [r["ok"] for r in out] == ["true", None, None, None, None, None]
