@@ -2187,6 +2187,31 @@ def revenue_rollup_region(sf_dir: str):
     return out.select_columns(["r_name", "n_name", "n_customers", "acctbal_cents"])
 
 
+def orders_status_priority_cube(sf_dir: str):
+    """GROUP BY CUBE(status, priority) — all four grouping sets
+    (relational.cube_aggregate): the raw table aggregates once at the
+    finest level, every other set re-aggregates that result;
+    integer-cents sums keep all levels order-exact vs SQL."""
+    from .relational import cube_aggregate
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        return t.append_column("cents", _cents(t["o_totalprice"]))
+
+    out = cube_aggregate(
+        ds.map_batches(add_cents, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        [("o_orderkey", "count", "n_orders"), ("cents", "sum", "total_cents")],
+    )
+    return out.select_columns(
+        ["o_orderstatus", "o_orderpriority", "n_orders", "total_cents"]
+    )
+
+
 # --------------------------------------------------------------------- ANN
 
 
@@ -2935,6 +2960,7 @@ QUERIES = {
     "embedding_kmeans": embedding_kmeans,
     "incremental_dedup": incremental_dedup,
     "events_props_json": events_props_json,
+    "orders_status_priority_cube": orders_status_priority_cube,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -4427,6 +4453,16 @@ ORACLE_SQL = {
         SELECT r_name, n_name, count(c_custkey) AS n_customers,
                CAST(sum(cents) AS BIGINT) AS acctbal_cents
         FROM src GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "orders_status_priority_cube": """
+        WITH src AS (
+          SELECT o_orderstatus, o_orderpriority, o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders)
+        SELECT o_orderstatus, o_orderpriority,
+               count(o_orderkey) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM src GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
     "ann_cosine_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe

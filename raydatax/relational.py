@@ -1754,6 +1754,62 @@ def rollup_aggregate(
     return out
 
 
+def cube_aggregate(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+) -> "ray.data.Dataset":
+    """``GROUP BY CUBE(keys...)``: every SUBSET of the keys (2^k grouping
+    sets), rolled columns emitted as NULL — the full OLAP lattice, vs
+    :func:`rollup_aggregate`'s prefix chain.
+
+    Same scale shape as rollup: the raw data aggregates ONCE at the
+    finest level; every other grouping set re-aggregates the finest
+    RESULT (mergeable aggs only — sum/count roll up as sums, min/max as
+    min/max); 2^k − 1 trivially-small re-aggs of the aggregate itself."""
+    from itertools import combinations
+
+    finest = preagg_groupby(ds, keys, aggs).materialize()
+    out_specs = [(out, "sum" if fn in ("sum", "count") else fn, out)
+                 for _, fn, out in aggs]
+    out_names = [out for _, _, out in aggs]
+    key_types = {
+        c: t for c, t in zip(finest.schema().names, finest.schema().types)
+        if c in keys
+    }
+
+    def pad_nulls(dropped: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            for c in dropped:
+                t = t.append_column(c, pa.nulls(t.num_rows, key_types[c]))
+            return t.select(keys + out_names)
+
+        return f
+
+    levels = [finest.map_batches(pad_nulls([]), batch_format="pyarrow")]
+    subsets = [
+        list(c)
+        for r in range(len(keys) - 1, -1, -1)
+        for c in combinations(keys, r)
+    ]
+    for subset in subsets:
+        dropped = [k for k in keys if k not in subset]
+        if subset:
+            lvl = preagg_groupby(finest, subset, out_specs)
+        else:
+            withc = finest.map_batches(
+                lambda t: t.append_column(
+                    "__all", pa.array(np.zeros(t.num_rows, np.int8))),
+                batch_format="pyarrow",
+            )
+            lvl = preagg_groupby(withc, ["__all"], out_specs).drop_columns(["__all"])
+        levels.append(lvl.map_batches(pad_nulls(dropped), batch_format="pyarrow"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     key: str,

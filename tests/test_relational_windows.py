@@ -866,3 +866,29 @@ def test_iqr_outliers_null_values_never_flagged(ray_session):
     })
     out = iqr_outliers(rd.from_arrow(t), "g", "v").take_all()
     assert [r["v"] for r in out] == [999.0]
+
+
+# ------------------------------------------------------ CUBE lattice
+
+
+def test_cube_aggregate_all_subsets(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.relational import cube_aggregate
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "y"], pa.string()),
+        "b": pa.array(["p", "q", "p"], pa.string()),
+        "v": pa.array([1, 2, 4], pa.int64()),
+    })
+    rows = cube_aggregate(rd.from_arrow(t), ["a", "b"],
+                          [("v", "sum", "s")]).take_all()
+    got = {(r["a"], r["b"]): r["s"] for r in rows}
+    assert got == {
+        ("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 4,   # finest
+        ("x", None): 3, ("y", None): 4,                # by a
+        (None, "p"): 5, (None, "q"): 2,                # by b (not in ROLLUP)
+        (None, None): 7,                               # grand total
+    }
+    assert len(rows) == 8
