@@ -520,6 +520,28 @@ def lake_time_travel(sf_dir: str):
     return _project_transcript(lake_table(lake, at_epoch=1))
 
 
+def schema_evolution_replay(sf_dir: str):
+    """Schema evolution under the exact gate (FIXTURES F4): the WAL is
+    written with evolution=True — the first 40% of segments LACK the tool
+    column (added-column drift) and the last 20% widen turn_idx to int64 —
+    and the replay must still land on the SQL state, with tool NULL
+    exactly where the winning event predates the column (Arrow schema
+    unification at batch boundaries, schema.unify)."""
+    import shutil
+
+    from .driver import lake_table, run_job
+    from .gen import write_wal
+
+    wal_table = _derived_cdc_wal_table(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = f"/tmp/raydatax_evolve_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    wal, lake = os.path.join(root, "wal"), os.path.join(root, "lake")
+    write_wal(wal_table, wal, seg_rows=1000, evolution=True)
+    run_job(wal, lake, partitions=8)
+    return _project_transcript(lake_table(lake))
+
+
 def transcript_window_replay(sf_dir: str):
     """Time-bounded replay, hash-verified: the same derived CDC stream as
     the flagship but with a seq-monotone event time (ts = BASE + seq
@@ -2961,6 +2983,7 @@ QUERIES = {
     "incremental_dedup": incremental_dedup,
     "events_props_json": events_props_json,
     "orders_status_priority_cube": orders_status_priority_cube,
+    "schema_evolution_replay": schema_evolution_replay,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -3271,6 +3294,43 @@ ORACLE_SQL = {
                seq AS valid_from_seq, valid_to_seq,
                valid_to_seq IS NULL AS is_current
         FROM led WHERE op <> 'D'
+    """,
+    # FIXTURES F4 drift reproduced in SQL: segments are 1000-row slices in
+    # event_id order; the first max(1, floor(0.4*n_segs)) segments carry no
+    # tool column, so the winner's tool is NULL exactly there
+    "schema_evolution_replay": """
+        WITH n AS (SELECT count(*) AS n,
+                          CAST(ceil(count(*) / 1000.0) AS BIGINT) AS n_segs
+                   FROM events),
+        cutoff AS (SELECT greatest(1, CAST(floor(n_segs * 0.4) AS BIGINT))
+                          * 1000 AS rows_no_tool FROM n),
+        src AS (
+          SELECT event_id AS seq,
+                 row_number() OVER (ORDER BY event_id) AS rnk,
+                 CASE WHEN event_id % 10 < 6 THEN 'I'
+                      WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+                 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                 CAST(event_id % 37 AS INTEGER) AS turn_idx,
+                 CASE WHEN (event_id % 37) % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 event_type || ' v' || CAST(event_id AS VARCHAR) AS text,
+                 CASE WHEN event_id % 5 = 0 THEN 'search'
+                      WHEN event_id % 5 = 1 THEN 'python' ELSE NULL END AS tool,
+                 ts
+          FROM events),
+        src2 AS (
+          SELECT seq, op, conv_id, turn_idx, role, text,
+                 CASE WHEN rnk <= (SELECT rows_no_tool FROM cutoff)
+                      THEN NULL ELSE tool END AS tool,
+                 ts
+          FROM src),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY seq DESC) AS rn
+          FROM src2)
+        SELECT conv_id, turn_idx, role, text, tool,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, seq
+        FROM ranked WHERE rn = 1 AND op <> 'D'
     """,
     "lake_time_travel": """
         WITH src AS (
