@@ -2899,7 +2899,7 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "lake_snapshot_diff": lake_snapshot_diff,
     "bpe_learn": bpe_learn,
-    "zorder_box_scan": zorder_box_scan,
+    "schema_evolution_replay": schema_evolution_replay,
     "bloom_skip_scan": bloom_skip_scan,
     "docs_lm_perplexity": docs_lm_perplexity,
     "events_shuffle_export": events_shuffle_export,
@@ -2983,7 +2983,7 @@ QUERIES = {
     "incremental_dedup": incremental_dedup,
     "events_props_json": events_props_json,
     "orders_status_priority_cube": orders_status_priority_cube,
-    "schema_evolution_replay": schema_evolution_replay,
+    "zorder_box_scan": zorder_box_scan,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
