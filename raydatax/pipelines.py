@@ -1428,6 +1428,20 @@ def edit_distance_docs(sf_dir: str):
     return edit_distance_verify(ds, pairs)
 
 
+def docs_cms_counts(sf_dir: str):
+    """Count-min sketch frequency estimates (relational.cms_estimate,
+    width 1024 × depth 2) for four probe terms over the tokenized corpus —
+    bounded-memory counting whose deterministic hash chain lets SQL build
+    the identical sketch, so even the collision noise matches exactly
+    (estimates are ≥ the true count by construction)."""
+    from .relational import cms_estimate
+    from .text import tokenize_batch
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    terms = ds.map_batches(lambda t: tokenize_batch(t), batch_format="pyarrow")
+    return cms_estimate(terms, "term", ["query", "window", "merge", "xyzzy"])
+
+
 def docs_bm25_topk(sf_dir: str):
     """Okapi BM25 top-15 (text.bm25_topk) for ['query','window','merge']:
     tf restricted to the query terms, df tiny, per-(doc,term)
@@ -2984,6 +2998,7 @@ QUERIES = {
     "events_props_json": events_props_json,
     "orders_status_priority_cube": orders_status_priority_cube,
     "zorder_box_scan": zorder_box_scan,
+    "docs_cms_counts": docs_cms_counts,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -3957,6 +3972,76 @@ ORACLE_SQL = {
         FROM pairs p
         JOIN documents da ON da.doc_id = p.a
         JOIN documents db ON db.doc_id = p.b
+    """,
+    # the CMS sketch rebuilt in SQL: identical poly+mix64 hash chain,
+    # identical slot arithmetic — estimates (collisions included) match
+    "docs_cms_counts": """
+        WITH RECURSIVE pw(k, v) AS (
+          SELECT 0, CAST(1 AS HUGEINT)
+          UNION ALL SELECT k+1, (v * 1099511628211) % 18446744073709551616
+          FROM pw WHERE k < 80
+        ),
+        toks AS (
+          SELECT term FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+          WHERE term <> ''),
+        tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        ap AS (SELECT term FROM tf
+               UNION SELECT unnest(['query', 'window', 'merge', 'xyzzy'])),
+        cs AS (SELECT term, length(term) AS L,
+                      unnest(generate_series(1, length(term))) AS p
+               FROM ap),
+        ph AS (SELECT term,
+                      (sum(CAST(ord(substr(term, CAST(p AS INTEGER), 1)) AS HUGEINT)
+                           * pw.v) + any_value(L)) % 18446744073709551616 AS up
+               FROM cs JOIN pw ON pw.k = cs.L - cs.p + 1
+               GROUP BY term),
+        hu AS (SELECT term, (
+          SELECT CASE WHEN x2 < 0 THEN x2 + 18446744073709551616 ELSE x2 END
+          FROM (SELECT CAST(xor(CAST(CASE WHEN v2 >= 9223372036854775808 THEN v2 - 18446744073709551616 ELSE v2 END AS BIGINT),
+                                CAST(CASE WHEN v2 // 8589934592 >= 9223372036854775808 THEN v2 // 8589934592 - 18446744073709551616 ELSE v2 // 8589934592 END AS BIGINT)) AS HUGEINT) AS x2
+                FROM (SELECT ((x1 % 4294967296) * 3981806797
+                            + (((x1 % 4294967296) * 4283543511
+                                + (x1 // 4294967296) * 3981806797) % 4294967296)
+                              * 4294967296) % 18446744073709551616 AS v2
+                      FROM (SELECT CASE WHEN x0 < 0 THEN x0 + 18446744073709551616 ELSE x0 END AS x1
+                            FROM (SELECT CAST(xor(CAST(CASE WHEN ph.up >= 9223372036854775808 THEN ph.up - 18446744073709551616 ELSE ph.up END AS BIGINT),
+                                                  CAST(ph.up // 8589934592 AS BIGINT)) AS HUGEINT) AS x0) ) ) ) ) AS u FROM ph),
+        hs AS (SELECT term,
+                      CAST((
+          SELECT CASE WHEN x2 < 0 THEN x2 + 18446744073709551616 ELSE x2 END
+          FROM (SELECT CAST(xor(CAST(CASE WHEN v2 >= 9223372036854775808 THEN v2 - 18446744073709551616 ELSE v2 END AS BIGINT),
+                                CAST(CASE WHEN v2 // 8589934592 >= 9223372036854775808 THEN v2 // 8589934592 - 18446744073709551616 ELSE v2 // 8589934592 END AS BIGINT)) AS HUGEINT) AS x2
+                FROM (SELECT ((x1 % 4294967296) * 3981806797
+                            + (((x1 % 4294967296) * 4283543511
+                                + (x1 // 4294967296) * 3981806797) % 4294967296)
+                              * 4294967296) % 18446744073709551616 AS v2
+                      FROM (SELECT CASE WHEN x0 < 0 THEN x0 + 18446744073709551616 ELSE x0 END AS x1
+                            FROM (SELECT CAST(xor(CAST(CASE WHEN ((hu.u + 11400714819323198485) % 18446744073709551616) >= 9223372036854775808 THEN ((hu.u + 11400714819323198485) % 18446744073709551616) - 18446744073709551616 ELSE ((hu.u + 11400714819323198485) % 18446744073709551616) END AS BIGINT),
+                                                  CAST(((hu.u + 11400714819323198485) % 18446744073709551616) // 8589934592 AS BIGINT)) AS HUGEINT) AS x0) ) ) ) ) % 1024 AS BIGINT) AS s0,
+                      CAST((
+          SELECT CASE WHEN x2 < 0 THEN x2 + 18446744073709551616 ELSE x2 END
+          FROM (SELECT CAST(xor(CAST(CASE WHEN v2 >= 9223372036854775808 THEN v2 - 18446744073709551616 ELSE v2 END AS BIGINT),
+                                CAST(CASE WHEN v2 // 8589934592 >= 9223372036854775808 THEN v2 // 8589934592 - 18446744073709551616 ELSE v2 // 8589934592 END AS BIGINT)) AS HUGEINT) AS x2
+                FROM (SELECT ((x1 % 4294967296) * 3981806797
+                            + (((x1 % 4294967296) * 4283543511
+                                + (x1 // 4294967296) * 3981806797) % 4294967296)
+                              * 4294967296) % 18446744073709551616 AS v2
+                      FROM (SELECT CASE WHEN x0 < 0 THEN x0 + 18446744073709551616 ELSE x0 END AS x1
+                            FROM (SELECT CAST(xor(CAST(CASE WHEN ((hu.u + 14029467366897019727) % 18446744073709551616) >= 9223372036854775808 THEN ((hu.u + 14029467366897019727) % 18446744073709551616) - 18446744073709551616 ELSE ((hu.u + 14029467366897019727) % 18446744073709551616) END AS BIGINT),
+                                                  CAST(((hu.u + 14029467366897019727) % 18446744073709551616) // 8589934592 AS BIGINT)) AS HUGEINT) AS x0) ) ) ) ) % 1024 AS BIGINT) AS s1
+               FROM hu),
+        sk0 AS (SELECT hs.s0 AS slot, sum(tf.c) AS n
+                FROM tf JOIN hs USING (term) GROUP BY hs.s0),
+        sk1 AS (SELECT hs.s1 AS slot, sum(tf.c) AS n
+                FROM tf JOIN hs USING (term) GROUP BY hs.s1)
+        SELECT p.term,
+               CAST(least(coalesce(k0.n, 0), coalesce(k1.n, 0)) AS BIGINT) AS est
+        FROM (SELECT unnest(['query', 'window', 'merge', 'xyzzy']) AS term) p
+        JOIN hs USING (term)
+        LEFT JOIN sk0 k0 ON k0.slot = hs.s0
+        LEFT JOIN sk1 k1 ON k1.slot = hs.s1
     """,
     "docs_bm25_topk": """
         WITH toks AS (

@@ -2578,3 +2578,69 @@ def iqr_outliers(
         return t.filter(pa.array(out))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def cms_estimate(
+    ds: "ray.data.Dataset",
+    col: str,
+    probes: list[str],
+    width: int = 1024,
+    depth: int = 2,
+    salts: tuple[int, ...] = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F),
+) -> pa.Table:
+    """Count-min sketch over a string column, built distributed and probed
+    for ``probes`` — frequency estimation in O(depth·width) memory however
+    many distinct keys flow (the bounded-memory sibling of
+    :func:`heavy_hitters`'s exact counts and the HLL cardinality sketch).
+    Per batch: one pre-aggregated (key, count) pass, then each distinct
+    key increments ``depth`` slots ``mix64(mix64(poly(key)) + salt_d) %
+    width``; the tiny (depth, slot) partials merge through one groupby and
+    the driver holds only the depth×width sketch.  Estimate = min over
+    rows (the classic one-sided bound: ≥ true count, inflated only by
+    collisions).  Every hash is the engine's deterministic chain, so SQL
+    reproduces the sketch — and therefore the estimates — exactly."""
+    if depth > len(salts):
+        raise ValueError(f"cms_estimate: need {depth} salts, got {len(salts)}")
+    from .partition import _mix64, hash_string_column
+
+    tf = preagg_groupby(ds, [col], [(col, "count", "__c")])
+
+    def slots(t: pa.Table) -> pa.Table:
+        u = hash_string_column(t[col].combine_chunks())
+        c = t["__c"].to_numpy(zero_copy_only=False)
+        ds_, ss, cs = [], [], []
+        with np.errstate(over="ignore"):
+            for d in range(depth):
+                idx = (_mix64(u + np.uint64(salts[d])) % np.uint64(width))
+                agg = np.bincount(idx.astype(np.int64), weights=c.astype(np.float64),
+                                  minlength=width)
+                nz = np.nonzero(agg)[0]
+                ds_.append(np.full(len(nz), d, dtype=np.int64))
+                ss.append(nz.astype(np.int64))
+                cs.append(agg[nz].astype(np.int64))
+        return pa.table({
+            "d": pa.array(np.concatenate(ds_) if ds_ else np.array([], np.int64)),
+            "slot": pa.array(np.concatenate(ss) if ss else np.array([], np.int64)),
+            "c": pa.array(np.concatenate(cs) if cs else np.array([], np.int64)),
+        })
+
+    merged = preagg_groupby(
+        tf.map_batches(slots, batch_format="pyarrow"), ["d", "slot"],
+        [("c", "sum", "n")],
+    ).take_all()  # ≤ depth × width rows by construction
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    for r in merged:
+        sketch[r["d"], r["slot"]] = r["n"]
+
+    pu = hash_string_column(pa.array(probes, pa.string()))
+    ests = []
+    with np.errstate(over="ignore"):
+        for i in range(len(probes)):
+            est = min(
+                int(sketch[d, int(_mix64(pu[i:i + 1] + np.uint64(salts[d]))[0]
+                                  % np.uint64(width))])
+                for d in range(depth)
+            )
+            ests.append(est)
+    return pa.table({"term": pa.array(probes, pa.string()),
+                     "est": pa.array(ests, pa.int64())})

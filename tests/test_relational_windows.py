@@ -892,3 +892,27 @@ def test_cube_aggregate_all_subsets(ray_session):
         (None, None): 7,                               # grand total
     }
     assert len(rows) == 8
+
+
+# ------------------------------------------------- count-min sketch
+
+
+def test_cms_estimate_bounds_and_exactness(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.relational import cms_estimate
+
+    vals = ["a"] * 50 + ["b"] * 7 + [f"u{i}" for i in range(30)]
+    ds = rd.from_arrow(pa.table({"k": pa.array(vals, pa.string())}))
+    got = {r["term"]: r["est"]
+           for r in cms_estimate(ds, "k", ["a", "b", "absent"]).to_pylist()}
+    # CMS is one-sided: estimate >= true count; with width 1024 and 32
+    # distinct keys, collisions are unlikely -> exact here
+    assert got["a"] >= 50 and got["b"] >= 7 and got["absent"] >= 0
+    assert got["a"] == 50 and got["b"] == 7
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cms_estimate(ds, "k", ["a"], depth=3)
