@@ -2278,27 +2278,61 @@ def semantic_dedup_keep(
     vec_col: str = "embedding",
     exact: bool = True,
     block_rows: int = 8192,
+    rule: str = "dominance",
 ) -> "ray.data.Dataset":
-    """SemDeDup (Abbas et al. 2023) keep-set: drop a vector iff it has a
-    near-duplicate partner with a SMALLER id (cosine ≥ threshold) — the
-    greedy keep-first rule applied corpus-wide, so the kept set is
-    deterministic and order-free (no RNG, no cluster-local tie-breaks).
+    """Semantic dedup keep-set over cosine near-dup pairs.  Two rules:
+
+    ``rule="dominance"`` (default): drop a vector iff it has ANY partner
+    with a smaller id (cosine ≥ threshold).  Order-free and
+    SQL-expressible (the gate oracle); the kept set provably contains no
+    near-dup pair, but on similarity CHAINS (a~b, b~c, a≁c) it
+    over-deletes relative to SemDeDup — c drops because of the
+    already-dropped b.  Conservative for dedup, not
+    representative-preserving.
+
+    ``rule="greedy"``: the SemDeDup (Abbas et al. 2023) keep-first rule —
+    scan ids ascending, keep a vector iff no KEPT smaller neighbor; on
+    the chain above it keeps {a, c}.  Sequential by nature, so it runs on
+    the driver over the bounded exact pair table (requires
+    ``exact=True``); every dropped vector has a KEPT near-duplicate.
 
     ``exact=True`` scores pairs with the blocked exact self-join
     (:func:`embedding_allpairs_exact` — the O(N²) verification baseline,
     SQL-certifiable); ``exact=False`` uses the IVF-clustered approximate
     pair stage (:func:`embedding_neardup_pairs`, the 100-TB path: work ∝
-    cluster sizes, pairs never leave the cluster).  Either way the drop
-    set is the distinct ``b`` side of (a < b) pairs, applied with the
-    adaptive anti semi join — survivors stream, never the driver."""
+    cluster sizes, pairs never leave the cluster).  Survivors stream out
+    through the adaptive anti semi join — never the driver."""
     from .relational import semi_join
 
+    if rule not in ("dominance", "greedy"):
+        raise ValueError(f"semantic_dedup_keep: unknown rule {rule!r}")
+    if rule == "greedy" and not exact:
+        raise ValueError(
+            "semantic_dedup_keep: rule='greedy' needs the exact pair table "
+            "(exact=True) — the keep-first scan is sequential in id order"
+        )
     if exact:
         pairs_tab = embedding_allpairs_exact(
             ds, threshold=threshold, id_col=id_col, vec_col=vec_col,
             block_rows=block_rows,
         )
-        pairs = ray.data.from_arrow(pairs_tab.select(["b"]))
+        if rule == "greedy":
+            nbrs: dict[int, list[int]] = {}
+            for a, b in zip(pairs_tab["a"].to_pylist(), pairs_tab["b"].to_pylist()):
+                nbrs.setdefault(b, []).append(a)
+            kept: set[int] = set()
+            dropped = []
+            for v in sorted(set(pairs_tab["a"].to_pylist())
+                            | set(pairs_tab["b"].to_pylist())):
+                if any(u in kept for u in nbrs.get(v, ())):
+                    dropped.append(v)
+                else:
+                    kept.add(v)
+            pairs = ray.data.from_arrow(
+                pa.table({"b": pa.array(dropped, pa.int64())})
+            )
+        else:
+            pairs = ray.data.from_arrow(pairs_tab.select(["b"]))
     else:
         pairs = embedding_neardup_pairs(ds, threshold=threshold).select_columns(["b"])
     return semi_join(

@@ -1916,7 +1916,7 @@ def events_sample(sf_dir: str):
 def events_mixture_sample(sf_dir: str):
     """Corpus-mixing to data-derived rates (relational.mixture_sample):
     sample the event stream DOWN to ≈2000 rows per event type — each
-    type's keep-rate is min(1000, 1000·2000 // n_type) permille from a
+    type's keep-rate is min(10^6, max(1, 10^6·2000 // n_type)) ppm from a
     tiny counting pass, then the batch-local integer-hash keep rule.
     Pure integer arithmetic end-to-end: SQL reproduces membership exactly
     by computing the same counts and the same formula."""
@@ -2498,10 +2498,12 @@ def embedding_kmeans(sf_dir: str):
 
 
 def semantic_dedup_vecs(sf_dir: str):
-    """SemDeDup keep-set (dedup.semantic_dedup_keep): drop every vector
-    with a cosine-≥0.35 partner of smaller id, keep the rest — greedy
-    keep-first semantic dedup over the exact pair baseline, survivors
-    via the adaptive anti semi join."""
+    """Semantic dedup, dominance rule (dedup.semantic_dedup_keep): drop
+    every vector with a cosine-≥0.35 partner of smaller id, keep the
+    rest — the SQL-expressible rule (the kept set contains no near-dup
+    pair; on chains it over-deletes vs SemDeDup's keep-first, which
+    rule='greedy' provides and tests pin).  Pairs from the exact
+    baseline; survivors via the adaptive anti semi join."""
     from .dedup import semantic_dedup_keep
 
     ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
@@ -3630,10 +3632,12 @@ ORACLE_SQL = {
     # membership reproduces exactly
     "events_mixture_sample": """
         WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
-        r AS (SELECT event_type, least(1000, (1000 * 2000) // n) AS rate FROM n)
+        r AS (SELECT event_type,
+                     least(1000000, greatest(1, (1000000 * 2000) // n)) AS rate
+              FROM n)
         SELECT e.event_id, e.user_id, e.event_type
         FROM events e JOIN r USING (event_type)
-        WHERE ((e.event_id % 1000003) * 2654435761) % 1000 < r.rate
+        WHERE ((e.event_id % 1000003) * 2654435761) % 1000000 < r.rate
     """,
     "events_exact_sample": """
         WITH u0 AS (SELECT event_id, user_id, event_type, CAST(event_id AS HUGEINT) AS u FROM events),

@@ -2253,11 +2253,18 @@ def mixture_sample(
     multiplier: int = 2654435761,
 ) -> "ray.data.Dataset":
     """Sample DOWN to a target corpus mixture: each stratum's keep-rate is
-    derived from its measured size — ``rate_s = min(1000, 1000·target_s //
-    n_s)`` permille — then applied with the deterministic integer-hash
-    keep rule (:func:`stratified_sample`).  This is the data-mixing
+    derived from its measured size — ``rate_s = min(10^6, max(1,
+    10^6·target_s // n_s))`` parts-per-million — then applied with the
+    deterministic integer-hash keep rule (the PPM sibling of
+    :func:`stratified_sample`'s permille rule).  This is the data-mixing
     primitive for training-corpus assembly ("equalize the sources", "cap
     web at 2× books"): the rates come from the data, not the caller.
+
+    PPM resolution (not permille) plus the floor-to-1 clamp means a
+    stratum vastly larger than its target down-samples instead of
+    silently vanishing: at 2.1M rows with target 2000, permille would
+    floor to 0 and drop the stratum entirely; here rate = 952 ppm keeps
+    ≈2000.  Only target 0 (or absence from the dict) drops a stratum.
 
     Two passes, both scale-safe: the counting pass is one pre-aggregated
     groupby over the stratum column (tiny result — one row per stratum,
@@ -2265,7 +2272,8 @@ def mixture_sample(
     zero shuffle.  ``target_rows``: one int for every stratum, or a dict
     per stratum (strata absent from the dict are DROPPED — rate 0, the
     explicit-mixture contract).  Pure integer arithmetic end-to-end, so
-    membership reproduces exactly in SQL with the identical formula."""
+    membership reproduces exactly in SQL with the identical formula
+    ``((key % 1000003) * 2654435761) % 1000000 < rate_ppm``."""
     if isinstance(target_rows, int):
         if target_rows < 0:
             raise ValueError(f"mixture_sample: target must be >= 0, got {target_rows}")
@@ -2275,17 +2283,25 @@ def mixture_sample(
                 raise ValueError(f"mixture_sample: target must be >= 0, got {t} for {s!r}")
 
     counts = preagg_groupby(ds, [strata_col], [(strata_col, "count", "n")])
-    permille: dict[str, int] = {}
+    ppm: dict[str, int] = {}
     for row in counts.take_all():  # one row per stratum by construction
         s, n = row[strata_col], int(row["n"])
         tgt = target_rows if isinstance(target_rows, int) else target_rows.get(s)
-        if tgt is None or n <= 0:
+        if tgt is None or n <= 0 or int(tgt) == 0:
             continue
-        permille[s] = min(1000, (1000 * int(tgt)) // n)
-    return stratified_sample(
-        ds, key, strata_col, permille,
-        default_permille=0, modulus=modulus, multiplier=multiplier,
-    )
+        ppm[s] = min(1_000_000, max(1, (1_000_000 * int(tgt)) // n))
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        strata = t[strata_col]
+        rate = np.zeros(t.num_rows, dtype=np.int64)
+        for s, p in ppm.items():
+            m = pc.fill_null(pc.equal(strata, s), False).to_numpy(zero_copy_only=False)
+            rate[np.asarray(m, dtype=bool)] = p
+        mask = ((v % modulus) * multiplier) % 1_000_000 < rate
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def shuffle_export(
@@ -2563,6 +2579,10 @@ def iqr_outliers(
         keys.append(r[key])
         los.append(q1 - factor * iqr)
         his.append(q3 + factor * iqr)
+    if not keys:
+        # no group has computable quartiles (empty input / all-null
+        # values): zero outliers, schema preserved
+        return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
     key_arr = pa.array(keys)
     lo_np, hi_np = np.array(los, np.float64), np.array(his, np.float64)
 

@@ -84,12 +84,13 @@ def test_mixture_sample_rates_and_caps(ray_session):
         "s": pa.array((["big"] * 800) + (["small"] * 200), pa.string()),
     })
     ds = rd.from_arrow(t)
-    # target 200/stratum: big rate = 1000*200//800 = 250‰, small capped 1000‰
+    # target 200/stratum: big rate = 1e6*200//800 = 250000 ppm, small capped
     out = mixture_sample(ds, "k", "s", target_rows=200).take_all()
     small = [r for r in out if r["s"] == "small"]
     big = [r for r in out if r["s"] == "big"]
-    assert len(small) == 200  # rate capped at 1000 keeps everything
-    want_big = [k for k in range(800) if ((k % 1_000_003) * 2654435761) % 1000 < 250]
+    assert len(small) == 200  # rate capped at 10^6 keeps everything
+    want_big = [k for k in range(800)
+                if ((k % 1_000_003) * 2654435761) % 1_000_000 < 250_000]
     assert sorted(r["k"] for r in big) == want_big
 
     # dict targets: absent strata are dropped
@@ -100,3 +101,18 @@ def test_mixture_sample_rates_and_caps(ray_session):
 
     with pytest.raises(ValueError):
         mixture_sample(ds, "k", "s", target_rows=-1)
+
+
+def test_mixture_sample_huge_stratum_downsamples_not_drops(ray_session):
+    import ray.data as rd
+
+    from raydatax.relational import mixture_sample
+
+    n = 120_000  # permille resolution would floor 1000*10//120000 to 0
+    t = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "s": pa.array(["web"] * n, pa.string()),
+    })
+    out = mixture_sample(rd.from_arrow(t), "k", "s", target_rows=10).take_all()
+    # ppm rate = max(1, 83) = 83 -> ~10 rows survive, never zero
+    assert 0 < len(out) < 100

@@ -916,3 +916,19 @@ def test_cms_estimate_bounds_and_exactness(ray_session):
 
     with pytest.raises(ValueError):
         cms_estimate(ds, "k", ["a"], depth=3)
+
+
+def test_iqr_outliers_all_null_values_returns_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.relational import iqr_outliers
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "g": pa.array(["a", "a", "b"], pa.string()),
+        "v": pa.array([None, None, None], pa.float64()),
+    })
+    out = iqr_outliers(rd.from_arrow(t), "g", "v")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"id", "g", "v"}

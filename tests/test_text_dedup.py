@@ -776,3 +776,37 @@ def test_semantic_dedup_exact_vs_approx_paths(ray_session):
                     semantic_dedup_keep(ds, 0.999, exact=False).take_all())
     assert exact == sorted(range(40))  # the 10 planted dups drop
     assert approx == exact  # IVF path finds the same planted dups here
+
+
+def test_semantic_dedup_rules_differ_on_chains(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from raydatax.dedup import semantic_dedup_keep
+
+    # chain: 0~1, 1~2, but 0 !~ 2 (angles 0, ~25, ~50 degrees)
+    import math
+
+    angs = [0.0, math.radians(25), math.radians(50)]
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(
+            [[math.cos(a), math.sin(a)] for a in angs], pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t)
+    thr = 0.95  # cos(25deg)=.906<.95? no: .906 -> pick .9
+    thr = 0.9
+    dom = sorted(r["vec_id"] for r in
+                 semantic_dedup_keep(ds, thr, block_rows=2).take_all())
+    greedy = sorted(r["vec_id"] for r in
+                    semantic_dedup_keep(ds, thr, block_rows=2,
+                                        rule="greedy").take_all())
+    assert dom == [0]          # dominance over-deletes the chain tail
+    assert greedy == [0, 2]    # keep-first keeps the far end
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        semantic_dedup_keep(ds, thr, exact=False, rule="greedy")
+    with pytest.raises(ValueError):
+        semantic_dedup_keep(ds, thr, rule="bogus")
