@@ -80,7 +80,7 @@ def main(root: str = "/tmp/snap_tail") -> dict:
     import ray.data as rd
 
     from raydatax.driver import lake_table, run_job
-    from raydatax.gen import write_wal
+    from raydatax.gen import append_wal, write_wal
     from raydatax.relational import snapshot_cdc
     from raydatax.schema import EVENT_SCHEMA
 
@@ -121,11 +121,8 @@ def main(root: str = "/tmp/snap_tail") -> dict:
         "tool": pa.array([r["tool"] for r in delta], pa.string()),
         "ts": pa.array([r["ts"] for r in delta], pa.timestamp("us")),
     }).cast(EVENT_SCHEMA)
-    # append-only WAL: new segments continue the numbering
-    existing = len([f for f in os.listdir(wal) if f.endswith(".parquet")])
-    for i, path in enumerate(write_wal(ev1, os.path.join(root, "delta_tmp"),
-                                       seg_rows=1000)):
-        os.replace(path, os.path.join(wal, f"seg-{existing + i:05d}.parquet"))
+    # append-only WAL: new segments continue the numbering (max+1 rule)
+    append_wal(ev1, wal, seg_rows=1000)
     rep["tail"] = run_job(wal, lake, partitions=8)
 
     # 4. verify: lake state == day-1 snapshot, rerun is a no-op

@@ -422,7 +422,9 @@ def kmeans_fit_distributed(
     ``_kmeans_l2`` uses for code books): per iteration, centroids
     broadcast (object store, once), every batch assigns rows by squared
     L2 argmin (ties → lowest cluster id) and emits per-cluster partial
-    (sum-vector, count) rows — k·d floats per batch, the only thing that
+    (sum-vector, count) rows — k·d ints per batch (member components
+    snap to int64 micros BEFORE accumulation, so partials are
+    associative and block-boundary-independent), the only thing that
     ever leaves a task; the driver folds the tiny partials and re-snaps
     centroids to MICRO precision between rounds, which makes the whole
     loop reproducible across engines (the bpe_learn unrolled-rounds
@@ -458,23 +460,30 @@ def kmeans_fit_distributed(
             # squared L2 via explicit diffs (same expression SQL sums)
             dist = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(dist, axis=1)  # first (lowest id) on ties
-            sums = np.zeros((k, d), dtype=np.float64)
-            np.add.at(sums, assign, x)
+            # snap-before-sum: each member component snaps to an int64
+            # micro BEFORE accumulation, so partial sums are associative
+            # integers — batch/block boundaries can never move a centroid
+            # by a ulp (the lm_perplexity/bm25 discipline)
+            xm = np.floor(x * 1e6 + 0.5).astype(np.int64)
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, assign, xm)
             cnt = np.bincount(assign, minlength=k).astype(np.int64)
             keep = cnt > 0
             return pa.table({
                 "c": pa.array(np.arange(k, dtype=np.int64)[keep]),
                 "n": pa.array(cnt[keep]),
                 "s": pa.array([list(v) for v in sums[keep]],
-                              pa.list_(pa.float64())),
+                              pa.list_(pa.int64())),
             })
 
         rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-        sums = np.zeros((k, d), dtype=np.float64)
+        sums = np.zeros((k, d), dtype=np.int64)
         counts = np.zeros(k, dtype=np.int64)
         for r in rows:  # ≤ k rows per block — tiny driver fold
-            sums[r["c"]] += np.asarray(r["s"], dtype=np.float64)
+            sums[r["c"]] += np.asarray(r["s"], dtype=np.int64)
             counts[r["c"]] += r["n"]
         nz = counts > 0
-        cent[nz] = np.floor((sums[nz] / counts[nz, None]) * 1e6 + 0.5) / 1e6
+        # mean of micro ints, rounded back to a micro-snapped float —
+        # one IEEE division over exact integers, identical in SQL
+        cent[nz] = np.floor(sums[nz] / counts[nz, None] + 0.5) / 1e6
     return cent, counts

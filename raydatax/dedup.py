@@ -2350,8 +2350,10 @@ def edit_distance_verify(
     character-level verify stage (templated spam, OCR noise, small edits)
     complementing the set-based ones (Jaccard / containment).  Only the
     referenced docs are collected (bounded by the pair list, same contract
-    as :func:`ngram_jaccard_verify`); each pair's DP runs banded over two
-    numpy rows — O(len_a·len_b) per pair, vectorized along the inner row."""
+    as :func:`ngram_jaccard_verify`); each pair's DP is the classic
+    full two-row scan — O(len_a·len_b) per pair, vectorized along the
+    inner row (no band shortcut: cost is quadratic even for near-equal
+    texts; bound pair lists and text lengths accordingly)."""
     need = sorted({i for p in pairs for i in p})
     ref = ray.put(pa.array(need, pa.int64()))
 

@@ -247,6 +247,34 @@ def write_wal(
     return paths
 
 
+def append_wal(
+    table: pa.Table,
+    wal_dir: str,
+    seg_rows: int = 10_000,
+) -> list[str]:
+    """Append new segments to an EXISTING WAL, continuing the
+    ``seg-{k:05d}`` numbering from the current maximum index (max+1, never
+    a count — a crashed parallel writer must not overwrite an applied
+    segment; same rule as the expire/requeue sweeps).  The incremental
+    half of :func:`write_wal` — bootstrap writes, tails append."""
+    os.makedirs(wal_dir, exist_ok=True)
+    existing = [
+        int(f[4:9]) for f in os.listdir(wal_dir)
+        if f.startswith("seg-") and f.endswith(".parquet")
+    ]
+    start = (max(existing) + 1) if existing else 0
+    n = table.num_rows
+    n_segs = max(1, (n + seg_rows - 1) // seg_rows)
+    paths = []
+    for k in range(n_segs):
+        seg = table.slice(k * seg_rows, seg_rows)
+        path = os.path.join(wal_dir, f"seg-{start + k:05d}.parquet")
+        pq.write_table(seg, path, compression="zstd",
+                       row_group_size=min(seg_rows, 65536))
+        paths.append(path)
+    return paths
+
+
 def gen_wal(
     wal_dir: str,
     n_events: int,

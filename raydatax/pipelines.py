@@ -143,6 +143,18 @@ def _derived_cdc_wal_table(sf_dir: str) -> pa.Table:
     )
 
 
+def _neighbor_pairs(sf_dir: str) -> list[tuple[int, int]]:
+    """The deterministic candidate-pair list shared by the three verify
+    queries (ngram_jaccard / ngram_containment_docs / edit_distance_docs)
+    AND re-encoded in their SQL twins: (i, i+1) for every doc_id i with
+    i %% 25 == 0 whose successor exists.  Change it in lockstep with the
+    oracles' ``pairs`` CTE or the three silently diverge."""
+    import pyarrow.parquet as pq
+
+    ids = set(pq.read_table(_p(sf_dir, "documents"), columns=["doc_id"])["doc_id"].to_pylist())
+    return [(i, i + 1) for i in sorted(ids) if i % 25 == 0 and i + 1 in ids]
+
+
 def _project_transcript(lk: pa.Table) -> pa.Table:
     """The flagship's gate projection, shared by every query that is
     oracled against transcript_cdc_replay's SQL (job_json_roundtrip,
@@ -500,7 +512,7 @@ def lake_time_travel(sf_dir: str):
     import shutil
 
     from .driver import lake_table, run_job
-    from .gen import write_wal
+    from .gen import append_wal, write_wal
 
     wal_table = _derived_cdc_wal_table(sf_dir)
     cutoff = int(pc.max(wal_table["seq"]).as_py()) // 2
@@ -511,11 +523,7 @@ def lake_time_travel(sf_dir: str):
     wal, lake = os.path.join(root, "wal"), os.path.join(root, "lake")
     write_wal(wal_table.filter(early), wal, seg_rows=20_000)
     run_job(wal, lake, partitions=8, time_travel_epochs=4)
-    first = len([f for f in os.listdir(wal) if f.endswith(".parquet")])
-    for i, path in enumerate(write_wal(
-            wal_table.filter(pc.invert(early)),
-            os.path.join(root, "late_tmp"), seg_rows=20_000)):
-        os.replace(path, os.path.join(wal, f"seg-{first + i:05d}.parquet"))
+    append_wal(wal_table.filter(pc.invert(early)), wal, seg_rows=20_000)
     run_job(wal, lake, partitions=8, time_travel_epochs=4)
     return _project_transcript(lake_table(lake, at_epoch=1))
 
@@ -1386,14 +1394,10 @@ def ngram_jaccard(sf_dir: str):
     near-dup pipeline, SQL-oracled: hashed-shingle distinct counts equal
     raw-substring distinct counts (64-bit collisions are negligible), and
     |∩|/|∪| is an integer division both engines perform identically."""
-    import pyarrow.parquet as pq
-
     from .dedup import ngram_jaccard_verify
 
-    ids = set(pq.read_table(_p(sf_dir, "documents"), columns=["doc_id"])["doc_id"].to_pylist())
-    pairs = [(i, i + 1) for i in sorted(ids) if i % 25 == 0 and i + 1 in ids]
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ngram_jaccard_verify(ds, pairs, k=5)
+    return ngram_jaccard_verify(ds, _neighbor_pairs(sf_dir), k=5)
 
 
 def ngram_containment_docs(sf_dir: str):
@@ -1402,14 +1406,10 @@ def ngram_containment_docs(sf_dir: str):
     as ngram_jaccard — catches quotes / partial inclusion that Jaccard
     misses when the two docs differ in size.  Integer-over-integer
     divisions, cross-engine exact."""
-    import pyarrow.parquet as pq
-
     from .dedup import ngram_containment_verify
 
-    ids = set(pq.read_table(_p(sf_dir, "documents"), columns=["doc_id"])["doc_id"].to_pylist())
-    pairs = [(i, i + 1) for i in sorted(ids) if i % 25 == 0 and i + 1 in ids]
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ngram_containment_verify(ds, pairs, k=5)
+    return ngram_containment_verify(ds, _neighbor_pairs(sf_dir), k=5)
 
 
 def edit_distance_docs(sf_dir: str):
@@ -1418,14 +1418,10 @@ def edit_distance_docs(sf_dir: str):
     as ngram_jaccard — the small-edit near-dup metric (templates, OCR
     noise) the set-based measures blur.  Banded two-row numpy DP per
     pair; collection bounded by the pair list."""
-    import pyarrow.parquet as pq
-
     from .dedup import edit_distance_verify
 
-    ids = set(pq.read_table(_p(sf_dir, "documents"), columns=["doc_id"])["doc_id"].to_pylist())
-    pairs = [(i, i + 1) for i in sorted(ids) if i % 25 == 0 and i + 1 in ids]
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    return edit_distance_verify(ds, pairs)
+    return edit_distance_verify(ds, _neighbor_pairs(sf_dir))
 
 
 def docs_cms_counts(sf_dir: str):
@@ -3905,7 +3901,8 @@ ORACLE_SQL = {
         cnt1 AS (SELECT c, count(*) AS n FROM a1 GROUP BY c),
         c1 AS (
           SELECT a.c, e.pos,
-                 floor(sum(e.comp) / count(*) * 1000000 + 0.5) / 1000000 AS comp
+                 floor(sum(CAST(floor(e.comp * 1000000 + 0.5) AS BIGINT))
+                       / count(*) + 0.5) / 1000000 AS comp
           FROM e JOIN a1 a USING (vec_id)
           GROUP BY a.c, e.pos),
         d2 AS (
@@ -3922,7 +3919,8 @@ ORACLE_SQL = {
         cnt2 AS (SELECT c, count(*) AS n FROM a2 GROUP BY c),
         c2 AS (
           SELECT a.c, e.pos,
-                 floor(sum(e.comp) / count(*) * 1000000 + 0.5) / 1000000 AS comp
+                 floor(sum(CAST(floor(e.comp * 1000000 + 0.5) AS BIGINT))
+                       / count(*) + 0.5) / 1000000 AS comp
           FROM e JOIN a2 a USING (vec_id)
           GROUP BY a.c, e.pos)
         SELECT c2.c AS cluster, c2.pos,
@@ -3958,11 +3956,13 @@ ORACLE_SQL = {
           JOIN g gb ON gb.doc_id = p.b AND gb.gram = ga.gram
           GROUP BY p.a, p.b)
         SELECT p.a, p.b,
-               CAST(coalesce(i.ni, 0) AS DOUBLE) / sa.n AS contain_a,
-               CAST(coalesce(i.ni, 0) AS DOUBLE) / sb.n AS contain_b
+               CASE WHEN coalesce(sa.n, 0) = 0 THEN 0.0
+                    ELSE CAST(coalesce(i.ni, 0) AS DOUBLE) / sa.n END AS contain_a,
+               CASE WHEN coalesce(sb.n, 0) = 0 THEN 0.0
+                    ELSE CAST(coalesce(i.ni, 0) AS DOUBLE) / sb.n END AS contain_b
         FROM pairs p
-        JOIN sizes sa ON sa.doc_id = p.a
-        JOIN sizes sb ON sb.doc_id = p.b
+        LEFT JOIN sizes sa ON sa.doc_id = p.a
+        LEFT JOIN sizes sb ON sb.doc_id = p.b
         LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
     """,
     "edit_distance_docs": """
@@ -3972,7 +3972,8 @@ ORACLE_SQL = {
           WHERE d.doc_id % 25 = 0
             AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1))
         SELECT p.a, p.b,
-               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+               CAST(levenshtein(coalesce(da.text, ''),
+                                coalesce(db.text, '')) AS BIGINT) AS edit_dist
         FROM pairs p
         JOIN documents da ON da.doc_id = p.a
         JOIN documents db ON db.doc_id = p.b
@@ -4109,11 +4110,14 @@ ORACLE_SQL = {
           JOIN g gb ON gb.doc_id = p.b AND gb.gram = ga.gram
           GROUP BY p.a, p.b)
         SELECT p.a, p.b,
-               CAST(coalesce(i.ni, 0) AS DOUBLE)
-                 / (sa.n + sb.n - coalesce(i.ni, 0)) AS jaccard
+               CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                         - coalesce(i.ni, 0) = 0 THEN 0.0
+                    ELSE CAST(coalesce(i.ni, 0) AS DOUBLE)
+                         / (coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                            - coalesce(i.ni, 0)) END AS jaccard
         FROM pairs p
-        JOIN sizes sa ON sa.doc_id = p.a
-        JOIN sizes sb ON sb.doc_id = p.b
+        LEFT JOIN sizes sa ON sa.doc_id = p.a
+        LEFT JOIN sizes sb ON sb.doc_id = p.b
         LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
     """,
     # ALL-pairs exact char-5-gram Jaccard >= 0.6: certifies the engine's

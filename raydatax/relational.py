@@ -18,6 +18,8 @@ lives here, built from first principles on Ray Data:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -2339,12 +2341,45 @@ def shuffle_export(
 
     tagged = ds.map_batches(assign, batch_format="pyarrow")
     if out_dir is not None:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
         from .sinks import write_partitioned
 
+        # ONE corpus pass: the range sort clusters shards and the write
+        # keeps __h (the loader's resume/verification handle); the
+        # manifest then comes from parquet FOOTER stats — min/max/count
+        # of __h per shard directory, zero data read, and it provably
+        # describes the files actually written.
         clustered = tagged.sort(["__h", key])
-        write_partitioned(
-            clustered.drop_columns(["__h"]), out_dir, ["shard"]
-        )
+        write_partitioned(clustered, out_dir, ["shard"])
+        shards, ns, mins, maxs = [], [], [], []
+        for d in sorted(_glob.glob(os.path.join(out_dir, "shard=*"))):
+            n, mn, mx = 0, None, None
+            for f in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
+                md = _pq.ParquetFile(f).metadata
+                ci = md.schema.to_arrow_schema().get_field_index("__h")
+                n += md.num_rows
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(
+                            f"shuffle_export: {f} row group {rg} lacks "
+                            "__h stats — cannot build the footer manifest"
+                        )
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+            shards.append(int(d.rsplit("=", 1)[-1]))
+            ns.append(n)
+            mins.append(str(int(mn)))
+            maxs.append(str(int(mx)))
+        return ray.data.from_arrow(pa.table({
+            "shard": pa.array(shards, pa.int64()),
+            "n_rows": pa.array(ns, pa.int64()),
+            "min_h": pa.array(mins, pa.string()),
+            "max_h": pa.array(maxs, pa.string()),
+        }))
 
     summary = preagg_groupby(
         tagged, ["shard"],
