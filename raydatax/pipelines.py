@@ -1438,6 +1438,17 @@ def docs_cms_counts(sf_dir: str):
     return cms_estimate(terms, "term", ["query", "window", "merge", "xyzzy"])
 
 
+def docs_pmi_collocations(sf_dir: str):
+    """Collocation extraction (text.pmi_collocations): top-20 token pairs
+    by PMI over a ±3 windowed co-occurrence grid — pair volume bounded by
+    tokens·window, counts pre-aggregated, the PMI expression one fixed
+    IEEE computation over exact integers, micro-snapped."""
+    from .text import pmi_collocations
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return pmi_collocations(ds, window=3, min_count=5, k=20)
+
+
 def docs_bm25_topk(sf_dir: str):
     """Okapi BM25 top-15 (text.bm25_topk) for ['query','window','merge']:
     tf restricted to the query terms, df tiny, per-(doc,term)
@@ -2997,6 +3008,7 @@ QUERIES = {
     "orders_status_priority_cube": orders_status_priority_cube,
     "zorder_box_scan": zorder_box_scan,
     "docs_cms_counts": docs_cms_counts,
+    "docs_pmi_collocations": docs_pmi_collocations,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -4047,6 +4059,38 @@ ORACLE_SQL = {
         JOIN hs USING (term)
         LEFT JOIN sk0 k0 ON k0.slot = hs.s0
         LEFT JOIN sk1 k1 ON k1.slot = hs.s1
+    """,
+    "docs_pmi_collocations": """
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+                      FROM documents),
+        tp AS (SELECT doc_id, unnest(range(1, len(ts)+1)) AS pos,
+                      unnest(ts) AS tok
+               FROM toks),
+        prs AS (
+          SELECT least(x.tok, y.tok) AS a, greatest(x.tok, y.tok) AS b
+          FROM tp x JOIN tp y ON x.doc_id = y.doc_id
+                            AND y.pos - x.pos BETWEEN 1 AND 3
+          WHERE x.tok <> '' AND y.tok <> ''),
+        cab AS (SELECT a, b, count(*) AS c_ab FROM prs GROUP BY a, b),
+        uni AS (SELECT tok AS term, count(*) AS c FROM tp
+                WHERE tok <> '' GROUP BY tok),
+        tt AS (SELECT CAST((SELECT count(*) FROM tp WHERE tok <> '') AS DOUBLE) AS t,
+                      CAST((SELECT count(*) FROM prs) AS DOUBLE) AS p),
+        scored AS (
+          SELECT cab.a, cab.b, CAST(cab.c_ab AS BIGINT) AS c_ab,
+                 CAST(floor(ln((CAST(cab.c_ab AS DOUBLE) * tt.t * tt.t)
+                               / (tt.p * ua.c * ub.c))
+                            * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+          FROM cab
+          JOIN uni ua ON ua.term = cab.a
+          JOIN uni ub ON ub.term = cab.b
+          CROSS JOIN tt
+          WHERE cab.c_ab >= 5),
+        ranked AS (SELECT *, row_number() OVER (ORDER BY pmi_micro DESC,
+                                                a ASC, b ASC) AS rank
+                   FROM scored)
+        SELECT a, b, c_ab, pmi_micro, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 20
     """,
     "docs_bm25_topk": """
         WITH toks AS (

@@ -1012,3 +1012,149 @@ def phrase_search(
     return preagg_groupby(
         cur, [id_col], [(id_col, "count", "__n")]
     ).select_columns([id_col])
+
+
+# --------------------------------------------- co-occurrence / PMI
+
+
+def cooccurrence_pairs(
+    batch: pa.Table,
+    window: int,
+    column: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Windowed token co-occurrence pairs per batch — for every token
+    position i and offset d in 1..window, the unordered pair
+    {tok[i], tok[i+d]} (canonicalized bytewise min/max so (x,y) and
+    (y,x) merge), never crossing a document boundary.  Pure shifted-take
+    arithmetic on the flat token array (the ngram_table trick), so the
+    pair volume is bounded by tokens·window — the well-behaved
+    collocation contract (an unwindowed per-doc cross join would be
+    quadratic in document length).  Tokenization contract =
+    :func:`tokenize_batch` on positions (lower, single-space split,
+    empties keep slots but pair rows with an empty side are dropped)."""
+    if window < 1:
+        raise ValueError(f"cooccurrence_pairs: window must be >= 1, got {window}")
+    col = pc.utf8_lower(batch[column].combine_chunks())
+    lists = pc.split_pattern(col, " ")
+    lens = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.chunk(0) if flat.num_chunks else pa.array([], pa.string())
+    total = int(lens.sum())
+    outs_a, outs_b = [], []
+    if total:
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        doc_len = np.repeat(lens, lens)
+        for d in range(1, window + 1):
+            idx = np.nonzero(within <= doc_len - 1 - d)[0]
+            if not len(idx):
+                continue
+            x = flat.take(pa.array(idx))
+            y = flat.take(pa.array(idx + d))
+            keep = pc.and_(pc.not_equal(x, ""), pc.not_equal(y, ""))
+            x, y = x.filter(keep), y.filter(keep)
+            lt = pc.less_equal(x, y)
+            outs_a.append(pc.if_else(lt, x, y))
+            outs_b.append(pc.if_else(lt, y, x))
+    if not outs_a:
+        return pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string())})
+    return pa.table({
+        "a": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in outs_a]),
+        "b": pa.concat_arrays([b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b for b in outs_b]),
+    })
+
+
+def pmi_collocations(
+    ds,
+    window: int = 3,
+    min_count: int = 5,
+    k: int = 20,
+    column: str = "text",
+    id_col: str = "doc_id",
+):
+    """Top-k collocations by pointwise mutual information over windowed
+    co-occurrence: PMI(a,b) = ln(c_ab · T² / (P · c_a · c_b)) with c_ab
+    the pair count (bounded by tokens·window), c_a/c_b unigram occurrence
+    counts, T total tokens, P total pairs.  Pair and unigram counts are
+    pre-aggregated (only partials shuffle); T and P are tiny folds; the
+    PMI expression is one fixed IEEE computation over exact integers,
+    micro-snapped — SQL reproduces rows and scores exactly.  Returns
+    ``(a, b, c_ab, pmi_micro, rank)``."""
+    from .relational import preagg_groupby, topk
+
+    pairs = ds.map_batches(
+        lambda t: cooccurrence_pairs(t, window, column, id_col),
+        batch_format="pyarrow",
+    )
+    cab = preagg_groupby(pairs, ["a", "b"], [("a", "count", "c_ab")]).materialize()
+    toks = ds.map_batches(
+        lambda t: tokenize_batch(t, column, id_col), batch_format="pyarrow"
+    )
+    uni = preagg_groupby(toks, ["term"], [("term", "count", "c")]).materialize()
+
+    def blocksum(dset, col):
+        return sum(
+            r["s"] for r in dset.map_batches(
+                lambda t: pa.table({"s": [int(pc.sum(t[col]).as_py() or 0)]}),
+                batch_format="pyarrow",
+            ).take_all()
+        )
+
+    t_total, p_total = blocksum(uni, "c"), blocksum(cab, "c_ab")
+    if p_total == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+            "c_ab": pa.array([], pa.int64()),
+            "pmi_micro": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
+
+    from .relational import hash_join
+
+    filt = cab.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["c_ab"], min_count)),
+        batch_format="pyarrow",
+    )
+    ua = uni.map_batches(
+        lambda t: pa.table({"a": t["term"], "c_a": t["c"]}), batch_format="pyarrow")
+    ub = uni.map_batches(
+        lambda t: pa.table({"b": t["term"], "c_b": t["c"]}), batch_format="pyarrow")
+    # chained joins: repartition between them re-unifies block schemas
+    # (Ray's JoinOperator emits schema-less blocks for empty hash
+    # partitions — see relational.semi_join's hazard note)
+    joined = hash_join(
+        hash_join(filt, ua, on="a").repartition(8), ub, on="b"
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c_ab = t["c_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_a = t["c_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_b = t["c_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ratio = (c_ab * float(t_total) * float(t_total)) / (
+            float(p_total) * c_a * c_b)
+        lp = pc.ln(pa.array(ratio, pa.float64())).to_numpy(zero_copy_only=False)
+        micro = np.floor(lp * 1000000.0 + 0.5).astype(np.int64)
+        return pa.table({"a": t["a"], "b": t["b"], "c_ab": t["c_ab"],
+                         "pmi_micro": pa.array(micro)})
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    out = topk(scored, [("pmi_micro", "descending"), ("a", "ascending"),
+                        ("b", "ascending")], k)
+    import ray.data as _rd
+
+    if out is None:
+        return _rd.from_arrow(pa.table({
+            "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+            "c_ab": pa.array([], pa.int64()),
+            "pmi_micro": pa.array([], pa.int64())}))
+    n = out.num_rows
+    return _rd.from_arrow(out.append_column("rank", pa.array(
+        np.arange(1, n + 1, dtype=np.int64))))

@@ -146,3 +146,29 @@ def test_phrase_search_three_terms_and_guard(ray_session):
     assert got == [0]
     with pytest.raises(ValueError):
         phrase_search(_docs(docs), ["solo"])
+
+
+# ------------------------------------------------ PMI collocations
+
+
+def test_cooccurrence_pairs_window_and_boundary(ray_session):
+    from raydatax.text import cooccurrence_pairs
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a b c", "c a"], pa.string())})
+    rows = cooccurrence_pairs(t, window=2).to_pylist()
+    got = sorted((r["a"], r["b"]) for r in rows)
+    # doc1: (a,b) d1, (b,c) d1, (a,c) d2; doc2: (a,c) d1 canonicalized —
+    # never (c, <doc1 token>) across the boundary
+    assert got == [("a", "b"), ("a", "c"), ("a", "c"), ("b", "c")]
+
+
+def test_pmi_ranks_exclusive_pair_first(ray_session):
+    from raydatax.text import pmi_collocations
+
+    # "x y" always together; "p q" co-occur but p and q also appear alone
+    docs = ["x y"] * 6 + ["p q"] * 6 + ["p r", "q s"] * 6
+    out = pmi_collocations(_docs(docs), window=2, min_count=5, k=3).take_all()
+    assert (out[0]["a"], out[0]["b"]) == ("x", "y")
+    assert out[0]["pmi_micro"] > out[-1]["pmi_micro"]
+    assert out[0]["rank"] == 1
