@@ -1223,6 +1223,27 @@ def index_and_search(sf_dir: str):
     return index_and_query(idx, ["query", "window", "merge"])
 
 
+def incremental_lm_perplexity(sf_dir: str):
+    """Incremental LM fitting (text.unigram_index_add / read_unigram_index):
+    the prior crawl (doc_id %% 3 == 0) and the new crawl land as two
+    bucketed index epochs — each fit tokenizes ONLY its own crawl — then
+    every document scores against the merged counts, which must equal a
+    one-shot fit over the union (the SQL twin).  Same crash-atomic
+    epoch/compaction discipline as the persistent dedup indexes."""
+    import shutil
+
+    from .text import lm_perplexity, read_unigram_index, unigram_index_add
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/raydatax_lmidx_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+    unigram_index_add(idx, _crawl_split(ds, "doc_id", prior=True))
+    unigram_index_add(idx, _crawl_split(ds, "doc_id", prior=False))
+    vocab = read_unigram_index(idx)
+    return lm_perplexity(ds, vocab)
+
+
 def sequence_packing(sf_dir: str):
     """Greedy sequential packing (relational.pack_sequences over the
     distributed prefix sum): documents laid end-to-end in doc_id order,
@@ -3009,6 +3030,7 @@ QUERIES = {
     "zorder_box_scan": zorder_box_scan,
     "docs_cms_counts": docs_cms_counts,
     "docs_pmi_collocations": docs_pmi_collocations,
+    "incremental_lm_perplexity": incremental_lm_perplexity,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -3736,6 +3758,38 @@ ORACLE_SQL = {
           WHERE term <> '')
         SELECT doc_id FROM t2 WHERE term IN ('query', 'window', 'merge')
         GROUP BY doc_id HAVING count(*) = 3
+    """,
+    "incremental_lm_perplexity": """
+        WITH rt AS (
+          SELECT term FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+          WHERE term <> ''),
+        vocab AS (SELECT term, count(*) AS c FROM rt GROUP BY term),
+        nv AS (SELECT (SELECT count(*) FROM rt)
+                    + (SELECT count(*) FROM vocab) AS denom),
+        t2 AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+          WHERE term <> ''),
+        scored AS (
+          SELECT t2.doc_id,
+                 CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov,
+                 CAST(floor(ln(CAST(coalesce(v.c, 0) + 1 AS DOUBLE)
+                               / CAST(nv.denom AS DOUBLE))
+                            * 1000000.0 + 0.5) AS BIGINT) AS lp
+          FROM t2 LEFT JOIN vocab v USING (term) CROSS JOIN nv),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(oov) AS BIGINT) AS n_oov,
+                 CAST(sum(lp) AS BIGINT) AS logp_micro
+          FROM scored GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.n_oov, 0) AS n_oov,
+               coalesce(a.logp_micro, 0) AS logp_micro
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
     "sequence_packing": """
         WITH c AS (

@@ -1158,3 +1158,81 @@ def pmi_collocations(
     n = out.num_rows
     return _rd.from_arrow(out.append_column("rank", pa.array(
         np.arange(1, n + 1, dtype=np.int64))))
+
+
+# ------------------------------------------- incremental LM vocabulary
+
+
+def unigram_index_add(index_dir: str, ds, column: str = "text",
+                      id_col: str = "doc_id") -> dict:
+    """Persistent unigram-count index: each crawl's vocabulary lands as a
+    new bucketed epoch (``epoch-N/__bucket=H/``, the dedup-index layout —
+    crash-atomic stage-then-rename, collision-proof max+1 numbering), so
+    FITTING cost is ∝ the delta corpus: an hourly crawl tokenizes only
+    its own documents, never the history.  Counts are mergeable — the
+    read side sums across epochs — so no epoch ever rewrites another."""
+    import os
+
+    from .dedup import INDEX_BUCKETS, _commit_index_epoch, _index_epochs
+    from .partition import hash_string_column
+
+    os.makedirs(index_dir, exist_ok=True)
+    vocab = fit_unigram_counts(ds, column, id_col)
+    live, _ = _index_epochs(index_dir)
+    nxt = (max(n for n, _ in live) + 1) if live else 0
+
+    def bucket(t: pa.Table, B: int) -> pa.Array:
+        h = hash_string_column(t["term"].combine_chunks())
+        return pa.array((h % np.uint64(B)).astype(np.int64))
+
+    _commit_index_epoch(index_dir, nxt, vocab, bucket_fn=bucket,
+                        buckets=INDEX_BUCKETS)
+    return {"epoch": nxt, "terms": vocab.count()}
+
+
+def read_unigram_index(index_dir: str):
+    """Merged vocabulary Dataset (term, c) across all live epochs — one
+    pre-aggregated sum over the epoch parts (bucketed hive leaves)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from .dedup import _drop_hive_bucket, _index_epochs
+    from .relational import preagg_groupby
+
+    live, _ = _index_epochs(index_dir)
+    files: list[str] = []
+    for _, d in live:
+        files.extend(sorted(glob.glob(
+            os.path.join(index_dir, d, "**", "*.parquet"), recursive=True)))
+    if not files:
+        raise ValueError(f"read_unigram_index: no live epochs in {index_dir}")
+    ds = rd.read_parquet(files).map_batches(
+        _drop_hive_bucket, batch_format="pyarrow")
+    return preagg_groupby(ds, ["term"], [("c", "sum", "c")]).materialize()
+
+
+def unigram_index_compact(index_dir: str) -> dict:
+    """Fold all live epochs into ONE merged, bucketed epoch behind a
+    ``folded_upto`` horizon marker (the compact_index discipline): the
+    merged counts and the marker become visible in one atomic rename, so
+    a crash leaves either the old epochs or the folded one — never both
+    live."""
+    from .dedup import INDEX_BUCKETS, _commit_index_epoch, _index_epochs
+    from .partition import hash_string_column
+
+    live, _ = _index_epochs(index_dir)
+    if len(live) < 2:
+        return {"folded": 0}
+    merged = read_unigram_index(index_dir)
+    hi = max(n for n, _ in live)
+
+    def bucket(t: pa.Table, B: int) -> pa.Array:
+        h = hash_string_column(t["term"].combine_chunks())
+        return pa.array((h % np.uint64(B)).astype(np.int64))
+
+    _commit_index_epoch(index_dir, hi + 1, merged, bucket_fn=bucket,
+                        buckets=INDEX_BUCKETS,
+                        marker={"folded_upto": hi})
+    return {"folded": len(live), "epoch": hi + 1}

@@ -116,3 +116,40 @@ def test_mixture_sample_huge_stratum_downsamples_not_drops(ray_session):
     out = mixture_sample(rd.from_arrow(t), "k", "s", target_rows=10).take_all()
     # ppm rate = max(1, 83) = 83 -> ~10 rows survive, never zero
     assert 0 < len(out) < 100
+
+
+# -------------------------------------------- incremental vocabulary
+
+
+def test_unigram_index_incremental_equals_oneshot(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raydatax.text import (
+        fit_unigram_counts,
+        lm_perplexity,
+        read_unigram_index,
+        unigram_index_add,
+        unigram_index_compact,
+    )
+
+    texts_a = ["a a b c", "b d e"] * 5
+    texts_b = ["c c f", "a f f g"] * 5
+    idx = str(tmp_path / "lmidx")
+    unigram_index_add(idx, _docs(texts_a))
+    unigram_index_add(idx, _docs(texts_b, ids=range(100, 100 + len(texts_b))))
+    merged = read_unigram_index(idx)
+    all_docs = _docs(texts_a + texts_b)
+    oneshot = fit_unigram_counts(all_docs)
+
+    probe = _docs(["a b f zz", ""], ids=[0, 1])
+    inc = _as_map(lm_perplexity(probe, merged))
+    one = _as_map(lm_perplexity(probe, oneshot))
+    assert inc == one
+
+    # compaction folds the epochs without changing a single score
+    rep = unigram_index_compact(idx)
+    assert rep["folded"] == 2
+    after = _as_map(lm_perplexity(probe, read_unigram_index(idx)))
+    assert after == inc
+    # compacting a single live epoch is a no-op
+    assert unigram_index_compact(idx) == {"folded": 0}
