@@ -1510,6 +1510,45 @@ def dedup_minhash_verified(sf_dir: str):
     return kept.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
+def dedup_keep_best(sf_dir: str):
+    """Production dedup canonicalization: cluster the exact-verified
+    near-dup pairs (the dedup_minhash_verified relation) into connected
+    components (dedup.cluster_pairs union-find over the bounded verified
+    pair list) and keep the BEST document per cluster — longest text,
+    ties to the smallest id — instead of the naive min-id rule.  Emits
+    one row per clustered document: (doc_id, canonical_id, keep).  The
+    oracle recomputes components with a recursive CTE over the ALL-pairs
+    exact-Jaccard relation and the same argmax."""
+    from .dedup import cluster_pairs, minhash_candidate_pairs, ngram_jaccard_verify
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"]
+    )
+    cand = minhash_candidate_pairs(ds, threshold=0.6)
+    pair_list = sorted({(r["a"], r["b"]) for r in cand.take_all()})
+    ver = ngram_jaccard_verify(ds, pair_list, k=5)
+    kept = ver.filter(pc.greater_equal(ver["jaccard"], 0.6))
+    pairs = list(zip(kept["a"].to_pylist(), kept["b"].to_pylist()))
+    nodes = sorted({i for p in pairs for i in p})
+    rep = cluster_pairs(pairs, nodes)  # node -> min-label component
+
+    # best per component by (n_chars DESC, doc_id ASC) — quality rule
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    chars = dict(zip(meta["doc_id"].to_pylist(), meta["n_chars"].to_pylist()))
+    best: dict[int, int] = {}
+    for v in nodes:
+        c = rep[v]
+        if c not in best or (chars[v], -v) > (chars[best[c]], -best[c]):
+            best[c] = v
+    return pa.table({
+        "doc_id": pa.array(nodes, pa.int64()),
+        "canonical_id": pa.array([best[rep[v]] for v in nodes], pa.int64()),
+        "keep": pa.array([best[rep[v]] == v for v in nodes], pa.bool_()),
+    })
+
+
 def similarity_join_docs(sf_dir: str):
     """Cross-table set-similarity join (dedup.similarity_join): documents
     split by doc_id parity into two "tables", joined on char-5-gram
@@ -3031,6 +3070,7 @@ QUERIES = {
     "docs_cms_counts": docs_cms_counts,
     "docs_pmi_collocations": docs_pmi_collocations,
     "incremental_lm_perplexity": incremental_lm_perplexity,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -4247,6 +4287,45 @@ ORACLE_SQL = {
     # hamming ≤ 3 shares one of four 16-bit bands (pigeonhole), so the
     # engine's banded candidates are provably complete and the row is
     # exactly comparable
+    # components over the ALL-pairs exact-Jaccard relation (recursive
+    # CTE, min-label), then the quality argmax (longest text, ties to
+    # smallest id)
+    "dedup_keep_best": """
+        WITH RECURSIVE idx AS (
+          SELECT d.doc_id, d.text, d.n_chars,
+                 unnest(generate_series(1, greatest(length(d.text) - 4, 0))) AS i
+          FROM documents d),
+        g AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS gram FROM idx),
+        sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS ni
+          FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+          GROUP BY 1, 2),
+        prs AS (
+          SELECT i.a, i.b
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.a
+          JOIN sizes sb ON sb.doc_id = i.b
+          WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.6),
+        edges AS (SELECT a AS src, b AS dst FROM prs
+                  UNION SELECT b, a FROM prs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach(node, lbl) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node, min(lbl) AS c FROM reach GROUP BY node),
+        best AS (
+          SELECT c, node AS best_id FROM (
+            SELECT comp.c, comp.node,
+                   row_number() OVER (PARTITION BY comp.c
+                                      ORDER BY d.n_chars DESC, comp.node ASC) AS rn
+            FROM comp JOIN documents d ON d.doc_id = comp.node)
+          WHERE rn = 1)
+        SELECT comp.node AS doc_id, best.best_id AS canonical_id,
+               comp.node = best.best_id AS keep
+        FROM comp JOIN best USING (c)
+    """,
     "dedup_simhash_verified": r"""
         WITH RECURSIVE p2(k, v) AS (
           SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT k+1, v*2 FROM p2 WHERE k < 63

@@ -810,3 +810,29 @@ def test_semantic_dedup_rules_differ_on_chains(ray_session):
         semantic_dedup_keep(ds, thr, exact=False, rule="greedy")
     with pytest.raises(ValueError):
         semantic_dedup_keep(ds, thr, rule="bogus")
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(ray_session, tmp_path, monkeypatch):
+    """The canonical doc is the LONGEST of a cluster, not the smallest id."""
+    import pyarrow.parquet as pq
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    t = pa.table({
+        "doc_id": pa.array([10, 11, 50], pa.int64()),
+        "text": pa.array([base, base + "and then some extra tail words",
+                          "completely different content here"], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(base), len(base) + 31, 33], pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    from raydatax.pipelines import dedup_keep_best
+
+    rows = {r["doc_id"]: r for r in dedup_keep_best(str(d)).to_pylist()}
+    # 10 and 11 are near-dups; 11 is longer so it is canonical despite 10 < 11
+    assert rows[10]["canonical_id"] == 11 and rows[10]["keep"] is False
+    assert rows[11]["canonical_id"] == 11 and rows[11]["keep"] is True
+    assert 50 not in rows  # singletons never enter the clustered relation
