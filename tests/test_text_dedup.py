@@ -819,11 +819,11 @@ def test_dedup_keep_best_prefers_quality_over_min_id(ray_session, tmp_path, monk
     base = "the quick brown fox jumps over the lazy dog " * 4
     t = pa.table({
         "doc_id": pa.array([10, 11, 50], pa.int64()),
-        "text": pa.array([base, base + "and then some extra tail words",
+        "text": pa.array([base, base + "plus tail",
                           "completely different content here"], pa.string()),
         "lang": pa.array(["en"] * 3, pa.string()),
         "source": pa.array(["s"] * 3, pa.string()),
-        "n_chars": pa.array([len(base), len(base) + 31, 33], pa.int64()),
+        "n_chars": pa.array([len(base), len(base) + 9, 33], pa.int64()),
     })
     d = tmp_path / "sf"
     d.mkdir()
