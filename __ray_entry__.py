@@ -35,10 +35,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents (same column names).  Pipelines
-    whose semantics are not SQL-expressible (the transcript CDC engine run,
-    heuristic lang-id, LSH/SimHash dedup, IVF ANN, multimodal stubs) are
-    omitted → the driver records the weaker rows-only check for them."""
+    """DuckDB-runnable ANSI SQL equivalents (same column names).  Only the
+    six pipelines whose semantics are not SQL-expressible are omitted —
+    the raw LSH/SimHash/IVF-approximate stages (dedup_minhash,
+    dedup_simhash, dedup_embedding, ann_ivf) and the two direct HLL
+    estimates (approx_users_hll, daily_users_hll); each has a
+    SQL-certified exact twin in the registry.  The driver records the
+    weaker rows-only check for the six."""
     from raydatax.pipelines import ORACLE_SQL
 
     return dict(ORACLE_SQL)
