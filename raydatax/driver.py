@@ -315,7 +315,18 @@ def run_job(
             state = {"epoch": epoch, "mode": mode,
                      "wal_hw": max(prev_wal_hw, applied_hw), "ts_hw": new_ts_hw}
         else:
-            state = {"epoch": epoch, "mode": mode, "wal_hw": plan.max_seq}
+            new_hw = plan.max_seq
+            if new_hw >= (1 << 62):
+                # footer-stats sentinel (a segment without seq statistics
+                # widens the plan range to ±2^62): committing it would
+                # poison the lake — every future plan would prune ALL
+                # segments as "≤ watermark" and appends would be silently
+                # ignored forever.  Derive the watermark from the APPLIED
+                # events instead (lineage hw_seq), like the windowed branch.
+                new_hw = max((r["hw_seq"] for r in lineage), default=-1)
+            prev_hw = job_state.get("wal_hw", -1) if job_state else -1
+            state = {"epoch": epoch, "mode": mode,
+                     "wal_hw": max(prev_hw, new_hw)}
         mf._atomic_write_json(job_state_path(lake_dir), state)
         mf.gc_staging(lake_dir, epoch)
         # drop superseded epoch snapshots beyond the time-travel window —
@@ -1378,7 +1389,11 @@ def tail_wal(
     idle = 0
     while idle < idle_polls_to_stop:
         rep = run_job(wal_dir, lake_dir, **job_kwargs)
-        if rep["action"] == "applied":
+        # windowed jobs re-map in-window segments on every run (min_hw=-1)
+        # and report 'applied' even when every merge skipped — count a poll
+        # with zero replayed events as IDLE or the tail busy-spins forever,
+        # minting an epoch + metrics file per iteration
+        if rep["action"] == "applied" and rep.get("events_replayed", 0) > 0:
             if retain_ts_span_us is not None:
                 rep["ttl"] = _stream_ttl_sweep(
                     lake_dir, wal_dir, retain_ts_span_us, **job_kwargs

@@ -164,7 +164,11 @@ def map_segment(
             keep = pc.and_(keep, pc.less(tab["ts"], pa.scalar(ts_hi, pa.timestamp("us"))))
         tab = tab.filter(pc.fill_null(keep, False))
     tab = assign_partitions(tab, partitions, salt, hot_keys)
-    return [_encode_shard(t) for t in split_by_partition(tab, n_parts_total)]
+    shards = [_encode_shard(t) for t in split_by_partition(tab, n_parts_total)]
+    # with num_returns=1 Ray hands the caller ONE ref to the return value
+    # itself (it never unpacks a 1-element list), so the single-partition
+    # case must return the bare shard for the ref to resolve to bytes
+    return shards if n_parts_total > 1 else shards[0]
 
 
 def plan_map_chunks(segments: list[str], target_rows: int = 262_144) -> list[tuple[str, list[int] | None]]:
@@ -306,6 +310,9 @@ def run_exchange(
         for path, rgs in chunks
     ]
     if n_parts_total == 1:
+        # num_returns=1 gives one bare ref (resolving to the single shard's
+        # bytes — see map_segment's tail); normalize to the list-of-refs
+        # shape the merge fan-out expects
         shard_refs = [[r] if not isinstance(r, list) else r for r in shard_refs]
 
     # a partition's merge needs shards from EVERY map task, so the merge

@@ -239,3 +239,68 @@ def test_read_lake_pushdown(tmp_wal, tmp_lake):
     ).select_columns(["conv_id", "text"])
     assert set(both.schema().names) == {"conv_id", "text"}
     assert both.count() == want.num_rows
+
+
+def test_single_partition_lake(ray_session, tmp_path):
+    """partitions=1: num_returns=1 hands one bare ref (Ray never unpacks a
+    1-element list) — the map stage must return the bare shard."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydatax.driver import lake_table, run_job
+    from raydatax.gen import gen_wal
+    from raydatax.oracle import replay_to_table
+
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    gen_wal(wal, 3000)
+    rep = run_job(wal, lake, partitions=1)
+    assert rep["action"] == "applied" and rep["partitions_written"] == 1
+    segs = pa.concat_tables([pq.read_table(f)
+                             for f in sorted(glob.glob(wal + "/*.parquet"))])
+    want = replay_to_table(segs)
+    got = lake_table(lake)
+    assert got.num_rows == want.num_rows
+    cols = sorted(got.column_names)
+    gp = got.select(cols).to_pandas().astype(str)
+    wp = want.select(cols).to_pandas().astype(str)
+    assert sorted(map(tuple, gp.itertuples(index=False, name=None))) == \
+           sorted(map(tuple, wp.itertuples(index=False, name=None)))
+
+
+def test_stats_free_segment_does_not_poison_watermark(ray_session, tmp_path):
+    """A WAL segment written WITHOUT parquet column statistics widens the
+    plan range to the ±2^62 sentinel; the committed watermark must come
+    from the applied events, or every later append is silently ignored."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from raydatax.driver import run_job
+    from raydatax.gen import gen_events, gen_wal
+
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    gen_wal(wal, 2000, seg_rows=1000)
+    # rewrite one segment with stats disabled (an external producer)
+    seg = sorted(glob.glob(wal + "/seg-*.parquet"))[0]
+    pq.write_table(pq.read_table(seg), seg, compression="zstd",
+                   write_statistics=False)
+    rep1 = run_job(wal, lake, partitions=4)
+    assert rep1["action"] == "applied"
+
+    # a later append MUST still apply (the poisoned watermark would prune it)
+    from raydatax.gen import write_wal
+
+    late = gen_events(500, seed=99)
+    import numpy as np
+    import pyarrow as pa
+
+    bump = pa.table({
+        "seq": pa.array(np.asarray(late["seq"]) + 10_000_000),
+        **{c: late[c] for c in late.column_names if c != "seq"},
+    }).cast(late.schema)
+    k = len(glob.glob(wal + "/seg-*.parquet"))
+    pq.write_table(bump, f"{wal}/seg-{k:05d}.parquet", compression="zstd")
+    rep2 = run_job(wal, lake, partitions=4)
+    assert rep2["action"] == "applied" and rep2["events_replayed"] > 0

@@ -182,3 +182,29 @@ def test_windowed_changelog_replay(ray_session, tmp_path):
     assert r1["events_replayed"] + r2["events_replayed"] == ev.num_rows
     assert t.num_rows == ev.num_rows
     assert sorted(t["seq"].to_pylist()) == sorted(seqs.tolist())
+
+
+def test_tail_wal_windowed_goes_idle(ray_session, tmp_path):
+    """A windowed tail must terminate: reruns re-map in-window segments and
+    report 'applied' with zero replayed events — that counts as idle."""
+    import glob
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from raydatax.driver import tail_wal
+    from raydatax.gen import gen_wal
+
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    gen_wal(wal, 2000)
+    ts = pq.read_table(sorted(glob.glob(wal + "/*.parquet"))[0])["ts"]
+    to_us = lambda t: int(t.timestamp() * 1e6)
+    t0 = _time.monotonic()
+    reports = tail_wal(
+        wal, lake, poll_interval_s=0.05, idle_polls_to_stop=2,
+        partitions=4,
+        start_ts=to_us(pc.min(ts).as_py()), end_ts=to_us(pc.max(ts).as_py()),
+    )
+    assert _time.monotonic() - t0 < 60  # terminates (no busy spin)
+    assert len(reports) == 1 and reports[0]["events_replayed"] > 0
