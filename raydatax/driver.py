@@ -224,18 +224,11 @@ def run_job(
                 batch_format="pyarrow",
             )
             if windowed:
-                import pyarrow as _pa
+                from .merge import window_filter as _wf
 
-                def _window_filter(b):
-                    keep = None
-                    if ts_lo is not None:
-                        keep = pc.greater_equal(b["ts"], _pa.scalar(ts_lo, _pa.timestamp("us")))
-                    if ts_hi is not None:
-                        hi_m = pc.less(b["ts"], _pa.scalar(ts_hi, _pa.timestamp("us")))
-                        keep = hi_m if keep is None else pc.and_(keep, hi_m)
-                    return b.filter(pc.fill_null(keep, False))
-
-                ds = ds.map_batches(_window_filter, batch_format="pyarrow")
+                ds = ds.map_batches(
+                    lambda b: _wf(b, ts_lo, ts_hi), batch_format="pyarrow"
+                )
             ds = ds.map_batches(
                 lambda b: assign_partitions(b, P, S, hot_keys), batch_format="pyarrow"
             )
@@ -1066,7 +1059,13 @@ def _export_wal_segment(
         if "op" in t.column_names:
             t = t.drop_columns(["op"])
         t = t.append_column("op", pa.array(["I"] * t.num_rows, pa.string()))
-    names = [f.name for f in EVENT_SCHEMA if f.name in t.column_names]
+    # canonical columns in EVENT_SCHEMA order, then any schema-EVOLVED
+    # extras (evolve_event_schema keeps them and committed lake files
+    # carry them — dropping extras here would silently lose that data on
+    # the repartition/bootstrap migration path)
+    canon = [f.name for f in EVENT_SCHEMA if f.name in t.column_names]
+    extras = [c for c in t.column_names if c not in canon]
+    names = canon + extras
     tmp = dst + ".tmp"
     pq.write_table(t.select(names).replace_schema_metadata(None), tmp, **PARQUET_OPTS)
     os.replace(tmp, dst)

@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from .merge import make_normalizer, merge_partition_tables
+from .merge import make_normalizer, merge_partition_tables, window_filter
 from .partition import assign_partitions
 
 
@@ -156,13 +156,8 @@ def map_segment(
         keep = pc.or_kleene(pc.is_null(tab["seq"]), pc.greater(tab["seq"], min_hw))
         tab = tab.filter(pc.fill_null(keep, True))
     tab = make_normalizer(event_schema, deadletter_dir, sparse, require_ts=windowed)(tab)
-    if windowed and tab.num_rows:
-        keep = pa.array(np.ones(tab.num_rows, dtype=bool))
-        if ts_lo is not None:
-            keep = pc.and_(keep, pc.greater_equal(tab["ts"], pa.scalar(ts_lo, pa.timestamp("us"))))
-        if ts_hi is not None:
-            keep = pc.and_(keep, pc.less(tab["ts"], pa.scalar(ts_hi, pa.timestamp("us"))))
-        tab = tab.filter(pc.fill_null(keep, False))
+    if windowed:
+        tab = window_filter(tab, ts_lo, ts_hi)
     tab = assign_partitions(tab, partitions, salt, hot_keys)
     shards = [_encode_shard(t) for t in split_by_partition(tab, n_parts_total)]
     # with num_returns=1 Ray hands the caller ONE ref to the return value

@@ -157,7 +157,10 @@ def commit_partition(
     if os.path.exists(staged_file):
         os.replace(staged_file, final_file)
     elif not os.path.exists(final_file):
-        raise FileNotFoundError(f"neither staged nor final file for part {pid}: {staged_file}")
+        # a RuntimeError, deliberately NOT OSError: util.retry's default
+        # retry_on=(OSError,) must not re-attempt an impossible commit
+        raise RuntimeError(
+            f"neither staged nor final file for part {pid}: {staged_file}")
     man = {
         "partition": pid,
         "epoch": epoch,

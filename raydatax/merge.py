@@ -66,7 +66,13 @@ def _write_staged(out: pa.Table, path: str, write_gate=None) -> None:
         finally:
             write_gate.release.remote(node)
     else:
-        pq.write_table(out, tmp, **PARQUET_OPTS)
+        # fsync here too: the manifest that will reference this file is
+        # fsync'd, so an unflushed data file could survive a power loss as
+        # a durable manifest pointing at truncated parquet
+        with open(tmp, "wb") as f:
+            pq.write_table(out, f, **PARQUET_OPTS)
+            f.flush()
+            os.fsync(f.fileno())
     os.replace(tmp, path)
 
 LINEAGE_SCHEMA = pa.schema(
@@ -88,6 +94,22 @@ LINEAGE_SCHEMA = pa.schema(
         ("file", pa.string()),
     ]
 )
+
+
+def window_filter(tab: pa.Table, ts_lo: int | None, ts_hi: int | None) -> pa.Table:
+    """Keep rows with event time in [ts_lo, ts_hi) µs, null ts dropped —
+    THE window semantics of time-bounded replay, shared by both engines
+    (exchange.map_segment and the dataset path) so a boundary or
+    null-handling change can never diverge between them."""
+    if (ts_lo is None and ts_hi is None) or tab.num_rows == 0:
+        return tab
+    keep = None
+    if ts_lo is not None:
+        keep = pc.greater_equal(tab["ts"], pa.scalar(ts_lo, pa.timestamp("us")))
+    if ts_hi is not None:
+        hi_m = pc.less(tab["ts"], pa.scalar(ts_hi, pa.timestamp("us")))
+        keep = hi_m if keep is None else pc.and_(keep, hi_m)
+    return tab.filter(pc.fill_null(keep, False))
 
 
 def make_normalizer(event_schema: pa.Schema, deadletter_dir: str | None,

@@ -70,3 +70,36 @@ def test_repartition_guards(tmp_wal, tmp_lake, tmp_path, ray_session):
         repartition_lake(tmp_lake, new_lake, partitions=2, salt=2)
     with pytest.raises(FileNotFoundError):
         repartition_lake(str(tmp_path / "nope"), str(tmp_path / "x"), partitions=2)
+
+
+def test_repartition_preserves_evolved_columns(ray_session, tmp_path):
+    """A lake whose WAL evolved an extra column must keep it through the
+    repartition migration (the only path for a hash-version change)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydatax.driver import lake_table, repartition_lake, run_job
+    from raydatax.gen import gen_wal
+
+    wal, lake, lake2 = (str(tmp_path / d) for d in ("wal", "lake", "lake2"))
+    gen_wal(wal, 2000, seg_rows=1000)
+    # evolve: the last segment gains an extra column
+    seg = sorted(glob.glob(wal + "/seg-*.parquet"))[-1]
+    t = pq.read_table(seg)
+    t = t.append_column("channel", pa.array(["web"] * t.num_rows, pa.string()))
+    pq.write_table(t, seg, compression="zstd")
+    run_job(wal, lake, partitions=4)
+    before = lake_table(lake)
+    assert "channel" in before.column_names
+    n_channel = before.filter(
+        __import__("pyarrow").compute.is_valid(before["channel"])).num_rows
+    assert n_channel > 0
+
+    repartition_lake(lake, lake2, partitions=2)
+    after = lake_table(lake2)
+    assert "channel" in after.column_names
+    n2 = after.filter(
+        __import__("pyarrow").compute.is_valid(after["channel"])).num_rows
+    assert n2 == n_channel  # evolved data survives the migration
