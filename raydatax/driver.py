@@ -962,6 +962,29 @@ def compact_changelog(
                     rp = rec_paths.get((pid, m["epoch"]))
                     if rp and os.path.exists(rp):
                         os.remove(rp)
+            # crash-window repair for the HORIZON epoch itself: a crash
+            # after the commit point (its record now names the -c file)
+            # but before cleanup leaves the epoch's pre-compaction delta
+            # file orphaned and the latest-manifest mirror stale — neither
+            # is below the horizon, so the loop above never touches them
+            base = next((m for m in recs
+                         if m["epoch"] == horizon and m.get("compacted_upto")),
+                        None)
+            if base is not None:
+                old_delta = os.path.join(
+                    lake_dir, "data", f"part-{pid:05d}",
+                    f"epoch-{base['epoch']:06d}.parquet",
+                )
+                if (os.path.relpath(old_delta, lake_dir) != base["file"]
+                        and os.path.exists(old_delta)):
+                    os.remove(old_delta)
+                    files_removed += 1
+                latest = manifests.get(pid)
+                if (latest is not None and latest["epoch"] == base["epoch"]
+                        and latest.get("file") != base["file"]):
+                    latest.update(file=base["file"], rows=base["rows"],
+                                  bytes=base["bytes"])
+                    mf._atomic_write_json(mf.manifest_path(lake_dir, pid), latest)
             live = [m for m in recs if m["epoch"] >= horizon]
             if upto_epoch is not None:
                 live = [m for m in live if m["epoch"] <= upto_epoch]

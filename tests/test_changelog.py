@@ -484,3 +484,60 @@ def test_changelog_salted_hot_conversation_history(ray_session, tmp_path):
     files = {os.path.basename(os.path.dirname(f))
              for f in glob.glob(os.path.join(lake, "data", "part-*", "*.parquet"))}
     assert len(files) > 8  # base partitions + salted sub-partitions
+
+
+def test_compaction_crash_after_commit_point_repairs_on_rerun(ray_session, tmp_path):
+    """Crash between the history-record commit and cleanup: the horizon
+    epoch's pre-compaction delta file and the stale manifest mirror must
+    be repaired by the next compaction run."""
+    import glob
+    import json
+    import os
+
+    from raydatax import manifest as mf
+    from raydatax.driver import compact_changelog, read_changelog, run_job
+    from raydatax.gen import gen_wal
+    from raydatax.merge import PARQUET_OPTS  # noqa: F401 (parity import)
+
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    gen_wal(wal, 2000, seg_rows=500)
+    run_job(wal, lake, partitions=2, output="changelog")
+    # second epoch so there is something to compact (seqs above the HW)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydatax.gen import append_wal, gen_events
+
+    late = gen_events(700, seed=7)
+    late = pa.table({
+        "seq": pa.array(np.asarray(late["seq"]) + 10_000_000),
+        **{c: late[c] for c in late.column_names if c != "seq"},
+    }).cast(late.schema)
+    append_wal(late, wal, seg_rows=500)
+    run_job(wal, lake, partitions=2, output="changelog")
+    before_rows = read_changelog(lake).count()
+
+    compact_changelog(lake)
+
+    # simulate the crash window for partition 0: restore the horizon
+    # epoch's OLD delta file and point the manifest mirror back at it
+    recs = [(p, m) for p, m in mf.iter_history_records(lake)
+            if m is not None and m["partition"] == 0]
+    base = max((m for _, m in recs), key=lambda m: m["epoch"])
+    assert base.get("compacted_upto") is not None
+    old_delta = os.path.join(lake, "data", "part-00000",
+                             f"epoch-{base['epoch']:06d}.parquet")
+    with open(old_delta, "wb") as f:
+        f.write(b"orphaned pre-compaction bytes")
+    man_path = mf.manifest_path(lake, 0)
+    man = json.load(open(man_path))
+    man["file"] = os.path.relpath(old_delta, lake)
+    man["rows"] = 1
+    mf._atomic_write_json(man_path, man)
+
+    compact_changelog(lake)  # re-run repairs the crash window
+    assert not os.path.exists(old_delta)
+    man2 = json.load(open(man_path))
+    assert man2["file"] == base["file"] and man2["rows"] == base["rows"]
+    assert read_changelog(lake).count() == before_rows
