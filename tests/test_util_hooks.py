@@ -217,7 +217,9 @@ def test_commit_partition_idempotent_after_crash_between_rename_and_manifest(tmp
     commit_partition(lake, 0, 1, staged, hw_seq=10, rows=2, counts={})
     m = load_manifests(lake)[0]
     assert m["hw_seq"] == 10 and m["rows"] == 2
-    with pytest.raises(FileNotFoundError):
+    # RuntimeError, deliberately not OSError: util.retry must never
+    # re-attempt an impossible commit
+    with pytest.raises(RuntimeError):
         commit_partition(lake, 1, 1, "/nope/part-00001.parquet", 1, 1, {})
 
 
