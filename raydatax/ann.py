@@ -429,7 +429,10 @@ def kmeans_fit_distributed(
     centroids to MICRO precision between rounds, which makes the whole
     loop reproducible across engines (the bpe_learn unrolled-rounds
     discipline: SQL recomputes identical centroids, so identical
-    assignments).  Empty clusters keep their previous centroid.
+    assignments; distances are int64 micro-term sums, so argmin is
+    order-independent too).  Empty clusters keep their previous centroid
+    and report count 0 — callers mirroring a SQL twin that only emits
+    assigned clusters should drop the zero-count rows.
 
     Returns ``(centroids (k, d) float64 micro-snapped, counts (k,)
     int64)`` — counts from the LAST assignment pass."""
@@ -457,8 +460,13 @@ def kmeans_fit_distributed(
         def partial(t: pa.Table, _ref=ref) -> pa.Table:
             c = ray.get(_ref)
             x = _matrix(t[vec_col])
-            # squared L2 via explicit diffs (same expression SQL sums)
-            dist = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            # squared L2 via explicit diffs, each term snapped to an int64
+            # micro BEFORE the sum: both engines compute the identical
+            # per-term double (micro-snapped inputs, one multiply), and an
+            # integer sum is associative — so argmin can never flip on a
+            # near-tie from summation order (numpy pairwise vs SQL GROUP BY)
+            sq = (x[:, None, :] - c[None, :, :]) ** 2
+            dist = np.floor(sq * 1e6 + 0.5).astype(np.int64).sum(axis=2)
             assign = np.argmin(dist, axis=1)  # first (lowest id) on ties
             # snap-before-sum: each member component snaps to an int64
             # micro BEFORE accumulation, so partial sums are associative

@@ -2334,7 +2334,9 @@ def semantic_dedup_keep(
         else:
             pairs = ray.data.from_arrow(pairs_tab.select(["b"]))
     else:
-        pairs = embedding_neardup_pairs(ds, threshold=threshold).select_columns(["b"])
+        pairs = embedding_neardup_pairs(
+            ds, threshold=threshold, id_col=id_col, vec_col=vec_col
+        ).select_columns(["b"])
     return semi_join(
         ds.select_columns([id_col]), pairs, left_on=id_col, right_on="b", anti=True
     )

@@ -237,12 +237,18 @@ def lake_digest(lake_dir: str, groups: int = 8, at_epoch: int | None = None):
         lo = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
         n = np.bincount(pid, minlength=groups)
         keep = n > 0
+        # int64 scatter-add (np.add.at), NOT float64-weighted bincount: a
+        # float64 partial is exact only below 2^53, i.e. ~2^21 rows/group
+        # per batch with 32-bit half-hashes.  int64 keeps the per-batch
+        # partial exact to 2^31 rows/group, matching the merge stage.
+        hi_sum = np.zeros(groups, dtype=np.int64)
+        lo_sum = np.zeros(groups, dtype=np.int64)
+        np.add.at(hi_sum, pid, hi)
+        np.add.at(lo_sum, pid, lo)
         return pa.table({
             "pid": pa.array(np.arange(groups, dtype=np.int64)[keep]),
-            "__hi": pa.array(np.bincount(pid, weights=hi.astype(np.float64),
-                                         minlength=groups)[keep].astype(np.int64)),
-            "__lo": pa.array(np.bincount(pid, weights=lo.astype(np.float64),
-                                         minlength=groups)[keep].astype(np.int64)),
+            "__hi": pa.array(hi_sum[keep]),
+            "__lo": pa.array(lo_sum[keep]),
             "__n": pa.array(n[keep].astype(np.int64)),
         })
 

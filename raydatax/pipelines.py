@@ -2554,10 +2554,16 @@ def embedding_kmeans(sf_dir: str):
 
     ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     cent, counts = kmeans_fit_distributed(ds, k=4, iters=2)
+    # the SQL twin's final CTE joins centroids to the last assignment's
+    # counts, so a cluster emptied mid-run never appears there — drop
+    # zero-count rows to keep the row sets identical
+    nz = counts > 0
+    cent, counts = cent[nz], counts[nz]
+    cluster_ids = np.arange(len(nz), dtype=np.int64)[nz]
     k, d = cent.shape
     micro = np.floor(cent * 1e6 + 0.5).astype(np.int64)
     return pa.table({
-        "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+        "cluster": pa.array(np.repeat(cluster_ids, d)),
         "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
         "comp_micro": pa.array(micro.ravel()),
         "n": pa.array(np.repeat(counts, d)),
@@ -3995,7 +4001,8 @@ ORACLE_SQL = {
                                         ORDER BY vec_id LIMIT 4))),
         d1 AS (
           SELECT e.vec_id, c.c,
-                 sum((e.comp - c.comp) * (e.comp - c.comp)) AS dist
+                 sum(CAST(floor((e.comp - c.comp) * (e.comp - c.comp)
+                                * 1000000 + 0.5) AS BIGINT)) AS dist
           FROM e JOIN c0 c ON e.pos = c.pos
           GROUP BY e.vec_id, c.c),
         a1 AS (
@@ -4013,7 +4020,8 @@ ORACLE_SQL = {
           GROUP BY a.c, e.pos),
         d2 AS (
           SELECT e.vec_id, c.c,
-                 sum((e.comp - c.comp) * (e.comp - c.comp)) AS dist
+                 sum(CAST(floor((e.comp - c.comp) * (e.comp - c.comp)
+                                * 1000000 + 0.5) AS BIGINT)) AS dist
           FROM e JOIN c1 c ON e.pos = c.pos
           GROUP BY e.vec_id, c.c),
         a2 AS (

@@ -1987,7 +1987,9 @@ def stratified_sample(
     primitive: "3% of web, 40% of books, all of wiki").  Same pure integer
     arithmetic, so membership is stable across runs / engines /
     partitionings and exactly reproducible in SQL with a CASE over the
-    identical formula.  Batch-local; no shuffle, no state."""
+    identical formula.  Batch-local; no shuffle, no state.  ``key`` must
+    be non-negative (same modulo-sign caveat as
+    :func:`deterministic_sample`)."""
     for s, p in permille.items():
         if not 0 <= p <= 1000:
             raise ValueError(f"stratified_sample: permille must be 0..1000, got {p} for {s!r}")
@@ -2275,7 +2277,12 @@ def mixture_sample(
     per stratum (strata absent from the dict are DROPPED — rate 0, the
     explicit-mixture contract).  Pure integer arithmetic end-to-end, so
     membership reproduces exactly in SQL with the identical formula
-    ``((key % 1000003) * 2654435761) % 1000000 < rate_ppm``."""
+    ``((key % 1000003) * 2654435761) % 1000000 < rate_ppm``.
+
+    ``key`` must be a non-negative integer column (numpy ``%`` follows
+    the divisor's sign while SQL ``%`` follows the dividend's, so
+    negative keys would silently diverge from the SQL twin); the
+    sampling pass validates and raises on the first negative key."""
     if isinstance(target_rows, int):
         if target_rows < 0:
             raise ValueError(f"mixture_sample: target must be >= 0, got {target_rows}")
@@ -2295,6 +2302,12 @@ def mixture_sample(
 
     def f(t: pa.Table) -> pa.Table:
         v = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if v.size and int(v.min()) < 0:
+            raise ValueError(
+                f"mixture_sample: key column {key!r} has negative values — "
+                "the keep rule's % diverges from SQL on negative dividends; "
+                "normalize to non-negative ids first"
+            )
         strata = t[strata_col]
         rate = np.zeros(t.num_rows, dtype=np.int64)
         for s, p in ppm.items():
@@ -2409,7 +2422,10 @@ def train_val_split(
     same split — across runs, engines, partitionings and future ingests
     (new rows of a known entity join its split; no RNG, no state).
     Batch-local, zero shuffle; SQL reproduces membership with the
-    bit-exact HUGEINT mix64 replica (see the shuffle_export oracle)."""
+    bit-exact HUGEINT mix64 replica (see the shuffle_export oracle —
+    which, like this operator, requires non-negative entity ids: the
+    mix64 replica models the uint64 reinterpretation only for
+    non-negative BIGINTs)."""
     if not 0 <= val_permille <= 1000:
         raise ValueError(
             f"train_val_split: val_permille must be 0..1000, got {val_permille}"

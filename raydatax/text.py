@@ -906,8 +906,6 @@ def bm25_topk(
     scores are associative integer sums (the LM-perplexity discipline).
     Returns the global top-k by (score_micro DESC, id ASC) via the
     bounded per-block partial merge."""
-    import math
-
     import ray
 
     from .relational import hash_join, preagg_groupby, topk
@@ -940,10 +938,14 @@ def bm25_topk(
     df_rows = preagg_groupby(
         tf, ["term"], [("term", "count", "df")]
     ).take_all()  # ≤ len(terms) rows by construction
-    idf = {
-        r["term"]: math.log((n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
-        for r in df_rows
-    }
+    # idf through pc.ln — the same Arrow kernel the rest of the module's
+    # snap-before-sum pipelines (tfidf, docs_lm_perplexity) rely on to
+    # agree with DuckDB's ln; driver-side math.log (libm) can differ by
+    # a ulp right at a micro-rounding boundary and flip score_micro
+    df_np = np.array([r["df"] for r in df_rows], np.float64)
+    idf_arg = (n_docs - df_np + 0.5) / (df_np + 0.5) + 1.0
+    idf_np = pc.ln(pa.array(idf_arg)).to_numpy(zero_copy_only=False)
+    idf = {r["term"]: float(v) for r, v in zip(df_rows, idf_np)}
     joined = hash_join(tf, doclen, on=id_col)
     idf_terms = pa.array(list(idf), pa.string())
     idf_vals = np.array([idf[t] for t in idf], np.float64)
