@@ -516,6 +516,92 @@ def minhash_dedup(
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def keep_best_dedup(
+    ds: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+    pair_driver_threshold: int = PAIR_DRIVER_THRESHOLD,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Canonical-document selection over a VERIFIED near-dup pair Dataset:
+    cluster the pairs into connected components, then keep the BEST
+    document per cluster — max ``quality_col``, ties to the smallest id —
+    instead of the naive min-id rule.  Returns ``(id_col, canonical_id,
+    keep)`` for every document that appears in a pair (singletons never
+    enter the clustered relation).
+
+    Distributed end-to-end: clustering is the engine's adaptive path
+    (driver union-find only while the metadata-counted pair set is under
+    ``pair_driver_threshold``, else :func:`propagate_min_labels`); the
+    representative comes from one hash join of the (node, label) relation
+    against the corpus's (id, quality) columns followed by distributed
+    ``grouped_topk`` n=1 over (quality DESC, id ASC) — per-doc metadata is
+    never read onto the driver and no per-cluster Python loop exists at
+    any scale.  Reference parity: the upsert-selects-winner contract
+    (/root/reference/plugin-rdbms-util/.../WriterUtil.java:113-146)
+    generalized from latest-wins to a quality rule."""
+    from .relational import grouped_topk, hash_join
+
+    pairs = pairs.select_columns(["a", "b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "canonical_id": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.bool_()),
+        }))
+    if n_pairs <= pair_driver_threshold:
+        tables = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        pr = pa.concat_tables(tables, promote_options="permissive")
+        pair_list = list(
+            zip(pr["a"].to_numpy(zero_copy_only=False).tolist(),
+                pr["b"].to_numpy(zero_copy_only=False).tolist())
+        )
+        nodes = sorted({i for p in pair_list for i in p})
+        mapping = cluster_pairs(pair_list, nodes)
+        labels = ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "label": pa.array([mapping[n] for n in nodes], pa.int64()),
+        }))
+    else:
+        labels = propagate_min_labels(pairs, num_partitions=num_partitions)
+
+    lbl = labels.map_batches(
+        lambda t: pa.table({id_col: t["node"], "label": t["label"]}),
+        batch_format="pyarrow",
+    )
+    # members: one row per clustered doc with its quality — materialized
+    # because it feeds BOTH the representative pick and the final
+    # canonical join; portable joins (no per-join actor pool, no
+    # schema-less-empty-block hazard between chained joins)
+    members = hash_join(
+        lbl, ds.select_columns([id_col, quality_col]), on=id_col,
+        num_partitions=num_partitions, portable=True,
+    ).materialize()
+    best = grouped_topk(
+        members, "label",
+        [(quality_col, "descending"), (id_col, "ascending")], 1,
+    )
+    canon = best.map_batches(
+        lambda t: pa.table({"label": t["label"], "canonical_id": t[id_col]}),
+        batch_format="pyarrow",
+    )
+    out = hash_join(
+        members.select_columns([id_col, "label"]), canon, on="label",
+        num_partitions=num_partitions, portable=True,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "canonical_id": t["canonical_id"],
+            "keep": pc.equal(t[id_col], t["canonical_id"]),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 # ------------------------------------------------------ incremental minhash
 
 
@@ -1840,16 +1926,133 @@ def incremental_embedding_dedup(
     return marked
 
 
+def _pair_shingle_stats(
+    ds: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Dataset-native exact shingle statistics for a candidate-pair
+    Dataset — the distributed backbone of the ``*_verify`` overloads:
+    returns ``(a, b, ni, na, nb)`` (intersection size and each side's
+    distinct char-k-gram count) with NOTHING held on the driver.
+
+    Shape: the corpus is semi-joined down to the pair endpoints, each
+    surviving doc explodes into distinct (doc, gram-hash) rows (text never
+    shuffles — only 64-bit hashes), then two hash joins land each pair's
+    left-side grams on the right side's gram rows — intersection rows per
+    pair — and one pre-aggregated count plus two size left-joins finish
+    the stats.  Work ∝ Σ candidate-pair shingle-set sizes (LSH survivors
+    only), never the corpus; this is the 100-TB path the list-based
+    verify's driver collection can't take.  Integer counts only; the
+    callers do the single IEEE division, so values match the list path
+    bit-for-bit."""
+    from .relational import hash_join, semi_join
+
+    pairs = pairs.select_columns(["a", "b"]).materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "ni": pa.array([], pa.int64()), "na": pa.array([], pa.int64()),
+            "nb": pa.array([], pa.int64()),
+        }))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"x": pa.array(np.concatenate([a, b]), pa.int64())})
+
+    need = pairs.map_batches(endpoints, batch_format="pyarrow")
+    sub = semi_join(ds.select_columns([id_col, text_col]), need, id_col, "x")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = _string_col(batch, text_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        win, off = shingle_hashes(col, k)
+        uniq = [np.unique(win[off[i]:off[i + 1]]).view(np.int64)
+                for i in range(len(col))]
+        counts = np.array([len(u) for u in uniq], np.int64)
+        if not counts.sum():
+            return pa.table({"__id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "__id": pa.array(np.repeat(ids.astype(np.int64), counts)),
+            "gram": pa.array(np.concatenate([u for u in uniq if len(u)])),
+            "n": pa.array(np.repeat(counts, counts)),
+        })
+
+    # each gram row carries its doc's distinct-shingle COUNT ("n", emitted
+    # by explode), so the sizes ride the intersection rows for free (max
+    # over a constant) instead of two extra size joins; a pair with ZERO
+    # intersection gets ni=na=nb=0 from the final left join — sound,
+    # because every score derived from the stats (Jaccard, either
+    # containment) is exactly 0.0 when ni=0 regardless of true set sizes
+    grams = sub.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def rename(new_id: str, n_out: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({new_id: t["__id"], "gram": t["gram"], n_out: t["n"]})
+        return f
+
+    # portable (bucket-cogroup) joins: no per-join actor pool, and no
+    # schema-less-empty-block hazard between chained joins
+    ga = grams.map_batches(rename("a", "na"), batch_format="pyarrow")
+    gb = grams.map_batches(rename("b", "nb"), batch_format="pyarrow")
+    j1 = hash_join(pairs, ga, on="a", num_partitions=num_partitions,
+                   portable=True)
+    inter = hash_join(j1, gb, on=["b", "gram"], num_partitions=num_partitions,
+                      portable=True)
+    stats = preagg_groupby(
+        inter, ["a", "b"],
+        [("gram", "count", "ni"), ("na", "max", "na"), ("nb", "max", "nb")],
+    )
+    withni = hash_join(pairs, stats, on=["a", "b"], join_type="left_outer",
+                       num_partitions=num_partitions, portable=True)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": t["a"], "b": t["b"],
+            "ni": pc.fill_null(t["ni"], 0).cast(pa.int64()),
+            "na": pc.fill_null(t["na"], 0).cast(pa.int64()),
+            "nb": pc.fill_null(t["nb"], 0).cast(pa.int64()),
+        })
+
+    return withni.map_batches(fin, batch_format="pyarrow")
+
+
 def ngram_jaccard_verify(
     ds: "ray.data.Dataset",
-    pairs: list[tuple[int, int]],
+    pairs: "list[tuple[int, int]] | ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
-) -> pa.Table:
-    """Exact char-k-gram Jaccard for an explicit candidate-pair list: the
-    shingle sets of ONLY the referenced docs are collected (semi-join by
-    broadcast id set), then |∩|/|∪| per pair."""
+) -> "pa.Table | ray.data.Dataset":
+    """Exact char-k-gram Jaccard for candidate pairs.
+
+    ``pairs`` as a DATASET (columns a, b) runs the fully distributed path
+    (:func:`_pair_shingle_stats` — hash joins of gram rows onto the pair
+    relation, zero driver collection) and returns a Dataset of
+    ``(a, b, jaccard)`` — the corpus-scale verify stage.  ``pairs`` as a
+    Python list keeps the bounded driver path (shingle sets of ONLY the
+    referenced docs collected via broadcast-id semi-join) and returns a
+    pa.Table in pair-list order.  Both compute |∩| / |∪| as one IEEE
+    division over exact integers — identical values either way."""
+    if isinstance(pairs, ray.data.Dataset):
+        stats = _pair_shingle_stats(ds, pairs, text_col, id_col, k)
+
+        def fin(t: pa.Table) -> pa.Table:
+            ni = t["ni"].to_numpy(zero_copy_only=False).astype(np.int64)
+            na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+            union = na + nb - ni
+            jac = np.where(union > 0, ni / np.maximum(union, 1), 0.0)
+            return pa.table({"a": t["a"], "b": t["b"],
+                             "jaccard": pa.array(jac, pa.float64())})
+
+        return stats.map_batches(fin, batch_format="pyarrow")
     sets = _pair_shingle_sets(ds, pairs, text_col, id_col, k)
     out = []
     for a, b in pairs:
@@ -1864,18 +2067,32 @@ def ngram_jaccard_verify(
 
 def ngram_containment_verify(
     ds: "ray.data.Dataset",
-    pairs: list[tuple[int, int]],
+    pairs: "list[tuple[int, int]] | ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
-) -> pa.Table:
-    """Exact char-k-gram CONTAINMENT for a candidate-pair list — the
+) -> "pa.Table | ray.data.Dataset":
+    """Exact char-k-gram CONTAINMENT for candidate pairs — the
     asymmetric near-dup metric (|A∩B| / |A| and |A∩B| / |B|): detects
     quotes / partial inclusion where Jaccard stays low because the hosts
     differ in size (a 100-word quote inside a 10k-word page is
-    containment ≈ 1 for the quote, Jaccard ≈ 0.01).  Same bounded
-    collection shape as :func:`ngram_jaccard_verify`; divisions are
-    integer-over-integer, cross-engine exact."""
+    containment ≈ 1 for the quote, Jaccard ≈ 0.01).  Same pair-Dataset /
+    pair-list dual contract as :func:`ngram_jaccard_verify`; divisions
+    are integer-over-integer, cross-engine exact."""
+    if isinstance(pairs, ray.data.Dataset):
+        stats = _pair_shingle_stats(ds, pairs, text_col, id_col, k)
+
+        def fin(t: pa.Table) -> pa.Table:
+            ni = t["ni"].to_numpy(zero_copy_only=False).astype(np.int64)
+            na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ca = np.where(na > 0, ni / np.maximum(na, 1), 0.0)
+            cb = np.where(nb > 0, ni / np.maximum(nb, 1), 0.0)
+            return pa.table({"a": t["a"], "b": t["b"],
+                             "contain_a": pa.array(ca, pa.float64()),
+                             "contain_b": pa.array(cb, pa.float64())})
+
+        return stats.map_batches(fin, batch_format="pyarrow")
     sets = _pair_shingle_sets(ds, pairs, text_col, id_col, k)
     out = []
     for a, b in pairs:
@@ -2260,11 +2477,21 @@ def similarity_join(
     )
     if not verify:
         return cand
-    pair_list = sorted({(r["a"], r["b"]) for r in cand.take_all()})
+    # Dataset-native verify: the candidate pairs stay in the object store
+    # (no driver pair list); only the VERIFIED result — bounded by the true
+    # join output — is collected to honor the pa.Table return contract
     ver = ngram_jaccard_verify(
-        left.union(right), pair_list, text_col, id_col, k
+        left.union(right), cand.select_columns(["a", "b"]), text_col, id_col, k
     )
-    out = ver.filter(pc.greater_equal(ver["jaccard"], threshold))
+    kept = ver.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
+        batch_format="pyarrow",
+    )
+    tables = [t for t in ray.get(kept.to_arrow_refs()) if t.num_rows]
+    out = pa.concat_tables(tables, promote_options="permissive") if tables else pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
     return out.sort_by([("a", "ascending"), ("b", "ascending")])
 
 

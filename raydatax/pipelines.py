@@ -1504,49 +1504,36 @@ def dedup_minhash_verified(sf_dir: str):
 
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     cand = minhash_candidate_pairs(ds, threshold=0.6)
-    pair_list = sorted({(r["a"], r["b"]) for r in cand.take_all()})
-    ver = ngram_jaccard_verify(ds, pair_list, k=5)
-    kept = ver.filter(pc.greater_equal(ver["jaccard"], 0.6))
-    return kept.sort_by([("a", "ascending"), ("b", "ascending")])
+    ver = ngram_jaccard_verify(ds, cand.select_columns(["a", "b"]), k=5)
+    kept = ver.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], 0.6)),
+        batch_format="pyarrow",
+    )
+    return kept.sort(["a", "b"])
 
 
 def dedup_keep_best(sf_dir: str):
-    """Production dedup canonicalization: cluster the exact-verified
-    near-dup pairs (the dedup_minhash_verified relation) into connected
-    components (dedup.cluster_pairs union-find over the bounded verified
-    pair list) and keep the BEST document per cluster — longest text,
-    ties to the smallest id — instead of the naive min-id rule.  Emits
-    one row per clustered document: (doc_id, canonical_id, keep).  The
-    oracle recomputes components with a recursive CTE over the ALL-pairs
-    exact-Jaccard relation and the same argmax."""
-    from .dedup import cluster_pairs, minhash_candidate_pairs, ngram_jaccard_verify
+    """Production dedup canonicalization (dedup.keep_best_dedup): cluster
+    the exact-verified near-dup pairs (the dedup_minhash_verified
+    relation) into connected components via the engine's adaptive path
+    and keep the BEST document per cluster — longest text, ties to the
+    smallest id — picked with distributed grouped_topk n=1 over the
+    corpus-joined quality column (no driver metadata read, no per-node
+    loop).  Emits one row per clustered document: (doc_id, canonical_id,
+    keep).  The oracle recomputes components with a recursive CTE over
+    the ALL-pairs exact-Jaccard relation and the same argmax."""
+    from .dedup import keep_best_dedup, minhash_candidate_pairs, ngram_jaccard_verify
 
     ds = rd.read_parquet(
         _p(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"]
     )
     cand = minhash_candidate_pairs(ds, threshold=0.6)
-    pair_list = sorted({(r["a"], r["b"]) for r in cand.take_all()})
-    ver = ngram_jaccard_verify(ds, pair_list, k=5)
-    kept = ver.filter(pc.greater_equal(ver["jaccard"], 0.6))
-    pairs = list(zip(kept["a"].to_pylist(), kept["b"].to_pylist()))
-    nodes = sorted({i for p in pairs for i in p})
-    rep = cluster_pairs(pairs, nodes)  # node -> min-label component
-
-    # best per component by (n_chars DESC, doc_id ASC) — quality rule
-    import pyarrow.parquet as pq
-
-    meta = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
-    chars = dict(zip(meta["doc_id"].to_pylist(), meta["n_chars"].to_pylist()))
-    best: dict[int, int] = {}
-    for v in nodes:
-        c = rep[v]
-        if c not in best or (chars[v], -v) > (chars[best[c]], -best[c]):
-            best[c] = v
-    return pa.table({
-        "doc_id": pa.array(nodes, pa.int64()),
-        "canonical_id": pa.array([best[rep[v]] for v in nodes], pa.int64()),
-        "keep": pa.array([best[rep[v]] == v for v in nodes], pa.bool_()),
-    })
+    ver = ngram_jaccard_verify(ds, cand.select_columns(["a", "b"]), k=5)
+    kept = ver.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], 0.6)),
+        batch_format="pyarrow",
+    )
+    return keep_best_dedup(ds, kept, quality_col="n_chars")
 
 
 def similarity_join_docs(sf_dir: str):
@@ -2644,10 +2631,12 @@ def incremental_minhash_verified(sf_dir: str):
     cand = incremental_minhash_pairs(
         _crawl_split(docs, "doc_id", False), idx, threshold=0.6
     )
-    pair_list = sorted({(r["a"], r["b"]) for r in cand.take_all()})
-    ver = ngram_jaccard_verify(docs, pair_list, k=5)
-    kept = ver.filter(pc.greater_equal(ver["jaccard"], 0.6))
-    return kept.sort_by([("a", "ascending"), ("b", "ascending")])
+    ver = ngram_jaccard_verify(docs, cand.select_columns(["a", "b"]), k=5)
+    kept = ver.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], 0.6)),
+        batch_format="pyarrow",
+    )
+    return kept.sort(["a", "b"])
 
 
 def incremental_dedup(sf_dir: str):

@@ -639,6 +639,7 @@ def hash_join(
     on: str | list[str],
     join_type: str = "inner",
     num_partitions: int = 32,
+    portable: bool = False,
 ) -> "ray.data.Dataset":
     """Both-sides-large join: hash-partitioned on the key.
 
@@ -647,20 +648,38 @@ def hash_join(
     bucket pattern — add ``__b = hash(key) % B`` to both sides, tag, union,
     ``groupby(__b)`` and Arrow-join matching buckets pairwise inside
     ``map_groups``.  Skewed keys: pre-salt hot keys before calling (same
-    discipline as the CDC partitioner)."""
+    discipline as the CDC partitioner).
+
+    ``portable=True`` forces the bucket pattern even when the native join
+    exists — chained joins prefer it: the native JoinOperator both spins a
+    fresh aggregator-actor pool per join (a fixed multi-second tax when
+    the relations are small) and emits schema-less blocks for empty hash
+    partitions that crash a DOWNSTREAM join without a repartition barrier
+    (the hazard at :func:`semi_join`); the bucket pattern has neither
+    problem."""
     on_t = (on,) if isinstance(on, str) else tuple(on)
-    if hasattr(left, "join"):
+    if hasattr(left, "join") and not portable:
         return left.join(
             right, join_type=join_type,
             num_partitions=_join_partitions(num_partitions), on=on_t,
         )
 
-    # portable fallback (kept for older Ray): bucket + per-bucket Arrow join
+    # portable path: bucket + per-bucket Arrow join.  The two sides are
+    # null-padded to ONE unified schema before the union — Ray's groupby
+    # concatenates group rows across blocks, so mixed schemas would hand
+    # join_bucket a single-side table and a KeyError
     import numpy as np
     from pandas.util import hash_array
 
-    l_cols = left.schema().names
-    r_cols = [c for c in right.schema().names if c not in on_t]
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = [c for c in r_schema.names if c not in on_t]
+    clash = set(l_cols) & set(r_cols) - set(on_t)
+    if clash:
+        raise ValueError(f"hash_join(portable): column collision {sorted(clash)}")
+    types = {c: l_schema.types[l_schema.names.index(c)] for c in l_cols}
+    types.update({c: r_schema.types[r_schema.names.index(c)] for c in r_cols})
+    all_cols = l_cols + r_cols
 
     def bucketed(side: str):
         def f(batch: pa.Table) -> pa.Table:
@@ -669,8 +688,14 @@ def hash_join(
                 h ^= hash_array(
                     batch[k].to_numpy(zero_copy_only=False).astype(object), categorize=False
                 )
-            batch = batch.append_column("__b", pa.array((h % num_partitions).astype(np.int32)))
-            return batch.append_column("__side", pa.array([side] * batch.num_rows))
+            cols = {
+                c: (batch[c] if c in batch.column_names
+                    else pa.nulls(batch.num_rows, types[c]))
+                for c in all_cols
+            }
+            cols["__b"] = pa.array((h % num_partitions).astype(np.int32))
+            cols["__side"] = pa.array(np.full(batch.num_rows, side == "l"))
+            return pa.table(cols)
 
         return f
 
@@ -678,8 +703,9 @@ def hash_join(
     rb = right.map_batches(bucketed("r"), batch_format="pyarrow")
 
     def join_bucket(group: pa.Table) -> pa.Table:
-        lt = group.filter(pc.equal(group["__side"], "l")).select(list(on_t) + [c for c in l_cols if c not in on_t])
-        rt = group.filter(pc.equal(group["__side"], "r")).select(list(on_t) + r_cols)
+        is_l = group["__side"]
+        lt = group.filter(is_l).select(list(on_t) + [c for c in l_cols if c not in on_t])
+        rt = group.filter(pc.invert(is_l)).select(list(on_t) + r_cols)
         # Arrow spells join types with spaces ("left outer") where the
         # Dataset API uses underscores ("left_outer") — accept both here
         return lt.join(rt, keys=list(on_t), join_type=join_type.replace("_", " "))

@@ -831,8 +831,8 @@ def test_dedup_keep_best_prefers_quality_over_min_id(ray_session, tmp_path, monk
 
     from raydatax.pipelines import dedup_keep_best
 
-    rows = {r["doc_id"]: r for r in dedup_keep_best(str(d)).to_pylist()}
+    rows = {r["doc_id"]: r for r in dedup_keep_best(str(d)).take_all()}
     # 10 and 11 are near-dups; 11 is longer so it is canonical despite 10 < 11
-    assert rows[10]["canonical_id"] == 11 and rows[10]["keep"] is False
-    assert rows[11]["canonical_id"] == 11 and rows[11]["keep"] is True
+    assert rows[10]["canonical_id"] == 11 and not rows[10]["keep"]
+    assert rows[11]["canonical_id"] == 11 and rows[11]["keep"]
     assert 50 not in rows  # singletons never enter the clustered relation
