@@ -200,6 +200,28 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).count()
     diff_loc_wall = time.monotonic() - t0
 
+    # steady-state soak rate: a 20-epoch producer+tail loop (append a
+    # 2000-event delta, tail_wal applies it with the stream-time TTL sweep
+    # on) — the continuous-ingest cadence the lake runs at between the
+    # big replays above; reported as epochs/s (one epoch = append + apply
+    # + sweep + tombstone apply when the sweep expired anything)
+    from raydatax.driver import tail_wal
+    from raydatax.gen import append_wal, gen_events
+
+    soak_wal = "/tmp/raydatax_bench/soak_wal"
+    soak_lake = "/tmp/raydatax_bench/soak_lake"
+    shutil.rmtree(soak_wal, ignore_errors=True)
+    shutil.rmtree(soak_lake, ignore_errors=True)
+    soak_epochs = 20
+    t0 = time.monotonic()
+    for i in range(soak_epochs):
+        ev = gen_events(2000, seed=500 + i, start_seq=(i + 1) * 10_000_000)
+        append_wal(ev, soak_wal, seg_rows=1000)
+        tail_wal(soak_wal, soak_lake, partitions=8, idle_polls_to_stop=1,
+                 poll_interval_s=0.01,
+                 retain_ts_span_us=40 * 3_600_000_000, time_travel_epochs=4)
+    soak_wall = time.monotonic() - t0
+
     # representative secondary pipelines on the sf tables (skipped in
     # --scaling subprocesses: only the headline matters there)
     from raydatax import pipelines as pl
@@ -215,7 +237,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                "view_build_full": round(view_full, 3),
                "view_refresh_localized_delta": round(view_inc, 3),
                "view_partitions_refreshed":
-                   [rep_v["refreshed"], rep_v["refreshed"] + rep_v["skipped"]]}
+                   [rep_v["refreshed"], rep_v["refreshed"] + rep_v["skipped"]],
+               "soak_tail_epochs": soak_epochs,
+               "soak_tail_wall": round(soak_wall, 3),
+               "soak_epochs_per_s": round(soak_epochs / soak_wall, 2)}
     secondary = [] if os.environ.get("BENCH_HEADLINE_ONLY") else [
         "q1_pricing_summary",
         "revenue_by_segment",

@@ -269,8 +269,13 @@ def append_wal(
     for k in range(n_segs):
         seg = table.slice(k * seg_rows, seg_rows)
         path = os.path.join(wal_dir, f"seg-{start + k:05d}.parquet")
-        pq.write_table(seg, path, compression="zstd",
+        # tmp + rename, the engine sweep's discipline (_expire_segment): a
+        # producer killed mid-write must never leave a torn segment that
+        # wedges every later plan_read of the log
+        tmp = path + ".tmp"
+        pq.write_table(seg, tmp, compression="zstd",
                        row_group_size=min(seg_rows, 65536))
+        os.replace(tmp, path)
         paths.append(path)
     return paths
 

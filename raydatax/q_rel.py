@@ -1,0 +1,356 @@
+"""Relational + per-record-transformer queries: TPC-H-ish aggregates,
+joins, SQL-source reads, casts, the dx_* transform chain.
+
+Split out of the former monolithic pipelines.py (round-3 verdict item 5);
+the registry (QUERIES / ORACLE_SQL) stays in :mod:`raydatax.pipelines`.
+"""
+
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .relational import (
+    broadcast_join,
+    preagg_groupby,
+    topk,
+)
+from .transforms import dx_filter, dx_url
+
+from .q_common import (
+    _cents,
+    _p,
+    _round,
+)
+
+
+# ---------------------------------------------------------------- relational
+
+
+def q1_pricing_summary(sf_dir: str):
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-01", "us"))))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    out = preagg_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "sum", "sum_base_price"),
+            ("disc_price", "sum", "sum_disc_price"),
+            ("l_quantity", "count", "count_order"),
+        ],
+        mean_of=[("sum_qty", "count_order", "avg_qty")],
+    )
+    return out.map_batches(
+        lambda t: _round(t, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4}),
+        batch_format="pyarrow",
+    )
+
+
+def top_orders(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return topk(ds, [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 10)
+
+
+def customers_per_region(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = pq.read_table(_p(sf_dir, "nation")).rename_columns(["c_nationkey", "n_name", "r_regionkey"])
+    region = pq.read_table(_p(sf_dir, "region")).rename_columns(["r_regionkey", "r_name"])
+    joined = broadcast_join(cust, nation, "c_nationkey")
+    joined = broadcast_join(joined, region, "r_regionkey")
+    out = preagg_groupby(
+        joined, ["r_name"],
+        [("c_custkey", "count", "n_customers"), ("c_acctbal", "sum", "sum_acctbal")],
+        mean_of=[("sum_acctbal", "n_customers", "avg_acctbal")],
+    )
+    return out.map_batches(
+        lambda t: _round(t, {"sum_acctbal": 2, "avg_acctbal": 4}), batch_format="pyarrow"
+    )
+
+
+def projection_filter_revenue(sf_dir: str):
+    """Reader-style projection + predicate pushdown + computed column (the
+    DataX reader `column`/`where` surface)."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_returnflag"],
+        filter=(pc.field("l_quantity") > 45) & (pc.field("l_returnflag") == "R"),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"],
+                         "l_quantity": t["l_quantity"], "revenue": rev})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def semi_join_fulfilled(sf_dir: str):
+    """Semi join where the build side (orders) is read DISTRIBUTED with the
+    status predicate pushed to the parquet read; the key set is broadcast
+    only because it is metadata-counted under threshold (see semi_join)."""
+    from .relational import semi_join
+
+    fulfilled = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey"],
+        filter=pc.field("o_orderstatus") == "F",
+    )
+    li = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_returnflag", "l_quantity"])
+    filtered = semi_join(li, fulfilled, "l_orderkey", "o_orderkey")
+    out = preagg_groupby(
+        filtered, ["l_returnflag"],
+        [("l_quantity", "count", "n_items"), ("l_quantity", "sum", "sum_qty")],
+    )
+    return out.map_batches(lambda t: _round(t, {"sum_qty": 2}), batch_format="pyarrow")
+
+
+def events_partitioned_roundtrip(sf_dir: str):
+    """odps/hive partitioned-table parity: write events hive-partitioned by
+    event_type (one key=value directory per partition — the resumable
+    output layout), read back ONLY the 'click' partition with
+    directory-level pruning, and aggregate per day."""
+    import shutil
+
+    from .sinks import read_partitioned, write_partitioned
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/raydatax_part_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    write_partitioned(ds, out, ["event_type"])
+
+    clicks = read_partitioned(out, filters={"event_type": "click"},
+                              columns=["ts", "value"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                         "value": t["value"]})
+
+    agg = preagg_groupby(
+        clicks.map_batches(add_day, batch_format="pyarrow"),
+        ["day"], [("value", "count", "n_events"), ("value", "sum", "sum_value")],
+    )
+    return agg.map_batches(lambda t: _round(t, {"sum_value": 2}), batch_format="pyarrow")
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti join with a large build side: customers with NO fulfilled
+    order.  The distinct order-customer key set is built distributed (with
+    the status predicate pushed to the read) and the broadcast-vs-hash
+    decision comes from a metadata count (relational.semi_join, anti=True)."""
+    from .relational import semi_join
+
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    ords = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey"],
+        filter=pc.field("o_orderstatus") == "F",
+    )
+    return semi_join(cust, ords, "c_custkey", "o_custkey", anti=True)
+
+
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER join kept to the end: every customer with their
+    fulfilled-order count, customers with none kept at 0 —
+    relational.hash_join(join_type="left_outer") then a null-skipping
+    grouped count (count(o_orderkey) ignores the unmatched rows' nulls,
+    exactly the SQL rule)."""
+    from .relational import hash_join, preagg_groupby
+
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"])
+    ords = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderkey"],
+        filter=pc.field("o_orderstatus") == "F",
+    ).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(cust, ords, on="c_custkey", join_type="left_outer")
+    return preagg_groupby(joined, ["c_custkey"], [("o_orderkey", "count", "n_orders")])
+
+
+def sql_split_read(sf_dir: str):
+    """JDBC-family source parity: splitPk range-sliced parallel read out of
+    a DuckDB database file (built once from the orders table), with
+    projection and predicate pushed into every slice's SQL — the
+    mysql/pg/oracle reader surface over an engine the sandbox can host."""
+    from .sql_source import export_parquet_to_duckdb, read_sql_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    db = f"/tmp/raydatax_orders_{tag}.duckdb"
+    export_parquet_to_duckdb(_p(sf_dir, "orders"), db, "orders")
+    return read_sql_table(
+        db, "orders", split_pk="o_orderkey", num_splits=6,
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        where="o_totalprice > 150000",
+    )
+
+
+def sql_token_read(sf_dir: str):
+    """Cassandra/kudu-family source parity: token-range sliced parallel
+    read — contiguous ranges of the uint64 hash(pk) ring, cut WITHOUT any
+    driver-side min/max planning query, over a STRING key (the case splitPk
+    range slicing cannot handle).  Each row lands in exactly one slice; the
+    union must hash-match a plain scan."""
+    from .sql_source import export_parquet_to_duckdb, read_sql_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    db = f"/tmp/raydatax_customer_{tag}.duckdb"
+    export_parquet_to_duckdb(_p(sf_dir, "customer"), db, "customer")
+    return read_sql_table(
+        db, "customer", split_pk="c_name", num_splits=8, split_mode="token",
+        columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+        where="c_acctbal > 1000",
+    )
+
+
+def sql_sample_read(sf_dir: str):
+    """Oracle-reader SAMPLE split parity: slice boundaries from a seeded
+    sample's quantiles (balances skew, works on the string key), union of
+    slices must hash-match a plain filtered scan."""
+    from .sql_source import export_parquet_to_duckdb, read_sql_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    db = f"/tmp/raydatax_customer_{tag}.duckdb"
+    export_parquet_to_duckdb(_p(sf_dir, "customer"), db, "customer")
+    return read_sql_table(
+        db, "customer", split_pk="c_name", num_splits=5, split_mode="sample",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+        where="c_acctbal < 9000",
+    )
+
+
+def sql_writer_roundtrip(sf_dir: str):
+    """JDBC-family WRITER parity (CommonRdbmsWriter writeMode + adswriter
+    load-then-swap): documents --replace--> DuckDB table with a unique key,
+    a derived delta --upsert--> ON CONFLICT DO UPDATE (the mysql ON
+    DUPLICATE KEY semantic), final state read back through the
+    splitPk-sliced reader.  The oracle recomputes the post-upsert rows
+    directly from the source table."""
+    import tempfile
+
+    from .sql_source import read_sql_table, write_sql_table
+
+    db = os.path.join(tempfile.mkdtemp(prefix="raydatax_sqlsink_"), "docs.duckdb")
+    docs = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "source", "n_chars"]
+    )
+    write_sql_table(docs, db, "docs", write_mode="replace", unique_keys=["doc_id"])
+
+    def bump(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % 10 == 0))
+        return sub.set_column(
+            sub.schema.get_field_index("n_chars"), "n_chars",
+            pc.add(sub["n_chars"], pa.scalar(1000, pa.int64())),
+        )
+
+    delta = docs.map_batches(bump, batch_format="pyarrow")
+    write_sql_table(delta, db, "docs", write_mode="upsert", conflict_keys=["doc_id"])
+    return read_sql_table(db, "docs", split_pk="doc_id", num_splits=6)
+
+
+def distinct_event_types(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+# ------------------------------------------------------------- transformers
+
+
+def transform_chain(sf_dir: str):
+    """Full transformer surface under one oracle: dx_substr / dx_pad /
+    dx_replace / dx_filter plus a REGISTERED external transformer, composed
+    through the chain() registry path (TransformerRegistry +
+    TransformerExchanger parity)."""
+    from .transforms import REGISTRY, chain, register
+
+    ds = rd.read_parquet(_p(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+
+    if "upper_col" not in REGISTRY:  # external (non-dx_) transformer hook
+        def upper_col(batch: pa.Table, column: str) -> pa.Table:
+            i = batch.schema.get_field_index(column)
+            return batch.set_column(i, column, pc.utf8_upper(batch[column]))
+
+        register("upper_col", upper_col)
+
+    fn = chain([
+        ("dx_substr", "name8", 0, 8),
+        ("dx_pad", "seg_pad", "l", 12, "*"),
+        ("dx_replace", "seg_repl", 2, 3, "XX"),
+        ("upper_col", "name8"),
+        ("dx_filter", "c_acctbal", ">", 5000),
+    ])
+
+    def apply(t: pa.Table) -> pa.Table:
+        t = t.append_column("name8", t["c_name"])
+        t = t.append_column("seg_pad", t["c_mktsegment"])
+        t = t.append_column("seg_repl", t["c_mktsegment"])
+        return fn(t).select(["c_custkey", "name8", "seg_pad", "seg_repl", "c_acctbal"])
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def url_extract(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"])
+
+    def apply(t: pa.Table) -> pa.Table:
+        brand = pc.replace_substring(t["p_brand"], "#", "-")
+        url = pc.binary_join_element_wise(
+            "https://parts.example.com/", brand, "/",
+            pc.cast(t["p_partkey"], pa.string()),
+            "?size=", pc.cast(t["p_size"], pa.string()), "",
+        )
+        t = t.append_column("url", url)
+        t = dx_url(t, "url", parts=("host", "path"), param="size")
+        return t.select(["p_partkey", "url_host", "url_path", "url_size"])
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def filter_like(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_type", "p_brand"])
+    return ds.map_batches(
+        lambda t: dx_filter(t, "p_type", "like", ".*ECO.*"), batch_format="pyarrow"
+    )
+
+
+def cast_roundtrip(sf_dir: str):
+    """ColumnCast parity (string↔date↔long total conversion matrix,
+    /root/reference/common/.../element/ColumnCast.java:17-43)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "value"])
+
+    def apply(t: pa.Table) -> pa.Table:
+        # arrow %S always appends the fractional part for sub-second types →
+        # format then slice to seconds precision (matches DuckDB strftime)
+        full = pc.strftime(t["ts"], format="%Y-%m-%d %H:%M:%S")
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts_str": pc.utf8_slice_codeunits(full, 0, 19),
+                "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")
