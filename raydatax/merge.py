@@ -62,17 +62,20 @@ def _write_staged(out: pa.Table, path: str, write_gate=None) -> None:
             with open(tmp, "wb") as f:
                 pq.write_table(out, f, **PARQUET_OPTS)
                 f.flush()
-                os.fsync(f.fileno())
+                os.fdatasync(f.fileno())
         finally:
             write_gate.release.remote(node)
     else:
-        # fsync here too: the manifest that will reference this file is
+        # flush here too: the manifest that will reference this file is
         # fsync'd, so an unflushed data file could survive a power loss as
-        # a durable manifest pointing at truncated parquet
+        # a durable manifest pointing at truncated parquet.  fdatasync, not
+        # fsync: a fresh tmp file's durability needs its data + size (both
+        # flushed by fdatasync); the inode timestamps fsync adds buy nothing
+        # here and cost an extra journal write per partition file
         with open(tmp, "wb") as f:
             pq.write_table(out, f, **PARQUET_OPTS)
             f.flush()
-            os.fsync(f.fileno())
+            os.fdatasync(f.fileno())
     os.replace(tmp, path)
 
 LINEAGE_SCHEMA = pa.schema(
