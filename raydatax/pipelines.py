@@ -29,7 +29,10 @@ from .q_cdc import (  # noqa: F401
 )
 from .q_rel import (  # noqa: F401
     cast_roundtrip,
+    colocated_orders_customer,
     customer_order_counts,
+    events_group_kfold,
+    events_window_dedup,
     customers_per_region,
     customers_without_orders,
     distinct_event_types,
@@ -303,6 +306,9 @@ QUERIES = {
     "docs_pmi_collocations": docs_pmi_collocations,
     "incremental_lm_perplexity": incremental_lm_perplexity,
     "dedup_keep_best": dedup_keep_best,
+    "colocated_orders_customer": colocated_orders_customer,
+    "events_group_kfold": events_group_kfold,
+    "events_window_dedup": events_window_dedup,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2273,6 +2279,49 @@ ORACLE_SQL = {
             FROM reach r JOIN edges e ON e.src = r.node
         )
         SELECT node, min(lbl) AS component FROM reach GROUP BY node
+    """,
+    "colocated_orders_customer": """
+        SELECT o_orderkey, c_mktsegment,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    # mix64 HUGEINT replica (same chain as events_shuffle_export /
+    # lake_state_digest — hash-certified there) over user_id, % 5
+    "events_group_kfold": """
+        WITH u0 AS (SELECT event_id, user_id,
+                           CAST(user_id AS HUGEINT) AS u FROM events),
+        x1 AS (SELECT event_id, user_id,
+                      CAST(xor(CAST(u AS BIGINT), CAST(u // 8589934592 AS BIGINT)) AS HUGEINT) AS x FROM u0),
+        x1u AS (SELECT event_id, user_id,
+                       CASE WHEN x < 0 THEN x + 18446744073709551616 ELSE x END AS x FROM x1),
+        m AS (SELECT event_id, user_id,
+                     ((x % 4294967296) * 3981806797
+                    + (((x % 4294967296) * 4283543511
+                        + (x // 4294967296) * 3981806797) % 4294967296)
+                      * 4294967296) % 18446744073709551616 AS v FROM x1u),
+        ms AS (SELECT event_id, user_id,
+                      CASE WHEN v >= 9223372036854775808
+                           THEN v - 18446744073709551616 ELSE v END AS s,
+                      v // 8589934592 AS hi FROM m),
+        h2 AS (SELECT event_id, user_id,
+                      CAST(xor(CAST(s AS BIGINT),
+                               CAST(CASE WHEN hi >= 9223372036854775808
+                                         THEN hi - 18446744073709551616
+                                         ELSE hi END AS BIGINT)) AS HUGEINT) AS x
+               FROM ms),
+        hu AS (SELECT event_id, user_id,
+                      CASE WHEN x < 0 THEN x + 18446744073709551616 ELSE x END AS h FROM h2)
+        SELECT CAST(h % 5 AS BIGINT) AS fold,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM hu GROUP BY 1
+    """,
+    "events_window_dedup": """
+        SELECT user_id, event_type,
+               date_trunc('hour', ts) AS window_start,
+               CAST(min(event_id) AS BIGINT) AS first_event_id,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM events GROUP BY 1, 2, 3
     """,
     # rows-only (non-SQL-expressible) entries intentionally omitted:
     # lang_id, dedup_minhash, dedup_simhash, ann_ivf,

@@ -354,3 +354,109 @@ def cast_roundtrip(sf_dir: str):
         )
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def colocated_orders_customer(sf_dir: str):
+    """Storage-partitioned join (raydatax.colocated): orders and customer
+    are each hash-bucket-exported ONCE on the join key (the only shuffle),
+    then joined bucket-by-bucket with zero exchange — the Hive bucketed /
+    Iceberg storage-partitioned join pattern for repeated 100-TB joins.
+    Output: one row per order with its customer's segment, price in exact
+    integer cents (`_cents` SQL-twin discipline)."""
+    import shutil
+
+    from .colocated import colocated_join, write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    da = f"/tmp/raydatax_bkt_orders_{tag}"
+    db = f"/tmp/raydatax_bkt_customer_{tag}"
+    shutil.rmtree(da, ignore_errors=True)
+    shutil.rmtree(db, ignore_errors=True)
+    write_bucketed(
+        rd.read_parquet(_p(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        da, "o_custkey", buckets=16,
+    )
+    write_bucketed(
+        rd.read_parquet(_p(sf_dir, "customer"),
+                        columns=["c_custkey", "c_mktsegment"]),
+        db, "c_custkey", buckets=16,
+    )
+    j = colocated_join(da, db, "o_custkey", "c_custkey")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "c_mktsegment": t["c_mktsegment"],
+            "price_cents": _cents(t["o_totalprice"]),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow").sort("o_orderkey")
+
+
+def events_group_kfold(sf_dir: str, k: int = 5):
+    """Leakage-safe GROUP k-fold assignment: every event of a user lands in
+    the same fold (fold = mix64(user_id) % k — the engine's avalanche
+    finalizer, deterministic across runs/partitionings/engines, zero
+    shuffle for the assignment itself).  Output: per-fold row count and
+    distinct-user count — the split manifest a training run records."""
+    from .partition import hash_ints
+    from .relational import preagg_groupby
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        fold = (hash_ints(u) % np.uint64(k)).astype(np.int64)
+        return pa.table({"fold": pa.array(fold), "user_id": t["user_id"]})
+
+    per_user = preagg_groupby(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        ["fold", "user_id"], [("user_id", "count", "n")],
+    )
+    out = preagg_groupby(
+        per_user, ["fold"],
+        [("n", "sum", "n_rows"), ("user_id", "count", "n_users")],
+    )
+    return out.map_batches(
+        lambda t: pa.table({
+            "fold": t["fold"],
+            "n_rows": pc.cast(t["n_rows"], pa.int64()),
+            "n_users": pc.cast(t["n_users"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("fold")
+
+
+def events_window_dedup(sf_dir: str):
+    """Windowed stream dedup: collapse repeats of (user, event_type) inside
+    each tumbling hour to one logical event — first event id wins, the
+    repeat count is kept (the keep-first analogue of the CDC LWW rule at
+    the event level).  One pre-aggregated groupby; no per-row state."""
+    from .relational import preagg_groupby
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def win(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "window_start": hour, "event_id": t["event_id"],
+        })
+
+    out = preagg_groupby(
+        ds.map_batches(win, batch_format="pyarrow"),
+        ["user_id", "event_type", "window_start"],
+        [("event_id", "min", "first_event_id"), ("event_id", "count", "n_dups")],
+    )
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "window_start": t["window_start"],
+            "first_event_id": pc.cast(t["first_event_id"], pa.int64()),
+            "n_dups": pc.cast(t["n_dups"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort(["user_id", "event_type", "window_start"])

@@ -1,0 +1,104 @@
+"""Storage-partitioned (co-located) join: layout metadata contract,
+zero-shuffle join correctness vs a plain hash join, empty buckets, and
+outer-join semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raydatax.colocated import colocated_join, write_bucketed
+
+
+def _sides(tmp_path, buckets=8, n_a=500, n_b=120):
+    rng = np.random.default_rng(7)
+    a = pa.table({
+        "k": pa.array(rng.integers(0, 150, n_a), pa.int64()),
+        "va": pa.array(rng.integers(0, 10_000, n_a), pa.int64()),
+    })
+    # b: unique keys 0..n_b-1 → some a keys (>= n_b) have no match
+    b = pa.table({
+        "k": pa.array(np.arange(n_b), pa.int64()),
+        "vb": pa.array(rng.integers(0, 10_000, n_b), pa.int64()),
+    })
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(rd.from_arrow(a), da, "k", buckets=buckets)
+    write_bucketed(rd.from_arrow(b), db, "k", buckets=buckets)
+    return a, b, da, db
+
+
+def _sorted_pd(t: pa.Table):
+    cols = sorted(t.column_names)
+    return t.select(cols).to_pandas().sort_values(cols).reset_index(drop=True)
+
+
+def _sorted_pd_from_ds(ds):
+    import ray
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(tables, promote_options="permissive")
+    return _sorted_pd(t)
+
+
+def test_inner_matches_reference_join(tmp_path):
+    a, b, da, db = _sides(tmp_path)
+    got = _sorted_pd_from_ds(colocated_join(da, db, "k"))
+    # single-table Arrow join oracle (pa.Table.join DEFAULTS to left outer)
+    want = _sorted_pd(a.join(b, keys="k", join_type="inner"))
+    assert got.equals(want)
+
+
+def test_left_outer_keeps_unmatched(tmp_path):
+    a, b, da, db = _sides(tmp_path)
+    got = _sorted_pd_from_ds(
+        colocated_join(da, db, "k", join_type="left outer")
+    )
+    want = _sorted_pd(a.join(b, keys="k", join_type="left outer"))
+    assert got.equals(want)
+
+
+def test_bucket_count_mismatch_raises(tmp_path):
+    a, b, da, _ = _sides(tmp_path)
+    db2 = str(tmp_path / "b2")
+    write_bucketed(rd.from_arrow(b), db2, "k", buckets=4)
+    with pytest.raises(ValueError, match="layouts disagree"):
+        colocated_join(da, db2, "k")
+
+
+def test_wrong_key_raises(tmp_path):
+    _, _, da, db = _sides(tmp_path)
+    with pytest.raises(ValueError, match="bucketed on"):
+        colocated_join(da, db, "va")
+
+
+def test_missing_metadata_raises(tmp_path):
+    _, _, da, db = _sides(tmp_path)
+    import os
+    os.remove(os.path.join(db, "_buckets.json"))
+    with pytest.raises(ValueError, match="_buckets.json"):
+        colocated_join(da, db, "k")
+
+
+def test_empty_buckets_schema_stable(tmp_path):
+    # 2 keys into 8 buckets → most buckets empty on both sides; the join
+    # must still emit schema-stable blocks and the right rows
+    a = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "va": pa.array([10, 20], pa.int64())})
+    b = pa.table({"k": pa.array([2], pa.int64()),
+                  "vb": pa.array([200], pa.int64())})
+    da, db = str(tmp_path / "ea"), str(tmp_path / "eb")
+    write_bucketed(rd.from_arrow(a), da, "k", buckets=8)
+    write_bucketed(rd.from_arrow(b), db, "k", buckets=8)
+    ds = colocated_join(da, db, "k")
+    out = _sorted_pd_from_ds(ds)
+    assert out.to_dict("records") == [{"k": 2, "va": 20, "vb": 200}]
+    # downstream ops over the (mostly empty) blocks don't crash
+    assert ds.count() == 1
+
+
+def test_bucket_files_are_bounded(tmp_path):
+    # the sorted hive write keeps the layout at ~max(blocks, B) files,
+    # not blocks × B (tiny-files discipline)
+    import glob
+    _sides(tmp_path, buckets=8)
+    files = glob.glob(str(tmp_path / "a" / "__bucket=*" / "*.parquet"))
+    assert 0 < len(files) <= 40  # max(blocks, 8) + slack, never blocks*8
