@@ -665,3 +665,28 @@ def dedup_simhash_verified(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     ds = ds.map_batches(ascii_tokenful, batch_format="pyarrow")
     return simhash_pairs(ds, max_hamming=3, max_bucket=None)
+
+
+def docs_bigram_perplexity(sf_dir: str):
+    """Second-order LM quality scoring (text.fit_bigram_counts +
+    text.bigram_perplexity): fit an add-one-smoothed BIGRAM LM on the
+    trusted slice (lang = 'en'), score EVERY document's integer-exact
+    micro log-prob sum over its adjacent-token transitions, with the
+    transition count and unseen-transition count.  The fitted bigram and
+    context relations stay Datasets end-to-end (shuffle joins — a bigram
+    vocabulary is not assumed broadcastable at corpus scale); per-
+    transition log-probs snap to int64 micros before summation, so totals
+    hash cross-engine."""
+    from .text import bigram_perplexity, fit_bigram_counts
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+    ref = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    bigrams, contexts, v_size = fit_bigram_counts(ref)
+    return bigram_perplexity(
+        ds.select_columns(["doc_id", "text"]), bigrams, contexts, v_size
+    ).sort("doc_id")

@@ -804,6 +804,133 @@ def lm_perplexity(
     return out.map_batches(fill, batch_format="pyarrow")
 
 
+def bigram_pairs_batch(
+    batch: pa.Table, column: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Flatten each document into adjacent-token (id, w1, w2) rows under
+    the corpus tokenization contract (:func:`tokenize_batch`: lower, split
+    single space, drop empties — adjacency is over the COMPACTED token
+    stream, i.e. after empty-drop, matching SQL row_number re-ranking).
+    Purely batch-local; no shuffle."""
+    col = pc.utf8_lower(batch[column].combine_chunks())
+    lists = pc.split_pattern(col, " ")
+    n_per = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+        zero_copy_only=False
+    )
+    flat = pc.list_flatten(lists)
+    seg = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_per)
+    keep = np.asarray(
+        pc.not_equal(flat, "").to_numpy(zero_copy_only=False), dtype=bool
+    )
+    seg = seg[keep]
+    toks = flat.filter(pa.array(keep))
+    if len(seg) < 2:
+        return pa.table({id_col: pa.array([], batch[id_col].type),
+                         "w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string())})
+    adj = seg[:-1] == seg[1:]  # consecutive tokens in the same doc
+    li = np.nonzero(adj)[0]
+    ids = batch[id_col].combine_chunks().take(pa.array(seg[li]))
+    return pa.table({
+        id_col: ids,
+        "w1": toks.take(pa.array(li)),
+        "w2": toks.take(pa.array(li + 1)),
+    })
+
+
+def fit_bigram_counts(ds, column: str = "text", id_col: str = "doc_id"):
+    """One pass over the reference corpus → the bigram LM's three fitted
+    pieces: ``(bigrams, contexts, V)`` — a materialized (w1, w2, c2)
+    Dataset, its (w1, c1 = Σ_w2 c2) context fold (derived from the bigram
+    partials, no second corpus read), and the unigram vocabulary size V
+    (the add-one smoothing denominator's constant, same definition as the
+    unigram LM)."""
+    from .relational import preagg_groupby
+
+    pairs = ds.map_batches(
+        lambda t: bigram_pairs_batch(t, column, id_col), batch_format="pyarrow"
+    )
+    bigrams = preagg_groupby(
+        pairs, ["w1", "w2"], [("w1", "count", "c2")]
+    ).materialize()
+    contexts = preagg_groupby(
+        bigrams, ["w1"], [("c2", "sum", "c1")]
+    ).materialize()
+    v_size = fit_unigram_counts(ds, column, id_col).count()
+    return bigrams, contexts, int(v_size)
+
+
+def bigram_perplexity(
+    ds,
+    bigrams,
+    contexts,
+    v_size: int,
+    column: str = "text",
+    id_col: str = "doc_id",
+):
+    """Score every document under the fitted add-one-smoothed BIGRAM LM:
+    p(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V).  Returns ``(id_col,
+    n_bigrams, n_oov, logp_micro)`` — transition count, unseen-transition
+    count, and the integer-exact sum of per-transition micro log-probs
+    (same snap-before-sum discipline as :func:`lm_perplexity`: each
+    transition's ln of ONE IEEE division is floored to int64 micros, so
+    document totals are associative integer sums, cross-engine exact).
+
+    Fully distributed: per-transition (doc, w1, w2, tf) partials left-join
+    the bigram relation on (w1, w2) and the context relation on w1 — both
+    fitted relations stay Datasets (shuffle-join discipline; a bigram
+    vocabulary is too wide a relation to assume broadcastable at corpus
+    scale) — then one pre-aggregated groupby folds per-document totals.
+    A higher-order analogue of the CCNet-style unigram scorer above."""
+    from .relational import hash_join, preagg_groupby
+
+    if v_size <= 0:
+        raise ValueError("bigram_perplexity: empty reference corpus")
+
+    pairs = ds.map_batches(
+        lambda t: bigram_pairs_batch(t, column, id_col), batch_format="pyarrow"
+    )
+    tf = preagg_groupby(pairs, [id_col, "w1", "w2"], [("w1", "count", "tf")])
+    j2 = hash_join(tf, bigrams, on=["w1", "w2"], join_type="left_outer",
+                   portable=True)
+    j1 = hash_join(j2, contexts, on="w1", join_type="left_outer",
+                   portable=True)
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = pc.fill_null(t["c2"], 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = pc.fill_null(t["c1"], 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        oov = pc.is_null(t["c2"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = (c2.astype(np.float64) + 1.0) / (c1.astype(np.float64) + float(v_size))
+        lp = pc.ln(pa.array(ratio, pa.float64())).to_numpy(zero_copy_only=False)
+        micro = np.floor(lp * 1000000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "tf": pa.array(tfv),
+            "oov_tf": pa.array(oov * tfv),
+            "lp_tf": pa.array(micro * tfv),
+        })
+
+    scored = j1.map_batches(score, batch_format="pyarrow")
+    agg = preagg_groupby(
+        scored, [id_col],
+        [("tf", "sum", "n_bigrams"), ("oov_tf", "sum", "n_oov"),
+         ("lp_tf", "sum", "logp_micro")],
+    )
+    ids = ds.select_columns([id_col])
+    out = hash_join(ids, agg, on=id_col, join_type="left_outer", portable=True)
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "n_bigrams": pc.cast(pc.fill_null(t["n_bigrams"], 0), pa.int64()),
+            "n_oov": pc.cast(pc.fill_null(t["n_oov"], 0), pa.int64()),
+            "logp_micro": pc.cast(pc.fill_null(t["logp_micro"], 0), pa.int64()),
+        })
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
 # ---------------------------------------------------- inverted index
 #
 # The search-engine build side the reference only *talks to*

@@ -153,3 +153,51 @@ def test_unigram_index_incremental_equals_oneshot(ray_session, tmp_path):
     assert after == inc
     # compacting a single live epoch is a no-op
     assert unigram_index_compact(idx) == {"folded": 0}
+
+
+def test_bigram_pairs_batch_compaction():
+    """Adjacency is over the COMPACTED stream: empty tokens (double
+    spaces) are dropped BEFORE pairing, single-token and empty docs emit
+    nothing, pairs never cross documents."""
+    import pyarrow as pa
+
+    from raydatax.text import bigram_pairs_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["A  b c", "solo", "", "x y"], pa.string()),
+    })
+    out = bigram_pairs_batch(batch)
+    rows = sorted(zip(out["doc_id"].to_pylist(),
+                      out["w1"].to_pylist(), out["w2"].to_pylist()))
+    # doc 1: "a  b c" → tokens [a, b, c] → (a,b), (b,c) — the double space
+    # must NOT break adjacency; docs 2/3 emit nothing; doc 4 → (x,y)
+    assert rows == [(1, "a", "b"), (1, "b", "c"), (4, "x", "y")]
+
+
+def test_bigram_perplexity_known_values():
+    """Tiny closed-form corpus: ref doc 'a b a b', V=2; transitions
+    (a,b)x2, (b,a)x1 → c2(a,b)=2, c2(b,a)=1, c1(a)=2, c1(b)=1."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.text import bigram_perplexity, fit_bigram_counts
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b a b", "a b z"], pa.string()),
+    }))
+    ref = docs.filter(lambda r: r["doc_id"] == 1)
+    bigrams, contexts, v = fit_bigram_counts(ref)
+    assert v == 2
+    out = {r["doc_id"]: r for r in bigram_perplexity(docs, bigrams, contexts, v).take_all()}
+    def micro(c2, c1):
+        return math.floor(math.log((c2 + 1) / (c1 + v)) * 1e6 + 0.5)
+    # doc 1: (a,b) c2=2 c1=2; (b,a) c2=1 c1=1; (a,b) again
+    assert out[1]["n_bigrams"] == 3 and out[1]["n_oov"] == 0
+    assert out[1]["logp_micro"] == 2 * micro(2, 2) + micro(1, 1)
+    # doc 2: (a,b) seen; (b,z) unseen (c2=0, context b c1=1)
+    assert out[2]["n_bigrams"] == 2 and out[2]["n_oov"] == 1
+    assert out[2]["logp_micro"] == micro(2, 2) + micro(0, 1)
