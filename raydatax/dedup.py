@@ -2569,20 +2569,96 @@ def semantic_dedup_keep(
     )
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Exact Levenshtein distance — the classic full two-row DP scan,
+    O(len_a·len_b), vectorized along the inner row (no band shortcut:
+    cost is quadratic even for near-equal texts)."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return max(len(a), len(b))
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    idx = np.arange(len(bb) + 1, dtype=np.int64)
+    prev = idx.copy()
+    cur = np.empty_like(prev)
+    for i, ca in enumerate(np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)):
+        cur[0] = i + 1
+        # substitution / deletion candidates, fully vectorized
+        np.minimum(prev[:-1] + (bb != ca), prev[1:] + 1, out=cur[1:])
+        # insertion propagation: cur[j] = j + min_{i<=j}(cand[i] - i)
+        # (a running min — one accumulate instead of a scalar scan)
+        np.minimum.accumulate(cur - idx, out=cur)
+        cur += idx
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
 def edit_distance_verify(
     ds: "ray.data.Dataset",
-    pairs: list[tuple[int, int]],
+    pairs: "list[tuple[int, int]] | ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> pa.Table:
-    """Exact Levenshtein distance for a candidate-pair list — the
+    num_partitions: int = 32,
+) -> "pa.Table | ray.data.Dataset":
+    """Exact Levenshtein distance for candidate pairs — the
     character-level verify stage (templated spam, OCR noise, small edits)
-    complementing the set-based ones (Jaccard / containment).  Only the
-    referenced docs are collected (bounded by the pair list, same contract
-    as :func:`ngram_jaccard_verify`); each pair's DP is the classic
-    full two-row scan — O(len_a·len_b) per pair, vectorized along the
-    inner row (no band shortcut: cost is quadratic even for near-equal
-    texts; bound pair lists and text lengths accordingly)."""
+    complementing the set-based ones (Jaccard / containment).
+
+    ``pairs`` as a DATASET (columns a, b) runs distributed: the corpus is
+    semi-joined down to the pair endpoints, each endpoint's text rides two
+    hash joins onto the pair relation (text moves, but only for LSH
+    survivors — work and shuffle ∝ candidate pairs, zero driver
+    collection), and each pair's DP runs inside ``map_batches``; returns
+    a Dataset.  ``pairs`` as a Python list keeps the bounded driver path
+    (referenced docs collected via broadcast-id filter) and returns a
+    pa.Table in pair-list order.  A missing endpoint scores as the empty
+    string on both paths.  Per-pair cost is the quadratic DP either way —
+    bound pair lists and text lengths accordingly."""
+    if isinstance(pairs, ray.data.Dataset):
+        from .relational import hash_join, semi_join
+
+        pairs = pairs.select_columns(["a", "b"]).materialize()
+        if pairs.count() == 0:
+            return ray.data.from_arrow(pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "edit_dist": pa.array([], pa.int64())}
+            ))
+
+        def endpoints(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            return pa.table({"x": pa.array(np.concatenate([a, b]), pa.int64())})
+
+        need = pairs.map_batches(endpoints, batch_format="pyarrow")
+        sub = semi_join(
+            ds.select_columns([id_col, text_col]), need, id_col, "x"
+        ).materialize()
+
+        def side(out_id: str, out_t: str):
+            def f(t: pa.Table) -> pa.Table:
+                return pa.table({out_id: t[id_col],
+                                 out_t: _string_col(t, text_col)})
+            return f
+
+        j = hash_join(
+            pairs, sub.map_batches(side("a", "ta"), batch_format="pyarrow"),
+            on="a", join_type="left_outer",
+            num_partitions=num_partitions, portable=True,
+        )
+        j = hash_join(
+            j, sub.map_batches(side("b", "tb"), batch_format="pyarrow"),
+            on="b", join_type="left_outer",
+            num_partitions=num_partitions, portable=True,
+        )
+
+        def score(t: pa.Table) -> pa.Table:
+            d = [_levenshtein(x or "", y or "")
+                 for x, y in zip(t["ta"].to_pylist(), t["tb"].to_pylist())]
+            return pa.table({"a": t["a"], "b": t["b"],
+                             "edit_dist": pa.array(d, pa.int64())})
+
+        return j.map_batches(score, batch_format="pyarrow")
+
     need = sorted({i for p in pairs for i in p})
     ref = ray.put(pa.array(need, pa.int64()))
 
@@ -2594,30 +2670,10 @@ def edit_distance_verify(
     rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
     texts = {r[id_col]: (r["t"] or "") for r in rows}
 
-    def lev(a: str, b: str) -> int:
-        if a == b:
-            return 0
-        if not a or not b:
-            return max(len(a), len(b))
-        bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
-        idx = np.arange(len(bb) + 1, dtype=np.int64)
-        prev = idx.copy()
-        cur = np.empty_like(prev)
-        for i, ca in enumerate(np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)):
-            cur[0] = i + 1
-            # substitution / deletion candidates, fully vectorized
-            np.minimum(prev[:-1] + (bb != ca), prev[1:] + 1, out=cur[1:])
-            # insertion propagation: cur[j] = j + min_{i<=j}(cand[i] - i)
-            # (a running min — one accumulate instead of a scalar scan)
-            np.minimum.accumulate(cur - idx, out=cur)
-            cur += idx
-            prev, cur = cur, prev
-        return int(prev[-1])
-
     out = []
     for a, b in pairs:
         ta, tb = texts.get(a, ""), texts.get(b, "")
-        out.append({"a": a, "b": b, "edit_dist": lev(ta, tb)})
+        out.append({"a": a, "b": b, "edit_dist": _levenshtein(ta, tb)})
     return pa.Table.from_pylist(out) if out else pa.table(
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
          "edit_dist": pa.array([], pa.int64())}

@@ -117,3 +117,33 @@ def test_portable_hash_join_matches_native(ray_session):
         nat = rel(hash_join(left, right, on="k", join_type=jt))
         por = rel(hash_join(left, right, on="k", join_type=jt, portable=True))
         assert nat == por, jt
+
+
+def test_edit_distance_verify_dataset_matches_list():
+    """The pair-Dataset overload must be value-identical to the bounded
+    list path, including missing endpoints (scored as empty string)."""
+    from raydatax.dedup import edit_distance_verify
+
+    docs = rd.from_arrow(_docs())
+    pair_list = [(10, 11), (10, 12), (20, 21), (50, 51), (10, 999)]
+    want = {(r["a"], r["b"]): r["edit_dist"]
+            for r in edit_distance_verify(docs, pair_list).to_pylist()}
+    pairs_ds = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pair_list], pa.int64()),
+        "b": pa.array([p[1] for p in pair_list], pa.int64()),
+    }))
+    got_ds = edit_distance_verify(docs, pairs_ds)
+    got = {(r["a"], r["b"]): r["edit_dist"] for r in got_ds.take_all()}
+    assert got == want and len(got) == len(pair_list)
+
+
+def test_edit_distance_verify_empty_pairs_dataset():
+    from raydatax.dedup import edit_distance_verify
+
+    docs = rd.from_arrow(_docs())
+    empty = rd.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+    }))
+    out = edit_distance_verify(docs, empty)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"a", "b", "edit_dist"}
