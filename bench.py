@@ -271,6 +271,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "scd2_transcripts",
         "semantic_dedup_vecs",
         "embedding_kmeans",
+        "colocated_orders_customer",
+        "docs_bigram_perplexity",
+        "events_window_dedup",
     ]
     for name in secondary:
         t0 = time.monotonic()
