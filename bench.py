@@ -290,21 +290,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # the query; at steady state the build amortizes across ingests while
     # every ingest pays the probe.  Record the two phases separately so
     # cross-round comparisons see which side moved (r3 VERDICT item #3).
-    import shutil as _sh
+    # Headline-only rungs (--scaling subprocesses) skip this like every
+    # other secondary.
+    if not os.environ.get("BENCH_HEADLINE_ONLY"):
+        import shutil as _sh
 
-    from raydatax.dedup import incremental_minhash_pairs, minhash_index_add
-    from raydatax.q_common import _crawl_split as _split, _p as _pp
+        import ray.data as rd
 
-    _idx = "/tmp/raydatax_bench_lsh_split"
-    _sh.rmtree(_idx, ignore_errors=True)
-    _docs = rd.read_parquet(_pp(sf_dir, "documents"), columns=["doc_id", "text"])
-    t0 = time.monotonic()
-    minhash_index_add(_split(_docs, "doc_id", True), _idx)
-    queries["incremental_minhash_build"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    incremental_minhash_pairs(_split(_docs, "doc_id", False), _idx, threshold=0.6).count()
-    queries["incremental_minhash_probe"] = round(time.monotonic() - t0, 3)
-    _sh.rmtree(_idx, ignore_errors=True)
+        from raydatax.dedup import incremental_minhash_pairs, minhash_index_add
+        from raydatax.q_common import _crawl_split as _split, _p as _pp
+
+        _idx = "/tmp/raydatax_bench_lsh_split"
+        _sh.rmtree(_idx, ignore_errors=True)
+        _docs = rd.read_parquet(_pp(sf_dir, "documents"), columns=["doc_id", "text"])
+        t0 = time.monotonic()
+        minhash_index_add(_split(_docs, "doc_id", True), _idx)
+        queries["incremental_minhash_build"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        incremental_minhash_pairs(_split(_docs, "doc_id", False), _idx, threshold=0.6).count()
+        queries["incremental_minhash_probe"] = round(time.monotonic() - t0, 3)
+        _sh.rmtree(_idx, ignore_errors=True)
 
     out = {
         "metric": "transcript CDC change-apply wall time (headline) + pipeline walls",
