@@ -867,6 +867,7 @@ def bigram_perplexity(
     v_size: int,
     column: str = "text",
     id_col: str = "doc_id",
+    broadcast_limit: int = 2_000_000,
 ):
     """Score every document under the fitted add-one-smoothed BIGRAM LM:
     p(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V).  Returns ``(id_col,
@@ -876,16 +877,99 @@ def bigram_perplexity(
     transition's ln of ONE IEEE division is floored to int64 micros, so
     document totals are associative integer sums, cross-engine exact).
 
-    Fully distributed: per-transition (doc, w1, w2, tf) partials left-join
-    the bigram relation on (w1, w2) and the context relation on w1 — both
-    fitted relations stay Datasets (shuffle-join discipline; a bigram
-    vocabulary is too wide a relation to assume broadcastable at corpus
-    scale) — then one pre-aggregated groupby folds per-document totals.
-    A higher-order analogue of the CCNet-style unigram scorer above."""
-    from .relational import hash_join, preagg_groupby
+    Adaptive join discipline (the :func:`lm_perplexity` contract one
+    order higher): a bigram relation within ``broadcast_limit`` rows
+    (decided from block metadata — the relation is materialized) is put
+    in the object store ONCE and probed batch-locally inside an actor
+    pool — zero shuffle (the exact lookup key is ``w1 || ' ' || w2``:
+    tokens cannot contain the split character, so the join key is
+    collision-free); a larger one goes through three distributed
+    left-outer hash joins on the per-transition partials, and per-doc
+    totals come back via one pre-aggregated groupby.  Both paths use the
+    same pc.ln kernel over the same IEEE division (differential-tested).
+    """
+    import ray as _ray
+
+    from .relational import _fetch_partials, hash_join, preagg_groupby
 
     if v_size <= 0:
         raise ValueError("bigram_perplexity: empty reference corpus")
+
+    if bigrams.count() <= broadcast_limit:
+        bt = [t for t in _fetch_partials(bigrams.to_arrow_refs()) if t.num_rows]
+        btab = pa.concat_tables(bt) if bt else pa.table(
+            {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+             "c2": pa.array([], pa.int64())})
+        ct = [t for t in _fetch_partials(contexts.to_arrow_refs()) if t.num_rows]
+        ctab = pa.concat_tables(ct) if ct else pa.table(
+            {"w1": pa.array([], pa.string()), "c1": pa.array([], pa.int64())})
+        ref = _ray.put((btab, ctab))
+        col_v, id_v, v_f = column, id_col, float(v_size)
+
+        class ScoreBigram:
+            def __init__(self):
+                b, c = _ray.get(ref)  # once per actor
+                self.bkeys = pc.binary_join_element_wise(
+                    b["w1"].combine_chunks(), b["w2"].combine_chunks(), " "
+                )
+                self.c2 = b["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+                self.cterms = c["w1"].combine_chunks()
+                self.c1 = c["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                n = batch.num_rows
+                col = pc.utf8_lower(batch[col_v].combine_chunks())
+                lists = pc.split_pattern(col, " ")
+                n_per = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+                    zero_copy_only=False)
+                flat = pc.list_flatten(lists)
+                seg = np.repeat(np.arange(n, dtype=np.int64), n_per)
+                keep = np.asarray(
+                    pc.not_equal(flat, "").to_numpy(zero_copy_only=False),
+                    dtype=bool)
+                seg = seg[keep]
+                toks = flat.filter(pa.array(keep))
+                zero = pa.table({
+                    id_v: batch[id_v],
+                    "n_bigrams": pa.array(np.zeros(n, np.int64)),
+                    "n_oov": pa.array(np.zeros(n, np.int64)),
+                    "logp_micro": pa.array(np.zeros(n, np.int64)),
+                })
+                if len(seg) < 2:
+                    return zero
+                li = np.nonzero(seg[:-1] == seg[1:])[0]
+                if not len(li):
+                    return zero
+                w1 = toks.take(pa.array(li))
+                w2 = toks.take(pa.array(li + 1))
+                keys = pc.binary_join_element_wise(w1, w2, " ")
+                i2 = pc.index_in(keys, value_set=self.bkeys)
+                seen = pc.is_valid(i2).to_numpy(zero_copy_only=False)
+                p2 = pc.fill_null(i2, 0).to_numpy(zero_copy_only=False)
+                c2 = np.where(seen, self.c2[p2] if len(self.c2) else 0, 0)
+                i1 = pc.index_in(w1, value_set=self.cterms)
+                v1 = pc.is_valid(i1).to_numpy(zero_copy_only=False)
+                p1 = pc.fill_null(i1, 0).to_numpy(zero_copy_only=False)
+                c1 = np.where(v1, self.c1[p1] if len(self.c1) else 0, 0)
+                ratio = (c2.astype(np.float64) + 1.0) / (c1.astype(np.float64) + v_f)
+                lp = pc.ln(pa.array(ratio, pa.float64())).to_numpy(
+                    zero_copy_only=False)
+                micro = np.floor(lp * 1000000.0 + 0.5).astype(np.int64)
+                segp = seg[li]
+                return pa.table({
+                    id_v: batch[id_v],
+                    "n_bigrams": pa.array(
+                        np.bincount(segp, minlength=n).astype(np.int64)),
+                    "n_oov": pa.array(np.bincount(
+                        segp, weights=(~seen).astype(np.float64), minlength=n
+                    ).astype(np.int64)),
+                    "logp_micro": pa.array(np.bincount(
+                        segp, weights=micro.astype(np.float64), minlength=n
+                    ).astype(np.int64)),
+                })
+
+        return ds.map_batches(ScoreBigram, batch_format="pyarrow",
+                              concurrency=(1, 8))
 
     pairs = ds.map_batches(
         lambda t: bigram_pairs_batch(t, column, id_col), batch_format="pyarrow"

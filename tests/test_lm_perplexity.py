@@ -201,3 +201,26 @@ def test_bigram_perplexity_known_values():
     # doc 2: (a,b) seen; (b,z) unseen (c2=0, context b c1=1)
     assert out[2]["n_bigrams"] == 2 and out[2]["n_oov"] == 1
     assert out[2]["logp_micro"] == micro(2, 2) + micro(0, 1)
+
+
+def test_bigram_perplexity_broadcast_matches_distributed():
+    """The adaptive broadcast path and the shuffle-join path must be
+    value-identical (same pc.ln kernel over the same division)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.text import bigram_perplexity, fit_bigram_counts
+
+    texts = ["the cat sat on the mat", "the cat ran", "a dog sat",
+             "", "solo", "the   spaced   out   doc"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    bigrams, contexts, v = fit_bigram_counts(docs)
+    a = {r["doc_id"]: (r["n_bigrams"], r["n_oov"], r["logp_micro"])
+         for r in bigram_perplexity(docs, bigrams, contexts, v).take_all()}
+    b = {r["doc_id"]: (r["n_bigrams"], r["n_oov"], r["logp_micro"])
+         for r in bigram_perplexity(docs, bigrams, contexts, v,
+                                    broadcast_limit=0).take_all()}
+    assert a == b and len(a) == len(texts)
