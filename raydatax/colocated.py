@@ -12,6 +12,14 @@ sharded-table reader fans one logical table into per-shard reads
 shard (bucket) assignment is content-hash so TWO tables split the same
 way, which is what makes the join side-local.
 
+The export is INCREMENTAL: it reuses the engine's bucketed-epoch-store
+primitives (:mod:`raydatax.dedup`'s ``_commit_index_epoch`` /
+``_index_epochs`` — crash-atomic staged epoch commits, a ``_folded.json``
+compaction horizon, sorted hive leaves).  A continuously-ingested table
+appends ``epoch-N/__bucket=H/`` deltas (write cost ∝ delta — exactly the
+persistent-dedup-index discipline) and :func:`compact_bucketed` folds
+accumulated epochs back to one, so the join's file count stays bounded.
+
 Contract: both sides bucketed with the SAME bucket count and the SAME
 hash (the engine's mix64 avalanche finalizer over the int64 key — equal
 key values land in equal buckets on both sides, whatever the column
@@ -25,6 +33,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -37,40 +46,26 @@ from .partition import hash_ints
 _META = "_buckets.json"
 
 
-def write_bucketed(
-    ds: "ray.data.Dataset",
-    out_dir: str,
-    key: str,
-    buckets: int = 32,
-) -> str:
-    """Export ``ds`` hash-bucketed on int64 column ``key``: hive layout
-    ``__bucket=H/`` with H = mix64(key) % buckets, range-sorted so each
-    output block spans a contiguous bucket range (~max(blocks, B) files,
-    not blocks×B — the tiny-files discipline of the dedup index layout).
-    Writes ``_buckets.json`` describing the layout; the join validates it.
-    This is the ONE shuffle the storage-partitioned join ever pays."""
-    if buckets < 1 or buckets > 1 << 16:
-        raise ValueError(f"write_bucketed: buckets must be 1..65536, got {buckets}")
-
-    def tag(t: pa.Table) -> pa.Table:
+def _bucket_fn_for(key: str):
+    def f(t: pa.Table, B: int) -> pa.Array:
         k = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        b = (hash_ints(k) % np.uint64(buckets)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b))
+        return pa.array((hash_ints(k) % np.uint64(B)).astype(np.int64))
 
-    from .sinks import write_partitioned
+    return f
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow").sort("__bucket")
-    write_partitioned(tagged, out_dir, ["__bucket"])
-    with open(os.path.join(out_dir, _META), "w") as f:
+
+def _write_meta(out_dir: str, key: str, buckets: int) -> None:
+    tmp = os.path.join(out_dir, _META + ".tmp")
+    with open(tmp, "w") as f:
         json.dump({"key": key, "buckets": int(buckets), "hash": "mix64"}, f)
-    return out_dir
+    os.replace(tmp, os.path.join(out_dir, _META))
 
 
 def _layout(path: str) -> dict:
     meta = os.path.join(path, _META)
     if not os.path.exists(meta):
         raise ValueError(
-            f"colocated_join: {path} has no {_META} — not a write_bucketed "
+            f"colocated: {path} has no {_META} — not a write_bucketed "
             "export (a co-located join over un-co-partitioned data would "
             "silently drop every cross-bucket match)"
         )
@@ -78,11 +73,110 @@ def _layout(path: str) -> dict:
         return json.load(f)
 
 
+def write_bucketed(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    key: str,
+    buckets: int = 32,
+) -> str:
+    """FRESH export of ``ds`` hash-bucketed on int64 column ``key``:
+    epoch-0 of the bucketed-epoch layout (``epoch-0/__bucket=H/`` hive
+    leaves with H = mix64(key) % buckets, range-sorted so the epoch is
+    ~max(blocks, B) files — the tiny-files discipline).  Later deltas go
+    through :func:`append_bucketed`; the one sort here is the ONE shuffle
+    the storage-partitioned join ever pays per epoch."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    append_bucketed(ds, out_dir, key, buckets=buckets)
+    return out_dir
+
+
+def append_bucketed(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    key: str,
+    buckets: int = 32,
+) -> int:
+    """Append a delta to a bucketed export as a NEW crash-atomic epoch
+    (stage + rename — a crash leaves only an invisible stage dir; the
+    dedup-index commit discipline).  Validates the stored layout: the
+    first append fixes (key, buckets); later appends must match.  Write
+    cost ∝ delta.  Returns the epoch number written."""
+    from .dedup import _commit_index_epoch
+
+    if buckets < 1 or buckets > 1 << 16:
+        raise ValueError(f"append_bucketed: buckets must be 1..65536, got {buckets}")
+    os.makedirs(out_dir, exist_ok=True)
+    if os.path.exists(os.path.join(out_dir, _META)):
+        la = _layout(out_dir)
+        if la["key"] != key:
+            raise ValueError(
+                f"append_bucketed: export is bucketed on {la['key']!r}, "
+                f"not {key!r}"
+            )
+        buckets = int(la["buckets"])  # layout-level state: stored wins
+    else:
+        _write_meta(out_dir, key, buckets)
+    nums = [int(d.split("-", 1)[1]) for d in os.listdir(out_dir)
+            if d.startswith("epoch-")]
+    nxt = (max(nums) + 1) if nums else 0
+    _commit_index_epoch(out_dir, nxt, ds, bucket_fn=_bucket_fn_for(key),
+                        buckets=buckets)
+    return nxt
+
+
+def compact_bucketed(out_dir: str, min_epochs: int = 2) -> dict:
+    """Fold a bucketed export's accumulated epochs into ONE (file count
+    back to ~B), behind the same crash-atomic ``_folded.json`` horizon as
+    the dedup index: the folded epoch and its horizon marker become
+    visible in one rename, and the old epoch dirs are swept after —
+    a crash between the two leaves a correct (if duplicated-on-disk,
+    never double-READ) export that a rerun finishes sweeping."""
+    from .dedup import _commit_index_epoch, _drop_hive_bucket, _index_epochs
+
+    la = _layout(out_dir)
+    live, horizon = _index_epochs(out_dir)
+    # sweep epochs a prior crash left behind (≤ horizon, already folded)
+    swept = 0
+    for d in os.listdir(out_dir):
+        if d.startswith("epoch-") and int(d.split("-", 1)[1]) <= horizon:
+            shutil.rmtree(os.path.join(out_dir, d))
+            swept += 1
+    if len(live) < min_epochs:
+        return {"action": "noop", "live_epochs": len(live),
+                "cleanup_swept": swept}
+    files = _live_files(out_dir)
+    rows = ray.data.read_parquet(files).map_batches(
+        _drop_hive_bucket, batch_format="pyarrow"
+    )
+    hi = max(num for num, _ in live)
+    _commit_index_epoch(
+        out_dir, hi + 1, rows, bucket_fn=_bucket_fn_for(la["key"]),
+        buckets=int(la["buckets"]), marker={"folded_upto": hi},
+    )
+    for num, d in live:
+        shutil.rmtree(os.path.join(out_dir, d))
+    return {"action": "compacted", "folded_epochs": len(live),
+            "epoch": hi + 1, "cleanup_swept": swept}
+
+
+def _live_files(path: str, bucket: int | None = None) -> list[str]:
+    """Parquet files of all LIVE epochs (compaction horizon respected),
+    optionally restricted to one bucket."""
+    from .dedup import _index_epochs
+
+    live, _ = _index_epochs(path)
+    leaf = f"__bucket={bucket}" if bucket is not None else "__bucket=*"
+    out: list[str] = []
+    for _num, d in live:
+        out.extend(sorted(glob.glob(os.path.join(path, d, leaf, "*.parquet"))))
+    return out
+
+
 def _side_schema(path: str) -> pa.Schema:
-    files = glob.glob(os.path.join(path, "__bucket=*", "*.parquet"))
+    files = _live_files(path)
     if not files:
         raise ValueError(f"colocated_join: {path} holds no bucket files")
-    return pq.read_schema(sorted(files)[0])
+    return pq.read_schema(files[0])
 
 
 def colocated_join(
@@ -93,15 +187,15 @@ def colocated_join(
     join_type: str = "inner",
     right_suffix: str = "_r",
 ) -> "ray.data.Dataset":
-    """Join two :func:`write_bucketed` exports WITHOUT a shuffle: one Ray
-    task per bucket H reads ``dir_a/__bucket=H`` and ``dir_b/__bucket=H``
-    and hash-joins them in memory (Arrow acero) — matches can only live in
-    equal buckets because both exports hashed the key identically, which
-    the stored layout metadata proves (mismatched bucket count / hash /
-    key raises).  ``join_type``: inner | left outer (Arrow kernel names).
-    The result streams as B independent blocks; empty buckets emit a
-    schema-stable empty block so downstream operators never see the
-    schema-less-block hazard."""
+    """Join two bucketed exports WITHOUT a shuffle: one Ray task per
+    bucket H reads both sides' bucket-H files (across all live epochs —
+    appended deltas join transparently) and hash-joins them in memory
+    (Arrow acero) — matches can only live in equal buckets because both
+    exports hashed the key identically, which the stored layout metadata
+    proves (mismatched bucket count / hash / key raises).  ``join_type``:
+    inner | left outer (Arrow kernel names).  The result streams as B
+    independent blocks; empty buckets emit a schema-stable empty block so
+    downstream operators never see the schema-less-block hazard."""
     key_b = key_b or key_a
     la, lb = _layout(dir_a), _layout(dir_b)
     if la["buckets"] != lb["buckets"] or la["hash"] != lb["hash"]:
@@ -121,8 +215,8 @@ def colocated_join(
     def join_bucket(t: pa.Table) -> pa.Table:
         out = []
         for h in t["__b"].to_pylist():
-            fa = sorted(glob.glob(os.path.join(dir_a, f"__bucket={h}", "*.parquet")))
-            fb = sorted(glob.glob(os.path.join(dir_b, f"__bucket={h}", "*.parquet")))
+            fa = _live_files(dir_a, h)
+            fb = _live_files(dir_b, h)
             ta = (pa.concat_tables([pq.read_table(f) for f in fa])
                   if fa else sch_a.empty_table())
             tb = (pa.concat_tables([pq.read_table(f) for f in fb])

@@ -100,5 +100,45 @@ def test_bucket_files_are_bounded(tmp_path):
     # not blocks × B (tiny-files discipline)
     import glob
     _sides(tmp_path, buckets=8)
-    files = glob.glob(str(tmp_path / "a" / "__bucket=*" / "*.parquet"))
+    files = glob.glob(str(tmp_path / "a" / "epoch-*" / "__bucket=*" / "*.parquet"))
     assert 0 < len(files) <= 40  # max(blocks, 8) + slack, never blocks*8
+
+
+def test_append_joins_transparently(tmp_path):
+    """write + append must join identically to one export of the union,
+    and compaction must fold epochs without changing the result."""
+    import glob
+
+    from raydatax.colocated import append_bucketed, compact_bucketed
+
+    rng = np.random.default_rng(3)
+    a1 = pa.table({"k": pa.array(rng.integers(0, 60, 200), pa.int64()),
+                   "va": pa.array(np.arange(200), pa.int64())})
+    a2 = pa.table({"k": pa.array(rng.integers(0, 60, 100), pa.int64()),
+                   "va": pa.array(np.arange(200, 300), pa.int64())})
+    b = pa.table({"k": pa.array(np.arange(60), pa.int64()),
+                  "vb": pa.array(np.arange(1000, 1060), pa.int64())})
+    da, db = str(tmp_path / "inc_a"), str(tmp_path / "inc_b")
+    write_bucketed(rd.from_arrow(a1), da, "k", buckets=8)
+    assert append_bucketed(rd.from_arrow(a2), da, "k") == 1
+    write_bucketed(rd.from_arrow(b), db, "k", buckets=8)
+
+    want = _sorted_pd(
+        pa.concat_tables([a1, a2]).join(b, keys="k", join_type="inner"))
+    got = _sorted_pd_from_ds(colocated_join(da, db, "k"))
+    assert got.equals(want)
+
+    rep = compact_bucketed(da)
+    assert rep["action"] == "compacted" and rep["folded_epochs"] == 2
+    live = [d for d in glob.glob(str(tmp_path / "inc_a" / "epoch-*"))]
+    assert len(live) == 1  # folded to one epoch on disk
+    got2 = _sorted_pd_from_ds(colocated_join(da, db, "k"))
+    assert got2.equals(want)
+
+
+def test_append_wrong_key_raises(tmp_path):
+    from raydatax.colocated import append_bucketed
+
+    _, b, da, _ = _sides(tmp_path)
+    with pytest.raises(ValueError, match="bucketed on"):
+        append_bucketed(rd.from_arrow(b), da, "vb")
