@@ -41,23 +41,47 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from .partition import hash_ints
+from .partition import hash_ints, hash_string_column
 
 _META = "_buckets.json"
 
 
-def _bucket_fn_for(key: str):
-    def f(t: pa.Table, B: int) -> pa.Array:
-        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        return pa.array((hash_ints(k) % np.uint64(B)).astype(np.int64))
-
+def _bucket_fn_for(key: str, kind: str):
+    """kind = 'mix64' (int64 keys) | 'mix64_str' (string keys, poly-hash →
+    mix64).  Both sides of a join must use the SAME kind — equal key
+    VALUES must land in equal buckets, so the hash family is layout-level
+    metadata, validated like the bucket count."""
+    if kind == "mix64":
+        def f(t: pa.Table, B: int) -> pa.Array:
+            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            return pa.array((hash_ints(k) % np.uint64(B)).astype(np.int64))
+    elif kind == "mix64_str":
+        def f(t: pa.Table, B: int) -> pa.Array:
+            h = hash_string_column(t[key].combine_chunks())
+            return pa.array((h % np.uint64(B)).astype(np.int64))
+    else:
+        raise ValueError(f"colocated: unknown hash kind {kind!r}")
     return f
 
 
-def _write_meta(out_dir: str, key: str, buckets: int) -> None:
+def _hash_kind(ds: "ray.data.Dataset", key: str) -> str:
+    """Pick the hash family from the key column's Arrow type (schema only,
+    no data read)."""
+    t = dict(zip(ds.schema().names, ds.schema().types))[key]
+    if pa.types.is_integer(t):
+        return "mix64"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "mix64_str"
+    raise ValueError(
+        f"colocated: key column {key!r} has type {t} — only integer and "
+        "string join keys are bucketable"
+    )
+
+
+def _write_meta(out_dir: str, key: str, buckets: int, kind: str) -> None:
     tmp = os.path.join(out_dir, _META + ".tmp")
     with open(tmp, "w") as f:
-        json.dump({"key": key, "buckets": int(buckets), "hash": "mix64"}, f)
+        json.dump({"key": key, "buckets": int(buckets), "hash": kind}, f)
     os.replace(tmp, os.path.join(out_dir, _META))
 
 
@@ -106,6 +130,7 @@ def append_bucketed(
     if buckets < 1 or buckets > 1 << 16:
         raise ValueError(f"append_bucketed: buckets must be 1..65536, got {buckets}")
     os.makedirs(out_dir, exist_ok=True)
+    kind = _hash_kind(ds, key)
     if os.path.exists(os.path.join(out_dir, _META)):
         la = _layout(out_dir)
         if la["key"] != key:
@@ -113,13 +138,18 @@ def append_bucketed(
                 f"append_bucketed: export is bucketed on {la['key']!r}, "
                 f"not {key!r}"
             )
+        if la["hash"] != kind:
+            raise ValueError(
+                f"append_bucketed: export hashes {la['hash']!r} keys, the "
+                f"delta's {key!r} column needs {kind!r} — key type changed"
+            )
         buckets = int(la["buckets"])  # layout-level state: stored wins
     else:
-        _write_meta(out_dir, key, buckets)
+        _write_meta(out_dir, key, buckets, kind)
     nums = [int(d.split("-", 1)[1]) for d in os.listdir(out_dir)
             if d.startswith("epoch-")]
     nxt = (max(nums) + 1) if nums else 0
-    _commit_index_epoch(out_dir, nxt, ds, bucket_fn=_bucket_fn_for(key),
+    _commit_index_epoch(out_dir, nxt, ds, bucket_fn=_bucket_fn_for(key, kind),
                         buckets=buckets)
     return nxt
 
@@ -150,7 +180,8 @@ def compact_bucketed(out_dir: str, min_epochs: int = 2) -> dict:
     )
     hi = max(num for num, _ in live)
     _commit_index_epoch(
-        out_dir, hi + 1, rows, bucket_fn=_bucket_fn_for(la["key"]),
+        out_dir, hi + 1, rows,
+        bucket_fn=_bucket_fn_for(la["key"], la["hash"]),
         buckets=int(la["buckets"]), marker={"folded_upto": hi},
     )
     for num, d in live:

@@ -142,3 +142,37 @@ def test_append_wrong_key_raises(tmp_path):
     _, b, da, _ = _sides(tmp_path)
     with pytest.raises(ValueError, match="bucketed on"):
         append_bucketed(rd.from_arrow(b), da, "vb")
+
+
+def test_string_key_join(tmp_path):
+    """String join keys bucket via the poly+mix64 string hash; both sides
+    co-locate by VALUE and the join matches the Arrow oracle."""
+    rng = np.random.default_rng(11)
+    names = [f"user-{i}" for i in range(40)]
+    a = pa.table({
+        "name": pa.array([names[i] for i in rng.integers(0, 40, 300)], pa.string()),
+        "va": pa.array(np.arange(300), pa.int64()),
+    })
+    b = pa.table({
+        "name": pa.array(names[:25], pa.string()),
+        "vb": pa.array(np.arange(25), pa.int64()),
+    })
+    da, db = str(tmp_path / "sa"), str(tmp_path / "sb")
+    write_bucketed(rd.from_arrow(a), da, "name", buckets=8)
+    write_bucketed(rd.from_arrow(b), db, "name", buckets=8)
+    got = _sorted_pd_from_ds(colocated_join(da, db, "name"))
+    want = _sorted_pd(a.join(b, keys="name", join_type="inner"))
+    assert got.equals(want)
+    # mixing an int-keyed side with a string-keyed side fails loudly
+    c = pa.table({"k": pa.array(np.arange(10), pa.int64()),
+                  "vc": pa.array(np.arange(10), pa.int64())})
+    dc = str(tmp_path / "sc")
+    write_bucketed(rd.from_arrow(c), dc, "k", buckets=8)
+    with pytest.raises(ValueError, match="layouts disagree"):
+        colocated_join(da, dc, "name", "k")
+
+
+def test_unbucketable_key_type_raises(tmp_path):
+    a = pa.table({"k": pa.array([1.5, 2.5]), "v": pa.array([1, 2], pa.int64())})
+    with pytest.raises(ValueError, match="bucketable"):
+        write_bucketed(rd.from_arrow(a), str(tmp_path / "f"), "k", buckets=4)
