@@ -68,6 +68,7 @@ from .q_text import (  # noqa: F401
     docs_pmi_collocations,
     edit_distance_docs,
     fingerprint,
+    incremental_bigram_perplexity,
     incremental_lm_perplexity,
     index_and_search,
     inverted_index_terms,
@@ -311,6 +312,7 @@ QUERIES = {
     "events_group_kfold": events_group_kfold,
     "events_window_dedup": events_window_dedup,
     "docs_bigram_perplexity": docs_bigram_perplexity,
+    "incremental_bigram_perplexity": incremental_bigram_perplexity,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2347,6 +2349,44 @@ ORACLE_SQL = {
         cc AS (SELECT w1, count(*) AS c1 FROM big
                WHERE lang = 'en' GROUP BY 1),
         vv AS (SELECT count(DISTINCT tok) AS v FROM tp WHERE lang = 'en'),
+        scored AS (
+          SELECT big.doc_id,
+                 CASE WHEN cb.c2 IS NULL THEN 1 ELSE 0 END AS oov,
+                 CAST(floor(ln(CAST(coalesce(cb.c2, 0) + 1 AS DOUBLE)
+                              / CAST(coalesce(cc.c1, 0) + vv.v AS DOUBLE))
+                            * 1000000.0 + 0.5) AS BIGINT) AS lp
+          FROM big LEFT JOIN cb USING (w1, w2) LEFT JOIN cc USING (w1)
+          CROSS JOIN vv),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(oov) AS BIGINT) AS n_oov,
+                 CAST(sum(lp) AS BIGINT) AS logp_micro
+          FROM scored GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(coalesce(a.logp_micro, 0) AS BIGINT) AS logp_micro
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    # incremental twin: two index epochs (prior + new crawl) merged must
+    # equal a ONE-SHOT bigram fit over the whole corpus — same oracle as
+    # docs_bigram_perplexity without the lang restriction
+    "incremental_bigram_perplexity": """
+        WITH tokpos AS (
+          SELECT doc_id,
+                 unnest(range(1, len(ts)+1)) AS pos, unnest(ts) AS tok
+          FROM (SELECT doc_id,
+                       string_split(lower(text), ' ') AS ts FROM documents)),
+        tp AS (
+          SELECT doc_id, tok,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS idx
+          FROM tokpos WHERE tok <> ''),
+        big AS (
+          SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+          FROM tp a JOIN tp b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1),
+        cb AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+        cc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+        vv AS (SELECT count(DISTINCT tok) AS v FROM tp),
         scored AS (
           SELECT big.doc_id,
                  CASE WHEN cb.c2 IS NULL THEN 1 ELSE 0 END AS oov,

@@ -690,3 +690,24 @@ def docs_bigram_perplexity(sf_dir: str):
     return bigram_perplexity(
         ds.select_columns(["doc_id", "text"]), bigrams, contexts, v_size
     ).sort("doc_id")
+
+
+def incremental_bigram_perplexity(sf_dir: str):
+    """Incremental BIGRAM LM fitting (text.bigram_index_add /
+    read_bigram_index): the prior crawl (doc_id % 3 == 0) and the new
+    crawl land as two bucketed index epochs — each fit tokenizes ONLY its
+    own crawl — then every document scores against the merged counts,
+    which must equal a one-shot bigram fit over the union (the SQL twin).
+    The incremental_lm_perplexity contract one order higher."""
+    import shutil
+
+    from .text import bigram_index_add, bigram_perplexity, read_bigram_index
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/raydatax_bigidx_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+    bigram_index_add(idx, _crawl_split(ds, "doc_id", prior=True))
+    bigram_index_add(idx, _crawl_split(ds, "doc_id", prior=False))
+    bigrams, contexts, v = read_bigram_index(idx)
+    return bigram_perplexity(ds, bigrams, contexts, v)

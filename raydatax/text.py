@@ -1426,6 +1426,73 @@ def read_unigram_index(index_dir: str):
     return preagg_groupby(ds, ["term"], [("c", "sum", "c")]).materialize()
 
 
+def bigram_index_add(index_dir: str, ds, column: str = "text",
+                     id_col: str = "doc_id") -> dict:
+    """Persistent BIGRAM-count index: each crawl lands as one bucketed
+    epoch of (w1, w2, c2) partials under ``index_dir/bigrams`` (bucket =
+    mix64 of the collision-free ``w1 || ' ' || w2`` key) plus one unigram
+    epoch under ``index_dir/terms`` (for the smoothing constant V) — so
+    FITTING cost is ∝ the delta corpus, the
+    :func:`unigram_index_add` discipline one order higher.  Counts are
+    mergeable; the read side sums across epochs."""
+    import os
+
+    from .dedup import INDEX_BUCKETS, _commit_index_epoch, _index_epochs
+    from .partition import hash_string_column
+    from .relational import preagg_groupby
+
+    unigram_index_add(os.path.join(index_dir, "terms"), ds, column, id_col)
+    pairs = ds.map_batches(
+        lambda t: bigram_pairs_batch(t, column, id_col), batch_format="pyarrow"
+    )
+    big = preagg_groupby(pairs, ["w1", "w2"], [("w1", "count", "c2")])
+    bdir = os.path.join(index_dir, "bigrams")
+    os.makedirs(bdir, exist_ok=True)
+    live, _ = _index_epochs(bdir)
+    nxt = (max(n for n, _ in live) + 1) if live else 0
+
+    def bucket(t: pa.Table, B: int) -> pa.Array:
+        keys = pc.binary_join_element_wise(
+            t["w1"].combine_chunks(), t["w2"].combine_chunks(), " ")
+        h = hash_string_column(keys)
+        return pa.array((h % np.uint64(B)).astype(np.int64))
+
+    _commit_index_epoch(bdir, nxt, big, bucket_fn=bucket,
+                        buckets=INDEX_BUCKETS)
+    return {"epoch": nxt}
+
+
+def read_bigram_index(index_dir: str):
+    """Merged fitted bigram LM across all live epochs: ``(bigrams,
+    contexts, V)`` exactly as :func:`fit_bigram_counts` returns them —
+    one pre-aggregated sum over the bigram epoch parts, the context fold
+    derived from the merged relation, V from the terms sub-index."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from .dedup import _drop_hive_bucket, _index_epochs
+    from .relational import preagg_groupby
+
+    bdir = os.path.join(index_dir, "bigrams")
+    live, _ = _index_epochs(bdir)
+    files: list[str] = []
+    for _, d in live:
+        files.extend(sorted(glob.glob(
+            os.path.join(bdir, d, "**", "*.parquet"), recursive=True)))
+    if not files:
+        raise ValueError(f"read_bigram_index: no live epochs in {bdir}")
+    ds = rd.read_parquet(files).map_batches(
+        _drop_hive_bucket, batch_format="pyarrow")
+    bigrams = preagg_groupby(
+        ds, ["w1", "w2"], [("c2", "sum", "c2")]).materialize()
+    contexts = preagg_groupby(
+        bigrams, ["w1"], [("c2", "sum", "c1")]).materialize()
+    v_size = read_unigram_index(os.path.join(index_dir, "terms")).count()
+    return bigrams, contexts, int(v_size)
+
+
 def unigram_index_compact(index_dir: str) -> dict:
     """Fold all live epochs into ONE merged, bucketed epoch behind a
     ``folded_upto`` horizon marker (the compact_index discipline): the

@@ -224,3 +224,36 @@ def test_bigram_perplexity_broadcast_matches_distributed():
          for r in bigram_perplexity(docs, bigrams, contexts, v,
                                     broadcast_limit=0).take_all()}
     assert a == b and len(a) == len(texts)
+
+
+def test_bigram_index_two_epochs_equal_one_shot(tmp_path):
+    """Two index epochs (disjoint crawls) merged must equal a one-shot
+    fit over the union — the mergeable-counts contract."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.text import (
+        bigram_index_add,
+        fit_bigram_counts,
+        read_bigram_index,
+    )
+
+    texts = ["the cat sat", "the cat ran far", "a dog sat down",
+             "the dog and the cat"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    idx = str(tmp_path / "bigidx")
+    bigram_index_add(idx, docs.filter(lambda r: r["doc_id"] < 2))
+    bigram_index_add(idx, docs.filter(lambda r: r["doc_id"] >= 2))
+    bi, ci, vi = read_bigram_index(idx)
+    b1, c1, v1 = fit_bigram_counts(docs)
+
+    def as_map(ds, keys):
+        return {tuple(r[k] for k in keys): r[[c for c in r if c not in keys][0]]
+                for r in ds.take_all()}
+
+    assert as_map(bi, ["w1", "w2"]) == as_map(b1, ["w1", "w2"])
+    assert as_map(ci, ["w1"]) == as_map(c1, ["w1"])
+    assert vi == v1
