@@ -105,6 +105,7 @@ from .q_win import (  # noqa: F401
     events_hourly,
     events_leakage_split,
     events_mixture_sample,
+    events_temperature_sample,
     events_props_json,
     events_sample,
     events_shuffle_export,
@@ -313,6 +314,7 @@ QUERIES = {
     "events_window_dedup": events_window_dedup,
     "docs_bigram_perplexity": docs_bigram_perplexity,
     "incremental_bigram_perplexity": incremental_bigram_perplexity,
+    "events_temperature_sample": events_temperature_sample,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2405,6 +2407,26 @@ ORACLE_SQL = {
                CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
                CAST(coalesce(a.logp_micro, 0) AS BIGINT) AS logp_micro
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    # temperature (alpha=0.5) mixture: sqrt is IEEE-correctly-rounded so
+    # the micro-snapped weights match numpy bit-for-bit; everything after
+    # the snap is HUGEINT integer arithmetic
+    "events_temperature_sample": """
+        WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        w AS (SELECT event_type, n,
+                     CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                          AS HUGEINT) AS wm FROM n),
+        tot AS (SELECT sum(wm) AS sw FROM w),
+        r AS (SELECT event_type, n,
+                     least(CAST(1000000 AS HUGEINT),
+                           (CAST(1000000 AS HUGEINT) * 20000 * wm)
+                           // (sw * n)) AS rate_ppm
+              FROM w CROSS JOIN tot)
+        SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_kept
+        FROM events e JOIN r USING (event_type)
+        WHERE ((e.event_id % 1000003) * 2654435761) % 1000000
+              < CAST(r.rate_ppm AS BIGINT)
+        GROUP BY 1
     """,
     # rows-only (non-SQL-expressible) entries intentionally omitted:
     # lang_id, dedup_minhash, dedup_simhash, ann_ivf,

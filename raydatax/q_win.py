@@ -738,3 +738,27 @@ def orders_status_priority_cube(sf_dir: str):
     return out.select_columns(
         ["o_orderstatus", "o_orderpriority", "n_orders", "total_cents"]
     )
+
+
+def events_temperature_sample(sf_dir: str):
+    """Temperature-scaled corpus mixing (relational.
+    temperature_mixture_sample, α = 0.5): each event type's share of a
+    ≈20000-row budget is ∝ sqrt(n_type) — the T5 α-sampling rule that
+    flattens head types and boosts tail types.  sqrt is IEEE-correctly-
+    rounded, so the micro-snapped weights (and therefore every keep
+    decision) reproduce bit-identically in SQL.  Output: kept rows per
+    type (the mixture manifest)."""
+    from .relational import preagg_groupby, temperature_mixture_sample
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "event_type"]
+    )
+    kept = temperature_mixture_sample(
+        ds, "event_id", "event_type", total_rows=20000, alpha_permille=500
+    )
+    out = preagg_groupby(kept, ["event_type"], [("event_id", "count", "n_kept")])
+    return out.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "n_kept": pc.cast(t["n_kept"], pa.int64())}),
+        batch_format="pyarrow",
+    ).sort("event_type")

@@ -2345,6 +2345,83 @@ def mixture_sample(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def temperature_mixture_sample(
+    ds: "ray.data.Dataset",
+    key: str,
+    strata_col: str,
+    total_rows: int,
+    alpha_permille: int = 500,
+    modulus: int = 1_000_003,
+    multiplier: int = 2654435761,
+) -> "ray.data.Dataset":
+    """Temperature-scaled mixture sampling (the T5 / multilingual
+    α-sampling rule): stratum s gets an expected share ∝ n_s^α of
+    ``total_rows``, flattening the head and boosting the tail as α drops
+    below 1.  α is restricted to {250, 500, 750, 1000} permille because
+    those powers compose from IEEE-754 ``sqrt`` alone (sqrt is CORRECTLY
+    ROUNDED by the standard, so numpy and SQL compute bit-identical
+    weights; a general ``pow`` carries no such guarantee and would break
+    the cross-engine contract): n^.25 = sqrt(sqrt n), n^.75 =
+    sqrt(n)·sqrt(sqrt n) — one extra exact multiply.
+
+    Weights snap to int64 micros (floor(w·10^6 + 0.5)) and every
+    derivation after the snap is big-integer arithmetic — rate_s =
+    min(10^6, 10^6·total·w_s // (Σw · n_s)) ppm — exact in both engines
+    (HUGEINT on the SQL side).  The keep rule and the two-pass,
+    driver-holds-one-row-per-stratum shape are :func:`mixture_sample`'s;
+    ``key`` must be a non-negative integer column (same % sign caveat).
+    """
+    if alpha_permille not in (250, 500, 750, 1000):
+        raise ValueError(
+            "temperature_mixture_sample: alpha_permille must be one of "
+            f"250/500/750/1000 (sqrt-composable powers), got {alpha_permille}"
+        )
+    if total_rows < 0:
+        raise ValueError(
+            f"temperature_mixture_sample: total_rows must be >= 0, got {total_rows}"
+        )
+
+    counts = preagg_groupby(ds, [strata_col], [(strata_col, "count", "n")])
+    rows = counts.take_all()  # one row per stratum by construction
+    w_micro: dict[str, int] = {}
+    for r in rows:
+        n = float(int(r["n"]))
+        if alpha_permille == 250:
+            w = np.sqrt(np.sqrt(n))
+        elif alpha_permille == 500:
+            w = np.sqrt(n)
+        elif alpha_permille == 750:
+            w = np.sqrt(n) * np.sqrt(np.sqrt(n))
+        else:
+            w = n
+        w_micro[r[strata_col]] = int(np.floor(w * 1_000_000.0 + 0.5))
+    sum_w = sum(w_micro.values())
+    ppm: dict[str, int] = {}
+    for r in rows:
+        s, n = r[strata_col], int(r["n"])
+        if n <= 0 or sum_w <= 0:
+            continue
+        ppm[s] = min(1_000_000, (1_000_000 * total_rows * w_micro[s]) // (sum_w * n))
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if v.size and int(v.min()) < 0:
+            raise ValueError(
+                f"temperature_mixture_sample: key column {key!r} has negative "
+                "values — the keep rule's % diverges from SQL on negative "
+                "dividends; normalize to non-negative ids first"
+            )
+        strata = t[strata_col]
+        rate = np.zeros(t.num_rows, dtype=np.int64)
+        for s, p in ppm.items():
+            m = pc.fill_null(pc.equal(strata, s), False).to_numpy(zero_copy_only=False)
+            rate[np.asarray(m, dtype=bool)] = p
+        mask = ((v % modulus) * multiplier) % 1_000_000 < rate
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def shuffle_export(
     ds: "ray.data.Dataset",
     key: str,

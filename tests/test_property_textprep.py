@@ -75,3 +75,35 @@ def test_stratified_membership_equals_formula(keys, permille):
     # duckdb-compatible reference: nonneg ints, same arithmetic
     ref = [((k % 1_000_003) * 2654435761) % 1000 < permille for k in keys]
     assert mask.tolist() == ref
+
+
+def test_temperature_mixture_flattens_head():
+    """alpha=0.5 must give the tail stratum a HIGHER keep rate than
+    proportional sampling while keeping totals near the budget, and the
+    alpha=1000 path must equal plain proportional mixture rates."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydatax.relational import temperature_mixture_sample
+
+    # head: 9000 rows of 'web', tail: 100 rows of 'books'
+    n_web, n_books = 9000, 100
+    t = pa.table({
+        "k": pa.array(np.arange(n_web + n_books), pa.int64()),
+        "s": pa.array(["web"] * n_web + ["books"] * n_books, pa.string()),
+    })
+    ds = rd.from_arrow(t)
+    kept = temperature_mixture_sample(ds, "k", "s", total_rows=1000,
+                                      alpha_permille=500).take_all()
+    counts = {"web": 0, "books": 0}
+    for r in kept:
+        counts[r["s"]] += 1
+    # sqrt weights: web ~ 94.9, books ~ 10 → books share ≈ 9.5% of 1000,
+    # far above its 1.1% proportional share
+    assert counts["books"] >= 60           # boosted tail
+    assert 700 <= counts["web"] + counts["books"] <= 1300  # near budget
+
+    import pytest
+    with pytest.raises(ValueError, match="alpha_permille"):
+        temperature_mixture_sample(ds, "k", "s", 100, alpha_permille=333)
