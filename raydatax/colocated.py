@@ -146,6 +146,20 @@ def append_bucketed(
         buckets = int(la["buckets"])  # layout-level state: stored wins
     else:
         _write_meta(out_dir, key, buckets, kind)
+    # the epoch-store helper persists its own bucket count (_index.json,
+    # stored-wins) — if the directory already carries a DIFFERENT one
+    # (e.g. a repurposed index dir), data would be physically bucketed by
+    # that value while the join iterates ours, silently never reading the
+    # excess buckets.  Refuse the divergence instead.
+    from .dedup import _load_index_buckets
+
+    stored = _load_index_buckets(out_dir)
+    if stored is not None and int(stored) != int(buckets):
+        raise ValueError(
+            f"append_bucketed: {out_dir} already carries an epoch-store "
+            f"bucket count of {stored} (≠ {buckets}) — not a compatible "
+            "bucketed export; use a fresh directory"
+        )
     nums = [int(d.split("-", 1)[1]) for d in os.listdir(out_dir)
             if d.startswith("epoch-")]
     nxt = (max(nums) + 1) if nums else 0
@@ -244,6 +258,22 @@ def colocated_join(
     sch_a, sch_b = _side_schema(dir_a), _side_schema(dir_b)
 
     def join_bucket(t: pa.Table) -> pa.Table:
+        from .dedup import _index_epochs
+
+        # an export the driver validated can vanish before a lazy task
+        # runs (rmtree'd fixture dirs, a compaction sweep racing the
+        # join, a non-shared filesystem): an EMPTY bucket leaf is normal,
+        # but ZERO live epochs means the whole side is gone — substituting
+        # empty tables would silently drop every match, the exact failure
+        # the layout validation exists to prevent.  Fail loudly instead.
+        for d in (dir_a, dir_b):
+            live, _ = _index_epochs(d)
+            if not live:
+                raise ValueError(
+                    f"colocated_join: {d} has no live epochs at read time "
+                    "— the export was removed or fully compacted away "
+                    "while this join was pending"
+                )
         out = []
         for h in t["__b"].to_pylist():
             fa = _live_files(dir_a, h)

@@ -36,6 +36,10 @@ from .schema import OPS, normalize_to
 # compression + row-group size + no wall-clock metadata.
 PARQUET_OPTS = dict(compression="zstd", compression_level=3, row_group_size=131072)
 
+# fdatasync (data + size, skips inode-timestamp writeback) where the OS has
+# it; plain fsync elsewhere (macOS Python builds lack fdatasync)
+_datasync = getattr(os, "fdatasync", os.fsync)
+
 
 def _write_staged(out: pa.Table, path: str, write_gate=None) -> None:
     """Stage one partition file (tmp + atomic replace).  ``write_gate`` is
@@ -62,7 +66,7 @@ def _write_staged(out: pa.Table, path: str, write_gate=None) -> None:
             with open(tmp, "wb") as f:
                 pq.write_table(out, f, **PARQUET_OPTS)
                 f.flush()
-                os.fdatasync(f.fileno())
+                _datasync(f.fileno())
         finally:
             write_gate.release.remote(node)
     else:
@@ -75,7 +79,7 @@ def _write_staged(out: pa.Table, path: str, write_gate=None) -> None:
         with open(tmp, "wb") as f:
             pq.write_table(out, f, **PARQUET_OPTS)
             f.flush()
-            os.fdatasync(f.fileno())
+            _datasync(f.fileno())
     os.replace(tmp, path)
 
 LINEAGE_SCHEMA = pa.schema(

@@ -2419,8 +2419,9 @@ ORACLE_SQL = {
         tot AS (SELECT sum(wm) AS sw FROM w),
         r AS (SELECT event_type, n,
                      least(CAST(1000000 AS HUGEINT),
-                           (CAST(1000000 AS HUGEINT) * 20000 * wm)
-                           // (sw * n)) AS rate_ppm
+                           greatest(CAST(1 AS HUGEINT),
+                                    (CAST(1000000 AS HUGEINT) * 20000 * wm)
+                                    // (sw * n))) AS rate_ppm
               FROM w CROSS JOIN tot)
         SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_kept
         FROM events e JOIN r USING (event_type)

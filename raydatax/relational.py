@@ -2326,11 +2326,30 @@ def mixture_sample(
             continue
         ppm[s] = min(1_000_000, max(1, (1_000_000 * int(tgt)) // n))
 
+    return _ppm_filter(ds, key, strata_col, ppm, modulus, multiplier,
+                       op_name="mixture_sample")
+
+
+def _ppm_filter(
+    ds: "ray.data.Dataset",
+    key: str,
+    strata_col: str,
+    ppm: dict[str, int],
+    modulus: int,
+    multiplier: int,
+    op_name: str,
+) -> "ray.data.Dataset":
+    """Shared deterministic keep rule of the mixture-sampling family:
+    keep iff ``((key % modulus) * multiplier) % 10^6 < ppm[stratum]`` —
+    the formula the SQL twins replicate verbatim, so it must stay
+    bit-identical across every sampler that uses it.  Validates the
+    non-negative-key contract (numpy ``%`` follows the divisor's sign,
+    SQL the dividend's)."""
     def f(t: pa.Table) -> pa.Table:
         v = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         if v.size and int(v.min()) < 0:
             raise ValueError(
-                f"mixture_sample: key column {key!r} has negative values — "
+                f"{op_name}: key column {key!r} has negative values — "
                 "the keep rule's % diverges from SQL on negative dividends; "
                 "normalize to non-negative ids first"
             )
@@ -2399,27 +2418,20 @@ def temperature_mixture_sample(
     ppm: dict[str, int] = {}
     for r in rows:
         s, n = r[strata_col], int(r["n"])
-        if n <= 0 or sum_w <= 0:
+        if n <= 0 or sum_w <= 0 or total_rows == 0:
             continue
-        ppm[s] = min(1_000_000, (1_000_000 * total_rows * w_micro[s]) // (sum_w * n))
+        # the same floor-to-1 clamp as mixture_sample: without it a
+        # stratum so large that its exact rate floors below 1 ppm would
+        # silently VANISH from the mixture (the head stratum, typically —
+        # the worst possible row to drop); floor-to-1 over-keeps slightly
+        # instead, and only total_rows == 0 drops everything
+        ppm[s] = min(
+            1_000_000,
+            max(1, (1_000_000 * total_rows * w_micro[s]) // (sum_w * n)),
+        )
 
-    def f(t: pa.Table) -> pa.Table:
-        v = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        if v.size and int(v.min()) < 0:
-            raise ValueError(
-                f"temperature_mixture_sample: key column {key!r} has negative "
-                "values — the keep rule's % diverges from SQL on negative "
-                "dividends; normalize to non-negative ids first"
-            )
-        strata = t[strata_col]
-        rate = np.zeros(t.num_rows, dtype=np.int64)
-        for s, p in ppm.items():
-            m = pc.fill_null(pc.equal(strata, s), False).to_numpy(zero_copy_only=False)
-            rate[np.asarray(m, dtype=bool)] = p
-        mask = ((v % modulus) * multiplier) % 1_000_000 < rate
-        return t.filter(pa.array(mask))
-
-    return ds.map_batches(f, batch_format="pyarrow")
+    return _ppm_filter(ds, key, strata_col, ppm, modulus, multiplier,
+                       op_name="temperature_mixture_sample")
 
 
 def shuffle_export(

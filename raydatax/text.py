@@ -747,12 +747,14 @@ def lm_perplexity(
                 c = np.where(valid, self.counts[pos] if len(self.counts) else 0, 0)
                 micro = _logp_micro(c, denom)
                 n_tok = np.bincount(seg, minlength=n).astype(np.int64)
-                n_oov = np.bincount(
-                    seg, weights=(~valid).astype(np.float64), minlength=n
-                ).astype(np.int64)
-                lp_sum = np.bincount(
-                    seg, weights=micro.astype(np.float64), minlength=n
-                ).astype(np.int64)
+                # int64 scatter-add, NOT float64-weighted bincount: a
+                # float64 partial sum of micro log-probs is exact only
+                # below 2^53 — the snap-before-sum contract requires the
+                # SUM to stay integer too (same fix as fsck.lake_digest)
+                n_oov = np.zeros(n, np.int64)
+                np.add.at(n_oov, seg, (~valid).astype(np.int64))
+                lp_sum = np.zeros(n, np.int64)
+                np.add.at(lp_sum, seg, micro)
                 return pa.table({
                     id_col: batch[id_col],
                     "n_tokens": pa.array(n_tok),
@@ -838,25 +840,88 @@ def bigram_pairs_batch(
     })
 
 
+def _bigram_fit_partials(
+    batch: pa.Table, column: str, id_col: str
+) -> pa.Table:
+    """ONE tokenization pass emitting both relations the bigram fit
+    needs, as mergeable partials: pair rows (w1, w2, c=1) AND per-batch
+    unigram count rows (w1=term, w2=NULL, c=batch count).  The term rows
+    cannot be derived from the pair relation (a single-token document's
+    term appears in no pair) and folding them into the same pass avoids
+    the second full corpus tokenization a separate unigram fit would
+    cost — at corpus scale the tokenize IS the dominant fit cost."""
+    col = pc.utf8_lower(batch[column].combine_chunks())
+    lists = pc.split_pattern(col, " ")
+    n_per = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+        zero_copy_only=False)
+    flat = pc.list_flatten(lists)
+    seg = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_per)
+    keep = np.asarray(
+        pc.not_equal(flat, "").to_numpy(zero_copy_only=False), dtype=bool)
+    seg = seg[keep]
+    toks = flat.filter(pa.array(keep))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    vc = toks.value_counts() if len(toks) else None
+    parts = []
+    if vc is not None and len(vc):
+        parts.append(pa.table({
+            "w1": vc.field("values"),
+            "w2": pa.array([None] * len(vc), pa.string()),
+            "c": pc.cast(vc.field("counts"), pa.int64()),
+        }))
+    if len(seg) >= 2:
+        li = np.nonzero(seg[:-1] == seg[1:])[0]
+        if len(li):
+            parts.append(pa.table({
+                "w1": toks.take(pa.array(li)),
+                "w2": toks.take(pa.array(li + 1)),
+                "c": pa.array(np.ones(len(li), np.int64)),
+            }))
+    if not parts:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64())})
+    return pa.concat_tables(parts, promote_options="permissive")
+
+
+def _bigram_fit_relations(ds, column: str, id_col: str):
+    """(bigram (w1, w2, c2) Dataset, unigram (term, c) Dataset) from ONE
+    tokenization pass over the corpus — the combined partials are
+    materialized once and split by the w2 NULL tag."""
+    from .relational import preagg_groupby
+
+    combined = ds.map_batches(
+        lambda t: _bigram_fit_partials(t, column, id_col),
+        batch_format="pyarrow",
+    ).materialize()
+    pair_rows = combined.map_batches(
+        lambda t: t.filter(pc.is_valid(t["w2"])), batch_format="pyarrow")
+    term_rows = combined.map_batches(
+        lambda t: pa.table({"term": t.filter(pc.is_null(t["w2"]))["w1"],
+                            "c": t.filter(pc.is_null(t["w2"]))["c"]}),
+        batch_format="pyarrow")
+    bigrams = preagg_groupby(pair_rows, ["w1", "w2"], [("c", "sum", "c2")])
+    terms = preagg_groupby(term_rows, ["term"], [("c", "sum", "c")])
+    return bigrams, terms
+
+
 def fit_bigram_counts(ds, column: str = "text", id_col: str = "doc_id"):
     """One pass over the reference corpus → the bigram LM's three fitted
     pieces: ``(bigrams, contexts, V)`` — a materialized (w1, w2, c2)
     Dataset, its (w1, c1 = Σ_w2 c2) context fold (derived from the bigram
     partials, no second corpus read), and the unigram vocabulary size V
     (the add-one smoothing denominator's constant, same definition as the
-    unigram LM)."""
+    unigram LM; computed in the SAME tokenization pass via tagged
+    partials — see :func:`_bigram_fit_partials`)."""
     from .relational import preagg_groupby
 
-    pairs = ds.map_batches(
-        lambda t: bigram_pairs_batch(t, column, id_col), batch_format="pyarrow"
-    )
-    bigrams = preagg_groupby(
-        pairs, ["w1", "w2"], [("w1", "count", "c2")]
-    ).materialize()
+    bigrams, terms = _bigram_fit_relations(ds, column, id_col)
+    bigrams = bigrams.materialize()
     contexts = preagg_groupby(
         bigrams, ["w1"], [("c2", "sum", "c1")]
     ).materialize()
-    v_size = fit_unigram_counts(ds, column, id_col).count()
+    v_size = terms.count()
     return bigrams, contexts, int(v_size)
 
 
@@ -956,16 +1021,20 @@ def bigram_perplexity(
                     zero_copy_only=False)
                 micro = np.floor(lp * 1000000.0 + 0.5).astype(np.int64)
                 segp = seg[li]
+                # int64 scatter-add: keep the snapped-micro SUM integer
+                # too (float64-weighted bincount loses exactness past
+                # 2^53 and would diverge from the distributed path's
+                # int64 preagg sums)
+                n_oov = np.zeros(n, np.int64)
+                np.add.at(n_oov, segp, (~seen).astype(np.int64))
+                lp_sum = np.zeros(n, np.int64)
+                np.add.at(lp_sum, segp, micro)
                 return pa.table({
                     id_v: batch[id_v],
                     "n_bigrams": pa.array(
                         np.bincount(segp, minlength=n).astype(np.int64)),
-                    "n_oov": pa.array(np.bincount(
-                        segp, weights=(~seen).astype(np.float64), minlength=n
-                    ).astype(np.int64)),
-                    "logp_micro": pa.array(np.bincount(
-                        segp, weights=micro.astype(np.float64), minlength=n
-                    ).astype(np.int64)),
+                    "n_oov": pa.array(n_oov),
+                    "logp_micro": pa.array(lp_sum),
                 })
 
         return ds.map_batches(ScoreBigram, batch_format="pyarrow",
@@ -1431,35 +1500,41 @@ def bigram_index_add(index_dir: str, ds, column: str = "text",
     """Persistent BIGRAM-count index: each crawl lands as one bucketed
     epoch of (w1, w2, c2) partials under ``index_dir/bigrams`` (bucket =
     mix64 of the collision-free ``w1 || ' ' || w2`` key) plus one unigram
-    epoch under ``index_dir/terms`` (for the smoothing constant V) — so
-    FITTING cost is ∝ the delta corpus, the
-    :func:`unigram_index_add` discipline one order higher.  Counts are
-    mergeable; the read side sums across epochs."""
+    (term, c) epoch under ``index_dir/terms`` (for the smoothing constant
+    V; same schema/layout as :func:`unigram_index_add` so
+    :func:`read_unigram_index` reads it) — so FITTING cost is ∝ the delta
+    corpus, the :func:`unigram_index_add` discipline one order higher,
+    and BOTH epochs come from ONE tokenization pass over the delta
+    (:func:`_bigram_fit_relations`).  Counts are mergeable; the read side
+    sums across epochs."""
     import os
 
     from .dedup import INDEX_BUCKETS, _commit_index_epoch, _index_epochs
     from .partition import hash_string_column
-    from .relational import preagg_groupby
 
-    unigram_index_add(os.path.join(index_dir, "terms"), ds, column, id_col)
-    pairs = ds.map_batches(
-        lambda t: bigram_pairs_batch(t, column, id_col), batch_format="pyarrow"
-    )
-    big = preagg_groupby(pairs, ["w1", "w2"], [("w1", "count", "c2")])
-    bdir = os.path.join(index_dir, "bigrams")
-    os.makedirs(bdir, exist_ok=True)
-    live, _ = _index_epochs(bdir)
-    nxt = (max(n for n, _ in live) + 1) if live else 0
+    big, terms = _bigram_fit_relations(ds, column, id_col)
 
-    def bucket(t: pa.Table, B: int) -> pa.Array:
+    def term_bucket(t: pa.Table, B: int) -> pa.Array:
+        h = hash_string_column(t["term"].combine_chunks())
+        return pa.array((h % np.uint64(B)).astype(np.int64))
+
+    def pair_bucket(t: pa.Table, B: int) -> pa.Array:
         keys = pc.binary_join_element_wise(
             t["w1"].combine_chunks(), t["w2"].combine_chunks(), " ")
         h = hash_string_column(keys)
         return pa.array((h % np.uint64(B)).astype(np.int64))
 
-    _commit_index_epoch(bdir, nxt, big, bucket_fn=bucket,
-                        buckets=INDEX_BUCKETS)
-    return {"epoch": nxt}
+    epochs = {}
+    for sub, rel, bucket in (("terms", terms, term_bucket),
+                             ("bigrams", big, pair_bucket)):
+        d = os.path.join(index_dir, sub)
+        os.makedirs(d, exist_ok=True)
+        live, _ = _index_epochs(d)
+        nxt = (max(n for n, _ in live) + 1) if live else 0
+        _commit_index_epoch(d, nxt, rel, bucket_fn=bucket,
+                            buckets=INDEX_BUCKETS)
+        epochs[sub] = nxt
+    return {"epoch": epochs["bigrams"], "epochs": epochs}
 
 
 def read_bigram_index(index_dir: str):
