@@ -292,3 +292,51 @@ def colocated_join(
         [{"__b": h} for h in range(B)]
     ).repartition(B)
     return buckets_ds.map_batches(join_bucket, batch_format="pyarrow")
+
+
+def colocated_group_agg(
+    dir_a: str,
+    aggs: list[tuple[str, str, str]],
+) -> "ray.data.Dataset":
+    """Zero-shuffle GROUP BY over a bucketed export: the grouping key is
+    the bucketing key, so every group lives entirely inside one bucket —
+    one task per bucket reads its live-epoch files and aggregates with
+    Arrow's hash kernels, and the union of per-bucket results IS the
+    global result (no exchange, no combiner/final split).  The second
+    consumer of the storage-partitioned layout: pay the bucketing shuffle
+    once, then both joins and aggregations run exchange-free.
+
+    ``aggs``: (column, fn, out_name) with fn ∈ Arrow group_by kernels
+    (sum / count / min / max / mean).  Groups split across epochs (a key
+    appended in several deltas) are re-merged per bucket — still inside
+    the one task, because co-location holds across epochs."""
+    la = _layout(dir_a)
+    key = la["key"]
+    B = int(la["buckets"])
+    sch = _side_schema(dir_a)
+
+    def agg_bucket(t: pa.Table) -> pa.Table:
+        from .dedup import _index_epochs
+
+        live, _ = _index_epochs(dir_a)
+        if not live:
+            raise ValueError(
+                f"colocated_group_agg: {dir_a} has no live epochs at read "
+                "time — the export was removed while this scan was pending"
+            )
+        out = []
+        for h in t["__b"].to_pylist():
+            files = _live_files(dir_a, h)
+            tb = (pa.concat_tables([pq.read_table(f) for f in files])
+                  if files else sch.empty_table())
+            g = tb.group_by(key).aggregate([(c, fn) for c, fn, _ in aggs])
+            cols = {key: g[key]}
+            for c, fn, name in aggs:
+                cols[name] = g[f"{c}_{fn}"]
+            out.append(pa.table(cols))
+        return pa.concat_tables(out, promote_options="permissive")
+
+    buckets_ds = ray.data.from_items(
+        [{"__b": h} for h in range(B)]
+    ).repartition(B)
+    return buckets_ds.map_batches(agg_bucket, batch_format="pyarrow")

@@ -29,6 +29,7 @@ from .q_cdc import (  # noqa: F401
 )
 from .q_rel import (  # noqa: F401
     cast_roundtrip,
+    colocated_custkey_stats,
     colocated_orders_customer,
     customer_order_counts,
     events_group_kfold,
@@ -315,6 +316,7 @@ QUERIES = {
     "docs_bigram_perplexity": docs_bigram_perplexity,
     "incremental_bigram_perplexity": incremental_bigram_perplexity,
     "events_temperature_sample": events_temperature_sample,
+    "colocated_custkey_stats": colocated_custkey_stats,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2428,6 +2430,12 @@ ORACLE_SQL = {
         WHERE ((e.event_id % 1000003) * 2654435761) % 1000000
               < CAST(r.rate_ppm AS BIGINT)
         GROUP BY 1
+    """,
+    "colocated_custkey_stats": """
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders GROUP BY 1
     """,
     # rows-only (non-SQL-expressible) entries intentionally omitted:
     # lang_id, dedup_minhash, dedup_simhash, ann_ivf,

@@ -460,3 +460,41 @@ def events_window_dedup(sf_dir: str):
         }),
         batch_format="pyarrow",
     ).sort(["user_id", "event_type", "window_start"])
+
+
+def colocated_custkey_stats(sf_dir: str):
+    """Zero-shuffle aggregation over the bucketed layout
+    (colocated.colocated_group_agg): orders are bucket-exported once on
+    o_custkey (price pre-snapped to exact integer cents so the grouped
+    sums are associative), then per-customer order count + revenue
+    aggregate inside each bucket with NO exchange — the layout's second
+    consumer after the join."""
+    import shutil
+
+    from .colocated import colocated_group_agg, write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/raydatax_bkt_ostats_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+            "price_cents": _cents(t["o_totalprice"]),
+        }),
+        batch_format="pyarrow",
+    )
+    write_bucketed(orders, d, "o_custkey", buckets=16)
+    out = colocated_group_agg(d, [
+        ("o_orderkey", "count", "n_orders"),
+        ("price_cents", "sum", "sum_cents"),
+    ])
+    return out.map_batches(
+        lambda t: pa.table({
+            "o_custkey": t["o_custkey"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "sum_cents": pc.cast(t["sum_cents"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("o_custkey")

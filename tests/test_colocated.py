@@ -176,3 +176,26 @@ def test_unbucketable_key_type_raises(tmp_path):
     a = pa.table({"k": pa.array([1.5, 2.5]), "v": pa.array([1, 2], pa.int64())})
     with pytest.raises(ValueError, match="bucketable"):
         write_bucketed(rd.from_arrow(a), str(tmp_path / "f"), "k", buckets=4)
+
+
+def test_group_agg_matches_global_groupby(tmp_path):
+    """Per-bucket aggregation unioned == a global groupby, including keys
+    whose rows arrived across several epochs."""
+    from raydatax.colocated import append_bucketed, colocated_group_agg
+
+    rng = np.random.default_rng(5)
+    a1 = pa.table({"k": pa.array(rng.integers(0, 30, 200), pa.int64()),
+                   "v": pa.array(rng.integers(0, 100, 200), pa.int64())})
+    a2 = pa.table({"k": pa.array(rng.integers(0, 30, 150), pa.int64()),
+                   "v": pa.array(rng.integers(0, 100, 150), pa.int64())})
+    d = str(tmp_path / "agg")
+    write_bucketed(rd.from_arrow(a1), d, "k", buckets=8)
+    append_bucketed(rd.from_arrow(a2), d, "k")
+    got = _sorted_pd_from_ds(colocated_group_agg(
+        d, [("v", "count", "n"), ("v", "sum", "s")]))
+    both = pa.concat_tables([a1, a2])
+    g = both.group_by("k").aggregate([("v", "count"), ("v", "sum")])
+    want = _sorted_pd(pa.table({"k": g["k"], "n": g["v_count"], "s": g["v_sum"]}))
+    got = got.astype({"n": "int64", "s": "int64"})
+    want = want.astype({"n": "int64", "s": "int64"})
+    assert got.equals(want)
