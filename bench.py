@@ -272,8 +272,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "semantic_dedup_vecs",
         "embedding_kmeans",
         "colocated_orders_customer",
+        "colocated_custkey_stats",
         "docs_bigram_perplexity",
+        "incremental_bigram_perplexity",
         "events_window_dedup",
+        "events_temperature_sample",
     ]
     for name in secondary:
         t0 = time.monotonic()
