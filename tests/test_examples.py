@@ -51,3 +51,16 @@ def test_snapshot_bootstrap_tail_example(tmp_path):
     # the tail replayed ONLY the delta segments (pruned bootstrap ones)
     assert rep["tail"]["segments_pruned"] > 0
     assert rep["state_equal"] and rep["noop"]
+
+
+def test_colocated_analytics_example(tmp_path):
+    import colocated_analytics as ca
+
+    rep = ca.main("/root/testdata/sf0.001", str(tmp_path / "state"))
+    # every order joins exactly one customer → joined == exported rows
+    assert rep["joined_full"] == rep["rows_total"]
+    assert rep["joined_base"] < rep["rows_total"]      # delta not yet in
+    assert rep["delta_epoch"] == 1
+    assert rep["compaction"]["action"] == "compacted"
+    assert rep["joined_after_compact"] == rep["rows_total"]
+    assert rep["customers_seen"] > 0
