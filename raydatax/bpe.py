@@ -115,7 +115,11 @@ def pair_counts(sym_str: "pa.Array | pa.ChunkedArray", freq: np.ndarray) -> pa.T
     vocab = d.dictionary
     v = len(vocab)
     pair_code = codes[left_idx] * v + codes[left_idx + 1]
-    cnt = np.bincount(pair_code, weights=weights).astype(np.int64)
+    # int64 scatter-add (float64-weighted bincount is exact only below
+    # 2^53 — per-batch word frequencies can multiply past it at extreme
+    # block sizes; same discipline as the LM scorers and lake_digest)
+    cnt = np.zeros(int(pair_code.max()) + 1 if len(pair_code) else 0, np.int64)
+    np.add.at(cnt, pair_code, weights)
     nz = np.nonzero(cnt)[0]
     lft = pc.take(vocab, pa.array(nz // v, pa.int64()))
     rgt = pc.take(vocab, pa.array(nz % v, pa.int64()))

@@ -2798,8 +2798,11 @@ def cms_estimate(
         with np.errstate(over="ignore"):
             for d in range(depth):
                 idx = (_mix64(u + np.uint64(salts[d])) % np.uint64(width))
-                agg = np.bincount(idx.astype(np.int64), weights=c.astype(np.float64),
-                                  minlength=width)
+                # int64 scatter-add — float64-weighted bincount loses
+                # exactness past 2^53 (the snap/count-before-sum rule)
+                agg = np.zeros(width, np.int64)
+                np.add.at(agg, idx.astype(np.int64),
+                          c.astype(np.int64, copy=False))
                 nz = np.nonzero(agg)[0]
                 ds_.append(np.full(len(nz), d, dtype=np.int64))
                 ss.append(nz.astype(np.int64))
