@@ -53,11 +53,30 @@ def _bucket_fn_for(key: str, kind: str):
     metadata, validated like the bucket count."""
     if kind == "mix64":
         def f(t: pa.Table, B: int) -> pa.Array:
-            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            col = t[key]
+            if col.null_count:
+                # NaN→int64 is platform-defined garbage: a null key would
+                # silently bucket on an arbitrary value (joins never match
+                # nulls, but colocated_group_agg would emit a null group
+                # bucketed by garbage).  Same contract as the samplers'
+                # non-negative-key validation: refuse loudly.
+                raise ValueError(
+                    f"colocated: key column {key!r} contains "
+                    f"{col.null_count} null(s) — bucket keys must be "
+                    "non-null (filter or fill them before the export)"
+                )
+            k = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
             return pa.array((hash_ints(k) % np.uint64(B)).astype(np.int64))
     elif kind == "mix64_str":
         def f(t: pa.Table, B: int) -> pa.Array:
-            h = hash_string_column(t[key].combine_chunks())
+            col = t[key]
+            if col.null_count:
+                raise ValueError(
+                    f"colocated: key column {key!r} contains "
+                    f"{col.null_count} null(s) — bucket keys must be "
+                    "non-null (filter or fill them before the export)"
+                )
+            h = hash_string_column(col.combine_chunks())
             return pa.array((h % np.uint64(B)).astype(np.int64))
     else:
         raise ValueError(f"colocated: unknown hash kind {kind!r}")
@@ -217,6 +236,18 @@ def _live_files(path: str, bucket: int | None = None) -> list[str]:
     return out
 
 
+def _require_live(path: str, who: str) -> None:
+    """Raise if ``path`` has zero live epochs (the export vanished)."""
+    from .dedup import _index_epochs
+
+    live, _ = _index_epochs(path)
+    if not live:
+        raise ValueError(
+            f"{who}: {path} has no live epochs at read time — the export "
+            "was removed or fully compacted away while this scan was pending"
+        )
+
+
 def _side_schema(path: str) -> pa.Schema:
     files = _live_files(path)
     if not files:
@@ -258,26 +289,23 @@ def colocated_join(
     sch_a, sch_b = _side_schema(dir_a), _side_schema(dir_b)
 
     def join_bucket(t: pa.Table) -> pa.Table:
-        from .dedup import _index_epochs
-
-        # an export the driver validated can vanish before a lazy task
-        # runs (rmtree'd fixture dirs, a compaction sweep racing the
-        # join, a non-shared filesystem): an EMPTY bucket leaf is normal,
-        # but ZERO live epochs means the whole side is gone — substituting
-        # empty tables would silently drop every match, the exact failure
-        # the layout validation exists to prevent.  Fail loudly instead.
-        for d in (dir_a, dir_b):
-            live, _ = _index_epochs(d)
-            if not live:
-                raise ValueError(
-                    f"colocated_join: {d} has no live epochs at read time "
-                    "— the export was removed or fully compacted away "
-                    "while this join was pending"
-                )
         out = []
         for h in t["__b"].to_pylist():
             fa = _live_files(dir_a, h)
             fb = _live_files(dir_b, h)
+            # an export the driver validated can vanish before a lazy task
+            # runs (rmtree'd fixture dirs, a compaction sweep racing the
+            # join, a non-shared filesystem): an EMPTY bucket leaf is
+            # normal, but ZERO live epochs means the whole side is gone —
+            # substituting empty tables would silently drop every match.
+            # Liveness is checked only when a bucket comes back empty (the
+            # suspicious case), not per batch — re-listing both exports'
+            # epoch dirs on every batch is per-batch filesystem traffic
+            # that grows with epoch count on shared filesystems.
+            if not fa:
+                _require_live(dir_a, "colocated_join")
+            if not fb:
+                _require_live(dir_b, "colocated_join")
             ta = (pa.concat_tables([pq.read_table(f) for f in fa])
                   if fa else sch_a.empty_table())
             tb = (pa.concat_tables([pq.read_table(f) for f in fb])
@@ -316,17 +344,13 @@ def colocated_group_agg(
     sch = _side_schema(dir_a)
 
     def agg_bucket(t: pa.Table) -> pa.Table:
-        from .dedup import _index_epochs
-
-        live, _ = _index_epochs(dir_a)
-        if not live:
-            raise ValueError(
-                f"colocated_group_agg: {dir_a} has no live epochs at read "
-                "time — the export was removed while this scan was pending"
-            )
         out = []
         for h in t["__b"].to_pylist():
             files = _live_files(dir_a, h)
+            if not files:
+                # liveness checked only on the suspicious empty-bucket
+                # case, not per batch (see join_bucket)
+                _require_live(dir_a, "colocated_group_agg")
             tb = (pa.concat_tables([pq.read_table(f) for f in files])
                   if files else sch.empty_table())
             g = tb.group_by(key).aggregate([(c, fn) for c, fn, _ in aggs])

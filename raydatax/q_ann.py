@@ -31,9 +31,12 @@ from .q_common import (
 
 
 def _queries_table(sf_dir: str, n: int = 3) -> pa.Table:
+    """Query vectors via a predicate-pushed parquet read: only row groups
+    whose vec_id stats overlap [0, n) leave storage (never the whole
+    embeddings table — the table is the 100-TB side of this lookup)."""
     import pyarrow.parquet as pq
 
-    e = pq.read_table(_p(sf_dir, "embeddings"))
+    e = pq.read_table(_p(sf_dir, "embeddings"), filters=[("vec_id", "<", n)])
     return e.filter(pc.less(e["vec_id"], n))
 
 

@@ -16,6 +16,17 @@ def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _scratch(prefix: str, sf_dir: str) -> str:
+    """Per-RUN scratch path: sf_dir basename + this driver's pid.  A path
+    keyed on the scale factor alone makes two concurrent runs over the
+    same sf_dir rmtree each other's exports mid-join (the vanished-export
+    guard fails loudly rather than corrupting, but the query turns flaky
+    under concurrency); the pid token gives each driver process its own
+    tree while staying deterministic within a run."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/{prefix}_{tag}_p{os.getpid()}"
+
+
 def _round(batch: pa.Table, cols: dict[str, int]) -> pa.Table:
     """Half-up rounding via explicit scale-floor: floor(x*10^nd + 0.5)/10^nd.
     The SQL oracles use the literally identical formula, so both engines

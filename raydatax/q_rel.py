@@ -25,6 +25,7 @@ from .q_common import (
     _cents,
     _p,
     _round,
+    _scratch,
 )
 
 
@@ -367,9 +368,8 @@ def colocated_orders_customer(sf_dir: str):
 
     from .colocated import colocated_join, write_bucketed
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    da = f"/tmp/raydatax_bkt_orders_{tag}"
-    db = f"/tmp/raydatax_bkt_customer_{tag}"
+    da = _scratch("raydatax_bkt_orders", sf_dir)
+    db = _scratch("raydatax_bkt_customer", sf_dir)
     shutil.rmtree(da, ignore_errors=True)
     shutil.rmtree(db, ignore_errors=True)
     write_bucketed(
@@ -473,8 +473,7 @@ def colocated_custkey_stats(sf_dir: str):
 
     from .colocated import colocated_group_agg, write_bucketed
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    d = f"/tmp/raydatax_bkt_ostats_{tag}"
+    d = _scratch("raydatax_bkt_ostats", sf_dir)
     shutil.rmtree(d, ignore_errors=True)
     orders = rd.read_parquet(
         _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]

@@ -26,6 +26,7 @@ from .q_common import (
     _derived_cdc_wal_table,
     _neighbor_pairs,
     _p,
+    _scratch,
 )
 
 
@@ -672,11 +673,12 @@ def docs_bigram_perplexity(sf_dir: str):
     text.bigram_perplexity): fit an add-one-smoothed BIGRAM LM on the
     trusted slice (lang = 'en'), score EVERY document's integer-exact
     micro log-prob sum over its adjacent-token transitions, with the
-    transition count and unseen-transition count.  The fitted bigram and
-    context relations stay Datasets end-to-end (shuffle joins — a bigram
-    vocabulary is not assumed broadcastable at corpus scale); per-
-    transition log-probs snap to int64 micros before summation, so totals
-    hash cross-engine."""
+    transition count and unseen-transition count.  The scorer is
+    adaptive: under ~2M fitted rows the bigram/context relations are
+    broadcast once per actor (the path taken at sf scale); above that it
+    falls back to shuffle hash joins, so a corpus-scale bigram vocabulary
+    is never assumed broadcastable.  Per-transition log-probs snap to
+    int64 micros before summation, so totals hash cross-engine."""
     from .text import bigram_perplexity, fit_bigram_counts
 
     ds = rd.read_parquet(
@@ -704,8 +706,7 @@ def incremental_bigram_perplexity(sf_dir: str):
     from .text import bigram_index_add, bigram_perplexity, read_bigram_index
 
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    idx = f"/tmp/raydatax_bigidx_{tag}"
+    idx = _scratch("raydatax_bigidx", sf_dir)
     shutil.rmtree(idx, ignore_errors=True)
     bigram_index_add(idx, _crawl_split(ds, "doc_id", prior=True))
     bigram_index_add(idx, _crawl_split(ds, "doc_id", prior=False))

@@ -2794,23 +2794,33 @@ def cms_estimate(
     def slots(t: pa.Table) -> pa.Table:
         u = hash_string_column(t[col].combine_chunks())
         c = t["__c"].to_numpy(zero_copy_only=False)
-        ds_, ss, cs = [], [], []
+        # all depths in ONE int64-exact grouped sum: combined code
+        # d·width + slot, sort + np.add.reduceat (float64-weighted
+        # bincount loses exactness past 2^53 — the snap/count-before-sum
+        # rule — and the unbuffered np.add.at scatter it replaced is ~an
+        # order of magnitude slower per batch)
+        codes, ws = [], []
+        ci = c.astype(np.int64, copy=False)
         with np.errstate(over="ignore"):
             for d in range(depth):
                 idx = (_mix64(u + np.uint64(salts[d])) % np.uint64(width))
-                # int64 scatter-add — float64-weighted bincount loses
-                # exactness past 2^53 (the snap/count-before-sum rule)
-                agg = np.zeros(width, np.int64)
-                np.add.at(agg, idx.astype(np.int64),
-                          c.astype(np.int64, copy=False))
-                nz = np.nonzero(agg)[0]
-                ds_.append(np.full(len(nz), d, dtype=np.int64))
-                ss.append(nz.astype(np.int64))
-                cs.append(agg[nz].astype(np.int64))
+                codes.append(idx.astype(np.int64) + d * width)
+                ws.append(ci)
+        if not codes or len(u) == 0:
+            e = np.array([], np.int64)
+            return pa.table({"d": pa.array(e), "slot": pa.array(e),
+                             "c": pa.array(e)})
+        code = np.concatenate(codes)
+        w = np.concatenate(ws)
+        order = np.argsort(code, kind="stable")
+        sc = code[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(sc)) + 1))
+        sums = np.add.reduceat(w[order], starts)
+        uniq = sc[starts]
         return pa.table({
-            "d": pa.array(np.concatenate(ds_) if ds_ else np.array([], np.int64)),
-            "slot": pa.array(np.concatenate(ss) if ss else np.array([], np.int64)),
-            "c": pa.array(np.concatenate(cs) if cs else np.array([], np.int64)),
+            "d": pa.array(uniq // width),
+            "slot": pa.array(uniq % width),
+            "c": pa.array(sums.astype(np.int64)),
         })
 
     merged = preagg_groupby(

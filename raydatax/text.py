@@ -1497,17 +1497,24 @@ def read_unigram_index(index_dir: str):
 
 def bigram_index_add(index_dir: str, ds, column: str = "text",
                      id_col: str = "doc_id") -> dict:
-    """Persistent BIGRAM-count index: each crawl lands as one bucketed
-    epoch of (w1, w2, c2) partials under ``index_dir/bigrams`` (bucket =
-    mix64 of the collision-free ``w1 || ' ' || w2`` key) plus one unigram
-    (term, c) epoch under ``index_dir/terms`` (for the smoothing constant
-    V; same schema/layout as :func:`unigram_index_add` so
-    :func:`read_unigram_index` reads it) — so FITTING cost is ∝ the delta
-    corpus, the :func:`unigram_index_add` discipline one order higher,
-    and BOTH epochs come from ONE tokenization pass over the delta
+    """Persistent BIGRAM-count index: each crawl lands as ONE outer epoch
+    ``index_dir/epoch-N/`` holding BOTH fitted relations — bucketed
+    (w1, w2, c2) partials under ``epoch-N/bigrams`` (bucket = mix64 of
+    the collision-free ``w1 || ' ' || w2`` key) and the crawl's unigram
+    (term, c) vocabulary under ``epoch-N/terms`` (for the smoothing
+    constant V) — so FITTING cost is ∝ the delta corpus, the
+    :func:`unigram_index_add` discipline one order higher, and BOTH
+    relations come from ONE tokenization pass over the delta
     (:func:`_bigram_fit_relations`).  Counts are mergeable; the read side
-    sums across epochs."""
+    sums across epochs.
+
+    Both relations are staged under one ``.stage-epoch-N`` dir and become
+    visible in a SINGLE rename: a crash mid-add leaves only the invisible
+    stage dir, never a terms epoch without its bigram counts (two
+    separate renames had a window where :func:`read_bigram_index`
+    returned smoothed probabilities matching no one-shot fit)."""
     import os
+    import shutil
 
     from .dedup import INDEX_BUCKETS, _commit_index_epoch, _index_epochs
     from .partition import hash_string_column
@@ -1524,47 +1531,65 @@ def bigram_index_add(index_dir: str, ds, column: str = "text",
         h = hash_string_column(keys)
         return pa.array((h % np.uint64(B)).astype(np.int64))
 
-    epochs = {}
-    for sub, rel, bucket in (("terms", terms, term_bucket),
-                             ("bigrams", big, pair_bucket)):
-        d = os.path.join(index_dir, sub)
-        os.makedirs(d, exist_ok=True)
-        live, _ = _index_epochs(d)
-        nxt = (max(n for n, _ in live) + 1) if live else 0
-        _commit_index_epoch(d, nxt, rel, bucket_fn=bucket,
-                            buckets=INDEX_BUCKETS)
-        epochs[sub] = nxt
-    return {"epoch": epochs["bigrams"], "epochs": epochs}
+    os.makedirs(index_dir, exist_ok=True)
+    live, _ = _index_epochs(index_dir)
+    nxt = (max(n for n, _ in live) + 1) if live else 0
+    final = os.path.join(index_dir, f"epoch-{nxt}")
+    stage = os.path.join(index_dir, f".stage-epoch-{nxt}")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    # inner commits land as epoch-0 INSIDE the stage (each gets the sorted
+    # bucketed hive layout from _commit_index_epoch); neither is readable
+    # until the one outer rename below flips both at once
+    _commit_index_epoch(os.path.join(stage, "bigrams"), 0, big,
+                        bucket_fn=pair_bucket, buckets=INDEX_BUCKETS)
+    _commit_index_epoch(os.path.join(stage, "terms"), 0, terms,
+                        bucket_fn=term_bucket, buckets=INDEX_BUCKETS)
+    os.rename(stage, final)
+    return {"epoch": nxt, "epochs": {"terms": nxt, "bigrams": nxt}}
+
+
+def _bigram_index_files(index_dir: str, sub: str) -> list[str]:
+    """Parquet files of one sub-relation (terms | bigrams) across all live
+    OUTER epochs of a bigram index."""
+    import glob
+    import os
+
+    from .dedup import _index_epochs
+
+    live, _ = _index_epochs(index_dir)
+    files: list[str] = []
+    for _, d in live:
+        files.extend(sorted(glob.glob(
+            os.path.join(index_dir, d, sub, "**", "*.parquet"),
+            recursive=True)))
+    return files
 
 
 def read_bigram_index(index_dir: str):
     """Merged fitted bigram LM across all live epochs: ``(bigrams,
     contexts, V)`` exactly as :func:`fit_bigram_counts` returns them —
     one pre-aggregated sum over the bigram epoch parts, the context fold
-    derived from the merged relation, V from the terms sub-index."""
-    import glob
-    import os
-
+    derived from the merged relation, V a distinct-count over the terms
+    sub-relation (duplicate counts across crawls can't move it)."""
     import ray.data as rd
 
-    from .dedup import _drop_hive_bucket, _index_epochs
+    from .dedup import _drop_hive_bucket
     from .relational import preagg_groupby
 
-    bdir = os.path.join(index_dir, "bigrams")
-    live, _ = _index_epochs(bdir)
-    files: list[str] = []
-    for _, d in live:
-        files.extend(sorted(glob.glob(
-            os.path.join(bdir, d, "**", "*.parquet"), recursive=True)))
+    files = _bigram_index_files(index_dir, "bigrams")
     if not files:
-        raise ValueError(f"read_bigram_index: no live epochs in {bdir}")
+        raise ValueError(f"read_bigram_index: no live epochs in {index_dir}")
     ds = rd.read_parquet(files).map_batches(
         _drop_hive_bucket, batch_format="pyarrow")
     bigrams = preagg_groupby(
         ds, ["w1", "w2"], [("c2", "sum", "c2")]).materialize()
     contexts = preagg_groupby(
         bigrams, ["w1"], [("c2", "sum", "c1")]).materialize()
-    v_size = read_unigram_index(os.path.join(index_dir, "terms")).count()
+    tfiles = _bigram_index_files(index_dir, "terms")
+    tds = rd.read_parquet(tfiles).map_batches(
+        _drop_hive_bucket, batch_format="pyarrow")
+    v_size = preagg_groupby(tds, ["term"], [("c", "sum", "c")]).count()
     return bigrams, contexts, int(v_size)
 
 
