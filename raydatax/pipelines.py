@@ -193,21 +193,21 @@ QUERIES = {
     "tsdb_window_read": tsdb_window_read,
     "jsonl_doc_roundtrip": jsonl_doc_roundtrip,
     "transform_chain": transform_chain,
-    "cast_roundtrip": cast_roundtrip,
+    "colocated_orders_customer": colocated_orders_customer,
     "revenue_by_segment": revenue_by_segment,
     "lake_state_digest": lake_state_digest,
     "user_sessions": user_sessions,
     "asof_latest_purchase": asof_latest_purchase,
     "revenue_rollup_region": revenue_rollup_region,
-    "events_value_pivot": events_value_pivot,
+    "colocated_custkey_stats": colocated_custkey_stats,
     "value_percentiles": value_percentiles,
     "approx_users_hll_verified": approx_users_hll_verified,
     "top_terms_heavy_hitters": top_terms_heavy_hitters,
-    "events_profile": events_profile,
+    "events_temperature_sample": events_temperature_sample,
     "lang_id": lang_id,
     "decontaminate_3gram": decontaminate_3gram,
     "sequence_packing": sequence_packing,
-    "tfidf_terms": tfidf_terms,
+    "events_window_dedup": events_window_dedup,
     "dedup_span_exact": dedup_span_exact,
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash_verified": dedup_simhash_verified,
@@ -218,7 +218,7 @@ QUERIES = {
     "ann_pq_verified": ann_pq_verified,
     "multimodal_features": multimodal_features,
     "graph_export_edges": graph_export_edges,
-    "graph_pagerank": graph_pagerank,
+    "docs_bigram_perplexity": docs_bigram_perplexity,
     "lake_snapshot_diff": lake_snapshot_diff,
     "bpe_learn": bpe_learn,
     "schema_evolution_replay": schema_evolution_replay,
@@ -228,6 +228,14 @@ QUERIES = {
     "inverted_index_terms": inverted_index_terms,
     "semantic_dedup_vecs": semantic_dedup_vecs,
     # --- beyond the gate window: locally gate-checked (tools/check_oracle.py)
+    # (r5 recuration: these five moved out of the window to make room for
+    # the round-4 flagship families; their families each keep >=1 row in
+    # the window and their local hash-greenness is recorded in COVERAGE.md)
+    "cast_roundtrip": cast_roundtrip,
+    "events_value_pivot": events_value_pivot,
+    "events_profile": events_profile,
+    "tfidf_terms": tfidf_terms,
+    "graph_pagerank": graph_pagerank,
     "customers_without_orders": customers_without_orders,
     "events_sample": events_sample,
     "token_stats": token_stats,
@@ -310,13 +318,8 @@ QUERIES = {
     "docs_pmi_collocations": docs_pmi_collocations,
     "incremental_lm_perplexity": incremental_lm_perplexity,
     "dedup_keep_best": dedup_keep_best,
-    "colocated_orders_customer": colocated_orders_customer,
     "events_group_kfold": events_group_kfold,
-    "events_window_dedup": events_window_dedup,
-    "docs_bigram_perplexity": docs_bigram_perplexity,
     "incremental_bigram_perplexity": incremental_bigram_perplexity,
-    "events_temperature_sample": events_temperature_sample,
-    "colocated_custkey_stats": colocated_custkey_stats,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
