@@ -42,6 +42,7 @@ from .q_rel import (  # noqa: F401
     projection_filter_revenue,
     q1_pricing_summary,
     semi_join_fulfilled,
+    skew_salted_join,
     sql_sample_read,
     sql_split_read,
     sql_token_read,
@@ -320,6 +321,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "events_group_kfold": events_group_kfold,
     "incremental_bigram_perplexity": incremental_bigram_perplexity,
+    "skew_salted_join": skew_salted_join,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2295,6 +2297,22 @@ ORACLE_SQL = {
         SELECT o_orderkey, c_mktsegment,
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
         FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "skew_salted_join": """
+        WITH l AS (
+            SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1 ELSE l_orderkey END AS k,
+                   CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS l_qty_cents,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS l_price_cents
+            FROM lineitem
+        ),
+        o AS (
+            SELECT CASE WHEN o_orderkey % 10 < 3 THEN 1 ELSE o_orderkey END AS k,
+                   COUNT(*) AS o_cnt,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS o_total_cents
+            FROM orders GROUP BY 1
+        )
+        SELECT l.k, l.l_qty_cents, l.l_price_cents, o.o_cnt, o.o_total_cents
+        FROM l JOIN o ON l.k = o.k
     """,
     # mix64 HUGEINT replica (same chain as events_shuffle_export /
     # lake_state_digest — hash-certified there) over user_id, % 5

@@ -497,3 +497,67 @@ def colocated_custkey_stats(sf_dir: str):
         }),
         batch_format="pyarrow",
     ).sort("o_custkey")
+
+
+def skew_salted_join(sf_dir: str):
+    """Planted-skew LARGE-LARGE join through relational.skew_join: ~30% of
+    lineitem rows collapse onto ONE derived hot key (l_orderkey % 10 < 3
+    -> key 1), so a raw hash-partitioned join would ship ~30% of the fact
+    table to a single partition.  skew_join detects the hot key from
+    bounded per-batch truncated counts, salts its fact rows across 8
+    sub-keys, replicates the matching dimension rows across the salts and
+    joins on (k, __s) — the key-shuffle analogue of the reference's task/
+    resource rebalancing (/root/reference/core/.../container/util/
+    JobAssignUtil.java:20-57).  The right side is the per-key orders
+    rollup (key 1 aggregates ~30% of orders into one row), so every key is
+    unique on the right and the output is exactly one row per lineitem.
+    Money flows as pre-snapped integer cents, so sums hash cross-engine."""
+    from .relational import preagg_groupby, skew_join
+
+    left = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        lambda t: pa.table({
+            "k": pc.if_else(
+                pc.less(_mod10(t["l_orderkey"]), 3),
+                pa.scalar(1, pa.int64()), t["l_orderkey"],
+            ),
+            "l_qty_cents": _cents(t["l_quantity"]),
+            "l_price_cents": _cents(t["l_extendedprice"]),
+        }),
+        batch_format="pyarrow",
+    )
+    right = preagg_groupby(
+        rd.read_parquet(
+            _p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+        ).map_batches(
+            lambda t: pa.table({
+                "k": pc.if_else(
+                    pc.less(_mod10(t["o_orderkey"]), 3),
+                    pa.scalar(1, pa.int64()), t["o_orderkey"],
+                ),
+                "price_cents": _cents(t["o_totalprice"]),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow",
+        ),
+        ["k"],
+        [("one", "sum", "o_cnt"), ("price_cents", "sum", "o_total_cents")],
+    )
+    out = skew_join(left, right, "k", join_type="inner", salts=8,
+                    hot_share=0.05)
+    return out.map_batches(
+        lambda t: t.select(
+            ["k", "l_qty_cents", "l_price_cents", "o_cnt", "o_total_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _mod10(col: "pa.Array | pa.ChunkedArray"):
+    """l_orderkey % 10 as an Arrow kernel (no Python per row)."""
+    return pc.subtract(
+        col, pc.multiply(pc.divide(col, pa.scalar(10, pa.int64())),
+                         pa.scalar(10, pa.int64()))
+    )
