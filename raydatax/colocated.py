@@ -46,58 +46,91 @@ from .partition import hash_ints, hash_string_column
 _META = "_buckets.json"
 
 
-def _bucket_fn_for(key: str, kind: str):
-    """kind = 'mix64' (int64 keys) | 'mix64_str' (string keys, poly-hash →
-    mix64).  Both sides of a join must use the SAME kind — equal key
-    VALUES must land in equal buckets, so the hash family is layout-level
-    metadata, validated like the bucket count."""
+_COMBINE = np.uint64(0x100000001B3)  # polynomial combine multiplier
+
+
+def _keys_list(key) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _col_hash(t: pa.Table, key: str, kind: str) -> np.ndarray:
+    """uint64 hash of ONE key column; nulls refuse loudly (NaN→int64 is
+    platform-defined garbage: a null key would silently bucket on an
+    arbitrary value — joins never match nulls, but colocated_group_agg
+    would emit a null group bucketed by garbage.  Same contract as the
+    samplers' non-negative-key validation)."""
+    col = t[key]
+    if col.null_count:
+        raise ValueError(
+            f"colocated: key column {key!r} contains {col.null_count} "
+            "null(s) — bucket keys must be non-null (filter or fill them "
+            "before the export)"
+        )
     if kind == "mix64":
+        k = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return hash_ints(k)
+    if kind == "mix64_str":
+        return hash_string_column(col.combine_chunks())
+    raise ValueError(f"colocated: unknown hash kind {kind!r}")
+
+
+def _bucket_fn_for(keys, kinds):
+    """Bucket assignment for a (possibly composite) key tuple: per-column
+    mix64 hashes (int64 value / string UTF-8 buffer) polynomial-combined
+    in column order, then ``% B``.  Both sides of a join must use the
+    SAME ordered kind list — equal key TUPLES must land in equal buckets,
+    so the hash family list is layout-level metadata, validated like the
+    bucket count.  A single-column key skips the combine entirely
+    (bucket = mix64(col) % B, bit-identical to the round-4 layout, so
+    existing exports stay readable and re-appendable)."""
+    keys, kinds = _keys_list(keys), list(kinds)
+    if len(keys) == 1:
+        key, kind = keys[0], kinds[0]
+
         def f(t: pa.Table, B: int) -> pa.Array:
-            col = t[key]
-            if col.null_count:
-                # NaN→int64 is platform-defined garbage: a null key would
-                # silently bucket on an arbitrary value (joins never match
-                # nulls, but colocated_group_agg would emit a null group
-                # bucketed by garbage).  Same contract as the samplers'
-                # non-negative-key validation: refuse loudly.
-                raise ValueError(
-                    f"colocated: key column {key!r} contains "
-                    f"{col.null_count} null(s) — bucket keys must be "
-                    "non-null (filter or fill them before the export)"
-                )
-            k = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-            return pa.array((hash_ints(k) % np.uint64(B)).astype(np.int64))
-    elif kind == "mix64_str":
-        def f(t: pa.Table, B: int) -> pa.Array:
-            col = t[key]
-            if col.null_count:
-                raise ValueError(
-                    f"colocated: key column {key!r} contains "
-                    f"{col.null_count} null(s) — bucket keys must be "
-                    "non-null (filter or fill them before the export)"
-                )
-            h = hash_string_column(col.combine_chunks())
+            h = _col_hash(t, key, kind)
             return pa.array((h % np.uint64(B)).astype(np.int64))
-    else:
-        raise ValueError(f"colocated: unknown hash kind {kind!r}")
+
+        return f
+
+    from .partition import _mix64
+
+    def f(t: pa.Table, B: int) -> pa.Array:
+        h = np.zeros(t.num_rows, np.uint64)
+        with np.errstate(over="ignore"):
+            for key, kind in zip(keys, kinds):
+                h = _mix64(h * _COMBINE + _col_hash(t, key, kind))
+        return pa.array((h % np.uint64(B)).astype(np.int64))
+
     return f
 
 
-def _hash_kind(ds: "ray.data.Dataset", key: str) -> str:
-    """Pick the hash family from the key column's Arrow type (schema only,
-    no data read)."""
-    t = dict(zip(ds.schema().names, ds.schema().types))[key]
-    if pa.types.is_integer(t):
-        return "mix64"
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return "mix64_str"
-    raise ValueError(
-        f"colocated: key column {key!r} has type {t} — only integer and "
-        "string join keys are bucketable"
-    )
+def _hash_kinds(ds: "ray.data.Dataset", keys: list[str]) -> list[str]:
+    """Pick each key column's hash family from its Arrow type (schema
+    only, no data read)."""
+    types = dict(zip(ds.schema().names, ds.schema().types))
+    kinds = []
+    for key in keys:
+        t = types[key]
+        if pa.types.is_integer(t):
+            kinds.append("mix64")
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            kinds.append("mix64_str")
+        else:
+            raise ValueError(
+                f"colocated: key column {key!r} has type {t} — only "
+                "integer and string join keys are bucketable"
+            )
+    return kinds
 
 
-def _write_meta(out_dir: str, key: str, buckets: int, kind: str) -> None:
+def _write_meta(out_dir: str, keys: list[str], buckets: int,
+                kinds: list[str]) -> None:
+    # single-column exports keep the round-4 scalar JSON shape (older
+    # exports stay readable and re-appendable); composite keys record
+    # ordered lists
+    key = keys[0] if len(keys) == 1 else keys
+    kind = kinds[0] if len(kinds) == 1 else kinds
     tmp = os.path.join(out_dir, _META + ".tmp")
     with open(tmp, "w") as f:
         json.dump({"key": key, "buckets": int(buckets), "hash": kind}, f)
@@ -105,6 +138,8 @@ def _write_meta(out_dir: str, key: str, buckets: int, kind: str) -> None:
 
 
 def _layout(path: str) -> dict:
+    """Layout metadata, NORMALIZED: ``key`` and ``hash`` always come back
+    as ordered lists (round-4 single-column exports stored scalars)."""
     meta = os.path.join(path, _META)
     if not os.path.exists(meta):
         raise ValueError(
@@ -113,21 +148,25 @@ def _layout(path: str) -> dict:
             "silently drop every cross-bucket match)"
         )
     with open(meta) as f:
-        return json.load(f)
+        la = json.load(f)
+    la["key"] = _keys_list(la["key"])
+    la["hash"] = _keys_list(la["hash"])
+    return la
 
 
 def write_bucketed(
     ds: "ray.data.Dataset",
     out_dir: str,
-    key: str,
+    key: str | list[str],
     buckets: int = 32,
 ) -> str:
-    """FRESH export of ``ds`` hash-bucketed on int64 column ``key``:
+    """FRESH export of ``ds`` hash-bucketed on ``key`` (one int64/string
+    column, or an ordered LIST of them for composite warehouse keys):
     epoch-0 of the bucketed-epoch layout (``epoch-0/__bucket=H/`` hive
-    leaves with H = mix64(key) % buckets, range-sorted so the epoch is
-    ~max(blocks, B) files — the tiny-files discipline).  Later deltas go
-    through :func:`append_bucketed`; the one sort here is the ONE shuffle
-    the storage-partitioned join ever pays per epoch."""
+    leaves with H = combined-mix64(key…) % buckets, range-sorted so the
+    epoch is ~max(blocks, B) files — the tiny-files discipline).  Later
+    deltas go through :func:`append_bucketed`; the one sort here is the
+    ONE shuffle the storage-partitioned join ever pays per epoch."""
     shutil.rmtree(out_dir, ignore_errors=True)
     append_bucketed(ds, out_dir, key, buckets=buckets)
     return out_dir
@@ -136,35 +175,37 @@ def write_bucketed(
 def append_bucketed(
     ds: "ray.data.Dataset",
     out_dir: str,
-    key: str,
+    key: str | list[str],
     buckets: int = 32,
 ) -> int:
     """Append a delta to a bucketed export as a NEW crash-atomic epoch
     (stage + rename — a crash leaves only an invisible stage dir; the
     dedup-index commit discipline).  Validates the stored layout: the
-    first append fixes (key, buckets); later appends must match.  Write
-    cost ∝ delta.  Returns the epoch number written."""
+    first append fixes (key tuple, buckets); later appends must match in
+    COLUMN ORDER too (the combine is order-sensitive).  Write cost ∝
+    delta.  Returns the epoch number written."""
     from .dedup import _commit_index_epoch
 
     if buckets < 1 or buckets > 1 << 16:
         raise ValueError(f"append_bucketed: buckets must be 1..65536, got {buckets}")
+    keys = _keys_list(key)
     os.makedirs(out_dir, exist_ok=True)
-    kind = _hash_kind(ds, key)
+    kinds = _hash_kinds(ds, keys)
     if os.path.exists(os.path.join(out_dir, _META)):
         la = _layout(out_dir)
-        if la["key"] != key:
+        if la["key"] != keys:
             raise ValueError(
                 f"append_bucketed: export is bucketed on {la['key']!r}, "
-                f"not {key!r}"
+                f"not {keys!r} (order matters — the combine is ordered)"
             )
-        if la["hash"] != kind:
+        if la["hash"] != kinds:
             raise ValueError(
                 f"append_bucketed: export hashes {la['hash']!r} keys, the "
-                f"delta's {key!r} column needs {kind!r} — key type changed"
+                f"delta's {keys!r} columns need {kinds!r} — key type changed"
             )
         buckets = int(la["buckets"])  # layout-level state: stored wins
     else:
-        _write_meta(out_dir, key, buckets, kind)
+        _write_meta(out_dir, keys, buckets, kinds)
     # the epoch-store helper persists its own bucket count (_index.json,
     # stored-wins) — if the directory already carries a DIFFERENT one
     # (e.g. a repurposed index dir), data would be physically bucketed by
@@ -182,7 +223,8 @@ def append_bucketed(
     nums = [int(d.split("-", 1)[1]) for d in os.listdir(out_dir)
             if d.startswith("epoch-")]
     nxt = (max(nums) + 1) if nums else 0
-    _commit_index_epoch(out_dir, nxt, ds, bucket_fn=_bucket_fn_for(key, kind),
+    _commit_index_epoch(out_dir, nxt, ds,
+                        bucket_fn=_bucket_fn_for(keys, kinds),
                         buckets=buckets)
     return nxt
 
@@ -258,8 +300,8 @@ def _side_schema(path: str) -> pa.Schema:
 def colocated_join(
     dir_a: str,
     dir_b: str,
-    key_a: str,
-    key_b: str | None = None,
+    key_a: str | list[str],
+    key_b: str | list[str] | None = None,
     join_type: str = "inner",
     right_suffix: str = "_r",
 ) -> "ray.data.Dataset":
@@ -267,22 +309,30 @@ def colocated_join(
     bucket H reads both sides' bucket-H files (across all live epochs —
     appended deltas join transparently) and hash-joins them in memory
     (Arrow acero) — matches can only live in equal buckets because both
-    exports hashed the key identically, which the stored layout metadata
-    proves (mismatched bucket count / hash / key raises).  ``join_type``:
-    inner | left outer (Arrow kernel names).  The result streams as B
-    independent blocks; empty buckets emit a schema-stable empty block so
-    downstream operators never see the schema-less-block hazard."""
-    key_b = key_b or key_a
+    exports hashed the key (tuple) identically, which the stored layout
+    metadata proves (mismatched bucket count / hash list / key tuple
+    raises).  Composite keys join positionally: ``key_a[i]`` pairs with
+    ``key_b[i]``.  ``join_type``: inner | left outer (Arrow kernel
+    names).  The result streams as B independent blocks; empty buckets
+    emit a schema-stable empty block so downstream operators never see
+    the schema-less-block hazard."""
+    keys_a = _keys_list(key_a)
+    keys_b = _keys_list(key_b) if key_b is not None else keys_a
+    if len(keys_a) != len(keys_b):
+        raise ValueError(
+            f"colocated_join: key tuples differ in length — {keys_a} vs "
+            f"{keys_b}"
+        )
     la, lb = _layout(dir_a), _layout(dir_b)
     if la["buckets"] != lb["buckets"] or la["hash"] != lb["hash"]:
         raise ValueError(
             f"colocated_join: layouts disagree — {la} vs {lb}; re-export one "
             "side with the other's bucket count"
         )
-    if la["key"] != key_a or lb["key"] != key_b:
+    if la["key"] != keys_a or lb["key"] != keys_b:
         raise ValueError(
             f"colocated_join: exports were bucketed on ({la['key']}, "
-            f"{lb['key']}), not the requested ({key_a}, {key_b}) — joining "
+            f"{lb['key']}), not the requested ({keys_a}, {keys_b}) — joining "
             "on a different key than the bucketing key needs a shuffle join"
         )
     B = int(la["buckets"])
@@ -311,7 +361,7 @@ def colocated_join(
             tb = (pa.concat_tables([pq.read_table(f) for f in fb])
                   if fb else sch_b.empty_table())
             out.append(ta.join(
-                tb, keys=key_a, right_keys=key_b, join_type=join_type,
+                tb, keys=keys_a, right_keys=keys_b, join_type=join_type,
                 right_suffix=right_suffix,
             ))
         return pa.concat_tables(out, promote_options="permissive")
@@ -337,9 +387,10 @@ def colocated_group_agg(
     ``aggs``: (column, fn, out_name) with fn ∈ Arrow group_by kernels
     (sum / count / min / max / mean).  Groups split across epochs (a key
     appended in several deltas) are re-merged per bucket — still inside
-    the one task, because co-location holds across epochs."""
+    the one task, because co-location holds across epochs.  Composite
+    bucket keys group by the full key tuple."""
     la = _layout(dir_a)
-    key = la["key"]
+    keys = la["key"]
     B = int(la["buckets"])
     sch = _side_schema(dir_a)
 
@@ -353,8 +404,8 @@ def colocated_group_agg(
                 _require_live(dir_a, "colocated_group_agg")
             tb = (pa.concat_tables([pq.read_table(f) for f in files])
                   if files else sch.empty_table())
-            g = tb.group_by(key).aggregate([(c, fn) for c, fn, _ in aggs])
-            cols = {key: g[key]}
+            g = tb.group_by(keys).aggregate([(c, fn) for c, fn, _ in aggs])
+            cols = {k: g[k] for k in keys}
             for c, fn, name in aggs:
                 cols[name] = g[f"{c}_{fn}"]
             out.append(pa.table(cols))

@@ -31,6 +31,7 @@ from .q_rel import (  # noqa: F401
     cast_roundtrip,
     colocated_custkey_stats,
     colocated_orders_customer,
+    colocated_user_type_join,
     customer_order_counts,
     events_group_kfold,
     events_window_dedup,
@@ -322,6 +323,7 @@ QUERIES = {
     "events_group_kfold": events_group_kfold,
     "incremental_bigram_perplexity": incremental_bigram_perplexity,
     "skew_salted_join": skew_salted_join,
+    "colocated_user_type_join": colocated_user_type_join,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2297,6 +2299,17 @@ ORACLE_SQL = {
         SELECT o_orderkey, c_mktsegment,
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
         FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "colocated_user_type_join": """
+        WITH g AS (
+            SELECT user_id, event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.event_type,
+               CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS value_cents,
+               g.n_events, g.sum_cents
+        FROM events e JOIN g USING (user_id, event_type)
     """,
     "skew_salted_join": """
         WITH l AS (

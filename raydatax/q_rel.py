@@ -561,3 +561,54 @@ def _mod10(col: "pa.Array | pa.ChunkedArray"):
         col, pc.multiply(pc.divide(col, pa.scalar(10, pa.int64())),
                          pa.scalar(10, pa.int64()))
     )
+
+
+def colocated_user_type_join(sf_dir: str):
+    """COMPOSITE-key storage-partitioned join (colocated.colocated_join
+    over a (user_id:int64, event_type:string) bucket tuple): the events
+    table and its per-(user, type) rollup are exported bucketed on the
+    SAME ordered key tuple (per-column mix64 hashes polynomial-combined),
+    then every event row joins its group's stats bucket-locally with zero
+    exchange — the composite-key variant of colocated_orders_customer.
+    Money pre-snaps to integer cents so sums hash cross-engine."""
+    import shutil
+
+    from .colocated import colocated_join, write_bucketed
+    from .relational import preagg_groupby
+
+    da = _scratch("raydatax_bkt_events_ut", sf_dir)
+    db = _scratch("raydatax_bkt_utstats", sf_dir)
+    shutil.rmtree(da, ignore_errors=True)
+    shutil.rmtree(db, ignore_errors=True)
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    ).map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "value_cents": _cents(t["value"]),
+        }),
+        batch_format="pyarrow",
+    )
+    stats = preagg_groupby(
+        ev.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["user_id", "event_type"],
+        [("one", "sum", "n_events"), ("value_cents", "sum", "sum_cents")],
+    )
+    write_bucketed(ev, da, ["user_id", "event_type"], buckets=16)
+    write_bucketed(stats, db, ["user_id", "event_type"], buckets=16)
+    out = colocated_join(da, db, ["user_id", "event_type"])
+    return out.map_batches(
+        lambda t: t.select(
+            ["event_id", "user_id", "event_type", "value_cents",
+             "n_events", "sum_cents"]
+        ),
+        batch_format="pyarrow",
+    )

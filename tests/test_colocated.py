@@ -199,3 +199,121 @@ def test_group_agg_matches_global_groupby(tmp_path):
     got = got.astype({"n": "int64", "s": "int64"})
     want = want.astype({"n": "int64", "s": "int64"})
     assert got.equals(want)
+
+
+# -------------------------------------------------- composite keys (round 5)
+
+
+def _composite_sides(tmp_path, buckets=8, n=600):
+    rng = np.random.default_rng(11)
+    a = pa.table({
+        "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "s": pa.array(np.array(["x", "y", "z"])[rng.integers(0, 3, n)]),
+        "va": pa.array(np.arange(n), pa.int64()),
+    })
+    import duckdb
+    b = duckdb.sql('SELECT DISTINCT k, s FROM a ORDER BY k, s').arrow()
+    b = b.append_column("vb", pa.array(
+        np.arange(b.num_rows, dtype=np.int64) * 7))
+    da, db = str(tmp_path / "ca"), str(tmp_path / "cb")
+    write_bucketed(rd.from_arrow(a), da, ["k", "s"], buckets=buckets)
+    write_bucketed(rd.from_arrow(b), db, ["k", "s"], buckets=buckets)
+    return a, b, da, db
+
+
+def test_composite_join_matches_duckdb(tmp_path):
+    import duckdb
+
+    a, b, da, db = _composite_sides(tmp_path)
+    got = _sorted_pd_from_ds(colocated_join(da, db, ["k", "s"]))
+    exp = duckdb.sql(
+        "SELECT a.k, a.s, a.va, b.vb FROM a JOIN b USING (k, s)"
+    ).df()
+    cols = sorted(exp.columns)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert got.equals(exp)
+
+
+def test_composite_group_agg_matches_duckdb(tmp_path):
+    import duckdb
+
+    from raydatax.colocated import colocated_group_agg
+
+    a, _b, da, _db = _composite_sides(tmp_path)
+    got = _sorted_pd_from_ds(
+        colocated_group_agg(da, [("va", "sum", "sum_va"),
+                                 ("va", "count", "n")])
+    )
+    exp = duckdb.sql(
+        "SELECT k, s, CAST(SUM(va) AS BIGINT) AS sum_va, "
+        "COUNT(*) AS n FROM a GROUP BY 1, 2"
+    ).df()
+    cols = sorted(exp.columns)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert got.equals(exp)
+
+
+def test_composite_key_order_mismatch_raises(tmp_path):
+    _a, _b, da, db = _composite_sides(tmp_path)
+    with pytest.raises(ValueError, match="bucketed on"):
+        colocated_join(da, db, ["s", "k"])  # wrong order: combine is ordered
+
+
+def test_composite_append_kind_mismatch_raises(tmp_path):
+    from raydatax.colocated import append_bucketed
+
+    a, _b, da, _db = _composite_sides(tmp_path)
+    # delta where s turned into an int: hash-kind list changes → refuse
+    bad = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "s": pa.array([10, 11], pa.int64()),
+        "va": pa.array([0, 0], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="key type changed"):
+        append_bucketed(rd.from_arrow(bad), da, ["k", "s"])
+
+
+def test_composite_append_joins_transparently(tmp_path):
+    import duckdb
+
+    from raydatax.colocated import append_bucketed
+
+    a, b, da, db = _composite_sides(tmp_path)
+    delta = pa.table({
+        "k": pa.array([0, 1, 2], pa.int64()),
+        "s": pa.array(["x", "y", "z"]),
+        "va": pa.array([9001, 9002, 9003], pa.int64()),
+    })
+    append_bucketed(rd.from_arrow(delta), da, ["k", "s"])
+    both = pa.concat_tables([a, delta])
+    got = _sorted_pd_from_ds(colocated_join(da, db, ["k", "s"]))
+    exp = duckdb.sql(
+        'SELECT t.k, t.s, t.va, b.vb FROM "both" t JOIN b USING (k, s)'
+    ).df()
+    cols = sorted(exp.columns)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert got.equals(exp)
+
+
+def test_single_key_layout_unchanged_by_composite_support(tmp_path):
+    """Round-4 single-column exports must keep their scalar metadata shape
+    and bucket mapping (mix64(col) % B with NO combine step)."""
+    import json
+    import os
+
+    from raydatax.partition import hash_ints
+
+    a, _b, da, _db = _sides(tmp_path)
+    with open(os.path.join(da, "_buckets.json")) as f:
+        meta = json.load(f)
+    assert meta["key"] == "k" and meta["hash"] == "mix64"  # scalar, not list
+    # spot-check one row's physical bucket
+    k0 = a["k"][0].as_py()
+    expected = int(hash_ints(np.array([k0])) % np.uint64(meta["buckets"]))
+    import glob
+    files = glob.glob(os.path.join(da, "epoch-0", f"__bucket={expected}", "*.parquet"))
+    import pyarrow.parquet as pq
+    found = any(
+        k0 in pq.read_table(f, columns=["k"])["k"].to_pylist() for f in files
+    )
+    assert found
