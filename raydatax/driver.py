@@ -1502,6 +1502,8 @@ def run_multi_table_job(
     base_dir: str,
     table_col: str = "table",
     partitions: int = 8,
+    time_travel_epochs: int | None = None,
+    _crash_after_tables: int | None = None,
     **job_kw,
 ) -> dict:
     """One tagged CDC stream → N lakes in one call: demux the stream once
@@ -1509,16 +1511,94 @@ def run_multi_table_job(
     ``base_dir/wal/<table>``, resumable), then the normal exactly-once
     ingest per table into ``base_dir/lake/<table>``.  Re-running resumes
     both halves: the demux skips recorded segments, each ingest tails from
-    its own watermark.  Returns ``{"tables": {name: report}, "demux": ...}``
-    — the reference needs one DataX job per table, each re-reading the
-    source (job JSON per table); here routing cost is paid once."""
-    import os as _os
+    its own watermark.  Returns ``{"tables": {name: report}, "demux": ...,
+    "snapshot": ...}`` — the reference needs one DataX job per table, each
+    re-reading the source (job JSON per table); here routing cost is paid
+    once.
 
+    **Cross-table consistency.**  Every cycle ingests ALL tables to the
+    SAME source boundary (demux routes whole source segments, each table
+    then applies its full routed WAL), and only after the LAST table
+    commits does ``base_dir/_snapshot.json`` flip (tmp+rename) to record
+    the per-table (epoch, watermark) set that together represent ONE
+    source watermark — mirroring the job-level shared endTime checkpoint
+    all shards commit in the reference's stream reader
+    (/root/reference/otsstreamreader/.../core/RecordProcessor.java:186-239).
+    A crash between two tables' commits leaves the snapshot at the
+    PREVIOUS cycle, so :func:`read_consistent` never observes table A at
+    source-seq W+k while B sits at W; the rerun finishes the remaining
+    tables (their siblings no-op on their watermarks) and flips the
+    snapshot once.  The per-table lakes default to ``time_travel_epochs=1``
+    here (overridable) because the previous consistent epoch must stay
+    readable while a new cycle is mid-flight."""
+    import os as _os
+    import signal as _signal
+
+    from . import manifest as mf
     from .source import demux_wal
 
     routed = demux_wal(src_wal, _os.path.join(base_dir, "wal"), table_col)
     reports = {}
-    for name, wal_dir in routed["tables"].items():
+    pinned: dict[str, dict] = {}
+    for i, (name, wal_dir) in enumerate(sorted(routed["tables"].items())):
+        if _crash_after_tables is not None and i >= _crash_after_tables:
+            _os.kill(_os.getpid(), _signal.SIGKILL)  # test hook: hard kill
         lake_dir = _os.path.join(base_dir, "lake", name)
-        reports[name] = run_job(wal_dir, lake_dir, partitions=partitions, **job_kw)
-    return {"demux": routed, "tables": reports}
+        reports[name] = run_job(
+            wal_dir, lake_dir, partitions=partitions,
+            time_travel_epochs=(1 if time_travel_epochs is None
+                                else time_travel_epochs),
+            **job_kw,
+        )
+        mans = mf.load_manifests(lake_dir)
+        pinned[name] = {
+            "lake": _os.path.relpath(lake_dir, base_dir),
+            "epoch": max((m["epoch"] for m in mans.values()), default=0),
+            "watermark": max((m["hw_seq"] for m in mans.values()), default=-1),
+        }
+    snap_path = _os.path.join(base_dir, "_snapshot.json")
+    prev = mf._read_json(snap_path) or {}
+    snapshot = {
+        "cycle": int(prev.get("cycle", 0)) + 1,
+        "source_segments": routed["segments_routed"],
+        "source_horizon": max(
+            (p["watermark"] for p in pinned.values()), default=-1
+        ),
+        "tables": pinned,
+    }
+    mf._atomic_write_json(snap_path, snapshot)
+    return {"demux": routed, "tables": reports, "snapshot": snapshot}
+
+
+def read_consistent(
+    base_dir: str,
+    columns: list[str] | None = None,
+) -> dict:
+    """Cross-table-consistent reads over a :func:`run_multi_table_job`
+    output tree: every table comes back PINNED at the epoch recorded by
+    the last fully-committed cycle's ``_snapshot.json`` — never the mixed
+    state a crash mid-cycle leaves in the live manifests.  Returns
+    ``{"tables": {name: Dataset}, "cycle": n, "source_horizon": seq}``.
+    Raises FileNotFoundError before the first complete cycle."""
+    import os as _os
+
+    from . import manifest as mf
+
+    snap = mf._read_json(_os.path.join(base_dir, "_snapshot.json"))
+    if snap is None:
+        raise FileNotFoundError(
+            f"read_consistent: {base_dir} has no _snapshot.json — no "
+            "multi-table cycle has fully committed yet"
+        )
+    tables = {
+        name: read_lake(
+            _os.path.join(base_dir, p["lake"]), at_epoch=int(p["epoch"]),
+            columns=columns,
+        )
+        for name, p in snap["tables"].items()
+    }
+    return {
+        "tables": tables,
+        "cycle": snap["cycle"],
+        "source_horizon": snap["source_horizon"],
+    }
