@@ -222,6 +222,51 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  retain_ts_span_us=40 * 3_600_000_000, time_travel_epochs=4)
     soak_wall = time.monotonic() - t0
 
+    # storage-partitioned analytics loop rate (round-5 soak datapoint):
+    # steady-state cycles of {append a delta epoch, exchange-free join,
+    # exchange-free group-agg}, compacting halfway — the colocated-layout
+    # cadence measured as epochs/s (skipped in --scaling: headline only)
+    coloc_queries = {}
+    if not os.environ.get("BENCH_HEADLINE_ONLY"):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from raydatax.colocated import (
+            append_bucketed, colocated_group_agg, colocated_join,
+            compact_bucketed, write_bucketed,
+        )
+
+        cd = "/tmp/raydatax_bench/coloc_loop"
+        shutil.rmtree(cd, ignore_errors=True)
+        da, db = os.path.join(cd, "fact"), os.path.join(cd, "dim")
+        keys = 5000
+        dim = pa.table({"k": pa.array(np.arange(keys, dtype=np.int64)),
+                        "w": pa.array(np.arange(keys, dtype=np.int64) * 7)})
+
+        def coloc_delta(c: int, n: int = 50_000) -> pa.Table:
+            i = np.arange(n, dtype=np.int64)
+            return pa.table({"k": pa.array((i * 13 + c) % keys),
+                             "v": pa.array(c * 100_000 + i)})
+
+        write_bucketed(rd.from_arrow(coloc_delta(0)), da, "k", buckets=16)
+        write_bucketed(rd.from_arrow(dim), db, "k", buckets=16)
+        coloc_epochs = 8
+        t0 = time.monotonic()
+        for c in range(1, coloc_epochs + 1):
+            append_bucketed(rd.from_arrow(coloc_delta(c)), da, "k")
+            colocated_join(da, db, "k").count()
+            colocated_group_agg(da, [("v", "sum", "sv")]).count()
+            if c == coloc_epochs // 2:
+                compact_bucketed(da)
+        coloc_wall = time.monotonic() - t0
+        coloc_queries = {
+            "colocated_loop_epochs": coloc_epochs,
+            "colocated_loop_wall": round(coloc_wall, 3),
+            "colocated_loop_epochs_per_s":
+                round(coloc_epochs / coloc_wall, 2),
+        }
+
     # representative secondary pipelines on the sf tables (skipped in
     # --scaling subprocesses: only the headline matters there)
     from raydatax import pipelines as pl
@@ -241,6 +286,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                "soak_tail_epochs": soak_epochs,
                "soak_tail_wall": round(soak_wall, 3),
                "soak_epochs_per_s": round(soak_epochs / soak_wall, 2)}
+    queries.update(coloc_queries)
     secondary = [] if os.environ.get("BENCH_HEADLINE_ONLY") else [
         "q1_pricing_summary",
         "revenue_by_segment",
