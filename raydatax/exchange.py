@@ -99,7 +99,23 @@ def split_by_partition(batch: pa.Table, n_parts: int, part_col: str = "__part") 
     ]
 
 
-def _encode_shard(tab: pa.Table) -> bytes:
+def _retain_pages() -> None:
+    """Keep jemalloc's freed pages resident in this worker process instead
+    of decaying them back to the OS: the replay hot path allocates and
+    frees data-sized Arrow buffers on every shard, and on this host
+    re-provisioning a returned page is the single most expensive thing a
+    worker can do (fresh-page first touch caps at ~0.03–1.5 GB/s in the
+    degraded hypervisor windows while already-resident pages stream at
+    200+ GB/s — tools/membw_probe.py).  Retention is bounded by one
+    task's peak working set per worker, which map-chunk sizing already
+    caps.  No-op when jemalloc isn't the active pool."""
+    try:
+        pa.jemalloc_set_decay_ms(-1)
+    except Exception:
+        pass
+
+
+def _encode_shard(tab: pa.Table) -> "bytes | pa.Buffer":
     """Shuffle compression: the exchange moves zstd-compressed Arrow IPC
     bytes, not raw Arrow — ~3-4x less object-store / network traffic for
     transcript text at the cost of cheap extra CPU.  IPC was measured 1.6x
@@ -107,17 +123,23 @@ def _encode_shard(tab: pa.Table) -> bytes:
     only ~20% more bytes (shards are small; parquet's writer setup + column
     indexes dominate at that size).  On a multi-node cluster this is what
     you want for the cross-node exchange; on this sandbox it moves the
-    workload off the memory-bandwidth wall back to the (plentiful) cores."""
+    workload off the memory-bandwidth wall back to the (plentiful) cores.
+
+    Returns the IPC stream as a pa.Buffer, NOT bytes: Ray pickles Arrow
+    buffers with out-of-band (pickle-5) data, so the shard lands in the
+    object store with ONE copy — `.to_pybytes()` here cost a full extra
+    heap copy per shard (fresh pages, see :func:`_retain_pages`) before
+    Ray copied it again."""
     if tab.num_rows == 0:
         return b""
     sink = pa.BufferOutputStream()
     opts = pa.ipc.IpcWriteOptions(compression="zstd")
     with pa.ipc.new_stream(sink, tab.schema, options=opts) as w:
         w.write_table(tab, max_chunksize=1 << 20)
-    return sink.getvalue().to_pybytes()
+    return sink.getvalue()
 
 
-def _decode_shard(buf: bytes, schema: pa.Schema) -> pa.Table:
+def _decode_shard(buf: "bytes | pa.Buffer", schema: pa.Schema) -> pa.Table:
     if not buf:
         return schema.empty_table()
     return pa.ipc.open_stream(pa.BufferReader(buf)).read_all()
@@ -149,6 +171,7 @@ def map_segment(
     # each worker gets 1 logical CPU — don't let Arrow's internal pool
     # oversubscribe the node (N workers × all-cores pools thrash badly)
     pa.set_cpu_count(1)
+    _retain_pages()  # reuse freed pages across the tasks this worker runs
     windowed = ts_lo is not None or ts_hi is not None
     f = pq.ParquetFile(path)
     tab = f.read_row_groups(row_groups) if row_groups is not None else f.read()
@@ -247,6 +270,7 @@ class MergeActor:
         write_gate=None,
     ):
         pa.set_cpu_count(1)  # see map_segment: avoid N×all-cores Arrow pools
+        _retain_pages()  # reuse freed pages across this actor's partitions
         self.sparse = sparse
         self.output = output
         self.lake_dir = lake_dir
