@@ -847,49 +847,43 @@ def skew_join(
             num_partitions=num_partitions, portable=portable,
         )
     hot_h = np.unique(_join_key_hash(hot_keys, on_t))  # sorted for isin
-    ref = ray.put(hot_h)
     S = int(salts)
     if S < 2:
         raise ValueError("skew_join: salts must be >= 2")
 
-    class SaltLeft:
-        def __init__(self):
-            self.hot = ray.get(ref)  # once per actor
+    # the hot set is BOUNDED TINY (≤ 1/hot_share hashes, ~a few hundred
+    # bytes) — closure capture ships it with each task spec, which is
+    # cheaper than an actor pool whose fixed size would throttle the map
+    # stage below the cluster's parallelism; broadcast-via-ray.put is for
+    # big sides, not this
+    def salt_left(t: pa.Table) -> pa.Table:
+        is_hot = np.isin(_join_key_hash(t, on_t), hot_h)
+        salt = np.zeros(t.num_rows, np.int32)
+        idx = np.flatnonzero(is_hot)
+        if len(idx):
+            # round-robin over the hot rows of this batch: any salt
+            # assignment is correct (the right side carries every
+            # replica), round-robin keeps the spread even
+            salt[idx] = (np.arange(len(idx)) % S).astype(np.int32)
+        return t.append_column("__s", pa.array(salt))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            is_hot = np.isin(_join_key_hash(t, on_t), self.hot)
-            salt = np.zeros(t.num_rows, np.int32)
-            idx = np.flatnonzero(is_hot)
-            if len(idx):
-                # round-robin over the hot rows of this batch: any salt
-                # assignment is correct (the right side carries every
-                # replica), round-robin keeps the spread even
-                salt[idx] = (np.arange(len(idx)) % S).astype(np.int32)
-            return t.append_column("__s", pa.array(salt))
-
-    class SaltRight:
-        def __init__(self):
-            self.hot = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            is_hot = np.isin(_join_key_hash(t, on_t), self.hot)
-            if not is_hot.any():
-                return t.append_column(
-                    "__s", pa.array(np.zeros(t.num_rows, np.int32))
-                )
-            cold = np.flatnonzero(~is_hot)
-            hot = np.flatnonzero(is_hot)
-            take = np.concatenate([cold, np.repeat(hot, S)])
-            salt = np.concatenate(
-                [np.zeros(len(cold), np.int32),
-                 np.tile(np.arange(S, dtype=np.int32), len(hot))]
+    def salt_right(t: pa.Table) -> pa.Table:
+        is_hot = np.isin(_join_key_hash(t, on_t), hot_h)
+        if not is_hot.any():
+            return t.append_column(
+                "__s", pa.array(np.zeros(t.num_rows, np.int32))
             )
-            return t.take(pa.array(take)).append_column(
-                "__s", pa.array(salt)
-            )
+        cold = np.flatnonzero(~is_hot)
+        hot = np.flatnonzero(is_hot)
+        take = np.concatenate([cold, np.repeat(hot, S)])
+        salt = np.concatenate(
+            [np.zeros(len(cold), np.int32),
+             np.tile(np.arange(S, dtype=np.int32), len(hot))]
+        )
+        return t.take(pa.array(take)).append_column("__s", pa.array(salt))
 
-    lb = left.map_batches(SaltLeft, batch_format="pyarrow", concurrency=(1, 8))
-    rb = right.map_batches(SaltRight, batch_format="pyarrow", concurrency=(1, 8))
+    lb = left.map_batches(salt_left, batch_format="pyarrow")
+    rb = right.map_batches(salt_right, batch_format="pyarrow")
     joined = hash_join(
         lb, rb, on_t + ["__s"], join_type=jt,
         num_partitions=num_partitions, portable=portable,
