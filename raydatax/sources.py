@@ -88,7 +88,9 @@ def apply_column_spec(batch: pa.Table, spec: list[ColumnEntry]) -> pa.Table:
 # plain read_csv path (Arrow auto-detects it); the rest mirror the
 # reference's compress knob (UnstructuredStorageReaderUtil.java:103-251:
 # gzip, bzip2, zip, lzo, lzo_deflate, hadoop-snappy, framing-snappy).
-_WHOLE_FILE_CODEC_EXTS = (".bz2", ".zip", ".xz", ".lzma", ".zst", ".snappy", ".lzo")
+_WHOLE_FILE_CODEC_EXTS = (
+    ".bz2", ".zip", ".xz", ".lzma", ".zst", ".snappy", ".lzo", ".lzo_deflate",
+)
 
 
 def decompress_file_bytes(name: str, data: bytes) -> bytes:
@@ -98,9 +100,12 @@ def decompress_file_bytes(name: str, data: bytes) -> bytes:
     handles both raw and pre-decompressed inputs).  Snappy comes in two
     decodable flavors — the framed stream format (sNaPpY magic) and raw
     blocks (varint size preamble, what ``pa.compress`` emits) — both via
-    Arrow's bundled snappy codec.  Hadoop's magic-less block-snappy and
-    LZO are not present in this container — those raise a clearly-marked
-    NotImplementedError instead of guessing."""
+    Arrow's bundled snappy codec.  LZO comes in two container flavors —
+    lzop files (magic-sniffed) and Hadoop LzoCodec raw blocks (the
+    reference's ``compress: lzo_deflate``, extension-routed) — both via
+    the pure-Python LZO1X codec in :mod:`raydatax.lzo`.  Hadoop's
+    magic-less block-snappy is not decodable here — it raises a
+    clearly-marked NotImplementedError instead of guessing."""
     if data[:10] == b"\xff\x06\x00\x00sNaPpY":
         return _snappy_framed(data)
     if name.lower().endswith(".snappy"):
@@ -112,11 +117,12 @@ def decompress_file_bytes(name: str, data: bytes) -> bytes:
                 "(hadoop block-snappy?); re-encode as framed snappy, "
                 "gzip, bzip2, zstd, xz or zip"
             ) from e
-    if name.lower().endswith(".lzo"):
-        raise NotImplementedError(
-            "the LZO codec is not available in this container; re-encode "
-            "as snappy/gzip/bzip2/zstd/xz/zip"
-        )
+    from raydatax.lzo import LZOP_MAGIC, lzo_deflate_decompress_bytes, lzop_decompress_bytes
+
+    if data[: len(LZOP_MAGIC)] == LZOP_MAGIC:
+        return lzop_decompress_bytes(data)
+    if name.lower().endswith((".lzo", ".lzo_deflate")):
+        return lzo_deflate_decompress_bytes(data)
     if data[:4] == b"PK\x03\x04":
         return b"".join(_zip_members(data))
     if data[:6] == b"\xfd7zXZ\x00" or data[:3] == b"\x5d\x00\x00":

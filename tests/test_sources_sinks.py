@@ -120,8 +120,9 @@ def test_csv_gzip_compression(tmp_path):
 def test_csv_whole_file_codecs(tmp_path):
     """bz2 / zip / xz / zstd / snappy (raw-block AND framed) CSVs
     decompress whole-file inside the read task (one task per file,
-    txtfilereader split unit); LZO and non-snappy bytes under a .snappy
-    name raise the documented NotImplementedError."""
+    txtfilereader split unit); non-snappy bytes under a .snappy name raise
+    the documented NotImplementedError, corrupt LZO raises LzoError (the
+    decodable-LZO path itself is covered in test_lzo.py)."""
     import bz2
     import lzma
     import zipfile
@@ -170,7 +171,10 @@ def test_csv_whole_file_codecs(tmp_path):
 
     with pytest.raises(NotImplementedError, match="snappy"):
         decompress_file_bytes("x.csv.snappy", b"\xff\xff\xff\xffgarbage")
-    with pytest.raises(NotImplementedError, match="LZO"):
+    # LZO is decodable now (raydatax.lzo); garbage still fails loudly.
+    from raydatax.lzo import LzoError
+
+    with pytest.raises(LzoError):
         decompress_file_bytes("x.csv.lzo", b"data")
 
 
