@@ -43,6 +43,7 @@ from .q_rel import (  # noqa: F401
     projection_filter_revenue,
     q1_pricing_summary,
     semi_join_fulfilled,
+    csv_lzo_roundtrip,
     skew_salted_join,
     sql_sample_read,
     sql_split_read,
@@ -324,6 +325,7 @@ QUERIES = {
     "incremental_bigram_perplexity": incremental_bigram_perplexity,
     "skew_salted_join": skew_salted_join,
     "colocated_user_type_join": colocated_user_type_join,
+    "csv_lzo_roundtrip": csv_lzo_roundtrip,
 }
 
 # The BPE oracle unrolls the learner's merge rounds as chained CTEs (the
@@ -2535,4 +2537,14 @@ ORACLE_SQL["approx_users_hll_verified"] = """
     SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
            TRUE AS hll_within_5pct
     FROM events
+"""
+
+# the CSV-LZO roundtrip is lossless, so the oracle is the plain aggregate
+ORACLE_SQL["csv_lzo_roundtrip"] = """
+    SELECT event_type,
+           CAST(count(event_id) AS BIGINT) AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid,
+           max(event_id) AS max_eid
+    FROM events
+    GROUP BY event_type
 """

@@ -612,3 +612,53 @@ def colocated_user_type_join(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def csv_lzo_roundtrip(sf_dir: str):
+    """CSV ``compress: lzo`` parity (the reference's unstructured-storage
+    codec knob, UnstructuredStorageReaderUtil.java:103-251): events are
+    exported WORKER-SIDE as lzop-compressed CSV shards — one ``.csv.lzo``
+    per block, encoded by the pure-Python LZO1X codec (raydatax/lzo.py) —
+    then read back through the whole-file magic-sniffing codec path and
+    aggregated per event_type.  All-integer payload so the text roundtrip
+    is exact; the driver only ever holds the shard path list."""
+    import io
+    import shutil
+    import uuid
+
+    import pyarrow.csv as pacsv
+
+    from .lzo import lzop_compress_bytes
+    from .sources import ColumnEntry, read_csv_datax
+
+    out = _scratch("raydatax_lzocsv", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type"])
+
+    def dump(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        buf = io.BytesIO()
+        pacsv.write_csv(t, buf,
+                        write_options=pacsv.WriteOptions(include_header=False))
+        name = os.path.join(out, f"part-{uuid.uuid4().hex}.csv.lzo")
+        tmp = name + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(lzop_compress_bytes(buf.getvalue()))
+        os.replace(tmp, name)
+        return pa.table({"path": [name]})
+
+    paths = [r["path"] for r in
+             ds.map_batches(dump, batch_format="pyarrow").take_all()]
+    spec = [ColumnEntry(index=0, type="long", name="event_id"),
+            ColumnEntry(index=1, type="long", name="user_id"),
+            ColumnEntry(index=2, type="string", name="event_type")]
+    back = read_csv_datax(paths, spec)
+    return preagg_groupby(
+        back, ["event_type"],
+        [("event_id", "count", "n_events"),
+         ("user_id", "sum", "sum_uid"),
+         ("event_id", "max", "max_eid")],
+    )
